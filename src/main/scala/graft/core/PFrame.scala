@@ -1,0 +1,125 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Labeled-frame wrapper: the engine's answer to the reference's
+  * index/alignment semantics (reference: pandas/core/generic.py:92 NDFrame,
+  * pandas/core/indexes/base.py:164 Index — see SURVEY.md §1.4).
+  *
+  * A `PFrame` is a lazy Catalyst plan (`df`) plus
+  *   - `indexCols`: the columns acting as the row-label Index. Alignment
+  *     (the implicit outer-join the reference performs before every binary
+  *     op, pandas/core/ops.py:948) becomes an explicit `full_outer` join on
+  *     these columns.
+  *   - `orderCol`: an optional column giving a deterministic total order,
+  *     materialized lazily the first time a positional operator (shift,
+  *     head, cumsum, dedup keep='first') needs one.
+  *
+  * Scale note: the reference keeps an O(1) hash index per frame; at 100 TB
+  * a materialized index is the wrong trade — Spark's shuffle-on-key
+  * subsumes it, and `orderCol` keeps positional semantics without a global
+  * sort until one is genuinely requested.
+  */
+final case class PFrame(
+    df: DataFrame,
+    indexCols: Seq[String] = Nil,
+    orderCol: Option[String] = None) {
+
+  def valueCols: Seq[String] =
+    df.columns.toSeq.filterNot(c => indexCols.contains(c) || orderCol.contains(c))
+
+  /** Ensure a deterministic order column exists; synthesizes row numbers
+    * over the index ordering when absent. Positional ops call this.
+    * NOTE: `row_number` over an empty partition spec is a single-partition
+    * hazard at scale — callers that can use a natural key column should.
+    */
+  def withOrder: PFrame = orderCol match {
+    case Some(_) => this
+    case None =>
+      require(indexCols.nonEmpty,
+        "positional op needs an order: set an index or supply orderCol")
+      val oc = "__order__"
+      PFrame(
+        df.withColumn(oc, row_number().over(
+          Window.orderBy(indexCols.map(col): _*))),
+        indexCols, Some(oc))
+  }
+
+  def setIndex(cols: String*): PFrame = copy(indexCols = cols)
+  def resetIndex: PFrame = copy(indexCols = Nil)
+
+  def select(cols: String*): PFrame =
+    copy(df = df.select((indexCols ++ orderCol ++ cols).distinct.map(col): _*))
+
+  def filter(cond: Column): PFrame = copy(df = df.filter(cond))
+
+  def withColumn(name: String, c: Column): PFrame = copy(df = df.withColumn(name, c))
+
+  def rename(mapping: (String, String)*): PFrame =
+    copy(
+      df = mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+      indexCols = indexCols.map(c => mapping.toMap.getOrElse(c, c)))
+
+  def drop(cols: String*): PFrame = copy(df = df.drop(cols: _*))
+
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil,
+      naPosition: String = "last"): PFrame = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    val sortCols = by.zip(asc).map { case (c, a) =>
+      (a, naPosition) match {
+        case (true, "last")   => col(c).asc_nulls_last
+        case (true, _)        => col(c).asc_nulls_first
+        case (false, "last")  => col(c).desc_nulls_last
+        case (false, _)       => col(c).desc_nulls_first
+      }
+    }
+    copy(df = df.orderBy(sortCols: _*))
+  }
+
+  /** Outer-align two frames on their shared index — the engine primitive
+    * behind every aligned binary op (reference: NDFrame.align,
+    * pandas/core/generic.py:8037). Returns (joined, leftCol, rightCol)
+    * resolvers for value columns.
+    */
+  def align(other: PFrame): (DataFrame, String => Column, String => Column) = {
+    require(indexCols.nonEmpty && indexCols == other.indexCols,
+      s"alignment needs matching index columns: $indexCols vs ${other.indexCols}")
+    val l = df.select(indexCols.map(col) ++ valueCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = other.df.select(
+      other.indexCols.map(col) ++ other.valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = l.join(r, indexCols, "full_outer")
+    (joined, c => col(s"__l_$c"), c => col(s"__r_$c"))
+  }
+
+  /** Aligned elementwise binary op over the intersection-by-name of value
+    * columns; unmatched rows yield null (reference yields NaN).
+    */
+  def binOp(other: PFrame, op: (Column, Column) => Column): PFrame = {
+    val (joined, lc, rc) = align(other)
+    val common = valueCols.intersect(other.valueCols)
+    val out = joined.select(indexCols.map(col) ++ common.map(c => op(lc(c), rc(c)).as(c)): _*)
+    PFrame(out, indexCols, None)
+  }
+
+  def plus(other: PFrame): PFrame  = binOp(other, _ + _)
+  def minus(other: PFrame): PFrame = binOp(other, _ - _)
+  def times(other: PFrame): PFrame = binOp(other, _ * _)
+  def div(other: PFrame): PFrame   = binOp(other, _ / _)
+
+  /** combine_first: aligned coalesce (reference: pandas/core/frame.py:5138). */
+  def combineFirst(other: PFrame): PFrame = {
+    val (joined, lc, rc) = align(other)
+    val all = (valueCols ++ other.valueCols).distinct
+    val out = joined.select(indexCols.map(col) ++ all.map { c =>
+      val has = (valueCols.contains(c), other.valueCols.contains(c))
+      (has match {
+        case (true, true)  => coalesce(lc(c), rc(c))
+        case (true, false) => lc(c)
+        case _             => rc(c)
+      }).as(c)
+    }: _*)
+    PFrame(out, indexCols, None)
+  }
+}

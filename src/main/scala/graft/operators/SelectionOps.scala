@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-selection operators whose semantics go beyond Spark built-ins
+  * (SURVEY.md §2.2, §2.6).
+  */
+object SelectionOps {
+
+  /** pandas drop_duplicates with deterministic `keep` semantics
+    * (reference: pandas/core/frame.py:4451; algorithms.py:761).
+    *
+    * Spark's `dropDuplicates` keeps an *arbitrary* row per key — fine for
+    * blind dedup, wrong for keep='first'/'last'. We pin the choice with a
+    * window ordered by `orderCol`:
+    *   keep='first' → row_number over (subset, orderBy orderCol) == 1
+    *   keep='last'  → same with descending order
+    *   keep=false   → count over subset == 1 (drop all dupes)
+    *
+    * Scale: one hash shuffle on `subset` — the same cost as groupBy — and
+    * AQE handles skewed keys. No global sort.
+    */
+  def dropDuplicates(df: DataFrame, subset: Seq[String], keep: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(subset.map(col): _*)
+    keep match {
+      case "first" =>
+        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).asc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      case "last" =>
+        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      case "none" | "false" =>
+        df.withColumn("__cnt", count(lit(1)).over(w))
+          .filter(col("__cnt") === 1).drop("__cnt")
+      case other => throw new IllegalArgumentException(s"keep=$other")
+    }
+  }
+
+  /** duplicated() mask materialized as the duplicate rows themselves. */
+  def duplicated(df: DataFrame, subset: Seq[String], keep: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(subset.map(col): _*)
+    keep match {
+      case "first" =>
+        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).asc)))
+          .filter(col("__rn") > 1).drop("__rn")
+      case "last" =>
+        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).desc)))
+          .filter(col("__rn") > 1).drop("__rn")
+      case _ =>
+        df.withColumn("__cnt", count(lit(1)).over(w))
+          .filter(col("__cnt") > 1).drop("__cnt")
+    }
+  }
+
+  /** nlargest/nsmallest (reference: pandas/core/frame.py:4649;
+    * algorithms.py:1045 SelectN — a partial sort).
+    *
+    * `orderBy(...).limit(n)` lets Catalyst plan TakeOrderedAndProject —
+    * a true distributed top-k (per-partition heap + driver merge), never a
+    * full sort. `tiebreak` pins pandas keep='first' determinism.
+    */
+  def nlargest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
+    df.orderBy(cols.map(col(_).desc) ++ tiebreak.map(col(_).asc): _*).limit(n)
+
+  def nsmallest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
+    df.orderBy(cols.map(col(_).asc) ++ tiebreak.map(col(_).asc): _*).limit(n)
+
+  /** where/mask (reference: pandas/core/generic.py:8466): conditional
+    * replacement, not row filtering. */
+  def where(df: DataFrame, cond: Column, targets: Seq[String],
+      other: Column = lit(null)): DataFrame =
+    targets.foldLeft(df)((d, c) => d.withColumn(c, when(cond, col(c)).otherwise(other)))
+
+  def mask(df: DataFrame, cond: Column, targets: Seq[String],
+      other: Column = lit(null)): DataFrame =
+    where(df, !cond, targets, other)
+
+  /** clip (reference: pandas/core/generic.py:6862). */
+  def clip(c: Column, lower: Option[Column], upper: Option[Column]): Column = {
+    val lo = lower.map(l => greatest(c, l)).getOrElse(c)
+    upper.map(u => least(lo, u)).getOrElse(lo)
+  }
+
+  /** head-n per whole frame with deterministic order (pandas head relies on
+    * physical order; we require an explicit order column — SURVEY §1.4). */
+  def head(df: DataFrame, n: Int, orderCol: String): DataFrame =
+    df.orderBy(col(orderCol).asc).limit(n)
+
+  def tail(df: DataFrame, n: Int, orderCol: String): DataFrame =
+    df.orderBy(col(orderCol).desc).limit(n)
+}
