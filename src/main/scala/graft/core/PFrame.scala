@@ -57,10 +57,15 @@ final case class PFrame(
 
   def withColumn(name: String, c: Column): PFrame = copy(df = df.withColumn(name, c))
 
-  def rename(mapping: (String, String)*): PFrame =
+  /** Rename via one select so swap mappings (a->b, b->a) stay correct —
+    * a sequential withColumnRenamed fold would collide mid-fold. */
+  def rename(mapping: (String, String)*): PFrame = {
+    val m = mapping.toMap
     copy(
-      df = mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
-      indexCols = indexCols.map(c => mapping.toMap.getOrElse(c, c)))
+      df = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))): _*),
+      indexCols = indexCols.map(c => m.getOrElse(c, c)),
+      orderCol = orderCol.map(c => m.getOrElse(c, c)))
+  }
 
   def drop(cols: String*): PFrame = copy(df = df.drop(cols: _*))
 

@@ -64,10 +64,12 @@ object SelectionOps {
     * full sort. `tiebreak` pins pandas keep='first' determinism.
     */
   def nlargest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
-    df.orderBy(cols.map(col(_).desc) ++ tiebreak.map(col(_).asc): _*).limit(n)
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _)) // pandas drops NaN sort keys
+      .orderBy(cols.map(col(_).desc) ++ tiebreak.map(col(_).asc): _*).limit(n)
 
   def nsmallest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
-    df.orderBy(cols.map(col(_).asc) ++ tiebreak.map(col(_).asc): _*).limit(n)
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .orderBy(cols.map(col(_).asc) ++ tiebreak.map(col(_).asc): _*).limit(n)
 
   /** where/mask (reference: pandas/core/generic.py:8466): conditional
     * replacement, not row filtering. */
@@ -90,6 +92,8 @@ object SelectionOps {
   def head(df: DataFrame, n: Int, orderCol: String): DataFrame =
     df.orderBy(col(orderCol).asc).limit(n)
 
+  /** Last n rows in ORIGINAL order (pandas tail keeps ascending order):
+    * top-k on the reversed order, then re-sort ascending. */
   def tail(df: DataFrame, n: Int, orderCol: String): DataFrame =
-    df.orderBy(col(orderCol).desc).limit(n)
+    df.orderBy(col(orderCol).desc).limit(n).orderBy(col(orderCol).asc)
 }

@@ -23,12 +23,16 @@ object SetOps {
   def concatKeys(frames: Seq[(String, DataFrame)], keyCol: String): DataFrame =
     concatOuter(frames.map { case (k, f) => f.withColumn(keyCol, lit(k)) })
 
-  /** Index.union / intersection / difference / symmetric_difference. */
-  def union(a: DataFrame, b: DataFrame): DataFrame        = a.union(b).distinct()
-  def intersection(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
-  def difference(a: DataFrame, b: DataFrame): DataFrame   = a.except(b)
-  def symmetricDifference(a: DataFrame, b: DataFrame): DataFrame =
-    a.except(b).union(b.except(a))
+  /** Index.union / intersection / difference / symmetric_difference.
+    * All by-name (ADVICE r1): positional union silently misaligns two
+    * frames whose identical columns sit in different order. */
+  def union(a: DataFrame, b: DataFrame): DataFrame        = a.unionByName(b).distinct()
+  def intersection(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b.select(a.columns.map(col): _*))
+  def difference(a: DataFrame, b: DataFrame): DataFrame   = a.except(b.select(a.columns.map(col): _*))
+  def symmetricDifference(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(a.columns.map(col): _*)
+    a.except(bb).unionByName(bb.except(a))
+  }
 
   /** equals: exact multiset equality (reference: generic.py:1383). */
   def frameEquals(a: DataFrame, b: DataFrame): Boolean =

@@ -6,12 +6,40 @@ import org.apache.spark.sql.functions._
 
 /** Shared helpers for query modules. */
 object Q {
-  /** Round a double-valued aggregate so that Spark's parallel (order-
-    * nondeterministic) float summation and DuckDB's sequential one hash
-    * identically. 4 decimals is far above double ULP error at these scales
-    * while well below any data-significant digit.
-    */
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+  /** Round a double-valued scalar for hash-stable oracle compare. */
   def r(c: Column, scale: Int = 4): Column = round(c, scale)
+
+  /** Exact arithmetic strategy for the oracle (ADVICE r1): the source
+    * money/rate columns are true 2-decimal values stored as doubles, so
+    * casting THEM to DECIMAL(12,2) recovers the exact value identically
+    * in Spark and DuckDB (the 1e-17 binary error is far from any .xx5
+    * rounding boundary). All products/sums then happen exactly in decimal
+    * — parallel order can't change them — and the final cast back to
+    * double is exact while the unscaled value stays below 2^53.
+    *
+    * Casting a derived double expression to decimal instead is NOT safe:
+    * Spark rounds the shortest decimal representation (BigDecimal.valueOf)
+    * while DuckDB rounds the exact binary value, and 6-decimal products
+    * hit .xxxx5 ties constantly.
+    */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact sum of a 2-decimal-valued double column, as double. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact-decimal-backed mean: identical IEEE double division of an
+    * exactly-cast decimal sum by a count on both engines. */
+  def davg(c: Column): Column =
+    round(sum(dec2(c)).cast(DoubleType) / count(c), 4)
+
+  /** DuckDB-side fragments mirroring dec2/dsum/davg exactly. */
+  def dec2Sql(x: String): String = s"CAST(($x) AS DECIMAL(12,2))"
+  def dsumSql(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(12,2))) AS DOUBLE)"
+  def davgSql(x: String): String =
+    s"round(CAST(sum(CAST(($x) AS DECIMAL(12,2))) AS DOUBLE) / count($x), 4)"
 }
 
 /** Flagship slice: scan → filter → hash-agg → sort (TPC-H Q1 shape)
@@ -21,33 +49,35 @@ object Q {
   * generic.py:1304) and boolean-mask selection (pandas/core/frame.py:2770).
   */
 object CoreQueries extends QueryModule {
-  import Q.r
+  import Q._
 
   def q1(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        r(sum("l_quantity")).as("sum_qty"),
-        r(sum("l_extendedprice")).as("sum_base_price"),
-        r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-        r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        r(avg("l_quantity")).as("avg_qty"),
-        r(avg("l_extendedprice")).as("avg_price"),
-        r(avg("l_discount")).as("avg_disc"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${dsumSql("l_quantity")} AS sum_qty,
+      |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+      |  CAST(sum(${dec2Sql("l_extendedprice")} * (1 - ${dec2Sql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(${dec2Sql("l_extendedprice")} * (1 - ${dec2Sql("l_discount")}) * (1 + ${dec2Sql("l_tax")})) AS DOUBLE) AS sum_charge,
+      |  ${davgSql("l_quantity")} AS avg_qty,
+      |  ${davgSql("l_extendedprice")} AS avg_price,
+      |  ${davgSql("l_discount")} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -22,12 +22,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def sortkey(v):
+    # Round floats before sorting so a tolerance-level Spark/DuckDB float
+    # difference cannot reorder rows and misalign the zip compare.
+    if isinstance(v, float):
+        return f"f{v:.6e}"
+    if isinstance(v, tuple):
+        return "(" + ",".join(sortkey(x) for x in v) + ")"
+    return str(v)
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         out.append(tuple(norm(row[i]) for i in order))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in order]
+    return sorted(out, key=lambda t: tuple(sortkey(x) for x in t)), [cols[i] for i in order]
 
 
 def norm(v):
