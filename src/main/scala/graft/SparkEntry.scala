@@ -10,7 +10,10 @@ import graft.{queries => qmod}
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    qmod.CoreQueries
+    qmod.CoreQueries,
+    qmod.SelectionQueries,
+    qmod.SetOpQueries,
+    qmod.MissingQueries
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

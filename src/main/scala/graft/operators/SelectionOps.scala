@@ -14,8 +14,8 @@ object SelectionOps {
     *
     * Spark's `dropDuplicates` keeps an *arbitrary* row per key — fine for
     * blind dedup, wrong for keep='first'/'last'. We pin the choice with a
-    * window ordered by `orderCol`:
-    *   keep='first' → row_number over (subset, orderBy orderCol) == 1
+    * window ordered by `order` (a deterministic tiebreak column list):
+    *   keep='first' → row_number over (subset, orderBy order) == 1
     *   keep='last'  → same with descending order
     *   keep=false   → count over subset == 1 (drop all dupes)
     *
@@ -23,14 +23,14 @@ object SelectionOps {
     * AQE handles skewed keys. No global sort.
     */
   def dropDuplicates(df: DataFrame, subset: Seq[String], keep: String,
-      orderCol: String): DataFrame = {
+      order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(subset.map(col): _*)
     keep match {
       case "first" =>
-        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).asc)))
+        df.withColumn("__rn", row_number().over(w.orderBy(order.map(_.asc): _*)))
           .filter(col("__rn") === 1).drop("__rn")
       case "last" =>
-        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).desc)))
+        df.withColumn("__rn", row_number().over(w.orderBy(order.map(_.desc): _*)))
           .filter(col("__rn") === 1).drop("__rn")
       case "none" | "false" =>
         df.withColumn("__cnt", count(lit(1)).over(w))
@@ -41,14 +41,14 @@ object SelectionOps {
 
   /** duplicated() mask materialized as the duplicate rows themselves. */
   def duplicated(df: DataFrame, subset: Seq[String], keep: String,
-      orderCol: String): DataFrame = {
+      order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(subset.map(col): _*)
     keep match {
       case "first" =>
-        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).asc)))
+        df.withColumn("__rn", row_number().over(w.orderBy(order.map(_.asc): _*)))
           .filter(col("__rn") > 1).drop("__rn")
       case "last" =>
-        df.withColumn("__rn", row_number().over(w.orderBy(col(orderCol).desc)))
+        df.withColumn("__rn", row_number().over(w.orderBy(order.map(_.desc): _*)))
           .filter(col("__rn") > 1).drop("__rn")
       case _ =>
         df.withColumn("__cnt", count(lit(1)).over(w))
@@ -61,10 +61,11 @@ object SelectionOps {
     *
     * `orderBy(...).limit(n)` lets Catalyst plan TakeOrderedAndProject —
     * a true distributed top-k (per-partition heap + driver merge), never a
-    * full sort. `tiebreak` pins pandas keep='first' determinism.
+    * full sort. `tiebreak` pins pandas keep='first' determinism; null sort
+    * keys are dropped like pandas drops NaN rows.
     */
   def nlargest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
-    df.filter(cols.map(col(_).isNotNull).reduce(_ && _)) // pandas drops NaN sort keys
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .orderBy(cols.map(col(_).desc) ++ tiebreak.map(col(_).asc): _*).limit(n)
 
   def nsmallest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
@@ -87,13 +88,14 @@ object SelectionOps {
     upper.map(u => least(lo, u)).getOrElse(lo)
   }
 
-  /** head-n per whole frame with deterministic order (pandas head relies on
-    * physical order; we require an explicit order column — SURVEY §1.4). */
-  def head(df: DataFrame, n: Int, orderCol: String): DataFrame =
-    df.orderBy(col(orderCol).asc).limit(n)
+  /** head-n with deterministic order (pandas head relies on physical
+    * order; we require explicit order columns — SURVEY §1.4). Top-k plan,
+    * not a full sort. */
+  def head(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order.map(_.asc): _*).limit(n)
 
   /** Last n rows in ORIGINAL order (pandas tail keeps ascending order):
     * top-k on the reversed order, then re-sort ascending. */
-  def tail(df: DataFrame, n: Int, orderCol: String): DataFrame =
-    df.orderBy(col(orderCol).desc).limit(n).orderBy(col(orderCol).asc)
+  def tail(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order.map(_.desc): _*).limit(n).orderBy(order.map(_.asc): _*)
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.MissingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-data family (SURVEY §2.9 missing block; reference:
+  * pandas/core/generic.py:5606 fillna + method/limit, :5792 ffill/bfill,
+  * core/missing.py:111 interpolate_1d, generic.py:6098 replace).
+  *
+  * Source tables are null-free, so each query first synthesizes nulls
+  * deterministically (value < 50 → null, ~10% of events), then repairs
+  * them. All fills are one shuffle on the group key + an ordered window —
+  * no global sort.
+  */
+object MissingQueries extends QueryModule {
+
+  private val T = Tables
+
+  /** events + nullable column `a`. */
+  private def withA(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).withColumn("a",
+      when(col("value") < 50, lit(null)).otherwise(col("value")))
+
+  private val baseSql =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN value < 50 THEN NULL ELSE value END AS a
+      |FROM events""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("fillna_value",
+      (s, d) => withA(s, d).select(col("event_id"), coalesce(col("a"), lit(-1.0)).as("filled")),
+      Some(s"SELECT event_id, coalesce(a, -1.0) AS filled FROM ($baseSql)")),
+
+    QueryDef("ffill_group",
+      (s, d) => withA(s, d).select(col("event_id"),
+        MissingOps.ffill(col("a"), Seq("user_id"), "ts").as("filled")),
+      Some(s"""SELECT event_id, last_value(a IGNORE NULLS) OVER (
+              |  PARTITION BY user_id ORDER BY ts
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              |FROM ($baseSql)""".stripMargin)),
+
+    QueryDef("bfill_group",
+      (s, d) => withA(s, d).select(col("event_id"),
+        MissingOps.bfill(col("a"), Seq("user_id"), "ts").as("filled")),
+      Some(s"""SELECT event_id, first_value(a IGNORE NULLS) OVER (
+              |  PARTITION BY user_id ORDER BY ts
+              |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+              |FROM ($baseSql)""".stripMargin)),
+
+    QueryDef("ffill_limit",
+      (s, d) => withA(s, d).select(col("event_id"),
+        MissingOps.ffillLimit(col("a"), Seq("user_id"), "ts", 3).as("filled")),
+      Some(s"""SELECT event_id, last_value(a IGNORE NULLS) OVER (
+              |  PARTITION BY user_id ORDER BY ts
+              |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS filled
+              |FROM ($baseSql)""".stripMargin)),
+
+    // interpolate(method='linear'): closed-form from two window passes —
+    // plan-only composite, no custom exec (SURVEY §4.3). Oracle parity:
+    // the interpolated value is computed as (exact decimal numerator) /
+    // (integer gap) so both engines produce the bit-identical double —
+    // rounding a x.xxx25-style tie would otherwise flip the hash.
+    QueryDef("interpolate_linear",
+      (s, d) => {
+        val rn = row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        val base = withA(s, d).withColumn("rn", rn)
+        val w = Window.partitionBy("user_id").orderBy("rn")
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("a"), ignoreNulls = true).over(before)
+        val nv = first(col("a"), ignoreNulls = true).over(after)
+        val pp = last(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(before)
+        val np = first(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(after)
+        val interp = when(col("a").isNotNull, col("a"))
+          .when(pv.isNull, lit(null))
+          .when(nv.isNull, pv)
+          .otherwise(
+            (Q.dec2(pv) * (np - pp) + (Q.dec2(nv) - Q.dec2(pv)) * (col("rn") - pp))
+              .cast("double") / (np - pp))
+        base.select(col("event_id"), interp.as("interp"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM ($baseSql)
+              |), w AS (
+              |  SELECT event_id, a, rn,
+              |    last_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    first_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    last_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+              |    first_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+              |  FROM base)
+              |SELECT event_id,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NULL THEN NULL
+              |       WHEN nv IS NULL THEN pv
+              |       ELSE CAST(${Q.dec2Sql("pv")} * (np - pp)
+              |                 + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (rn - pp) AS DOUBLE)
+              |            / (np - pp) END AS interp
+              |FROM w""".stripMargin)),
+
+    QueryDef("replace_map",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        MissingOps.replaceValues(col("event_type"),
+          Seq("click" -> "tap", "view" -> "impression")).as("etype")),
+      Some("""SELECT event_id,
+             |  CASE event_type WHEN 'click' THEN 'tap'
+             |                  WHEN 'view' THEN 'impression'
+             |                  ELSE event_type END AS etype
+             |FROM events""".stripMargin)),
+
+    QueryDef("isna_flags",
+      (s, d) => withA(s, d).select(col("event_id"),
+        col("a").isNull.as("is_na"), col("a").isNotNull.as("not_na")),
+      Some(s"SELECT event_id, a IS NULL AS is_na, a IS NOT NULL AS not_na FROM ($baseSql)"))
+  )
+}

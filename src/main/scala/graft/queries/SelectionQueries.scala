@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.SelectionOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / row-selection family (SURVEY §2.2, §2.6).
+  *
+  * Reference semantics: boolean-mask selection pandas/core/frame.py:2770,
+  * isin frame.py:7639, drop_duplicates frame.py:4451 (keep=first/last/
+  * False), nlargest frame.py:4649, head/tail generic.py:4263/4322,
+  * where/mask generic.py:8466, dropna frame.py:4302, value_counts
+  * algorithms.py:644, astype generic.py:5241.
+  */
+object SelectionQueries extends QueryModule {
+
+  private val T = Tables
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("filter_mask",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_quantity") >= 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem WHERE l_quantity >= 45 AND l_discount <= 0.02""".stripMargin)),
+
+    QueryDef("isin_filter",
+      (s, d) => T.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select("event_id", "event_type"),
+      Some("SELECT event_id, event_type FROM events WHERE event_type IN ('click','error')")),
+
+    QueryDef("between_filter",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'""".stripMargin)),
+
+    // drop_duplicates: one hash shuffle on the subset key, keep pinned by
+    // (ts, event_id) — NOT Spark's arbitrary-row dropDuplicates.
+    QueryDef("dedup_keep_first",
+      (s, d) => SelectionOps.dropDuplicates(T.events(s, d),
+          Seq("user_id", "event_type"), "first", Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |                               ORDER BY ts, event_id) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    QueryDef("dedup_keep_last",
+      (s, d) => SelectionOps.dropDuplicates(T.events(s, d),
+          Seq("user_id", "event_type"), "last", Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |                               ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    QueryDef("dedup_keep_none",
+      (s, d) => SelectionOps.dropDuplicates(
+          T.events(s, d).withColumn("day", date_trunc("DAY", col("ts"))),
+          Seq("user_id", "event_type", "day"), "none", Seq(col("ts"), col("event_id")))
+        .select("event_id"),
+      Some("""SELECT event_id FROM (
+             |  SELECT *, count(*) OVER (
+             |    PARTITION BY user_id, event_type, date_trunc('day', ts)) AS c
+             |  FROM events) WHERE c = 1""".stripMargin)),
+
+    QueryDef("duplicated_rows",
+      (s, d) => SelectionOps.duplicated(T.events(s, d),
+          Seq("user_id", "event_type"), "first", Seq(col("ts"), col("event_id")))
+        .select("event_id"),
+      Some("""SELECT event_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |                               ORDER BY ts, event_id) AS rn
+             |  FROM events) WHERE rn > 1""".stripMargin)),
+
+    // TakeOrderedAndProject top-k — per-partition heap, no full sort.
+    QueryDef("nlargest_orders",
+      (s, d) => SelectionOps.nlargest(T.orders(s, d), 20,
+          Seq("o_totalprice"), Seq("o_orderkey"))
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    QueryDef("nsmallest_lineitem",
+      (s, d) => SelectionOps.nsmallest(T.lineitem(s, d), 15,
+          Seq("l_extendedprice"), Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber LIMIT 15""".stripMargin)),
+
+    QueryDef("head_events",
+      (s, d) => SelectionOps.head(T.events(s, d), 25, Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id"),
+      Some("SELECT event_id, user_id FROM events ORDER BY ts, event_id LIMIT 25")),
+
+    QueryDef("tail_events",
+      (s, d) => SelectionOps.tail(T.events(s, d), 25, Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id"),
+      Some("""SELECT event_id, user_id FROM (
+             |  SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 25)""".stripMargin)),
+
+    // where/mask: conditional replacement keeping shape.
+    QueryDef("where_mask",
+      (s, d) => SelectionOps.where(
+          T.events(s, d).select("event_id", "event_type", "value"),
+          col("event_type") === "error", Seq("value"), lit(-1.0))
+        .select("event_id", "value"),
+      Some("""SELECT event_id,
+             |  CASE WHEN event_type = 'error' THEN value ELSE -1.0 END AS value
+             |FROM events""".stripMargin)),
+
+    QueryDef("clip_values",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        SelectionOps.clip(col("value"), Some(lit(5.0)), Some(lit(100.0))).as("clipped")),
+      Some("SELECT event_id, greatest(least(value, 100.0), 5.0) AS clipped FROM events")),
+
+    // dropna over synthesized nulls (source tables are null-free).
+    QueryDef("dropna_thresh",
+      (s, d) => {
+        val e = T.events(s, d)
+          .withColumn("a", when(col("value") < 50, lit(null)).otherwise(col("value")))
+          .withColumn("b", when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+          .withColumn("c", when(col("event_type") === "view", lit(null)).otherwise(col("event_type")))
+        graft.operators.MissingOps.dropnaThresh(e, Seq("a", "b", "c"), 2)
+          .select("event_id", "a", "b", "c")
+      },
+      Some("""SELECT event_id, a, b, c FROM (
+             |  SELECT event_id,
+             |    CASE WHEN value < 50 THEN NULL ELSE value END AS a,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS b,
+             |    CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS c
+             |  FROM events)
+             |WHERE (CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END
+             |     + CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) >= 2""".stripMargin)),
+
+    QueryDef("dropna_any",
+      (s, d) => T.events(s, d)
+        .withColumn("a", when(col("value") < 50, lit(null)).otherwise(col("value")))
+        .withColumn("b", when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+        .na.drop("any", Seq("a", "b"))
+        .select("event_id", "a", "b"),
+      Some("""SELECT event_id, a, b FROM (
+             |  SELECT event_id,
+             |    CASE WHEN value < 50 THEN NULL ELSE value END AS a,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS b
+             |  FROM events)
+             |WHERE a IS NOT NULL AND b IS NOT NULL""".stripMargin)),
+
+    QueryDef("value_counts",
+      (s, d) => T.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type")),
+
+    QueryDef("nunique_count",
+      (s, d) => T.events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(col("event_id")).as("n_rows")),
+      Some("""SELECT count(DISTINCT user_id) AS n_users,
+             |count(DISTINCT event_type) AS n_types, count(event_id) AS n_rows
+             |FROM events""".stripMargin)),
+
+    // astype: integral-valued doubles → int (truncation == rounding here),
+    // timestamp → date, int → string.
+    QueryDef("astype_cast",
+      (s, d) => T.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_linenumber").cast("string").as("ln_str"),
+        col("l_shipdate").cast("date").as("ship_date")),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+             |CAST(l_linenumber AS VARCHAR) AS ln_str, CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem""".stripMargin)),
+
+    // sample(frac, seed): engine-specific RNG — no cross-engine oracle;
+    // driver records rows-only. Determinism within Spark is seed-pinned.
+    QueryDef("sample_frac",
+      (s, d) => T.events(s, d).sample(withReplacement = false, 0.1, 42L)
+        .select("event_id"),
+      None),
+
+    // sort with order captured as a rank column (row content alone can't
+    // witness ORDER BY — the differential compare re-sorts rows).
+    QueryDef("sort_multi_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        T.orders(s, d).withColumn("pos", row_number().over(
+          Window.orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)))
+          .select("o_orderkey", "pos")
+      },
+      Some("""SELECT o_orderkey, row_number() OVER (
+             |  ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC) AS pos
+             |FROM orders""".stripMargin)),
+
+    QueryDef("sort_nulls_first_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        T.orders(s, d)
+          .withColumn("k", when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")))
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("k").asc_nulls_first, col("o_orderkey").asc)))
+          .select("o_orderkey", "pos")
+      },
+      Some("""SELECT o_orderkey, row_number() OVER (
+             |  ORDER BY (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END)
+             |    ASC NULLS FIRST, o_orderkey ASC) AS pos
+             |FROM orders""".stripMargin))
+  )
+}

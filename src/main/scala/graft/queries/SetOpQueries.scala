@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.SetOps
+import org.apache.spark.sql.functions._
+
+/** Set operations / concat (SURVEY §2.7; reference:
+  * pandas/core/reshape/concat.py:24 concat, _Concatenator :232;
+  * pandas/core/indexes/base.py:2767-2980 union/intersection/difference).
+  */
+object SetOpQueries extends QueryModule {
+
+  private val T = Tables
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // concat(axis=0, join='outer'): by-name union, missing cols null-padded.
+    QueryDef("concat_outer",
+      (s, d) => {
+        val a = T.events(s, d).select("event_id", "user_id")
+        val b = T.events(s, d).select("event_id", "value")
+        SetOps.concatOuter(Seq(a, b))
+      },
+      Some("""SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events
+             |UNION ALL
+             |SELECT event_id, CAST(NULL AS BIGINT) AS user_id, value FROM events""".stripMargin)),
+
+    QueryDef("concat_inner",
+      (s, d) => {
+        val a = T.events(s, d).select("event_id", "user_id", "value")
+        val b = T.events(s, d).filter(col("event_type") === "click")
+          .select("event_id", "user_id")
+        SetOps.concatInner(Seq(a, b))
+      },
+      Some("""SELECT event_id, user_id FROM events
+             |UNION ALL
+             |SELECT event_id, user_id FROM events WHERE event_type = 'click'""".stripMargin)),
+
+    // concat(keys=): provenance tag column (long form of pandas keys).
+    QueryDef("concat_keys",
+      (s, d) => SetOps.concatKeys(Seq(
+          "cust" -> T.customer(s, d).select(col("c_custkey").as("key"), col("c_acctbal").as("bal")),
+          "supp" -> T.supplier(s, d).select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"))),
+        "src"),
+      Some("""SELECT c_custkey AS key, c_acctbal AS bal, 'cust' AS src FROM customer
+             |UNION ALL
+             |SELECT s_suppkey AS key, s_acctbal AS bal, 'supp' AS src FROM supplier""".stripMargin)),
+
+    QueryDef("intersect_nations",
+      (s, d) => SetOps.intersection(
+        T.customer(s, d).select(col("c_nationkey").as("nationkey")),
+        T.supplier(s, d).select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin)),
+
+    QueryDef("except_parts",
+      (s, d) => SetOps.difference(
+        T.part(s, d).select(col("p_partkey").as("partkey")),
+        T.lineitem(s, d).filter(col("l_quantity") === 1)
+          .select(col("l_partkey").as("partkey"))),
+      Some("""SELECT p_partkey AS partkey FROM part
+             |EXCEPT
+             |SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity = 1""".stripMargin)),
+
+    QueryDef("symdiff_users",
+      (s, d) => {
+        val early = col("ts") < lit("2024-01-03").cast("timestamp")
+        SetOps.symmetricDifference(
+          T.events(s, d).filter(col("event_type") === "purchase" && early)
+            .select(col("user_id")).distinct(),
+          T.events(s, d).filter(col("event_type") === "signup" && early)
+            .select(col("user_id")).distinct())
+      },
+      Some("""(SELECT DISTINCT user_id FROM events
+             |   WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+             | EXCEPT
+             | SELECT DISTINCT user_id FROM events
+             |   WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03')
+             |UNION ALL
+             |(SELECT DISTINCT user_id FROM events
+             |   WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
+             | EXCEPT
+             | SELECT DISTINCT user_id FROM events
+             |   WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03')""".stripMargin)),
+
+    QueryDef("union_distinct",
+      (s, d) => SetOps.union(
+        T.events(s, d).filter(col("event_type") === "click").select(col("user_id")),
+        T.events(s, d).filter(col("event_type") === "purchase").select(col("user_id"))),
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             |UNION
+             |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin))
+  )
+}
