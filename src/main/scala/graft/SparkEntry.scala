@@ -12,6 +12,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     qmod.CoreQueries,
     qmod.SelectionQueries,
+    qmod.JoinQueries,
+    qmod.GroupByQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Group-by operators beyond a plain groupBy().agg() (SURVEY §2.4;
+  * reference: pandas/core/groupby/groupby.py:709 transform, :1516 nth,
+  * :1294 ohlc, generic.py:625 filter, :1740 cumcount; rank kernel
+  * groupby_helper.pxi.in:414).
+  *
+  * transform/cumulative/rank/shift are all window compositions: one hash
+  * shuffle on the keys (same cost as the groupBy the reference does), no
+  * join-back — the agg is broadcast to rows by the window operator.
+  */
+object GroupOps {
+
+  private def byKeys(keys: Seq[String]): WindowSpec =
+    Window.partitionBy(keys.map(col): _*)
+
+  private def ordered(keys: Seq[String], order: Seq[Column]): WindowSpec =
+    byKeys(keys).orderBy(order.map(_.asc): _*)
+
+  /** groupby().transform(agg): the aggregate value repeated on every row
+    * of its group — a window agg, NOT an agg + join. */
+  def transform(aggExpr: Column, keys: Seq[String]): Column =
+    aggExpr.over(byKeys(keys))
+
+  /** Cumulative sum (exact when fed a decimal-cast column). */
+  def cumAgg(aggExpr: Column, keys: Seq[String], order: Seq[Column]): Column =
+    aggExpr.over(ordered(keys, order).rowsBetween(Window.unboundedPreceding, 0))
+
+  /** groupby().cumcount(): 0-based position within group. */
+  def cumcount(keys: Seq[String], order: Seq[Column]): Column =
+    row_number().over(ordered(keys, order)) - 1
+
+  /** groupby().shift(n): lag within group. */
+  def shift(c: Column, n: Int, keys: Seq[String], order: Seq[Column]): Column =
+    lag(c, n).over(ordered(keys, order))
+
+  def lead_(c: Column, n: Int, keys: Seq[String], order: Seq[Column]): Column =
+    lead(c, n).over(ordered(keys, order))
+
+  /** groupby().nth(n) (0-based, reference groupby.py:1516). */
+  def nth(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(ordered(keys, order)))
+      .filter(col("__rn") === n + 1).drop("__rn")
+
+  /** groupby().filter(size >= minSize): keep member rows of qualifying
+    * groups — window count + filter, no semi-join needed. */
+  def filterBySize(df: DataFrame, keys: Seq[String], minSize: Long): DataFrame =
+    df.withColumn("__sz", count(lit(1)).over(byKeys(keys)))
+      .filter(col("__sz") >= minSize).drop("__sz")
+
+  /** rank(method='average'): mean of the row_numbers of the tied block —
+    * the trick that reproduces pandas' default rank without a UDF. */
+  def rankAverage(valueCol: Column, keys: Seq[String], tiebreak: Seq[Column]): Column = {
+    val rn = row_number().over(
+      byKeys(keys).orderBy((valueCol.asc +: tiebreak.map(_.asc)): _*))
+    avg(rn).over(Window.partitionBy((keys.map(col) :+ valueCol): _*))
+  }
+
+  /** ohlc via ordered windows (portable to the SQL oracle, unlike
+    * min_by-on-struct). Input must not already contain the out columns. */
+  def ohlc(df: DataFrame, keys: Seq[String], valueCol: String,
+      order: Seq[Column]): DataFrame = {
+    val full = ordered(keys, order)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__o", first(col(valueCol)).over(ordered(keys, order)))
+      .withColumn("__c", last(col(valueCol)).over(full))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__o")).as("open"), max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"), max(col("__c")).as("close"))
+  }
+}

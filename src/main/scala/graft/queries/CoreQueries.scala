@@ -30,16 +30,18 @@ object Q {
   def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
   /** Exact-decimal-backed mean: identical IEEE double division of an
-    * exactly-cast decimal sum by a count on both engines. */
+    * exactly-cast decimal sum by a count on both engines — bit-identical
+    * WITHOUT rounding (rounding would itself introduce .xxxx5 tie-break
+    * divergence between the engines' rounding implementations). */
   def davg(c: Column): Column =
-    round(sum(dec2(c)).cast(DoubleType) / count(c), 4)
+    sum(dec2(c)).cast(DoubleType) / count(c)
 
   /** DuckDB-side fragments mirroring dec2/dsum/davg exactly. */
   def dec2Sql(x: String): String = s"CAST(($x) AS DECIMAL(12,2))"
   def dsumSql(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(12,2))) AS DOUBLE)"
   def davgSql(x: String): String =
-    s"round(CAST(sum(CAST(($x) AS DECIMAL(12,2))) AS DOUBLE) / count($x), 4)"
+    s"CAST(sum(CAST(($x) AS DECIMAL(12,2))) AS DOUBLE) / count($x)"
 }
 
 /** Flagship slice: scan → filter → hash-agg → sort (TPC-H Q1 shape)

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.core.PFrame
+import graft.operators.JoinOps
+import org.apache.spark.sql.functions._
+
+/** Join family queries (SURVEY §2.3). Catalyst picks the physical join;
+  * the dimension sides here (customer, nation, aggregated counts) are
+  * broadcast-sized, so the expected plans are BroadcastHashJoin with the
+  * fact table streamed — verified in the scale audit.
+  */
+object JoinQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("join_inner",
+      (s, d) => JoinOps.merge(
+        T.orders(s, d).select(col("o_custkey").as("custkey"),
+          col("o_orderkey"), col("o_totalprice")),
+        T.customer(s, d).select(col("c_custkey").as("custkey"),
+          col("c_name"), col("c_acctbal")),
+        Seq("custkey"), "inner"),
+      Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+             |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // Overlapping non-key column 'val' → pandas suffixes _x/_y.
+    QueryDef("join_left_suffixes",
+      (s, d) => JoinOps.merge(
+        T.customer(s, d).select(col("c_custkey").as("custkey"), col("c_acctbal").as("val")),
+        T.orders(s, d).filter(col("o_totalprice") > 450000)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).cast("double").as("val")),
+        Seq("custkey"), "left"),
+      Some("""SELECT c_custkey AS custkey, c_acctbal AS val_x, cnt AS val_y
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS cnt
+             |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+             |) ON c_custkey = o_custkey""".stripMargin)),
+
+    QueryDef("join_outer_indicator",
+      (s, d) => JoinOps.merge(
+        T.customer(s, d).filter(col("c_acctbal") > 9900)
+          .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust")),
+        T.supplier(s, d).filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp")),
+        Seq("nationkey"), "outer", indicator = true),
+      Some("""SELECT coalesce(a.nationkey, b.nationkey) AS nationkey, n_cust, n_supp,
+             |  CASE WHEN a.nationkey IS NOT NULL AND b.nationkey IS NOT NULL THEN 'both'
+             |       WHEN a.nationkey IS NOT NULL THEN 'left_only'
+             |       ELSE 'right_only' END AS _merge
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer WHERE c_acctbal > 9900 GROUP BY 1) a
+             |FULL OUTER JOIN
+             |     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) b
+             |USING (nationkey)""".stripMargin)),
+
+    QueryDef("join_semi",
+      (s, d) => T.customer(s, d).join(
+          T.orders(s, d).filter(col("o_totalprice") > 500000),
+          col("c_custkey") === col("o_custkey"), "leftsemi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 500000)""".stripMargin)),
+
+    QueryDef("join_anti",
+      (s, d) => T.customer(s, d).join(
+          T.orders(s, d).filter(col("o_totalprice") > 500000),
+          col("c_custkey") === col("o_custkey"), "leftanti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 500000)""".stripMargin)),
+
+    QueryDef("join_cross",
+      (s, d) => JoinOps.cross(
+          T.region(s, d).select(col("r_name").as("r1")),
+          T.region(s, d).select(col("r_name").as("r2")))
+        .select(concat_ws("-", col("r1"), col("r2")).as("pair")),
+      Some("""SELECT a.r_name || '-' || b.r_name AS pair
+             |FROM region a CROSS JOIN region b""".stripMargin)),
+
+    QueryDef("join_multi_key",
+      (s, d) => JoinOps.merge(
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        T.lineitem(s, d).filter(col("l_discount") >= 0.05)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_orderkey", "l_linenumber"), "inner"),
+      Some("""SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice
+             |FROM lineitem a JOIN (
+             |  SELECT * FROM lineitem WHERE l_discount >= 0.05) b
+             |ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber""".stripMargin)),
+
+    // TPC-H Q3 shape: two broadcast dims onto the fact scan, hash-agg,
+    // distributed top-k. The bench headline join.
+    QueryDef("q3_join_topk",
+      (s, d) => {
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        val cust = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ords = T.orders(s, d).filter(col("o_orderdate") < cutoff)
+        val li = T.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        cust.join(ords, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, o_orderdate,
+              |  CAST(sum(${dec2Sql("l_extendedprice")} * (1 - ${dec2Sql("l_discount")})) AS DOUBLE) AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |  AND l_shipdate > TIMESTAMP '1998-01-01'
+              |GROUP BY o_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // combine_first: aligned coalesce through the PFrame index machinery
+    // (reference frame.py:5138).
+    QueryDef("combine_first",
+      (s, d) => {
+        val left = PFrame(
+          T.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_totalprice").as("val")),
+          indexCols = Seq("o_orderkey"))
+        val right = PFrame(
+          T.orders(s, d).select(col("o_orderkey"), lit(-1.0).as("val")),
+          indexCols = Seq("o_orderkey"))
+        left.combineFirst(right).df
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -1.0 END AS val
+             |FROM orders""".stripMargin)),
+
+    // merge_ordered + ffill (reference merge.py:131 _OrderedMerge).
+    QueryDef("merge_ordered_ffill",
+      (s, d) => {
+        val f = T.orders(s, d).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n_f"))
+        val p = T.orders(s, d).filter(col("o_orderstatus") === "P")
+          .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n_p"))
+        JoinOps.mergeOrdered(f, p, "day", Seq("n_f", "n_p"))
+      },
+      Some("""WITH f AS (SELECT o_orderdate AS day, count(*) AS n_f
+             |          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+             |     p AS (SELECT o_orderdate AS day, count(*) AS n_p
+             |          FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+             |SELECT day,
+             |  last_value(n_f IGNORE NULLS) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_f,
+             |  last_value(n_p IGNORE NULLS) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_p
+             |FROM f FULL OUTER JOIN p USING (day)""".stripMargin))
+  )
+}
