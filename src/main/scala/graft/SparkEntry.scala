@@ -14,6 +14,9 @@ object SparkEntry {
     qmod.SelectionQueries,
     qmod.JoinQueries,
     qmod.GroupByQueries,
+    qmod.WindowQueries,
+    qmod.ResampleQueries,
+    qmod.AsofQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

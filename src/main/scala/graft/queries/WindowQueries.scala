@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.RollingOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling / expanding / EWM / ranking windows (SURVEY §2.5).
+  *
+  * Grouped variants shuffle once on the keys. The global rolling over
+  * lineitem mirrors the BASELINE bench shape and is a documented
+  * single-partition sort; at cluster scale the same operator runs
+  * partitioned (see rolling_time_10min et al).
+  */
+object WindowQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  private val evOrder = Seq(col("ts"), col("event_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("rolling_fixed_100",
+      (s, d) => {
+        val w = RollingOps.fixed(Nil,
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), 100)
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          sum(dec2(col("l_quantity"))).over(w).cast("double").as("roll_sum"),
+          (sum(dec2(col("l_quantity"))).over(w).cast("double") /
+            count(col("l_quantity")).over(w)).as("roll_mean"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             |    / count(l_quantity) OVER w AS roll_mean
+             |FROM lineitem
+             |WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // rolling('10min'): pandas closed='right' → (t-10min, t] realized as
+    // an inclusive µs range frame. Native rangeBetween — no self-join.
+    QueryDef("rolling_time_10min",
+      (s, d) => {
+        val w = RollingOps.timeRange(Seq("user_id"), unix_micros(col("ts")), 600000000L)
+        T.events(s, d).select(col("event_id"),
+          count(col("value")).over(w).as("cnt_10m"),
+          sum(dec2(col("value"))).over(w).cast("double").as("sum_10m"))
+      },
+      Some("""SELECT event_id, count(value) OVER w AS cnt_10m,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_10m
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QueryDef("rolling_min_periods",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 20)
+        val mean = sum(dec2(col("value"))).over(w).cast("double") /
+          count(col("value")).over(w)
+        T.events(s, d).select(col("event_id"),
+          RollingOps.withMinPeriods(mean, col("value"), w, 10).as("roll_mean"))
+      },
+      Some("""SELECT event_id, CASE WHEN count(value) OVER w >= 10 THEN
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             |    / count(value) OVER w END AS roll_mean
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QueryDef("expanding_stats",
+      (s, d) => {
+        val w = RollingOps.expanding(Seq("user_id"), evOrder)
+        T.events(s, d).select(col("event_id"),
+          sum(dec2(col("value"))).over(w).cast("double").as("exp_sum"),
+          min(col("value")).over(w).as("exp_min"),
+          max(col("value")).over(w).as("exp_max"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS exp_sum,
+             |  min(value) OVER w AS exp_min, max(value) OVER w AS exp_max
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QueryDef("shift_diff_pct",
+      (s, d) => {
+        val w = RollingOps.ordered(Seq("user_id"), evOrder)
+        val prev = lag(col("value"), 1).over(w)
+        T.events(s, d).select(col("event_id"),
+          (col("value") - prev).as("diff"),
+          (col("value") / prev - 1).as("pct_change"))
+      },
+      Some("""SELECT event_id, value - lag(value, 1) OVER w AS diff,
+             |  value / lag(value, 1) OVER w - 1 AS pct_change
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ranks over a unique total order (value, event_id) — deterministic
+    // percent_rank/cume_dist/ntile in both engines.
+    QueryDef("rank_pct_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        T.events(s, d).select(col("event_id"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT event_id,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  ntile(4) OVER w AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+
+    // ewm(alpha=0.2, adjust=true).mean() closed form (r^t cancels).
+    QueryDef("ewm_mean",
+      (s, d) => {
+        val pos = row_number().over(RollingOps.ordered(Seq("user_id"), evOrder)) - 1
+        val base = T.events(s, d).withColumn("pos", pos)
+        base.select(col("event_id"),
+          round(RollingOps.ewmaAdjusted(col("value"), col("pos"), 0.2,
+            Seq("user_id"), Seq(col("pos"))), 6).as("ewma"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, value,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+             |  FROM events)
+             |SELECT event_id,
+             |  round(sum(value * pow(0.8, -pos)) OVER w
+             |        / sum(pow(0.8, -pos)) OVER w, 6) AS ewma
+             |FROM base
+             |WINDOW w AS (PARTITION BY user_id ORDER BY pos
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Exact rolling variance: integer-cent sums make the textbook
+    // formula (nΣc² − (Σc)²)/(n(n−1)) exact until one shared IEEE
+    // division — engine-native var_samp merge formulas differ at ulp
+    // level and trip rounding ties.
+    QueryDef("rolling_var_50",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 50)
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val n = count(col("c")).over(w)
+        val sx = sum(col("c")).over(w)
+        val sxx = sum(col("c") * col("c")).over(w)
+        val variance = when(n >= 2,
+          (n * sxx - sx * sx).cast("double") / (n * (n - 1)) / 10000.0)
+        base.select(col("event_id"),
+          variance.as("roll_var"), sqrt(variance).as("roll_sd"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
+             |w AS (SELECT event_id,
+             |  count(c) OVER w AS n, sum(c) OVER w AS sx, sum(c * c) OVER w AS sxx
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CASE WHEN n >= 2 THEN
+             |    CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)) / 10000.0 END AS roll_var,
+             |  sqrt(CASE WHEN n >= 2 THEN
+             |    CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)) / 10000.0 END) AS roll_sd
+             |FROM w""".stripMargin)),
+
+    QueryDef("rolling_median_25",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 25)
+        T.events(s, d).select(col("event_id"),
+          round(percentile(col("value"), lit(0.5)).over(w), 4).as("roll_median"))
+      },
+      Some("""SELECT event_id, round(quantile_cont(value, 0.5) OVER w, 4) AS roll_median
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    QueryDef("cumsum_global",
+      (s, d) => {
+        val w = RollingOps.expanding(Nil,
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        T.lineitem(s, d).filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            sum(dec2(col("l_extendedprice"))).over(w).cast("double").as("cum_price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS cum_price
+             |FROM lineitem WHERE l_quantity >= 48
+             |WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+  )
+}
