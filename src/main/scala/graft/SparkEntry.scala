@@ -17,6 +17,9 @@ object SparkEntry {
     qmod.WindowQueries,
     qmod.ResampleQueries,
     qmod.AsofQueries,
+    qmod.StringQueries,
+    qmod.DatetimeQueries,
+    qmod.ReshapeQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Reshape + elementwise math (SURVEY §2.8, §2.9 math; reference:
+  * pandas/core/reshape/melt.py:25 melt, reshape.py:686 get_dummies,
+  * tile.py:23 cut; frame.py:6798 corr, nanops.py:390-967 reductions).
+  */
+object ReshapeQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // melt: wide→long via the stack() expression (no shuffle at all —
+    // a flat map over rows).
+    QueryDef("melt_orders",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        expr("stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))")
+          .as(Seq("var", "val"))),
+      Some("""SELECT o_orderkey, 'totalprice' AS var, o_totalprice AS val FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'custkey' AS var, CAST(o_custkey AS DOUBLE) AS val
+             |FROM orders""".stripMargin)),
+
+    // get_dummies over a low-cardinality column: driver-side expr
+    // codegen, one 0/1 column per category (reference reshape.py:686).
+    QueryDef("get_dummies",
+      (s, d) => {
+        val cats = Seq("click", "error", "purchase", "signup", "view")
+        val dummies = cats.map(c =>
+          when(col("event_type") === c, 1).otherwise(0).as(s"is_$c"))
+        T.events(s, d).select((col("event_id") +: dummies): _*)
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+             |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             |  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_signup,
+             |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+             |FROM events""".stripMargin)),
+
+    // cut(bins=[0,50,150,300,∞)): when-chain labeling.
+    QueryDef("cut_bins",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .when(col("value") < 300, "high")
+          .otherwise("extreme").as("bin")),
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+             |       WHEN value < 300 THEN 'high' ELSE 'extreme' END AS bin
+             |FROM events""".stripMargin)),
+
+    // qcut(4): quantile bucketing via ntile over a unique order.
+    QueryDef("qcut_quartiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("value").asc, col("event_id").asc)
+        T.events(s, d).select(col("event_id"), ntile(4).over(w).as("bucket"))
+      },
+      Some("""SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS bucket
+             |FROM events""".stripMargin)),
+
+    QueryDef("math_elementwise",
+      (s, d) => T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        floor(col("l_quantity") / 7).as("fl"),
+        ceil(col("l_quantity") / 7).as("ce"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(exp(col("l_discount")), 6).as("exp_d"),
+        pmod(col("l_orderkey"), lit(97)).as("m97")),
+      Some("""SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_d,
+             |  floor(l_quantity / 7) AS fl, ceil(l_quantity / 7) AS ce,
+             |  round(sqrt(l_extendedprice), 6) AS sq,
+             |  round(ln(l_extendedprice), 6) AS ln_p,
+             |  round(exp(l_discount), 6) AS exp_d,
+             |  l_orderkey % 97 AS m97
+             |FROM lineitem""".stripMargin)),
+
+    // corr/cov reductions (reference frame.py:6798; pearson only — the
+    // engines' merge formulas agree to ~1e-12, rounded to 6).
+    QueryDef("corr_cov",
+      (s, d) => T.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("pearson"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov")),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS pearson,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // describe(): count/mean/std/min/quartiles/max in one pass.
+    QueryDef("describe_value",
+      (s, d) => T.events(s, d).agg(
+        count(col("value")).as("cnt"),
+        davg(col("value")).as("mean"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        min(col("value")).as("mn"),
+        round(percentile(col("value"), lit(0.25)), 4).as("q1"),
+        round(percentile(col("value"), lit(0.5)), 4).as("q2"),
+        round(percentile(col("value"), lit(0.75)), 4).as("q3"),
+        max(col("value")).as("mx")),
+      Some(s"""SELECT count(value) AS cnt, ${davgSql("value")} AS mean,
+              |  round(stddev_samp(value), 4) AS sd, min(value) AS mn,
+              |  round(quantile_cont(value, 0.25), 4) AS q1,
+              |  round(quantile_cont(value, 0.5), 4) AS q2,
+              |  round(quantile_cont(value, 0.75), 4) AS q3,
+              |  max(value) AS mx
+              |FROM events""".stripMargin)),
+
+    // mode(): most frequent value with smallest-value tie-break.
+    QueryDef("mode_value",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = T.events(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("event_type").asc)
+        cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("event_type", "cnt")
+      },
+      Some("""SELECT event_type, cnt FROM (
+             |  SELECT event_type, count(*) AS cnt,
+             |    row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+             |  FROM events GROUP BY event_type) WHERE rn = 1""".stripMargin))
+  )
+}

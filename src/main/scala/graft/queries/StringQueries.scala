@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** String accessor surface (SURVEY §2.9 strings; reference:
+  * pandas/core/strings.py:1783 StringMethods — contains :2516, replace
+  * :2527, split :2388, pad :2538, slice :2636, extract :2761, len/case
+  * :1737-1775, cat :2046). All codegen'd Spark built-ins — no UDFs.
+  * Null propagation matches pandas' na=NaN default.
+  */
+object StringQueries extends QueryModule {
+
+  private val T = Tables
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("str_basic",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        length(col("text")).as("len"),
+        upper(col("source")).as("up"),
+        lower(col("lang")).as("lo"),
+        reverse(col("source")).as("rev"),
+        repeat(col("lang"), 3).as("rep")),
+      Some("""SELECT doc_id, length(text) AS len, upper(source) AS up,
+             |  lower(lang) AS lo, reverse(source) AS rev, repeat(lang, 3) AS rep
+             |FROM documents""".stripMargin)),
+
+    QueryDef("str_substr_pad",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 5, 12).as("sub"),
+        lpad(col("source"), 8, "*").as("lp"),
+        rpad(col("source"), 8, "*").as("rp"),
+        trim(lpad(col("source"), 8, " ")).as("trimmed")),
+      Some("""SELECT doc_id, substr(text, 5, 12) AS sub, lpad(source, 8, '*') AS lp,
+             |  rpad(source, 8, '*') AS rp, trim(lpad(source, 8, ' ')) AS trimmed
+             |FROM documents""".stripMargin)),
+
+    QueryDef("str_split_tokens",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+             |FROM documents""".stripMargin)),
+
+    // explode → global word frequencies: the scalable text-stats shape
+    // (shuffle on word, map-side combine).
+    QueryDef("str_wordcount",
+      (s, d) => T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word""".stripMargin)),
+
+    QueryDef("str_regexp_extract",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        regexp_extract(col("text"), "qu[a-z]+", 0).as("m")),
+      Some("SELECT doc_id, regexp_extract(text, 'qu[a-z]+') AS m FROM documents")),
+
+    QueryDef("str_regexp_replace",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "data|table", "X").as("redacted")),
+      Some("""SELECT doc_id, regexp_replace(text, 'data|table', 'X', 'g') AS redacted
+             |FROM documents""".stripMargin)),
+
+    QueryDef("str_predicates",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        col("text").contains("spark").as("has_spark"),
+        col("source").startsWith("src1").as("src1x"),
+        col("source").endsWith("5").as("ends5"),
+        col("text").rlike("^[a-z ]+$").as("all_lower")),
+      Some("""SELECT doc_id, contains(text, 'spark') AS has_spark,
+             |  starts_with(source, 'src1') AS src1x,
+             |  ends_with(source, '5') AS ends5,
+             |  regexp_matches(text, '^[a-z ]+$') AS all_lower
+             |FROM documents""".stripMargin)),
+
+    QueryDef("str_concat_ws",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        concat_ws("|", col("lang"), col("source"),
+          col("n_chars").cast("string")).as("joined")),
+      Some("""SELECT doc_id, lang || '|' || source || '|' || CAST(n_chars AS VARCHAR) AS joined
+             |FROM documents""".stripMargin)),
+
+    QueryDef("str_instr",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        instr(col("text"), "data").as("pos")),
+      Some("SELECT doc_id, strpos(text, 'data') AS pos FROM documents")),
+
+    QueryDef("str_levenshtein_pairs",
+      (s, d) => {
+        val a = T.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id").as("id_a"), col("source").as("src_a"))
+        val b = T.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id").as("id_b"), col("source").as("src_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("src_a"), col("src_b")).as("dist"))
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  levenshtein(a.source, b.source) AS dist
+             |FROM documents a, documents b
+             |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // JSON scalar extraction over events.props (reference json_normalize
+    // analog at the scalar level).
+    QueryDef("json_extract_props",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events""".stripMargin))
+  )
+}
