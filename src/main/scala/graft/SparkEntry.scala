@@ -20,6 +20,7 @@ object SparkEntry {
     qmod.StringQueries,
     qmod.DatetimeQueries,
     qmod.ReshapeQueries,
+    qmod.LlmQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (north-star LLM pipeline;
+  * beyond the reference's surface — its only related primitive is
+  * hash_pandas_object, pandas/core/util/hashing.py:49).
+  *
+  * Scale design: every path is shuffle-on-key only —
+  *   exact:   one shuffle on the content hash;
+  *   minhash: explode shingles (flatMap), hash-agg per doc, explode
+  *            bands, shuffle on (band, bandHash) buckets, pair-join
+  *            INSIDE buckets only (never all-pairs);
+  *   simhash: flatMap tokens + one hash-agg.
+  * At 100 TB none of these materialize a cross join; candidate pairs are
+  * bounded by bucket co-membership, and skewed buckets (boilerplate
+  * shingles) are handled by AQE skew splitting.
+  */
+object TextDedupOps {
+
+  /** Deterministic content normalization: casefold, strip non-alnum,
+    * collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stable 128-bit content fingerprint (hex). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Exact dedup: keep the lowest-id row per content hash. One shuffle. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Mersenne-prime modulus for the universal hash family: keeps every
+    * intermediate below 2^62, so ANSI-mode overflow checking stays
+    * happy without try_* escape hatches. */
+  val HashP: Long = 2147483647L
+
+  /** (a_i, b_i) parameters of the k universal-hash permutations,
+    * fixed-seed so signatures are reproducible across runs/executors. */
+  def hashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt((HashP - 1).toInt).toLong,
+      rnd.nextInt(HashP.toInt).toLong))
+  }
+
+  /** MinHash signatures: doc_id → array of k minima of permuted shingle
+    * hashes. Exploded flatMap + hash aggregation; no driver collection. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
+    val params = hashParams(k, seed)
+    val exploded = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(HashP)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * lit(a) + lit(b), lit(HashP))).as(s"__m$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: candidate pairs whose signatures collide in ≥1 of
+    * `bands` bands (rows = k/bands), then filtered by the signature-
+    * estimated Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard).
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      bands: Int, threshold: Double): DataFrame = {
+    val k = bands // bands count; rows per band derived from signature len at runtime
+    val banded = signatures.select(col(idCol), col("signature"),
+      posexplode(split_band(col("signature"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("band_hash", xxhash64(col("col").cast("string")))
+      .drop("col")
+    val a = banded.select(col(idCol).as("id_a"), col("band"),
+      col("band_hash"), col("signature").as("sig_a"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"),
+      col("band_hash"), col("signature").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
+      size(col("sig_a"))
+    pairs.withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Split a signature array into `bands` contiguous slices. */
+  private def split_band(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => slice(sig, j * (size(sig) / bands) + 1, size(sig) / bands))
+
+  /** Exact word-level Jaccard for verified near-dup pairs, computed the
+    * scalable way: explode distinct shingles, join on shingle, count
+    * intersections — never a quadratic cross join.
+    * Returns (id_a, id_b, jaccard) for pairs with ≥1 common shingle. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, the sign of the sum of
+    * ±1 votes from each token hash. One explode + one hash-agg. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { i =>
+      sum(shiftright(col("__h"), i).bitwiseAND(1) * 2 - 1).as(s"__b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Hamming distance between two simhashes (near-dup test ≤ r bits). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

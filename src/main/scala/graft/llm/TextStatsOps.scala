@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (north-star LLM pipeline):
+  * token statistics, quality scoring, n-gram language ID. Pure codegen'd
+  * column expressions — they run inside the scan's WholeStageCodegen,
+  * no shuffle, no UDF.
+  */
+object TextStatsOps {
+
+  def tokens(text: Column): Column = split(TextDedupOps.normalize(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio: vocabulary richness. */
+  def distinctRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Mean token length (chars, separators excluded). */
+  def avgTokenLen(text: Column): Column =
+    (length(TextDedupOps.normalize(text)) - (tokenCount(text) - 1)).cast("double") /
+      tokenCount(text)
+
+  /** Fraction of characters outside [a-z0-9 space] (punctuation etc). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords).cast("double") / tokenCount(text)
+
+  val EN_STOPWORDS: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DE_STOPWORDS: Seq[String] = Seq("der", "die", "und", "das", "ist", "ein")
+
+  /** Stopword-list language ID: argmax of per-language hit counts
+    * (ties → English). The n-gram-profile refinement rides the same
+    * shape: per-language score expressions + greatest(). */
+  def langIdGuess(text: Column): Column = {
+    val en = stopwordCount(text, EN_STOPWORDS)
+    val de = stopwordCount(text, DE_STOPWORDS)
+    when(en >= de, lit("en")).otherwise(lit("de"))
+  }
+
+  /** Composite quality score in [0,1]: vocabulary richness + length
+    * saturation + token-shape saturation (pure IEEE arithmetic). */
+  def qualityScore(text: Column, nChars: Column): Column =
+    lit(0.5) * distinctRatio(text) +
+      lit(0.3) * least(nChars.cast("double") / 500.0, lit(1.0)) +
+      lit(0.2) * least(avgTokenLen(text) / 10.0, lit(1.0))
+
+  /** BPE-ish sub-token count: whitespace tokens + an extra unit per 4
+    * chars of long tokens (a cheap deterministic proxy for tokenizer
+    * budget accounting). */
+  def approxBpeTokenCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1L)))
+}

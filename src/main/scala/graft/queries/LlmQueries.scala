@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.llm.{SimilarityOps, TextDedupOps, TextStatsOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline queries (north-star): dedup, similarity
+  * search, text analysis over documents/embeddings. MinHash/SimHash have
+  * no DuckDB oracle (xxhash64 is Spark-side) — they are covered by
+  * ScalaTest determinism + planted-duplicate tests instead.
+  */
+object LlmQueries extends QueryModule {
+
+  private val T = Tables
+
+  private def normSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** documents ∪ clones of docs 0-49 (planted exact duplicates). */
+  private def augmented(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val augmentedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("dedup_exact_text",
+      (s, d) => TextDedupOps.exactDedup(augmented(s, d), "text", "doc_id")
+        .select("doc_id"),
+      Some(s"""SELECT doc_id FROM (
+              |  SELECT doc_id, row_number() OVER (
+              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |  FROM ($augmentedSql)) WHERE rn = 1""".stripMargin)),
+
+    QueryDef("doc_fingerprint",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        TextDedupOps.fingerprint(col("text")).as("fp")),
+      Some(s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents")),
+
+    QueryDef("token_stats",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        TextStatsOps.tokenCount(col("text")).as("n_tok"),
+        TextStatsOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextStatsOps.distinctRatio(col("text")).as("ttr"),
+        TextStatsOps.avgTokenLen(col("text")).as("avg_tok_len"),
+        TextStatsOps.stopwordCount(col("text"), TextStatsOps.EN_STOPWORDS).as("stop_cnt")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w,
+              |  length(${normSql("text")}) AS nlen FROM documents)
+              |SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_distinct,
+              |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+              |  CAST(nlen - (len(w) - 1) AS DOUBLE) / len(w) AS avg_tok_len,
+              |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
+              |FROM t""".stripMargin)),
+
+    QueryDef("lang_id",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        TextStatsOps.stopwordCount(col("text"), TextStatsOps.EN_STOPWORDS).as("en_score"),
+        TextStatsOps.stopwordCount(col("text"), TextStatsOps.DE_STOPWORDS).as("de_score"),
+        TextStatsOps.langIdGuess(col("text")).as("guess")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
+              |  len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein'))) AS de_score,
+              |  CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+              |         >= len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein')))
+              |       THEN 'en' ELSE 'de' END AS guess
+              |FROM t""".stripMargin)),
+
+    QueryDef("quality_score",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        TextStatsOps.qualityScore(col("text"), col("n_chars")).as("score")),
+      Some(s"""WITH t AS (SELECT doc_id, n_chars,
+              |  string_split(${normSql("text")}, ' ') AS w,
+              |  length(${normSql("text")}) AS nlen FROM documents)
+              |SELECT doc_id,
+              |  0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+              |  + 0.3 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+              |  + 0.2 * least((CAST(nlen - (len(w) - 1) AS DOUBLE) / len(w)) / 10.0, 1.0)
+              |  AS score
+              |FROM t""".stripMargin)),
+
+    QueryDef("bpe_token_count",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        TextStatsOps.approxBpeTokenCount(col("text")).as("n_bpe")),
+      Some(s"""SELECT doc_id, sum(CAST(greatest(ceil(length(t) / 4.0), 1) AS BIGINT)) AS n_bpe
+              |FROM (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t
+              |      FROM documents)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Scalable n-gram Jaccard: explode + join on shingle — never an
+    // all-pairs cross join.
+    QueryDef("ngram_jaccard_pairs",
+      (s, d) => TextDedupOps.jaccardPairs(
+        T.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 3)
+        .select("id_a", "id_b", "jaccard"),
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents WHERE doc_id < 100),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM docs),
+              |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+              |FROM common
+              |JOIN sizes na ON na.id = id_a
+              |JOIN sizes nb ON nb.id = id_b""".stripMargin)),
+
+    // MinHash + LSH banding over planted duplicates — Spark-only
+    // (xxhash64); rows-only driver check + ScalaTest planted-dup test.
+    QueryDef("minhash_near_dup",
+      (s, d) => {
+        val sigs = TextDedupOps.minHashSignatures(
+          augmented(s, d), "doc_id", "text", shingleN = 3, k = 32)
+        TextDedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.9)
+      },
+      None),
+
+    QueryDef("simhash_docs",
+      (s, d) => TextDedupOps.simHash(T.documents(s, d), "doc_id", "text"),
+      None),
+
+    QueryDef("cosine_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        SimilarityOps.bruteForceTopK(queries, emb, 3)
+          .select(col("q_id"), col("vec_id"), round(col("score"), 6).as("score"),
+            col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
+    // Approximate tier: candidates limited to the query's sign-bit
+    // bucket (recall < 1 by design; the bucket predicate is mirrored in
+    // the oracle so results still match exactly).
+    QueryDef("cosine_lsh_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        SimilarityOps.lshTopK(queries, emb, 3, 4)
+          .select(col("q_id"), col("vec_id"), round(col("score"), 6).as("score"),
+            col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e, bucket FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q JOIN c USING (bucket) WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
+    QueryDef("embedding_stats",
+      (s, d) => {
+        val e = SimilarityOps.toDoubleArr(col("embedding"))
+        T.embeddings(s, d).select(col("vec_id"),
+          round(SimilarityOps.l2Norm(e), 6).as("l2"),
+          round(aggregate(e, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6)
+            .as("mean_comp"),
+          size(filter(e, x => abs(x) > 0.1)).as("n_large"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT vec_id, round(sqrt(list_dot_product(e, e)), 6) AS l2,
+             |  round(list_aggregate(e, 'sum') / len(e), 6) AS mean_comp,
+             |  len(list_filter(e, x -> abs(x) > 0.1)) AS n_large
+             |FROM c""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + metadata (decode is stubbed;
+    // see MultimodalOps for the batched mapPartitions kernel).
+    QueryDef("binary_meta",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("byte_len"),
+        md5(col("text").cast("binary")).as("digest"),
+        base64(substring(col("text"), 1, 8).cast("binary")).as("head_b64")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |  md5(text) AS digest,
+             |  to_base64(encode(substr(text, 1, 8))) AS head_b64
+             |FROM documents""".stripMargin))
+  )
+}
