@@ -1,0 +1,86 @@
+package graft
+
+import graft.llm.{SimilarityOps, TextDedupOps, TextStatsOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator specs: planted-duplicate recall for MinHash,
+  * SimHash invariants, similarity-search consistency. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = (0L until 40L).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 7 + j * 13) % 50}")
+      (i, words.mkString(" "))
+    }
+    // plant exact clones of docs 0-9 as ids 100-109
+    val clones = (0L until 10L).map(i => (i + 100L, base(i.toInt)._2))
+    (base ++ clones).toDF("doc_id", "text")
+  }
+
+  test("minhash + LSH finds every planted exact duplicate") {
+    val sigs = TextDedupOps.minHashSignatures(docs, "doc_id", "text", 3, 32)
+    val pairs = TextDedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 100L)), s"missing planted pair $i")
+    }
+  }
+
+  test("exact dedup keeps lowest id per content") {
+    val out = TextDedupOps.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.size == 40)
+    assert((0L until 40L).toSet == out) // clones (ids 100+) all dropped
+  }
+
+  test("simhash: identical texts equal, hamming 0; different texts differ") {
+    val sh = TextDedupOps.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(i => assert(sh(i) == sh(i + 100L)))
+    assert(sh(0L) != sh(20L))
+    val h = docs.select(lit(sh(0L)).as("a"), lit(sh(100L)).as("b"))
+      .select(TextDedupOps.hammingDistance(col("a"), col("b")).as("d"))
+      .limit(1).as[Long].collect().head
+    assert(h == 0L)
+  }
+
+  test("jaccardPairs: clones have jaccard 1.0") {
+    val j = TextDedupOps.jaccardPairs(docs, "doc_id", "text", 3)
+      .filter(col("id_b") === col("id_a") + 100)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 10 && j.forall(_ == 1.0))
+  }
+
+  test("brute-force topk is self-consistent and lsh is a subset") {
+    val emb = (0L until 50L).map { i =>
+      val v = (0 until 8).map(j => math.sin(i * 31 + j * 7).toFloat).toArray
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val bf = SimilarityOps.bruteForceTopK(queries, emb, 5)
+    val rows = bf.collect()
+    assert(rows.length == 15)
+    // scores sorted descending within each query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    val lsh = SimilarityOps.lshTopK(queries, emb, 5, 3).collect()
+    val bfPairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every lsh hit scores no better than the true top-1
+    val bfTop = rows.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    lsh.foreach(r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-12))
+  }
+
+  test("quality score stays in [0,1] and language id picks en for en text") {
+    val d = Seq((1L, "the quick brown fox and the lazy dog of the hill", 49L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = d.select(
+      TextStatsOps.qualityScore(col("text"), col("n_chars")).as("q"),
+      TextStatsOps.langIdGuess(col("text")).as("lang")).collect().head
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    assert(r.getString(1) == "en")
+  }
+}
