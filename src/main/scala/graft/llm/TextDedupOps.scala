@@ -35,13 +35,22 @@ object TextDedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalize(text), " ")
+  /** Distinct word n-gram shingles from a PRE-MATERIALIZED token array
+    * column. The tokens must be a real column (attribute), not an
+    * inline split(...) expression: higher-order-function lambdas
+    * re-evaluate captured subtrees per element, which turns an inline
+    * regex tokenizer into O(words²) work per document. */
+  def shinglesFromWords(words: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(words, i, lit(n)))))
-  }
+
+  /** doc frame → (id, exploded shingle) with the tokens materialized
+    * once per row in a separate projection. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.withColumn("__words", split(normalize(col(textCol)), " "))
+      .select(col(idCol), explode(shinglesFromWords(col("__words"), n)).as("__sh"))
 
   /** Mersenne-prime modulus for the universal hash family: keeps every
     * intermediate below 2^62, so ANSI-mode overflow checking stays
@@ -61,8 +70,7 @@ object TextDedupOps {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
     val params = hashParams(k, seed)
-    val exploded = df.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val exploded = explodedShingles(df, idCol, textCol, shingleN)
       .withColumn("__h", pmod(xxhash64(col("__sh")), lit(HashP)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(HashP))).as(s"__m$i")
@@ -78,23 +86,26 @@ object TextDedupOps {
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       bands: Int, threshold: Double): DataFrame = {
-    val k = bands // bands count; rows per band derived from signature len at runtime
-    val banded = signatures.select(col(idCol), col("signature"),
+    // Slim (id, band, band_hash) rows into the bucket join; the distinct
+    // runs on bare id pairs, and full signatures re-attach afterwards —
+    // at scale the shuffle carries 3 longs per row, not k+3.
+    val banded = signatures.select(col(idCol),
       posexplode(split_band(col("signature"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumn("band_hash", xxhash64(col("col").cast("string")))
       .drop("col")
-    val a = banded.select(col(idCol).as("id_a"), col("band"),
-      col("band_hash"), col("signature").as("sig_a"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"),
-      col("band_hash"), col("signature").as("sig_b"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val withSigs = pairs
+      .join(signatures.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(signatures.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
       size(col("sig_a"))
-    pairs.withColumn("est_jaccard", est)
+    withSigs.withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -110,8 +121,8 @@ object TextDedupOps {
     * Returns (id_a, id_b, jaccard) for pairs with ≥1 common shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = explodedShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("id"), col("__sh").as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.select(col("id").as("id_a"), col("sh"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
