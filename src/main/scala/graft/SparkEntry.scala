@@ -21,6 +21,7 @@ object SparkEntry {
     qmod.DatetimeQueries,
     qmod.ReshapeQueries,
     qmod.LlmQueries,
+    qmod.ExtrasQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.expr.QueryExpr
+import graft.operators.RollingOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType, DoubleType, StringType}
+
+/** Remaining SURVEY §2 coverage: query() grammar, CSV/JSON round-trips,
+  * cumprod, exact rolling cov/corr, business-day offsets, factorize,
+  * autocorr. */
+object ExtrasQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  private val evOrder = Seq(col("ts"), col("event_id"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // pandas df.query("...") string → Catalyst (expr/QueryExpr).
+    QueryDef("query_expr_filter",
+      (s, d) => T.lineitem(s, d)
+        .filter(QueryExpr.translate(
+          "l_quantity >= @qmin and (l_discount <= 0.02 or l_returnflag == 'R') and l_linenumber in [1, 2]",
+          Map("qmin" -> 45)))
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity >= 45 AND (l_discount <= 0.02 OR l_returnflag = 'R')
+             |  AND l_linenumber IN (1, 2)""".stripMargin)),
+
+    // to_csv/read_csv as expressions: the file-level path is
+    // spark.read.csv; the expression round-trip is oracle-checkable.
+    QueryDef("csv_roundtrip",
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("ln", IntegerType),
+          StructField("qty", DoubleType), StructField("flag", StringType)))
+        val line = to_csv(struct(
+          col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"), col("l_returnflag").as("flag")))
+        T.lineitem(s, d).select(from_csv(line, schema,
+            Map.empty[String, String]).as("r"))
+          .select(col("r.k").as("k"), col("r.ln").as("ln"),
+            col("r.qty").as("qty"), col("r.flag").as("flag"))
+      },
+      Some("""SELECT l_orderkey AS k, l_linenumber AS ln,
+             |  l_quantity AS qty, l_returnflag AS flag FROM lineitem""".stripMargin)),
+
+    QueryDef("json_roundtrip",
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("t", StringType),
+          StructField("v", DoubleType)))
+        val js = to_json(struct(col("event_id").as("id"),
+          col("event_type").as("t"), col("value").as("v")))
+        T.events(s, d).select(from_json(js, schema).as("r"))
+          .select(col("r.id").as("id"), col("r.t").as("t"), col("r.v").as("v"))
+      },
+      Some("SELECT event_id AS id, event_type AS t, value AS v FROM events")),
+
+    // cumprod via exp∘sum∘ln (positive inputs; reference cum_func
+    // generic.py:10712). round(6) absorbs libm ulp differences.
+    QueryDef("cumprod_group",
+      (s, d) => {
+        val w = RollingOps.expanding(Seq("user_id"), evOrder)
+        T.events(s, d).select(col("event_id"),
+          round(exp(sum(log(lit(1.0) + col("value") / 1000.0)).over(w)), 6)
+            .as("cumprod"))
+      },
+      Some("""SELECT event_id,
+             |  round(exp(sum(ln(1.0 + value / 1000.0)) OVER w), 6) AS cumprod
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Exact rolling covariance/correlation: integer co-moments (cents ×
+    // the json 'k' field), one shared IEEE division/sqrt at the end.
+    QueryDef("rolling_covcorr",
+      (s, d) => {
+        val base = T.events(s, d)
+          .withColumn("x", (dec2(col("value")) * 100).cast("long"))
+          .withColumn("y", get_json_object(col("props"), "$.k").cast("long"))
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 30)
+        val n = count(col("x")).over(w)
+        val sx = sum(col("x")).over(w);  val sy = sum(col("y")).over(w)
+        val sxx = sum(col("x") * col("x")).over(w)
+        val syy = sum(col("y") * col("y")).over(w)
+        val sxy = sum(col("x") * col("y")).over(w)
+        val covNum = (n * sxy - sx * sy).cast("double")
+        val varX = (n * sxx - sx * sx).cast("double")
+        val varY = (n * syy - sy * sy).cast("double")
+        base.select(col("event_id"),
+          when(n >= 2, covNum / (n * (n - 1)) / 100.0).as("roll_cov"),
+          when(n >= 2 && varX > 0 && varY > 0,
+            covNum / (sqrt(varX) * sqrt(varY))).as("roll_corr"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS y FROM events),
+             |w AS (SELECT event_id, count(x) OVER w AS n,
+             |  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             |  sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             |  sum(x * y) OVER w AS sxy
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CASE WHEN n >= 2 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1)) / 100.0 END AS roll_cov,
+             |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS roll_corr
+             |FROM w""".stripMargin)),
+
+    // BusinessDay offset arithmetic (reference tseries/offsets.py:445):
+    // next business day. Spark dow: 1=Sun..7=Sat; DuckDB: 0=Sun..6=Sat.
+    QueryDef("bdate_shift",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderdate") + when(dayofweek(col("o_orderdate")) === 6,
+            expr("interval 3 days"))
+          .when(dayofweek(col("o_orderdate")) === 7, expr("interval 2 days"))
+          .otherwise(expr("interval 1 day"))).as("next_bday")),
+      Some("""SELECT o_orderkey, o_orderdate +
+             |  CASE WHEN dayofweek(o_orderdate) = 5 THEN INTERVAL '3 days'
+             |       WHEN dayofweek(o_orderdate) = 6 THEN INTERVAL '2 days'
+             |       ELSE INTERVAL '1 day' END AS next_bday
+             |FROM orders""".stripMargin)),
+
+    // factorize: dense first-appearance codes (reference algorithms.py:587).
+    QueryDef("factorize_codes",
+      (s, d) => {
+        val firstSeen = T.events(s, d).groupBy("event_type")
+          .agg(min(struct(col("ts"), col("event_id"))).as("fs"))
+        val codes = firstSeen.withColumn("code",
+          row_number().over(Window.orderBy(col("fs"), col("event_type"))) - 1)
+          .select("event_type", "code")
+        T.events(s, d).join(codes, Seq("event_type"))
+          .select("event_id", "code")
+      },
+      Some("""WITH r AS (SELECT event_type, ts, event_id, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY ts, event_id) AS rn FROM events),
+             |fs AS (SELECT event_type, ts AS fts, event_id AS feid FROM r WHERE rn = 1),
+             |fs2 AS (SELECT event_type,
+             |    row_number() OVER (ORDER BY fts, feid, event_type) - 1 AS code
+             |  FROM fs)
+             |SELECT event_id, code FROM events JOIN fs2 USING (event_type)""".stripMargin)),
+
+    // Series.autocorr (reference series.py:2028): exact integer-cent
+    // corr of value with its lag-1 per user.
+    QueryDef("autocorr_lag",
+      (s, d) => {
+        val base = T.events(s, d)
+          .withColumn("x", (dec2(col("value")) * 100).cast("long"))
+          .withColumn("y",
+            lag((dec2(col("value")) * 100).cast("long"), 1)
+              .over(RollingOps.ordered(Seq("user_id"), evOrder)))
+          .filter(col("y").isNotNull)
+        val agg = base.groupBy("user_id").agg(
+          count(col("x")).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        agg.select(col("user_id"),
+          when(col("n") >= 2 && varX > 0 && varY > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(varX) * sqrt(varY))).as("autocorr"))
+      },
+      Some("""WITH base AS (SELECT user_id,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             |  lag(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 1)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+             |  FROM events),
+             |agg AS (SELECT user_id, count(x) AS n, sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+             |  FROM base WHERE y IS NOT NULL GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS autocorr
+             |FROM agg""".stripMargin))
+  )
+}
