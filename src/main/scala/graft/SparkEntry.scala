@@ -22,11 +22,17 @@ object SparkEntry {
     qmod.ReshapeQueries,
     qmod.LlmQueries,
     qmod.ExtrasQueries,
+    qmod.MomentQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )
 
-  private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
+  private lazy val all: Seq[QueryDef] = {
+    val defs = modules.flatMap(_.defs)
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names would shadow: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
