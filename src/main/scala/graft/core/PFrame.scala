@@ -1,5 +1,6 @@
 package graft.core
 
+import graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,6 +113,64 @@ final case class PFrame(
   def minus(other: PFrame): PFrame = binOp(other, _ - _)
   def times(other: PFrame): PFrame = binOp(other, _ * _)
   def div(other: PFrame): PFrame   = binOp(other, _ / _)
+
+  // ---- pandas-surface conveniences (delegate to the operator layer) ----
+
+  /** df.query("a > 1 and b in ['x','y']") — the reference's expression
+    * grammar (pandas/core/frame.py:2889) via expr/QueryExpr. */
+  def query(q: String, vars: Map[String, Any] = Map.empty): PFrame =
+    filter(graft.expr.QueryExpr.translate(q, vars))
+
+  def head(n: Int): PFrame = {
+    val o = withOrder
+    o.copy(df = operators.SelectionOps.head(o.df, n, Seq(col(o.orderCol.get))))
+  }
+
+  def tail(n: Int): PFrame = {
+    val o = withOrder
+    o.copy(df = operators.SelectionOps.tail(o.df, n, Seq(col(o.orderCol.get))))
+  }
+
+  /** drop_duplicates with pinned keep semantics (needs an order). */
+  def dropDuplicates(subset: Seq[String], keep: String = "first"): PFrame = {
+    val o = withOrder
+    o.copy(df = operators.SelectionOps.dropDuplicates(
+      o.df, subset, keep, Seq(col(o.orderCol.get))))
+  }
+
+  def fillna(values: Map[String, Any]): PFrame =
+    copy(df = df.na.fill(values))
+
+  def dropna(how: String = "any", subset: Seq[String] = Nil): PFrame = {
+    val cols = if (subset.isEmpty) valueCols else subset
+    copy(df = df.na.drop(how, cols))
+  }
+
+  def isin(colName: String, values: Seq[Any]): PFrame =
+    filter(col(colName).isin(values: _*))
+
+  def astype(casts: (String, String)*): PFrame =
+    copy(df = casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+
+  def nlargest(n: Int, by: Seq[String]): PFrame =
+    copy(df = operators.SelectionOps.nlargest(df, n, by, indexCols))
+
+  def nsmallest(n: Int, by: Seq[String]): PFrame =
+    copy(df = operators.SelectionOps.nsmallest(df, n, by, indexCols))
+
+  /** pandas merge — suffix/indicator semantics via JoinOps. */
+  def merge(other: PFrame, on: Seq[String], how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y"),
+      indicator: Boolean = false): PFrame =
+    PFrame(operators.JoinOps.merge(df, other.df, on, how, suffixes, indicator),
+      on, None)
+
+  def valueCounts(colName: String): PFrame =
+    PFrame(df.groupBy(colName).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(colName).asc), Seq(colName), None)
+
+  /** Deferred group-by view (reference: DataFrameGroupBy). */
+  def groupby(keys: String*): PGroupBy = PGroupBy(this, keys)
 
   /** combine_first: aligned coalesce (reference: pandas/core/frame.py:5138). */
   def combineFirst(other: PFrame): PFrame = {

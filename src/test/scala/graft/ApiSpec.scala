@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.PFrame
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+
+/** PFrame pandas-surface API + skew-mitigation specs. */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pf = PFrame(
+    Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0),
+      (5, "c", 50.0)).toDF("id", "k", "v"),
+    indexCols = Seq("id"))
+
+  test("query() grammar through the PFrame API") {
+    val out = pf.query("v > @lo and k in ['a', 'b']", Map("lo" -> 15.0))
+      .df.select("id").as[Int].collect().toSet
+    assert(out == Set(2, 3, 4))
+  }
+
+  test("head/tail through the lazily materialized order column") {
+    assert(pf.head(2).df.select("id").as[Int].collect().toSet == Set(1, 2))
+    assert(pf.tail(2).df.select("id").as[Int].collect().toSet == Set(4, 5))
+  }
+
+  test("groupby builder: agg, transform, cumsum, nth, filterBySize") {
+    val g = pf.groupby("k")
+    val sums = g.sum("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums == Map("a" -> 30.0, "b" -> 70.0, "c" -> 50.0))
+
+    val t = g.transform("gmax", max(col("v"))).df
+      .select("id", "gmax").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(t(1) == 20.0 && t(3) == 40.0 && t(5) == 50.0)
+
+    val c = g.cumsum("v", "cv").df.select("id", "cv")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(c(2) == 30.0 && c(4) == 70.0)
+
+    assert(g.nth(1).df.select("id").as[Int].collect().toSet == Set(2, 4))
+    assert(g.filterBySize(2).df.select("id").as[Int].collect().toSet == Set(1, 2, 3, 4))
+  }
+
+  test("merge/valueCounts/astype/dropna surface") {
+    val other = PFrame(Seq(("a", 1), ("b", 2)).toDF("k", "rank"), Seq("k"))
+    val m = pf.merge(other, Seq("k"), "left")
+    assert(m.df.count() == 5)
+    val vc = pf.valueCounts("k").df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vc == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    assert(pf.astype("id" -> "string").df.schema("id").dataType.typeName == "string")
+    val withNull = PFrame(
+      Seq((1, Some(1.0)), (2, None)).toDF("id", "v"), Seq("id"))
+    assert(withNull.dropna(subset = Seq("v")).df.count() == 1)
+  }
+
+  test("salted sum/count equals plain aggregation") {
+    val df = (0 until 10000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 97}", i.toLong))
+      .toDF("k", "v")
+    val salted = SkewOps.saltedSumCount(df, Seq("k"), "v", 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = df.groupBy("k").agg(sum("v"), count("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join preserves multiplicity") {
+    val big = (0 until 5000).map(i => (if (i % 2 == 0) 1L else (i % 50).toLong, i))
+      .toDF("key", "payload")
+    val small = Seq((1L, "one"), (7L, "seven")).toDF("key", "name")
+    val salted = SkewOps.saltedJoin(big, small, "key", 8)
+    val plain = big.join(small, Seq("key"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+}
