@@ -23,6 +23,7 @@ object SparkEntry {
     qmod.LlmQueries,
     qmod.ExtrasQueries,
     qmod.MomentQueries,
+    qmod.SessionRangeQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.RollingOps
+import org.apache.spark.sql.functions._
+
+/** Interval/range joins, session windows, weighted rolling windows,
+  * first/last valid index (SURVEY §2.3 interval join, §2.10 sessions,
+  * §2.5 win_type, §2.11 *_valid_index). */
+object SessionRangeQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Non-equi (theta) range join against a broadcast bins dimension —
+    // the IntervalIndex.get_indexer analog (reference
+    // core/indexes/interval.py:129, intervaltree lookup → range join).
+    QueryDef("range_join_bins",
+      (s, d) => {
+        import s.implicits._
+        val bins = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+          (150.0, 300.0, "high"), (300.0, 1e6, "xl"))
+          .toDF("lo", "hi", "label")
+        T.events(s, d).join(broadcast(bins),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .select("event_id", "label")
+      },
+      Some("""SELECT event_id, label FROM events
+             |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+             |             (150.0, 300.0, 'high'), (300.0, 1000000.0, 'xl'))
+             |  AS bins(lo, hi, label)
+             |ON value >= lo AND value < hi""".stripMargin)),
+
+    // session_window: gap-based sessionization (Spark-native; oracle =
+    // classic lag/gap-flag/cumsum sessionization).
+    QueryDef("session_window_30m",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("cnt"), col("sum_value")),
+      Some(s"""WITH o AS (SELECT user_id, ts, value,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              |         THEN 1 ELSE 0 END AS brk
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (SELECT user_id, ts, value,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM o)
+              |SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
+              |  ${dsumSql("value")} AS sum_value
+              |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // win_type weighted rolling: triangular [1,2,3,2,1] over a 5-row
+    // frame, exact in integer cents (reference window.py:434 Window,
+    // kernel window.pyx:1664 roll_window).
+    QueryDef("rolling_weighted_triang",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 5)
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val l = collect_list(col("c")).over(w)
+        val weights = array(lit(1L), lit(2L), lit(3L), lit(2L), lit(1L))
+        val wsum = aggregate(zip_with(l, weights, (x, wt) => x * wt),
+          lit(0L), (acc, x) => acc + x)
+        base.select(col("event_id"),
+          when(size(l) === 5, wsum.cast("double") / 100.0 / 9.0).as("tri_mean"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
+             |w AS (SELECT event_id, list(c) OVER w AS l FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, CASE WHEN len(l) = 5 THEN
+             |  CAST(list_sum(list_transform(generate_series(1, 5),
+             |    i -> l[i] * ([1, 2, 3, 2, 1])[i])) AS DOUBLE) / 100.0 / 9.0
+             |END AS tri_mean
+             |FROM w""".stripMargin)),
+
+    // first_valid_index / last_valid_index (reference generic.py:9826).
+    QueryDef("valid_index_bounds",
+      (s, d) => T.events(s, d)
+        .withColumn("a", when(col("value") < 50, lit(null)).otherwise(col("value")))
+        .groupBy("user_id")
+        .agg(min(when(col("a").isNotNull, col("ts"))).as("first_valid"),
+          max(when(col("a").isNotNull, col("ts"))).as("last_valid")),
+      Some("""SELECT user_id,
+             |  min(CASE WHEN value >= 50 THEN ts END) AS first_valid,
+             |  max(CASE WHEN value >= 50 THEN ts END) AS last_valid
+             |FROM events GROUP BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{SelectionOps, SetOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (FIXTURES.md §B ScalaCheck gens; reference analog:
+  * hypothesis profile in pandas/conftest.py:5-25). ScalaCheck
+  * generators driven with fixed seeds (no scalatestplus bridge in the
+  * offline cache), invariant-style assertions per sample. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, Int, Double)]] =
+    Gen.chooseNum(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0, 1000)
+        k <- Gen.chooseNum(0, 5)
+        v <- Gen.chooseNum(-100, 100).map(_ / 4.0)
+      } yield (id, k, v))
+    }
+
+  private def samples(seedBase: Long, n: Int = 8): Seq[List[(Int, Int, Double)]] =
+    (0 until n).map(i => rowsGen.pureApply(Gen.Parameters.default, Seed(seedBase + i)))
+
+  test("dropDuplicates keep=first is idempotent and keeps min ord per key") {
+    samples(100L).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((_, k, v), i) => (i, k, v) }
+        .toDF("ord", "k", "v")
+      val once = SelectionOps.dropDuplicates(df, Seq("k"), "first", Seq(col("ord")))
+      val twice = SelectionOps.dropDuplicates(once, Seq("k"), "first", Seq(col("ord")))
+      assert(once.count() == df.select("k").distinct().count())
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      val kept = once.select("k", "ord").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val mins = rows.indices.groupBy(i => rows(i)._2).view.mapValues(_.min).toMap
+      assert(kept == mins)
+    }
+  }
+
+  test("inner join row count equals sum over keys of count products") {
+    samples(200L, 5).zip(samples(300L, 5)).foreach { case (l, r) =>
+      val joined = l.toDF("id", "k", "v").select("k")
+        .join(r.toDF("id", "k", "v").select("k"), Seq("k")).count()
+      val lc = l.groupBy(_._2).view.mapValues(_.size).toMap
+      val rc = r.groupBy(_._2).view.mapValues(_.size).toMap
+      val expected = lc.map { case (k, n) => n.toLong * rc.getOrElse(k, 0) }.sum
+      assert(joined == expected)
+    }
+  }
+
+  test("set algebra invariants on distinct key sets") {
+    samples(400L, 5).zip(samples(500L, 5)).foreach { case (a, b) =>
+      val af = a.map(_._2).distinct.toDF("k")
+      val bf = b.map(_._2).distinct.toDF("k")
+      val u = SetOps.union(af, bf).count()
+      val i = SetOps.intersection(af, bf).count()
+      assert(u + i == af.count() + bf.count())
+      val sd = SetOps.symmetricDifference(af, bf).count()
+      assert(sd == SetOps.difference(af, bf).count() + SetOps.difference(bf, af).count())
+    }
+  }
+
+  test("distributed top-k equals full-sort prefix") {
+    samples(600L).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((_, _, v), i) => (i, v) }.toDF("id", "v")
+      val k = math.min(5, rows.size)
+      val topk = SelectionOps.nlargest(df, k, Seq("v"), Seq("id"))
+        .select("id").as[Int].collect().toSeq
+      val full = rows.zipWithIndex.map { case ((_, _, v), i) => (i, v) }
+        .sortBy { case (i, v) => (-v, i) }.take(k).map(_._1)
+      assert(topk == full)
+    }
+  }
+
+  test("decimal-cast groupby sum matches in-memory exact sum") {
+    samples(700L).foreach { rows =>
+      val sparkSums = rows.toDF("id", "k", "v").groupBy("k")
+        .agg(sum(col("v").cast("decimal(12,2)")).cast("double").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mem = rows.groupBy(_._2).view.mapValues(g =>
+        g.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble).toMap
+      assert(sparkSums == mem)
+    }
+  }
+}
