@@ -192,6 +192,35 @@ object LlmQueries extends QueryModule {
              |  len(list_filter(e, x -> abs(x) > 0.1)) AS n_large
              |FROM c""".stripMargin)),
 
+    // Same search through the native codegen'd Catalyst expression
+    // (graft.functions.CosineSimilarity) — bit-identical to the
+    // zip_with/aggregate composition, so it shares the oracle.
+    QueryDef("cosine_topk_native",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = broadcast(queries).crossJoin(emb)
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("score", expr("cosine_sim(q_emb, embedding)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"), round(col("score"), 6).as("score"),
+            col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Multimodal plumbing: binary payload + metadata (decode is stubbed;
     // see MultimodalOps for the batched mapPartitions kernel).
     QueryDef("binary_meta",
