@@ -24,6 +24,7 @@ object SparkEntry {
     qmod.ExtrasQueries,
     qmod.MomentQueries,
     qmod.SessionRangeQueries,
+    qmod.AlignQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries
   )

@@ -25,6 +25,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("bucket"), col("cnt"), col("sum_value"))
 
+  /** Gap-based sessionization: session_window works identically on
+    * batch frames and watermarked streams (state closes once the
+    * watermark passes a session's gap-extended end). */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+      watermark: Option[String], keys: Seq[String]): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    src.groupBy((keys.map(col) :+ session_window(col(tsCol), gap)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((keys.map(col) :+ col("session_window.start").as("session_start")
+        :+ col("cnt")): _*)
+  }
+
   /** drop_duplicates-on-stream: exactly-once per key within the
     * watermark horizon (the streaming form of exact dedup). */
   def dedupWithWatermark(events: DataFrame, tsCol: String, watermark: String,

@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows match batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // bursts per user with >10-minute gaps between them
+    val bursty = (0 until 300).map { i =>
+      val burst = i / 50
+      Ev(ts(burst * 3600L + (i % 50) * 5L), i % 3L, 1.0)
+    }
+    val out = StreamingOps.sessionAgg(stream.toDF(), "ts", "10 minutes",
+      Some("1 hour"), Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(bursty)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+      val batch = StreamingOps.sessionAgg(bursty.toDF(), "ts", "10 minutes",
+        None, Seq("user_id")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty)
+      // every emitted (closed) streaming session matches its batch twin
+      streamed.foreach { case (k, cnt) => assert(batch(k) == cnt, s"$k") }
+    } finally q.stop()
+  }
+
   test("stateful running sum/ewm across micro-batches matches batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
     val pts = (0 until 100).map(i => Point(i % 3L, i.toLong, (i % 11) * 2.0))
