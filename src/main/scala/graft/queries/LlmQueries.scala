@@ -117,10 +117,15 @@ object LlmQueries extends QueryModule {
 
     // MinHash + LSH banding over planted duplicates — Spark-only
     // (xxhash64); rows-only driver check + ScalaTest planted-dup test.
+    // Signatures persist MEMORY_AND_DISK: the plan consumes them three
+    // times (band explode + two pair-side re-attach joins), and the
+    // shingle-explode+32-way min agg is the expensive stage — at any
+    // scale you materialize signatures once, never recompute per use.
     QueryDef("minhash_near_dup",
       (s, d) => {
         val sigs = TextDedupOps.minHashSignatures(
           augmented(s, d), "doc_id", "text", shingleN = 3, k = 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         TextDedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.9)
       },
       None),

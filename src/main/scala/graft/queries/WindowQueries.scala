@@ -1,16 +1,16 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.operators.RollingOps
+import graft.operators.{DistScan, RollingOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rolling / expanding / EWM / ranking windows (SURVEY §2.5).
   *
-  * Grouped variants shuffle once on the keys. The global rolling over
-  * lineitem mirrors the BASELINE bench shape and is a documented
-  * single-partition sort; at cluster scale the same operator runs
-  * partitioned (see rolling_time_10min et al).
+  * Grouped variants shuffle once on the keys. The global-order ops
+  * (rolling_fixed_100, cumsum_global) run through DistScan — range
+  * buckets + prefix offsets + boundary context — so no operator here
+  * needs a single-partition WindowExec.
   */
 object WindowQueries extends QueryModule {
 
@@ -21,23 +21,24 @@ object WindowQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // O(n) rolling sum: running cumsum minus its 100-row lag — Spark's
-    // ROWS-frame agg recomputes the frame per row (O(n·k) decimal adds);
-    // the cumsum-diff form is exact (decimal) and ~7× faster at sf0.1.
+    // Global 100-row rolling sum via DistScan.centRollingSum: one range
+    // shuffle + in-partition linear scans with ring-buffer boundary
+    // state — never a single-partition WindowExec, never O(n·k) frame
+    // re-aggregation. Exact in long cents; the final /100.0 and the
+    // mean division are single correctly-rounded IEEE ops shared with
+    // the oracle formula.
     QueryDef("rolling_fixed_100",
       (s, d) => {
-        val ord = RollingOps.ordered(Nil,
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
-        val run = ord.rowsBetween(Window.unboundedPreceding, 0)
-        val base = T.lineitem(s, d)
-          .withColumn("cum", sum(dec2(col("l_quantity"))).over(run))
-          .withColumn("rn", row_number().over(ord))
-        val rollSum = (col("cum") -
-          coalesce(lag(col("cum"), 100).over(ord), lit(0).cast("decimal(12,2)")))
-          .cast("double")
-        base.select(col("l_orderkey"), col("l_linenumber"),
-          rollSum.as("roll_sum"),
-          (rollSum / least(col("rn"), lit(100))).as("roll_mean"))
+        val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val slim = T.lineitem(s, d)
+          .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+        val rolled = DistScan.centRollingSum(
+          slim, ord, dec2(col("l_quantity")) * 100, n = 100)
+        rolled.select(col("l_orderkey"), col("l_linenumber"),
+          (col("roll_sum_cents") / 100.0).as("roll_sum"),
+          (col("roll_sum_cents") / 100.0 / least(col("rn"), lit(100L)))
+            .as("roll_mean"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum,
@@ -184,13 +185,17 @@ object WindowQueries extends QueryModule {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Global cumsum via DistScan two-pass prefix sums (parallel), not a
+    // single-partition expanding window.
     QueryDef("cumsum_global",
       (s, d) => {
-        val w = RollingOps.expanding(Nil,
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
-        T.lineitem(s, d).filter(col("l_quantity") >= 48)
+        val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        DistScan.dropBuckets(DistScan.withRunningSums(
+          T.lineitem(s, d).filter(col("l_quantity") >= 48),
+          unix_micros(col("l_shipdate").cast("timestamp")), ord,
+          Seq("cum_price" -> dec2(col("l_extendedprice")))))
           .select(col("l_orderkey"), col("l_linenumber"),
-            sum(dec2(col("l_extendedprice"))).over(w).cast("double").as("cum_price"))
+            col("cum_price").cast("double").as("cum_price"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS cum_price

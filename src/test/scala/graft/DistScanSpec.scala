@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.DistScan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DistScan (distributed global-order scans) must be bit-identical to
+  * the single-partition global window on exact (decimal/long) values —
+  * the bucket cut changes where prefixes are split, never their sums. */
+class DistScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (1 to n).map { i =>
+      // non-unique leading key with heavy ties to exercise tie bucketing
+      (rnd.nextInt(n / 10), i, BigDecimal(rnd.nextInt(10000)) / 100)
+    }.toDF("k", "id", "v").withColumn("v", col("v").cast("decimal(12,2)"))
+  }
+
+  test("withRunningSums equals single-partition cumsum (decimal + count)") {
+    val df = frame(2000)
+    val ord = Seq(col("k"), col("id"))
+    val dist = DistScan.dropBuckets(
+      DistScan.withRunningSums(df, col("k"), ord,
+        Seq("cum" -> col("v"), "rn" -> lit(1L)), buckets = 8))
+      .select(col("id"), col("cum").cast("string"), col("rn").cast("long"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = df.select(col("id"),
+      sum(col("v")).over(w).cast("string"), count(lit(1)).over(w))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
+  test("withContext lag equals global lag across bucket boundaries") {
+    val df = frame(2000)
+    val ord = Seq(col("k"), col("id"))
+    val bucketed = DistScan.bucketed(df, col("k"), 8)
+    val ctx = DistScan.withContext(bucketed, ord, 25)
+    val dist = DistScan.dropContext(
+      ctx.withColumn("lv", lag(col("v"), 25).over(DistScan.windowSpec(ord))))
+      .select("id", "lv")
+    val global = df.select(col("id"),
+      lag(col("v"), 25).over(Window.orderBy(ord: _*)).as("lv"))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
+  test("physically identical duplicate rows: rn-totalized lag matches global") {
+    // double every 7th row so no key-derived order is total
+    val base = frame(1400)
+    val df = base.unionAll(base.filter(col("id") % 7 === 0))
+    val ord = Seq(col("k"), col("id"))
+    val scanned = DistScan.withRunningSums(df, col("k"), ord,
+      Seq("cum" -> col("v"), "rn" -> lit(1L)), buckets = 8)
+    val ctx = DistScan.withContext(scanned, Seq(col("rn")), 25)
+    val dist = DistScan.dropContext(
+      ctx.withColumn("lv", lag(col("cum"), 25).over(DistScan.windowSpec(Seq(col("rn"))))))
+      .select(col("id"), col("lv").cast("string"))
+    val w = Window.orderBy(ord: _*)
+    val global = df
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), lag(col("cum"), 25).over(w).cast("string").as("lv"))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
+  test("centRollingSum equals single-partition rolling window, with dup rows") {
+    val base = frame(1400)
+    val df = base.unionAll(base.filter(col("id") % 7 === 0))
+      .withColumn("c", (col("v") * 100).cast("long"))
+    val ord = Seq(col("k"), col("id"))
+    val dist = DistScan.centRollingSum(df, ord, col("c"), n = 25, buckets = 8)
+      .select(col("id"), col("roll_sum_cents"), col("rn"))
+    val w = Window.orderBy(ord: _*)
+    val global = df
+      .withColumn("roll_sum_cents",
+        sum(col("c")).over(w.rowsBetween(-24, 0)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("id"), col("roll_sum_cents"), col("rn"))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
+  test("every bucket holds enough rows for the context window") {
+    val df = frame(2000)
+    val counts = DistScan.bucketed(df, col("k"), 8)
+      .groupBy(DistScan.PidCol).count().collect().map(_.getLong(1))
+    assert(counts.forall(_ >= 25), s"bucket sizes: ${counts.mkString(",")}")
+  }
+}
