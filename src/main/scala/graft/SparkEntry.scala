@@ -26,7 +26,8 @@ object SparkEntry {
     qmod.SessionRangeQueries,
     qmod.AlignQueries,
     qmod.SetOpQueries,
-    qmod.MissingQueries
+    qmod.MissingQueries,
+    qmod.ApplyQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
