@@ -139,6 +139,52 @@ object DistScan {
 
   def dropBuckets(df: DataFrame): DataFrame = df.drop(PidCol)
 
+  /** Global row_number over an arbitrary multi-column sort order (any
+    * asc/desc/null placement) without a single-partition WindowExec:
+    * range-repartition on the order, count rows per range (a ≤buckets-row
+    * aggregate), then within-range row_number plus the collected prefix
+    * offsets. Equal keys always land in one range, so the same offsets
+    * also make within-range `rank()` globally correct. The range
+    * exchange is computed once and reused across the two jobs (shuffle
+    * stage reuse). Returns (frame with `out` column, total row count). */
+  def withGlobalRowNumber(df: DataFrame, ord: Seq[Column], out: String = "rn",
+      buckets: Int = 32): (DataFrame, Long) = {
+    // Persisted: RangePartitioner samples with an execution-dependent
+    // seed, so two separate jobs over the same plan can draw DIFFERENT
+    // boundaries — the counts pass and the ranking pass must see one
+    // materialized partitioning or the offsets silently misalign.
+    val parted = df.repartitionByRange(buckets, ord: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy(col(PidCol)).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+      .filter(_._2 != 0L)
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, o)) =>
+      when(col(PidCol) === p, lit(o)).otherwise(e)
+    }
+    val w = Window.partitionBy(col(PidCol)).orderBy(ord: _*)
+    (parted.withColumn(out, row_number().over(w) + offsetExpr).drop(PidCol), acc)
+  }
+
+  /** Global ntile(n) (qcut-style quantile bucketing) from the
+    * distributed row number: buckets 1..(N mod n) hold ⌈N/n⌉ rows, the
+    * rest ⌊N/n⌋ — the SQL ntile definition, evaluated as arithmetic on
+    * rn with N collected during the ranking pass. */
+  def globalNtile(df: DataFrame, ord: Seq[Column], n: Int, out: String,
+      buckets: Int = 32): DataFrame = {
+    val (ranked, total) = withGlobalRowNumber(df, ord, "__grn", buckets)
+    val k = total / n; val m = total % n
+    // floor of a double division is exact here: rn ≪ 2^53
+    val bucket =
+      if (k == 0L) col("__grn")
+      else when(col("__grn") <= m * (k + 1),
+          floor((col("__grn") - 1) / (k + 1)) + 1)
+        .otherwise(lit(m) + floor((col("__grn") - 1 - m * (k + 1)) / k) + 1)
+    ranked.withColumn(out, bucket.cast("int")).drop("__grn")
+  }
+
   /** One-shuffle distributed rolling sum over a GLOBAL order for exact
     * integer (cent) values — the scale path for pandas
     * `rolling(n).sum()` on the whole frame.

@@ -54,12 +54,14 @@ object ReshapeQueries extends QueryModule {
              |       WHEN value < 300 THEN 'high' ELSE 'extreme' END AS bin
              |FROM events""".stripMargin)),
 
-    // qcut(4): quantile bucketing via ntile over a unique order.
+    // qcut(4): quantile bucketing — SQL-ntile arithmetic over the
+    // distributed global row number (DistScan), no single-partition sort.
     QueryDef("qcut_quartiles",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("value").asc, col("event_id").asc)
-        T.events(s, d).select(col("event_id"), ntile(4).over(w).as("bucket"))
+        import graft.operators.DistScan
+        DistScan.globalNtile(T.events(s, d),
+          Seq(col("value").asc, col("event_id").asc), 4, "bucket")
+          .select("event_id", "bucket")
       },
       Some("""SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS bucket
              |FROM events""".stripMargin)),

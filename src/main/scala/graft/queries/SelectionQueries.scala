@@ -189,11 +189,14 @@ object SelectionQueries extends QueryModule {
 
     // sort with order captured as a rank column (row content alone can't
     // witness ORDER BY — the differential compare re-sorts rows).
+    // Ranked via DistScan.withGlobalRowNumber: range shuffle + per-range
+    // numbering + prefix offsets, no single-partition window.
     QueryDef("sort_multi_rank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        T.orders(s, d).withColumn("pos", row_number().over(
-          Window.orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)))
+        import graft.operators.DistScan
+        DistScan.withGlobalRowNumber(T.orders(s, d),
+          Seq(col("o_orderstatus").asc, col("o_totalprice").desc,
+            col("o_orderkey").asc), "pos")._1
           .select("o_orderkey", "pos")
       },
       Some("""SELECT o_orderkey, row_number() OVER (
@@ -202,11 +205,11 @@ object SelectionQueries extends QueryModule {
 
     QueryDef("sort_nulls_first_rank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        T.orders(s, d)
-          .withColumn("k", when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")))
-          .withColumn("pos", row_number().over(
-            Window.orderBy(col("k").asc_nulls_first, col("o_orderkey").asc)))
+        import graft.operators.DistScan
+        DistScan.withGlobalRowNumber(
+          T.orders(s, d).withColumn("k",
+            when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice"))),
+          Seq(col("k").asc_nulls_first, col("o_orderkey").asc), "pos")._1
           .select("o_orderkey", "pos")
       },
       Some("""SELECT o_orderkey, row_number() OVER (

@@ -80,6 +80,27 @@ class DistScanSpec extends SparkSpec {
     assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
   }
 
+  test("withGlobalRowNumber equals global row_number incl. desc + nulls") {
+    val df = frame(2000).withColumn("kn",
+      when(col("k") % 5 === 0, lit(null)).otherwise(col("k")))
+    val ord = Seq(col("kn").desc_nulls_first, col("id").asc)
+    val (dist, total) = DistScan.withGlobalRowNumber(df, ord, "pos", buckets = 8)
+    val global = df.withColumn("pos",
+      row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    assert(total == 2000)
+    assert(dist.select("id", "pos").exceptAll(global.select("id", "pos")).isEmpty)
+  }
+
+  test("globalNtile equals global ntile") {
+    val df = frame(2003)
+    val ord = Seq(col("v").asc, col("id").asc)
+    val dist = DistScan.globalNtile(df, ord, 4, "bucket", buckets = 8)
+      .select("id", "bucket")
+    val global = df.select(col("id"),
+      ntile(4).over(Window.orderBy(ord: _*)).as("bucket"))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
   test("every bucket holds enough rows for the context window") {
     val df = frame(2000)
     val counts = DistScan.bucketed(df, col("k"), 8)
