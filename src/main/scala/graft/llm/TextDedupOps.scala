@@ -65,13 +65,40 @@ object TextDedupOps {
       rnd.nextInt(HashP.toInt).toLong))
   }
 
+  /** Shingle hashes WITHOUT building shingle strings: hash each word
+    * once, then combine n consecutive word hashes polynomially mod the
+    * Mersenne prime (a different but equally uniform hash family than
+    * hashing the joined string — MinHash only needs consistency).
+    * Per shingle: n array lookups + n mod-multiplies, no string
+    * allocation; every intermediate stays < 2^62 (ANSI-safe). Shingle
+    * multiplicity is NOT deduped — min() is idempotent, so duplicate
+    * shingles cannot change a signature. */
+  /** `wordHashes` MUST be a materialized column (attribute), not an
+    * inline transform(...) expression: HOF lambdas re-evaluate captured
+    * subtrees per element, which would re-hash every word per shingle
+    * (O(words²)). */
+  def shingleHashesFromWordHashes(wordHashes: Column, n: Int): Column = {
+    val coeffs = Seq(1299709L, 15485863L, 32452843L, 49979687L, 67867967L)
+    transform(
+      sequence(lit(0), greatest(size(wordHashes) - n, lit(0))),
+      i => pmod((0 until n).map { j =>
+        pmod(element_at(wordHashes, i + j + 1) * lit(coeffs(j % coeffs.size)),
+          lit(HashP))
+      }.reduce(_ + _), lit(HashP)))
+  }
+
   /** MinHash signatures: doc_id → array of k minima of permuted shingle
-    * hashes. Exploded flatMap + hash aggregation; no driver collection. */
+    * hashes. Exploded flatMap + map-side-combined hash aggregation; only
+    * k minima per doc ever shuffle, never shingles. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, seed: Long = 42L): DataFrame = {
     val params = hashParams(k, seed)
-    val exploded = explodedShingles(df, idCol, textCol, shingleN)
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(HashP)))
+    val exploded = df
+      .withColumn("__words", split(normalize(col(textCol)), " "))
+      .withColumn("__wh", transform(col("__words"),
+        w => pmod(xxhash64(w), lit(HashP))))
+      .select(col(idCol),
+        explode(shingleHashesFromWordHashes(col("__wh"), shingleN)).as("__h"))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(HashP))).as(s"__m$i")
     }
