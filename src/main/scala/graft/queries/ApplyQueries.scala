@@ -161,6 +161,26 @@ object ApplyQueries extends QueryModule {
              |  timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_wall
              |FROM events""".stripMargin)),
 
+    // Series.map / DataFrame row apply: the typed Dataset.map surface —
+    // arbitrary per-row Scala, exact-cent arithmetic for oracle parity.
+    QueryDef("dataset_map_typed",
+      (s, d) => {
+        import s.implicits._
+        T.events(s, d).select(col("event_id"), col("value"))
+          .as[(Long, Double)]
+          .map { case (id, v) =>
+            val cents = math.round(v * 100)
+            (id, cents * 3 / 100.0, if (cents % 2 == 0) "even" else "odd")
+          }
+          .toDF("event_id", "tripled", "parity")
+      },
+      Some("""SELECT event_id,
+             |  CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 3 AS DOUBLE)
+             |    / 100.0 AS tripled,
+             |  CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 2 = 0
+             |    THEN 'even' ELSE 'odd' END AS parity
+             |FROM events""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline
     // (oracle-checkable); the production scale path is the LSH-bucketed
     // SimilarityOps.embeddingNearDupPairs (spec-tested recall), which

@@ -107,6 +107,109 @@ object MomentQueries extends QueryModule {
              |  (SELECT count(DISTINCT event_type) FROM events) AS unique,
              |  event_type AS top, count(*) AS freq
              |FROM events GROUP BY event_type
-             |ORDER BY freq DESC, event_type LIMIT 1""".stripMargin))
+             |ORDER BY freq DESC, event_type LIMIT 1""".stripMargin)),
+
+    // DataFrame.corr()/cov() pairwise matrix (reference frame.py:7027,
+    // :7155), long form. One aggregate computes every power/cross sum
+    // exactly (cents → DECIMAL(38,0)/HUGEINT); the three matrix cells
+    // are projections of that single row — one pass over the data, not
+    // one per pair.
+    QueryDef("corr_cov_matrix",
+      (s, d) => {
+        val d38 = DecimalType(38, 0)
+        val cents = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+          "l_discount" -> "r")
+        val base = cents.foldLeft(T.lineitem(s, d)) { case (df, (c, a)) =>
+          df.withColumn(a, (dec2(col(c)) * 100).cast("long"))
+        }
+        val sums = cents.flatMap { case (_, a) => Seq(
+          sum(col(a).cast(d38)).as(s"s_$a"),
+          sum((col(a) * col(a)).cast(d38)).as(s"s_$a$a"))
+        } ++ Seq(
+          sum((col("q") * col("p")).cast(d38)).as("s_qp"),
+          sum((col("q") * col("r")).cast(d38)).as("s_qr"),
+          sum((col("p") * col("r")).cast(d38)).as("s_pr"),
+          count(lit(1)).cast(d38).as("n"))
+        val agg = base.agg(sums.head, sums.tail: _*)
+        def cell(x: String, y: String, sxy: String) = {
+          val n = col("n")
+          val num = (n * col(sxy) - col(s"s_$x") * col(s"s_$y")).cast("double")
+          val corr = num / (sqrt((n * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x")).cast("double")) *
+            sqrt((n * col(s"s_$y$y") - col(s"s_$y") * col(s"s_$y")).cast("double")))
+          val cov = num / (n * (n - 1)).cast("double") / 10000.0
+          (corr, cov)
+        }
+        val rows = Seq(("q", "p", "s_qp"), ("q", "r", "s_qr"), ("p", "r", "s_pr"))
+          .map { case (x, y, sxy) =>
+            val (corr, cov) = cell(x, y, sxy)
+            agg.select(lit(x).as("col_x"), lit(y).as("col_y"),
+              corr.as("corr"), cov.as("cov"))
+          }
+        rows.reduce(_ unionByName _)
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+             |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS r
+             |  FROM lineitem),
+             |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(q AS HUGEINT)) AS s_q, sum(CAST(q*q AS HUGEINT)) AS s_qq,
+             |    sum(CAST(p AS HUGEINT)) AS s_p, sum(CAST(p*p AS HUGEINT)) AS s_pp,
+             |    sum(CAST(r AS HUGEINT)) AS s_r, sum(CAST(r*r AS HUGEINT)) AS s_rr,
+             |    sum(CAST(q*p AS HUGEINT)) AS s_qp,
+             |    sum(CAST(q*r AS HUGEINT)) AS s_qr,
+             |    sum(CAST(p*r AS HUGEINT)) AS s_pr
+             |  FROM b)
+             |SELECT 'q' AS col_x, 'p' AS col_y,
+             |  CAST(n*s_qp - s_q*s_p AS DOUBLE) /
+             |    (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE)) * sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE))) AS corr,
+             |  CAST(n*s_qp - s_q*s_p AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov
+             |FROM a
+             |UNION ALL SELECT 'q', 'r',
+             |  CAST(n*s_qr - s_q*s_r AS DOUBLE) /
+             |    (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE)) * sqrt(CAST(n*s_rr - s_r*s_r AS DOUBLE))),
+             |  CAST(n*s_qr - s_q*s_r AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
+             |FROM a
+             |UNION ALL SELECT 'p', 'r',
+             |  CAST(n*s_pr - s_p*s_r AS DOUBLE) /
+             |    (sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE)) * sqrt(CAST(n*s_rr - s_r*s_r AS DOUBLE))),
+             |  CAST(n*s_pr - s_p*s_r AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
+             |FROM a""".stripMargin)),
+
+    // groupby(...).corr() — grouped Pearson, exact sums; the time axis
+    // is re-based to the fixture epoch so squares stay well inside
+    // DECIMAL(38,0)/HUGEINT.
+    QueryDef("groupby_corr",
+      (s, d) => {
+        val d38 = DecimalType(38, 0)
+        val base = T.events(s, d).select(col("event_type"),
+          (dec2(col("value")) * 100).cast("long").as("c"),
+          expr("unix_micros(ts) div 1000000 - 1704067200").as("t"))
+        val agg = base.groupBy("event_type").agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum(col("c").cast(d38)).as("sx"),
+          sum(col("t").cast(d38)).as("sy"),
+          sum((col("c") * col("t")).cast(d38)).as("sxy"),
+          sum((col("c") * col("c")).cast(d38)).as("sxx"),
+          sum((col("t") * col("t")).cast(d38)).as("syy"))
+        agg.select(col("event_type"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("pearson"))
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+             |    epoch_us(ts) // 1000000 - 1704067200 AS t
+             |  FROM events),
+             |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(c AS HUGEINT)) AS sx, sum(CAST(t AS HUGEINT)) AS sy,
+             |    sum(CAST(c*t AS HUGEINT)) AS sxy, sum(CAST(c*c AS HUGEINT)) AS sxx,
+             |    sum(CAST(t*t AS HUGEINT)) AS syy
+             |  FROM b GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson
+             |FROM a""".stripMargin))
   )
 }

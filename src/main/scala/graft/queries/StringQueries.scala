@@ -104,6 +104,17 @@ object StringQueries extends QueryModule {
              |FROM documents a, documents b
              |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // str.repeat / reversed slicing / str.translate
+    // (reference strings.py:698 str_repeat, :2106 str_translate).
+    QueryDef("str_misc",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        repeat(col("source"), 2).as("rep2"),
+        reverse(col("source")).as("rev"),
+        translate(col("source"), "aeiou", "AEIOU").as("tr")),
+      Some("""SELECT doc_id, repeat(source, 2) AS rep2, reverse(source) AS rev,
+             |  translate(source, 'aeiou', 'AEIOU') AS tr
+             |FROM documents""".stripMargin)),
+
     // JSON scalar extraction over events.props (reference json_normalize
     // analog at the scalar level).
     QueryDef("json_extract_props",
