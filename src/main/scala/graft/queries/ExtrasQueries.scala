@@ -186,6 +186,62 @@ object ExtrasQueries extends QueryModule {
              |    CAST(n * sxy - sx * sy AS DOUBLE) /
              |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS autocorr
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // to_numeric(errors='coerce'): unparseable → null via try_cast.
+    QueryDef("to_numeric_coerce",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        expr("try_cast(source AS INT)").as("whole"),
+        expr("try_cast(substr(source, 4) AS INT)").as("suffix")),
+      Some("""SELECT doc_id, TRY_CAST(source AS INT) AS whole,
+             |  TRY_CAST(substr(source, 4) AS INT) AS suffix
+             |FROM documents""".stripMargin)),
+
+    // str.partition(' '): (head, sep-implicit, rest); no-separator rows
+    // degrade to (whole, '') in both engines.
+    QueryDef("str_partition",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        substring_index(col("text"), " ", 1).as("head"),
+        when(length(col("text")) > length(substring_index(col("text"), " ", 1)),
+          expr("substr(text, length(substring_index(text, ' ', 1)) + 2)"))
+          .otherwise(lit("")).as("rest")),
+      Some("""SELECT doc_id, split_part(text, ' ', 1) AS head,
+             |  CASE WHEN length(text) > length(split_part(text, ' ', 1))
+             |    THEN substr(text, length(split_part(text, ' ', 1)) + 2)
+             |    ELSE '' END AS rest
+             |FROM documents""".stripMargin)),
+
+    // shift(freq=) / tshift: index arithmetic, no data movement.
+    QueryDef("dt_shift_freq",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("plus2d"),
+        (col("o_orderdate") - expr("INTERVAL 3 HOURS")).as("minus3h")),
+      Some("""SELECT o_orderkey, o_orderdate + INTERVAL 2 DAY AS plus2d,
+             |  o_orderdate - INTERVAL 3 HOUR AS minus3h
+             |FROM orders""".stripMargin)),
+
+    // to_datetime(unit='s'): epoch-second numbers → timestamps.
+    QueryDef("dt_from_unit",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("event_id")).as("ts_s")),
+      Some("""SELECT event_id,
+             |  CAST(to_timestamp(1704067200 + event_id) AS TIMESTAMP) AS ts_s
+             |FROM events""".stripMargin)),
+
+    // reductions with skipna=False: null-poisoning sums (pandas
+    // sum(skipna=False)) — null if ANY input in the group is null.
+    QueryDef("sum_skipna_false",
+      (s, d) => {
+        val masked = when(col("value") < 5, lit(null)).otherwise(dec2(col("value")))
+        T.events(s, d).withColumn("m", masked)
+          .groupBy("event_type")
+          .agg(when(count(col("m")) === count(lit(1)),
+            sum(col("m")).cast("double")).as("strict_sum"))
+      },
+      Some("""SELECT event_type,
+             |  CASE WHEN count(m) = count(*) THEN CAST(sum(m) AS DOUBLE) END AS strict_sum
+             |FROM (SELECT event_type,
+             |    CASE WHEN value < 5 THEN NULL ELSE CAST(value AS DECIMAL(12,2)) END AS m
+             |  FROM events) GROUP BY event_type""".stripMargin))
   )
 }

@@ -210,6 +210,45 @@ object MomentQueries extends QueryModule {
              |SELECT event_type,
              |  CAST(n*sxy - sx*sy AS DOUBLE) /
              |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // corr(method='kendall') per group — Knight's O(n log n) τ-b in
+    // flatMapGroups vs the oracle's O(n²) pairwise definition: an
+    // algorithmic differential, not just a numeric one.
+    QueryDef("kendall_tau",
+      (s, d) => {
+        import s.implicits._
+        val base = T.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("x"),
+            expr("unix_micros(ts) div 1000000 - 1704067200").as("y"))
+          .as[(String, Long, Long)]
+        base.groupByKey(_._1).mapGroups { (k, it) =>
+          val rows = it.toArray
+          (k, graft.functions.KendallTau.tauB(rows.map(_._2), rows.map(_._3)))
+        }.toDF("event_type", "tau")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             |    epoch_us(ts) // 1000000 - 1704067200 AS y,
+             |    row_number() OVER () AS rid
+             |  FROM events WHERE value IS NOT NULL),
+             |cd AS (SELECT a.event_type,
+             |    sum(CASE WHEN sign(a.x - c.x) * sign(a.y - c.y) = 1 THEN 1 ELSE 0 END) AS conc,
+             |    sum(CASE WHEN sign(a.x - c.x) * sign(a.y - c.y) = -1 THEN 1 ELSE 0 END) AS disc
+             |  FROM b a JOIN b c ON a.event_type = c.event_type AND a.rid < c.rid
+             |  GROUP BY a.event_type),
+             |tx AS (SELECT event_type, sum(c * (c - 1) / 2) AS n1 FROM
+             |    (SELECT event_type, x, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1),
+             |ty AS (SELECT event_type, sum(c * (c - 1) / 2) AS n2 FROM
+             |    (SELECT event_type, y, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1),
+             |nn AS (SELECT event_type, count(*) * (count(*) - 1) / 2 AS n0 FROM b GROUP BY 1)
+             |SELECT event_type,
+             |  CASE WHEN n0 - n1 <> 0 AND n0 - n2 <> 0 THEN
+             |    CAST(conc - disc AS DOUBLE) /
+             |      (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE)))
+             |  END AS tau
+             |FROM cd JOIN tx USING (event_type) JOIN ty USING (event_type)
+             |  JOIN nn USING (event_type)""".stripMargin))
   )
 }
