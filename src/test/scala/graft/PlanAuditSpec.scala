@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: SCALE.md's claims pinned as assertions so a
+  * refactor cannot silently reintroduce a full scan, a lost broadcast,
+  * or a single-partition global window. Runs at sf0.001 — plan shape,
+  * not data volume, is under test.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter and projection reach the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("ReadSchema"))
+    // all referenced columns — and ONLY those — in the read schema
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_quantity") && !read.contains("l_comment"),
+      s"projection not pruned: $read")
+  }
+
+  test("q1_agg: partial + final hash aggregation around one exchange") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q3_join_topk: dimension broadcast + distributed top-k") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("nlargest: TakeOrderedAndProject, not a global sort") {
+    val p = plan("nlargest_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("dedup_keep_first: partial WindowGroupLimit before the shuffle") {
+    val p = plan("dedup_keep_first")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank-limit pushdown missing:\n${p.take(3000)}")
+  }
+
+  test("rolling_fixed_100: no WindowExec at all (DistScan ring-buffer path)") {
+    val p = plan("rolling_fixed_100")
+    assert(!p.contains("Window "), p.take(3000))
+  }
+
+  test("cumsum_global / sort ranks / qcut: windows only over range buckets") {
+    for (name <- Seq("cumsum_global", "sort_multi_rank", "qcut_quartiles")) {
+      val p = plan(name)
+      // every Window operator must be partitioned (by the bucket id) —
+      // an unpartitioned one prints 'Window [..], [..ASC..]' with no
+      // partition spec and moves all rows to one partition
+      p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+        assert(l.contains("__pid"), s"$name has non-bucketed window: $l")
+      }
+    }
+  }
+
+  test("asof_backward_by: exactly one exchange feeds the asof window") {
+    val p = plan("asof_backward_by")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"asof shuffles too much ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("cosine_topk: corpus scans once under a broadcast, never shuffles") {
+    val p = plan("cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+}
