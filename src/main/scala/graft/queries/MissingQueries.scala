@@ -109,6 +109,51 @@ object MissingQueries extends QueryModule {
               |            / (np - pp) END AS interp
               |FROM w""".stripMargin)),
 
+    // interpolate(method='time'): weights by elapsed time between the
+    // surrounding known points, not by row position.
+    QueryDef("interpolate_time",
+      (s, d) => {
+        val base = withA(s, d)
+          .withColumn("t", expr("unix_micros(ts) div 1000000"))
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("a"), ignoreNulls = true).over(before)
+        val nv = first(col("a"), ignoreNulls = true).over(after)
+        val pt = last(when(col("a").isNotNull, col("t")), ignoreNulls = true).over(before)
+        val nt = first(when(col("a").isNotNull, col("t")), ignoreNulls = true).over(after)
+        val interp = when(col("a").isNotNull, col("a"))
+          .when(pv.isNull, lit(null))
+          .when(nv.isNull, pv)
+          .otherwise(
+            (Q.dec2(pv) * (nt - pt) + (Q.dec2(nv) - Q.dec2(pv)) * (col("t") - pt))
+              .cast("double") / (nt - pt))
+        base.select(col("event_id"), interp.as("interp"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT *, epoch_us(ts) // 1000000 AS t FROM ($baseSql)
+              |), w AS (
+              |  SELECT event_id, a, t,
+              |    last_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    first_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    last_value(CASE WHEN a IS NOT NULL THEN t END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY t, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+              |    first_value(CASE WHEN a IS NOT NULL THEN t END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY t, event_id
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              |  FROM base)
+              |SELECT event_id,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NULL THEN NULL
+              |       WHEN nv IS NULL THEN pv
+              |       ELSE CAST(${Q.dec2Sql("pv")} * (nt - pt)
+              |                 + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (t - pt) AS DOUBLE)
+              |            / (nt - pt) END AS interp
+              |FROM w""".stripMargin)),
+
     QueryDef("replace_map",
       (s, d) => T.events(s, d).select(col("event_id"),
         MissingOps.replaceValues(col("event_type"),
