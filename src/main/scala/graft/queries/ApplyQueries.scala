@@ -84,11 +84,12 @@ object ApplyQueries extends QueryModule {
           sum((col("rx") * col("ry")).cast(d38)).as("sxy"),
           sum((col("rx") * col("rx")).cast(d38)).as("sxx"),
           sum((col("ry") * col("ry")).cast(d38)).as("syy"))
+        val d1 = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val d2 = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
         agg.select(col("event_type"),
-          (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-            .as("spearman"))
+          when(d1 > 0 && d2 > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(d1) * sqrt(d2))).as("spearman"))
       },
       Some("""WITH r AS (SELECT event_type,
              |    rank() OVER (PARTITION BY event_type ORDER BY value) * 2
@@ -100,9 +101,12 @@ object ApplyQueries extends QueryModule {
              |        sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
              |      FROM r GROUP BY event_type)
              |SELECT event_type,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman
+             |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) /
+             |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             |  END AS spearman
              |FROM a""".stripMargin)),
 
     // iloc[100:110] over a declared total order: distributed top-k

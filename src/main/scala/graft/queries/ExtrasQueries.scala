@@ -108,10 +108,10 @@ object ExtrasQueries extends QueryModule {
              |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
              |SELECT event_id,
              |  CASE WHEN n >= 2 THEN
-             |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1)) / 100.0 END AS roll_cov,
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) / (n * (n - 1)) / 100.0 END AS roll_cov,
              |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
              |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
-             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) /
              |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS roll_corr
              |FROM w""".stripMargin)),
@@ -183,7 +183,7 @@ object ExtrasQueries extends QueryModule {
              |SELECT user_id,
              |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
              |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
-             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) /
              |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS autocorr
              |FROM agg""".stripMargin)),

@@ -125,6 +125,7 @@ object MissingQueries extends QueryModule {
         val interp = when(col("a").isNotNull, col("a"))
           .when(pv.isNull, lit(null))
           .when(nv.isNull, pv)
+          .when(nt === pt, pv) // zero time gap: carry (no div-by-zero)
           .otherwise(
             (Q.dec2(pv) * (nt - pt) + (Q.dec2(nv) - Q.dec2(pv)) * (col("t") - pt))
               .cast("double") / (nt - pt))
@@ -149,6 +150,7 @@ object MissingQueries extends QueryModule {
               |  CASE WHEN a IS NOT NULL THEN a
               |       WHEN pv IS NULL THEN NULL
               |       WHEN nv IS NULL THEN pv
+              |       WHEN nt = pt THEN pv
               |       ELSE CAST(${Q.dec2Sql("pv")} * (nt - pt)
               |                 + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (t - pt) AS DOUBLE)
               |            / (nt - pt) END AS interp

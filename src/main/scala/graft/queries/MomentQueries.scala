@@ -32,12 +32,15 @@ object MomentQueries extends QueryModule {
         val d38 = DecimalType(38, 0)
         val cents = (dec2(col("value")) * 100).cast("long")
         val base = T.events(s, d).withColumn("c", cents)
+        // cast to decimal BEFORE multiplying: c⁴ of 2-decimal values
+        // overflows Long once |value| > ~550 (seen at sf0.1)
+        val cd = col("c").cast(d38)
         val agg = base.groupBy("event_type").agg(
           count(col("c")).as("n"),
-          sum(col("c").cast(d38)).as("s1"),
-          sum((col("c") * col("c")).cast(d38)).as("s2"),
-          sum((col("c") * col("c") * col("c")).cast(d38)).as("s3"),
-          sum((col("c") * col("c") * col("c") * col("c")).cast(d38)).as("s4"))
+          sum(cd).as("s1"),
+          sum(cd * cd).as("s2"),
+          sum(cd * cd * cd).as("s3"),
+          sum(cd * cd * cd * cd).as("s4"))
         val n = col("n")
         val nd = col("n").cast(d38)
         val b = (nd * col("s2") - col("s1") * col("s1")).cast("double")
@@ -58,20 +61,24 @@ object MomentQueries extends QueryModule {
       Some("""WITH base AS (SELECT event_type,
              |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
              |agg AS (SELECT event_type, count(c) AS n,
-             |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
-             |    CAST(sum(CAST(c * c AS HUGEINT)) AS HUGEINT) AS s2,
-             |    CAST(sum(CAST(c * c * c AS HUGEINT)) AS HUGEINT) AS s3,
-             |    CAST(sum(CAST(c * c * c * c AS HUGEINT)) AS HUGEINT) AS s4
-             |  FROM base GROUP BY event_type),
-             |m AS (SELECT event_type, n,
-             |    CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) AS b,
-             |    CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
-             |      - 3 * CAST(n AS HUGEINT) * s2 * s1 + 2 * s1 * s1 * s1 AS DOUBLE) AS a3,
-             |    CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
+             |    sum(h) AS s1, sum(h * h) AS s2,
+             |    sum(h * h * h) AS s3, sum(h * h * h * h) AS s4
+             |  FROM (SELECT event_type, c, CAST(c AS HUGEINT) AS h FROM base)
+             |  GROUP BY event_type),
+             |raw AS (SELECT event_type, n,
+             |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS braw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+             |      - 3 * CAST(n AS HUGEINT) * s2 * s1 + 2 * s1 * s1 * s1 AS a3raw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
              |      - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3 * s1
              |      + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
-             |      - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS a4
-             |  FROM agg)
+             |      - 3 * s1 * s1 * s1 * s1 AS a4raw
+             |  FROM agg),
+             |m AS (SELECT event_type, n,
+             |    sign(braw) * CAST(abs(braw) AS DOUBLE) AS b,
+             |    sign(a3raw) * CAST(abs(a3raw) AS DOUBLE) AS a3,
+             |    sign(a4raw) * CAST(abs(a4raw) AS DOUBLE) AS a4
+             |  FROM raw)
              |SELECT event_type, n,
              |  CASE WHEN n > 2 AND b > 0 THEN
              |    round(sqrt(CAST(n * (n - 1) AS DOUBLE)) / (n - 2) * a3 / pow(b, 1.5), 6)
@@ -161,19 +168,19 @@ object MomentQueries extends QueryModule {
              |    sum(CAST(p*r AS HUGEINT)) AS s_pr
              |  FROM b)
              |SELECT 'q' AS col_x, 'p' AS col_y,
-             |  CAST(n*s_qp - s_q*s_p AS DOUBLE) /
+             |  sign(n*s_qp - s_q*s_p) * CAST(abs(n*s_qp - s_q*s_p) AS DOUBLE) /
              |    (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE)) * sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE))) AS corr,
-             |  CAST(n*s_qp - s_q*s_p AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov
+             |  sign(n*s_qp - s_q*s_p) * CAST(abs(n*s_qp - s_q*s_p) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov
              |FROM a
              |UNION ALL SELECT 'q', 'r',
-             |  CAST(n*s_qr - s_q*s_r AS DOUBLE) /
+             |  sign(n*s_qr - s_q*s_r) * CAST(abs(n*s_qr - s_q*s_r) AS DOUBLE) /
              |    (sqrt(CAST(n*s_qq - s_q*s_q AS DOUBLE)) * sqrt(CAST(n*s_rr - s_r*s_r AS DOUBLE))),
-             |  CAST(n*s_qr - s_q*s_r AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
+             |  sign(n*s_qr - s_q*s_r) * CAST(abs(n*s_qr - s_q*s_r) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
              |FROM a
              |UNION ALL SELECT 'p', 'r',
-             |  CAST(n*s_pr - s_p*s_r AS DOUBLE) /
+             |  sign(n*s_pr - s_p*s_r) * CAST(abs(n*s_pr - s_p*s_r) AS DOUBLE) /
              |    (sqrt(CAST(n*s_pp - s_p*s_p AS DOUBLE)) * sqrt(CAST(n*s_rr - s_r*s_r AS DOUBLE))),
-             |  CAST(n*s_pr - s_p*s_r AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
+             |  sign(n*s_pr - s_p*s_r) * CAST(abs(n*s_pr - s_p*s_r) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0
              |FROM a""".stripMargin)),
 
     // groupby(...).corr() — grouped Pearson, exact sums; the time axis
@@ -192,11 +199,12 @@ object MomentQueries extends QueryModule {
           sum((col("c") * col("t")).cast(d38)).as("sxy"),
           sum((col("c") * col("c")).cast(d38)).as("sxx"),
           sum((col("t") * col("t")).cast(d38)).as("syy"))
+        val d1 = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val d2 = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
         agg.select(col("event_type"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-            .as("pearson"))
+          when(d1 > 0 && d2 > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(d1) * sqrt(d2))).as("pearson"))
       },
       Some("""WITH b AS (SELECT event_type,
              |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
@@ -208,8 +216,11 @@ object MomentQueries extends QueryModule {
              |    sum(CAST(t*t AS HUGEINT)) AS syy
              |  FROM b GROUP BY event_type)
              |SELECT event_type,
-             |  CAST(n*sxy - sx*sy AS DOUBLE) /
-             |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson
+             |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+             |        AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             |    sign(n*sxy - sx*sy) * CAST(abs(n*sxy - sx*sy) AS DOUBLE) /
+             |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             |  END AS pearson
              |FROM a""".stripMargin)),
 
     // corr(method='kendall') per group — Knight's O(n log n) τ-b in

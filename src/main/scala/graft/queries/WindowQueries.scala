@@ -93,13 +93,16 @@ object WindowQueries extends QueryModule {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // pct_change with a 0 predecessor: pandas yields ±inf, DuckDB NULL —
+    // null (try_divide) is the oracle-parity choice; the ±inf compat
+    // shim is a separate opt-in (SURVEY §2.9 divergence note).
     QueryDef("shift_diff_pct",
       (s, d) => {
         val w = RollingOps.ordered(Seq("user_id"), evOrder)
         val prev = lag(col("value"), 1).over(w)
         T.events(s, d).select(col("event_id"),
           (col("value") - prev).as("diff"),
-          (col("value") / prev - 1).as("pct_change"))
+          (try_divide(col("value"), prev) - 1).as("pct_change"))
       },
       Some("""SELECT event_id, value - lag(value, 1) OVER w AS diff,
              |  value / lag(value, 1) OVER w - 1 AS pct_change

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Formatter, SampleOps}
+import graft.llm.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling, to_string formatting, and the distributed
+  * frame.dot (melt + join + agg) pattern. */
+class UtilOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedSample: deterministic, right size, weight-biased") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 100) 50.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = SampleOps.weightedSample(df, 200, "w", "id").collect().map(_.getLong(0)).toSet
+    val s2 = SampleOps.weightedSample(df, 200, "w", "id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "not deterministic for fixed seed")
+    assert(s1.size == 200)
+    // the 100 heavy rows (50× weight) must be drawn far above their
+    // uniform share (100/2000 * 200 = 10); expect most of them present
+    val heavy = s1.count(_ <= 100)
+    assert(heavy > 60, s"weight bias missing: $heavy heavy rows in sample")
+  }
+
+  test("weightedSample excludes non-positive and null weights") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+      .union(Seq((4L, Option.empty[Double])).toDF("id", "w"))
+    val got = SampleOps.weightedSample(df, 10, "w", "id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
+  test("toStringTable renders aligned head with ellipsis") {
+    val df = Seq((1, "a", 1.5), (22, "bb", 2.25), (333, "ccc", 30.0))
+      .toDF("id", "s", "v")
+    val out = Formatter.toStringTable(df.orderBy("id"), 2)
+    val lines = out.split("\n")
+    assert(lines(0) == "id  s      v")
+    assert(lines(1) == " 1  a    1.5")
+    assert(lines(2) == "22  bb  2.25")
+    assert(lines(3) == "...")
+  }
+
+  test("frame.dot via melt+join+agg equals direct fold dot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.filter(col("vec_id").between(3, 6))
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+
+    // scale path: explode to (id, pos, val), join on pos, sum-agg —
+    // the matrix never sits on one node
+    val am = a.select(col("id_a"), posexplode(col("ea")))
+      .select(col("id_a"), col("pos"), col("col").cast("double").as("va"))
+    val bm = b.select(col("id_b"), posexplode(col("eb")))
+      .select(col("id_b"), col("pos"), col("col").cast("double").as("vb"))
+    val dot1 = am.join(bm, "pos").groupBy("id_a", "id_b")
+      .agg(sum(col("va") * col("vb")).as("dot"))
+
+    // reference: deterministic sequential fold on paired vectors
+    val dot2 = a.crossJoin(b).select(col("id_a"), col("id_b"),
+      SimilarityOps.dot(SimilarityOps.toDoubleArr(col("ea")),
+        SimilarityOps.toDoubleArr(col("eb"))).as("dot"))
+
+    val m1 = dot1.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val m2 = dot2.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m1.keySet == m2.keySet)
+    m1.foreach { case (k, v) => assert(math.abs(v - m2(k)) < 1e-9, s"$k") }
+  }
+}
