@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** merge_asof as a first-class operator: custom LogicalPlan + Strategy +
+  * physical exec (SURVEY §4 custom work #1 "optionally a custom
+  * SparkStrategy for a true partitioned asof-merge at 100 TB";
+  * reference kernels pandas/_libs/join.pyx:680-1020).
+  *
+  * Physical algorithm: both children hash-clustered on the `by` keys and
+  * sorted (by, on) — EnsureRequirements inserts exactly the exchanges a
+  * sort-merge join would get — then each co-partition pair is merged by
+  * a single forward-only two-pointer pass with O(1) state per group: the
+  * classic asof-merge, no union row doubling, no window machinery, no
+  * per-group buffering. Scale behavior is SMJ-like: one shuffle + sort
+  * per side; skewed `by` keys split by AQE like any clustered exchange.
+  *
+  * Semantics (direction='backward'): for each left row, the LAST right
+  * row in the same group with on ≤ left.on (strict < when
+  * allowExact=false), payload null when none qualifies or the match is
+  * older than `toleranceMicros`.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    rightPayload: Seq[Attribute],
+    allowExact: Boolean,
+    toleranceMicros: Option[Long]) extends BinaryNode {
+  override val output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lb, rb, lo, ro, pay, ae, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, pay, ae, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    rightPayload: Seq[Attribute],
+    allowExact: Boolean,
+    toleranceMicros: Option[Long]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (leftBy.isEmpty) Seq(AllTuples, AllTuples)
+    else Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending)),
+    (rightBy :+ rightOn).map(a => SortOrder(a, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending))
+
+  /** Preparation rules may rewrite the expression fields into bound
+    * form; resolve every reference to a plain ordinal on the driver and
+    * construct projections from explicit BoundReferences only. */
+  private def ordinal(out: Seq[Attribute], e: Expression): Int = e match {
+    case b: BoundReference => b.ordinal
+    case a: Attribute =>
+      val i = out.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"attribute $a not found in ${out.map(_.name)}")
+      i
+    case other => sys.error(s"unexpected reference shape: $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lByRefs = leftBy.map(e =>
+      BoundReference(ordinal(lOut, e), e.dataType, e.nullable))
+    val rByRefs = rightBy.map(e =>
+      BoundReference(ordinal(rOut, e), e.dataType, e.nullable))
+    val byTypes = leftBy.map(_.dataType)
+    val lOnRef = BoundReference(ordinal(lOut, leftOn), leftOn.dataType, leftOn.nullable)
+    val rOnRef = BoundReference(ordinal(rOut, rightOn), rightOn.dataType, rightOn.nullable)
+    val payloadRefs = rightPayload.map(e =>
+      BoundReference(ordinal(rOut, e), e.dataType, e.nullable))
+    // output = identity over (left row ++ payload row), payload nullable
+    val outRefs = lOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable)
+    } ++ rightPayload.zipWithIndex.map { case (e, i) =>
+      BoundReference(lOut.size + i, e.dataType, nullable = true)
+    }
+    val exact = allowExact
+    val tol = toleranceMicros
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lByRefs)
+      val rKeyProj = UnsafeProjection.create(rByRefs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(byTypes)
+      val lOnBound = lOnRef
+      val rOnBound = rOnRef
+      val payloadProj = UnsafeProjection.create(payloadRefs)
+      val outProj = UnsafeProjection.create(outRefs)
+      val nullPayload = new GenericInternalRow(payloadRefs.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rBuf: InternalRow =
+          if (rIt.hasNext) rIt.next().copy() else null
+        private var best: InternalRow = null
+        private var bestOn: Long = 0L
+
+        private def onOf(bound: org.apache.spark.sql.catalyst.expressions.Expression,
+            row: InternalRow): Long =
+          bound.eval(row).asInstanceOf[Number].longValue()
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lOnV = onOf(lOnBound, l)
+          // 1. drop a buffered best from a previous (smaller) group
+          if (best != null && keyOrd.compare(rKeyProj(best), lKeyProj(l)) != 0)
+            best = null
+          // 2. advance the right side through every row that is still
+          //    eligible for this left row (smaller group, or same group
+          //    with on within the frame); remember the last same-group one
+          var advancing = true
+          while (advancing && rBuf != null) {
+            val c = keyOrd.compare(rKeyProj(rBuf), lKeyProj(l))
+            val eligible =
+              c < 0 || (c == 0 && {
+                val rOnV = onOf(rOnBound, rBuf)
+                if (exact) rOnV <= lOnV else rOnV < lOnV
+              })
+            if (eligible) {
+              if (c == 0) { best = rBuf; bestOn = onOf(rOnBound, rBuf) }
+              rBuf = if (rIt.hasNext) rIt.next().copy() else null
+            } else advancing = false
+          }
+          // 3. emit
+          val matched = best != null && tol.forall(t => lOnV - bestOn <= t)
+          val payload = if (matched) payloadProj(best) else nullPayload
+          outProj(joined(l, payload))
+        }
+      }
+    }
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinPlan {
+
+  /** Register the strategy once per session (idempotent). The
+    * deployment path is GraftExtensions (spark.sql.extensions); this is
+    * the in-session form. */
+  def register(spark: SparkSession): Unit = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!ss.experimental.extraStrategies.contains(AsofJoinStrategy))
+      ss.experimental.extraStrategies =
+        ss.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** merge_asof(direction='backward') through the custom operator.
+    * `right` columns are re-aliased so a self-asof cannot collide
+    * expression ids across the two children. */
+  def asof(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+      rightCols: Seq[String], allowExact: Boolean = true,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val rightFresh = right
+      .select((by :+ on).map(c => col(c).as(c)) ++
+        rightCols.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"column $n missing from ${p.output.map(_.name)}"))
+    val node = AsofJoinNode(lPlan, rPlan,
+      by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
+      attr(lPlan, on), attr(rPlan, on),
+      rightCols.map(attr(rPlan, _)), allowExact, toleranceMicros)
+    Bridge.ofRows(spark, node)
+  }
+}

@@ -64,10 +64,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("asof_backward_by: exactly one exchange feeds the asof window") {
+  test("asof_backward_by: custom exec, one clustered exchange per side") {
     val p = plan("asof_backward_by")
+    assert(p.contains("AsofJoin "), p.take(2000))
+    // 2 child exchanges for the merge + 1 upstream for the quote dedup
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 2, s"asof shuffles too much ($exchanges):\n${p.take(3000)}")
+    assert(exchanges <= 3, s"asof shuffles too much ($exchanges):\n${p.take(3000)}")
   }
 
   test("cosine_topk: corpus scans once under a broadcast, never shuffles") {
