@@ -109,6 +109,81 @@ object WindowQueries extends QueryModule {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    // rolling(center=True): symmetric frame around the current row.
+    QueryDef("rolling_center_21",
+      (s, d) => {
+        val w = RollingOps.ordered(Seq("user_id"), evOrder).rowsBetween(-10, 10)
+        T.events(s, d).select(col("event_id"),
+          sum(dec2(col("value"))).over(w).cast("double").as("c_sum"),
+          count(col("value")).over(w).as("c_n"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS c_sum,
+             |  count(value) OVER w AS c_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)""".stripMargin)),
+
+    // rolling(30).skew(): adjusted Fisher skewness from exact frame
+    // power sums — the long window sums combine in DECIMAL(38,0) /
+    // HUGEINT (2·(Σc)³ can exceed int64 within one 30-row frame), and
+    // the signed result crosses to double via sign·abs (DuckDB's
+    // negative hugeint→double cast is off by 1 ulp).
+    QueryDef("rolling_skew_30",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 30)
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val n = count(col("c")).over(w)
+        val s1 = sum(col("c")).over(w).cast(d38)
+        val s2 = sum(col("c") * col("c")).over(w).cast(d38)
+        val s3 = sum(col("c") * col("c") * col("c")).over(w).cast(d38)
+        val nd = n.cast(d38)
+        val b = (nd * s2 - s1 * s1).cast("double")
+        val a3 = (nd * nd * s3 - lit(3).cast(d38) * nd * s2 * s1
+          + lit(2).cast(d38) * s1 * s1 * s1).cast("double")
+        val skew = when(n > 2 && b > 0,
+          round(sqrt((n * (n - 1)).cast("double")) / (n - 2) * a3 / pow(b, 1.5), 6))
+        base.select(col("event_id"), skew.as("roll_skew"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |    CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS c
+             |  FROM events),
+             |w AS (SELECT event_id, count(c) OVER w AS n, sum(c) OVER w AS s1,
+             |    sum(c * c) OVER w AS s2, sum(c * c * c) OVER w AS s3
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT event_id, n,
+             |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS braw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+             |      - 3 * CAST(n AS HUGEINT) * s2 * s1 + 2 * s1 * s1 * s1 AS a3raw
+             |  FROM w)
+             |SELECT event_id,
+             |  CASE WHEN n > 2 AND braw > 0 THEN
+             |    round(sqrt(CAST(n * (n - 1) AS DOUBLE)) / (n - 2)
+             |      * (sign(a3raw) * CAST(abs(a3raw) AS DOUBLE))
+             |      / pow(sign(braw) * CAST(abs(braw) AS DOUBLE), 1.5), 6)
+             |  END AS roll_skew
+             |FROM m""".stripMargin)),
+
+    // rank(na_option='top'): missing keys rank first (nulls-first order).
+    QueryDef("rank_na_top",
+      (s, d) => {
+        val masked = when(col("value") < 5, lit(null)).otherwise(col("value"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(masked.asc_nulls_first, col("event_id").asc)
+        T.events(s, d).select(col("event_id"),
+          rank().over(w).as("rk"))
+      },
+      Some("""SELECT event_id, rank() OVER (
+             |  PARTITION BY event_type
+             |  ORDER BY (CASE WHEN value < 5 THEN NULL ELSE value END)
+             |    ASC NULLS FIRST, event_id ASC) AS rk
+             |FROM events""".stripMargin)),
+
     // ranks over a unique total order (value, event_id) — deterministic
     // percent_rank/cume_dist/ntile in both engines.
     QueryDef("rank_pct_ntile",
