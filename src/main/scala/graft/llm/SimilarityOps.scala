@@ -68,6 +68,89 @@ object SimilarityOps {
       .select(col(qId), col(cId), col("score"), col("rn"))
   }
 
+  // ---- IVF (inverted-file) tier ----
+
+  /** Train a coarse quantizer: k centroids via Lloyd iterations run as
+    * DataFrame aggregations (assign = argmin over broadcast centroids;
+    * update = per-cell mean — one hash agg per iteration, corpus never
+    * collected). Seeded deterministically from the first k corpus rows
+    * by id order (k-means|| niceties are orthogonal to the plumbing).
+    * Returns the centroid list (small, driver-held — this IS the IVF
+    * index's coarse layer). */
+  def trainIvfCentroids(corpus: DataFrame, cId: String, embCol: String,
+      k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(cId).asc).limit(k)
+      .select(toDoubleArr(col(embCol)).as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, embCol, centroids)
+      val dim = centroids(0).length
+      val sums = assigned
+        .select(col("__cell"), toDoubleArr(col(embCol)).as("e"))
+        .groupBy("__cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("e"), i + 1))): _*).as("s"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0); val n = r.getLong(1)
+        if (n > 0) next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id via a codegen'd argmin over the broadcast
+    * centroid literals (no UDF: a fold of `when` comparisons on
+    * negative-dot distance — centroids are unit-agnostic under cosine). */
+  def assignCells(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val e = toDoubleArr(col(embCol))
+    def dotLit(c: Array[Double]): Column =
+      aggregate(zip_with(e, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val scored = centroids.zipWithIndex.map { case (c, i) => (dotLit(c), i) }
+    // argmax over dot products: fold keeping (bestScore, bestIdx)
+    val idxExpr = scored.tail.foldLeft((scored.head._1, lit(0))) {
+      case ((bs, bi), (s, i)) =>
+        (when(s > bs, s).otherwise(bs), when(s > bs, lit(i)).otherwise(bi))
+    }._2
+    df.withColumn("__cell", idxExpr.cast("int"))
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells only — the
+    * candidate set scales with cell occupancy × nprobe, not corpus
+    * size. Queries are broadcast-sized; the corpus is scanned once with
+    * its cell assignment and joined on cell id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
+    val qe = toDoubleArr(col("q_emb"))
+    def dotLit(c: Array[Double]): Column =
+      aggregate(zip_with(qe, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    // nprobe nearest cells per query: sort the centroid scores (tiny,
+    // fixed arity) via array sort of (score, idx) structs
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotLit(c)).as("negdot"), lit(i).as("cell"))
+    }: _*)
+    val probed = queries.withColumn("__cells",
+      slice(array_sort(cellScores), 1, nprobe))
+      .select(col(qId), col("q_emb"),
+        explode(transform(col("__cells"), s => s.getField("cell"))).as("__cell"))
+    val assigned = assignCells(corpus, "embedding", centroids)
+    val scored = broadcast(probed).join(assigned, Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score",
+        cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))))
+    val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(cId), col("score"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDupPairs(corpus: DataFrame, cId: String, bits: Int,
       minCosine: Double): DataFrame = {

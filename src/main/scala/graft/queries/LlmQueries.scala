@@ -154,6 +154,32 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // IVF tier in exhaustive-probe configuration (nprobe = #cells):
+    // exercises the full train-quantizer + cell-join machinery while
+    // staying EXACT, so the brute-force oracle applies verbatim. The
+    // approximate configuration (nprobe < cells) is recall-tested in
+    // IvfSpec.
+    QueryDef("cosine_ivf_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 8)
+        SimilarityOps.ivfTopK(queries, emb, 3, cents, nprobe = cents.length)
+          .select(col("q_id"), col("vec_id"), round(col("score"), 6).as("score"),
+            col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Approximate tier: candidates limited to the query's sign-bit
     // bucket (recall < 1 by design; the bucket predicate is mirrored in
     // the oracle so results still match exactly).

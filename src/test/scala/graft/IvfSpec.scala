@@ -1,0 +1,36 @@
+package graft
+
+import graft.llm.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** IVF similarity tier: coarse k-means quantizer trained as DataFrame
+  * aggregations, cell-restricted search. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  test("IVF probes fewer candidates and stays deterministic") {
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    val a = SimilarityOps.ivfTopK(queries, emb, 3, cents, nprobe = 3).collect()
+    val b = SimilarityOps.ivfTopK(queries, emb, 3, cents, nprobe = 3).collect()
+    assert(a.toSeq == b.toSeq, "nondeterministic IVF results")
+    assert(a.length == 30) // 10 queries × top-3
+  }
+
+  test("recall vs brute force improves with nprobe") {
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 8)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = SimilarityOps.ivfTopK(queries, emb, 3, cents, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r2 = recall(2); val r8 = recall(8)
+    assert(r8 == 1.0, s"nprobe=all must equal brute force, got $r8")
+    assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe2=$r2, @8=$r8")
+  }
+}
