@@ -74,4 +74,35 @@ object MultimodalOps {
     * keeps the (large) payload out of the scan entirely. */
   def metadataOnly(assets: DataFrame): DataFrame =
     assets.select("asset_id", "media_type", "meta_width", "meta_height")
+
+  /** Video frame sampling: split the payload into fixed-stride "frames"
+    * (stub codec: a real one parses container headers; the byte-stride
+    * fake keeps the plumbing honest) and keep every `everyNth`-th.
+    * One narrow explode per asset — frames stay on the executor that
+    * holds the payload, nothing shuffles. Output: (asset_id, frame_no,
+    * frame: binary). */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes)
+      .cast("long")
+    assets
+      .select(col("asset_id"), col("payload"),
+        explode(filter(
+          sequence(lit(0L), greatest(nFrames - 1, lit(0L))),
+          i => i % everyNth === 0)).as("frame_no"))
+      .withColumn("frame",
+        col("payload").substr((col("frame_no") * frameBytes + 1).cast("int"),
+          lit(frameBytes)))
+      .drop("payload")
+  }
+
+  /** Resize stub: crop the payload to the target byte budget and update
+    * the metadata accordingly (a real kernel decodes + rescales inside
+    * the batched mapPartitions path above; the crop keeps schema flow
+    * and pruning behavior identical). */
+  def resizeStub(assets: DataFrame, targetWidth: Int, targetHeight: Int): DataFrame =
+    assets
+      .withColumn("payload",
+        col("payload").substr(lit(1), lit(targetWidth * targetHeight)))
+      .withColumn("meta_width", lit(targetWidth))
+      .withColumn("meta_height", lit(targetHeight))
 }

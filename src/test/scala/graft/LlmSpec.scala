@@ -83,4 +83,29 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
     assert(r.getString(1) == "en")
   }
+
+  test("multimodal frame sampling and resize keep plumbing exact") {
+    import graft.llm.MultimodalOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 20)
+    val assets = MultimodalOps.fakeAssets(docs, "doc_id", "text")
+    val frames = MultimodalOps.sampleFrames(assets, frameBytes = 32, everyNth = 3)
+    val rows = frames.collect()
+    // every 3rd frame index only, frames at most 32 bytes
+    assert(rows.forall(_.getLong(1) % 3 == 0))
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 32))
+    // per-asset frame count = ceil(len/32) sampled every 3rd
+    val byAsset = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val lens = assets.select(col("asset_id"), octet_length(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.foreach { case (id, len) =>
+      val n = (len + 31) / 32
+      val expect = (0 until n).count(_ % 3 == 0)
+      assert(byAsset(id) == expect, s"asset $id: ${byAsset(id)} vs $expect")
+    }
+    val resized = MultimodalOps.resizeStub(assets, 8, 4)
+    val r0 = resized.select(octet_length(col("payload")), col("meta_width"),
+      col("meta_height")).collect()
+    assert(r0.forall(r => r.getInt(0) <= 32 && r.getInt(1) == 8 && r.getInt(2) == 4))
+  }
 }
