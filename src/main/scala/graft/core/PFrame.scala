@@ -172,6 +172,18 @@ final case class PFrame(
   /** Deferred group-by view (reference: DataFrameGroupBy). */
   def groupby(keys: String*): PGroupBy = PGroupBy(this, keys)
 
+  /** rolling(n) over the frame's order (pass keys via groupby().rolling
+    * — PGroupBy.rolling — for the partitioned form). */
+  def rolling(n: Int, minPeriods: Int = 1): PRolling =
+    PRolling(this, Nil, n, minPeriods)
+
+  /** resample(width) tumbling buckets on a timestamp column. */
+  def resample(tsCol: String, width: String): PResampler =
+    PResampler(this, tsCol, width, Nil)
+
+  /** ewm(alpha).mean — adjust=false recurrence via the typed Aggregator. */
+  def ewm(alpha: Double): PEwm = PEwm(this, Nil, alpha)
+
   /** combine_first: aligned coalesce (reference: pandas/core/frame.py:5138). */
   def combineFirst(other: PFrame): PFrame = {
     val (joined, lc, rc) = align(other)

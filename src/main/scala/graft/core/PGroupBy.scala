@@ -62,6 +62,17 @@ final case class PGroupBy(frame: PFrame, keys: Seq[String]) {
   def filterBySize(minSize: Long): PFrame =
     frame.copy(df = GroupOps.filterBySize(frame.df, keys, minSize))
 
+  /** groupby().rolling(n) — the partitioned rolling view. */
+  def rolling(n: Int, minPeriods: Int = 1): PRolling =
+    PRolling(frame, keys, n, minPeriods)
+
+  /** groupby().resample(width) — grouped tumbling buckets. */
+  def resample(tsCol: String, width: String): PResampler =
+    PResampler(frame, tsCol, width, keys)
+
+  /** groupby().ewm(alpha) — per-group EWM recurrence. */
+  def ewm(alpha: Double): PEwm = PEwm(frame, keys, alpha)
+
   /** groupby().nth(n) (0-based). */
   def nth(n: Int): PFrame = {
     val o = frame.withOrder

@@ -75,4 +75,35 @@ class ApiSpec extends SparkSpec {
     assert(salted.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       plain.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
+
+  test("rolling/resample/ewm builder accessors realize correctly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 40).map(i => (i % 2L, i.toLong, (i % 7).toDouble))
+      .toDF("g", "seq", "v")
+    val pf = PFrame(df, indexCols = Seq("seq"))
+
+    // grouped rolling mean vs direct window
+    val rolled = pf.groupby("g").rolling(3).mean("v", "rm").df
+    val w = Window.partitionBy("g").orderBy("seq").rowsBetween(-2, 0)
+    val direct = df.withColumn("rm",
+      sum(col("v")).over(w) / count(col("v")).over(w))
+    assert(rolled.select("seq", "rm").exceptAll(direct.select("seq", "rm")).isEmpty)
+
+    // resample: tumbling buckets
+    val ev = df.withColumn("ts",
+      timestamp_micros(col("seq") * 60L * 1000000L))
+    val res = PFrame(ev, Seq("seq")).resample("ts", "5 minutes").count().df
+    assert(res.agg(sum("count")).collect()(0).getLong(0) == 40)
+
+    // grouped ewm equals the sequential recurrence
+    val alpha = 0.4
+    val got = PFrame(df, Seq("seq")).groupby("g").ewm(alpha)
+      .mean("v", "e").df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (1 to 40).map(i => (i % 2L, i.toLong, (i % 7).toDouble))
+      .groupBy(_._1).view.mapValues { rows =>
+        val vs = rows.sortBy(_._2).map(_._3)
+        vs.tail.foldLeft(vs.head)((y, x) => (1 - alpha) * y + alpha * x)
+      }.toMap
+    want.foreach { case (g, e) => assert(math.abs(got(g) - e) < 1e-12) }
+  }
 }
