@@ -161,6 +161,48 @@ object GroupByQueries extends QueryModule {
              |  bool_and(value > 0.005) AS all_pos, count(*) AS n
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // groupby(dropna=True) — the pandas DEFAULT drops null keys, while
+    // Spark's groupBy keeps them: the engine pins pandas semantics with
+    // an explicit key filter; dropna=False is plain groupBy (the null
+    // group surfaces like any other).
+    QueryDef("groupby_dropna_true",
+      (s, d) => {
+        val masked = when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type"))
+        T.events(s, d).withColumn("k", masked)
+          .filter(col("k").isNotNull)
+          .groupBy("k").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT CASE WHEN event_type = 'error' THEN NULL
+             |              ELSE event_type END AS k FROM events)
+             |WHERE k IS NOT NULL GROUP BY k""".stripMargin)),
+
+    QueryDef("groupby_dropna_false",
+      (s, d) => {
+        val masked = when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type"))
+        T.events(s, d).withColumn("k", masked)
+          .groupBy("k").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT CASE WHEN event_type = 'error' THEN NULL
+             |              ELSE event_type END AS k FROM events)
+             |GROUP BY k""".stripMargin)),
+
+    // value_counts(normalize=True): shares instead of counts.
+    QueryDef("value_counts_normalize",
+      (s, d) => {
+        val counts = T.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"))
+        counts.withColumn("share",
+          col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()))
+          .select("event_type", "share")
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // mean absolute deviation: window mean, then agg (two-pass formula).
     QueryDef("groupby_mad",
       (s, d) => {
