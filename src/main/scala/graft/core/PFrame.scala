@@ -185,6 +185,21 @@ final case class PFrame(
   def ewm(alpha: Double): PEwm = PEwm(this, Nil, alpha)
 
   /** combine_first: aligned coalesce (reference: pandas/core/frame.py:5138). */
+  /** info(): schema + optimizer row/size estimates — driver-side
+    * metadata only, no scan (reference frame.py:2147). */
+  def info(): String = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val fields = df.schema.fields.map(f =>
+      s"  ${f.name}: ${f.dataType.simpleString}${if (f.nullable) "" else " not null"}")
+    (s"PFrame[index=${indexCols.mkString(",")}]" +:
+      s"estimated rows=${stats.rowCount.getOrElse("?")} bytes=${stats.sizeInBytes}" +:
+      fields).mkString("\n")
+  }
+
+  /** memory_usage(): optimizer size estimate in bytes (plan statistics;
+    * the reference reports ndarray nbytes — same contract, no scan). */
+  def memoryUsage: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   def combineFirst(other: PFrame): PFrame = {
     val (joined, lc, rc) = align(other)
     val all = (valueCols ++ other.valueCols).distinct

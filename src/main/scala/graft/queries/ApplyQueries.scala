@@ -165,6 +165,38 @@ object ApplyQueries extends QueryModule {
              |  timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_wall
              |FROM events""".stripMargin)),
 
+    // axis=1 reductions: per-row non-null count / any / all across a
+    // column set (reference: frame.py:7038 count(axis=1), nanops any/all)
+    // — pure codegen'd expressions, no row pivoting.
+    QueryDef("row_axis_reductions",
+      (s, d) => {
+        val a = col("value")
+        val b = get_json_object(col("props"), "$.k").cast("double")
+        val c = when(col("event_type") === "error", lit(null))
+          .otherwise(col("user_id").cast("double"))
+        val cols = Seq(a, b, c)
+        T.events(s, d).select(col("event_id"),
+          cols.map(x => when(x.isNotNull, 1).otherwise(0)).reduce(_ + _)
+            .as("n_notnull"),
+          cols.map(x => coalesce(x > 50, lit(false))).reduce(_ || _).as("any_big"),
+          cols.map(x => coalesce(x >= 0, lit(false))).reduce(_ && _).as("all_nonneg"))
+      },
+      Some("""SELECT event_id,
+             |  (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+             |  + (CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+             |  + (CASE WHEN (CASE WHEN event_type = 'error' THEN NULL
+             |                     ELSE CAST(user_id AS DOUBLE) END) IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS n_notnull,
+             |  coalesce(value > 50, false)
+             |    OR coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50, false)
+             |    OR coalesce((CASE WHEN event_type = 'error' THEN NULL
+             |                      ELSE CAST(user_id AS DOUBLE) END) > 50, false) AS any_big,
+             |  coalesce(value >= 0, false)
+             |    AND coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 0, false)
+             |    AND coalesce((CASE WHEN event_type = 'error' THEN NULL
+             |                       ELSE CAST(user_id AS DOUBLE) END) >= 0, false) AS all_nonneg
+             |FROM events""".stripMargin)),
+
     // Series.map / DataFrame row apply: the typed Dataset.map surface —
     // arbitrary per-row Scala, exact-cent arithmetic for oracle parity.
     QueryDef("dataset_map_typed",

@@ -106,4 +106,11 @@ class ApiSpec extends SparkSpec {
       }.toMap
     want.foreach { case (g, e) => assert(math.abs(got(g) - e) < 1e-12) }
   }
+
+  test("info and memory_usage report schema and plan stats without a scan") {
+    val pf = PFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Seq("id"))
+    val txt = pf.info()
+    assert(txt.contains("id: bigint") && txt.contains("s: string"))
+    assert(pf.memoryUsage > 0)
+  }
 }
