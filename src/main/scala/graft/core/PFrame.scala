@@ -70,6 +70,38 @@ final case class PFrame(
 
   def drop(cols: String*): PFrame = copy(df = df.drop(cols: _*))
 
+  /** filter(items=/like=/regex=) on column LABELS (reference
+    * generic.py:4175) — pure projection, no data movement. */
+  def filterCols(items: Seq[String] = Nil, like: Option[String] = None,
+      regex: Option[String] = None): PFrame = {
+    val keep = df.columns.filter { c =>
+      (items.nonEmpty && items.contains(c)) ||
+        like.exists(c.contains) || regex.exists(r => r.r.findFirstIn(c).isDefined)
+    }
+    val withIdx = (indexCols ++ keep).distinct
+    copy(df = df.select(withIdx.map(col): _*))
+  }
+
+  /** pop: return (column frame, remainder) — reference generic.py:765. */
+  def pop(c: String): (PFrame, PFrame) =
+    (copy(df = df.select((indexCols :+ c).map(col): _*)), drop(c))
+
+  /** squeeze: single-value-column frame → that column's name (the
+    * caller reads it as a PSeries); multi-column frames are returned
+    * unchanged, like pandas. */
+  def squeeze: Either[PFrame, String] = {
+    val vals = valueCols
+    if (vals.size == 1) Right(vals.head) else Left(this)
+  }
+
+  /** xs(key): cross-section — filter one index level to a literal and
+    * drop that level (reference generic.py:3260). */
+  def xs(level: String, key: Any): PFrame = {
+    require(indexCols.contains(level), s"$level is not an index level")
+    copy(df = df.filter(col(level) === lit(key)).drop(level),
+      indexCols = indexCols.filterNot(_ == level))
+  }
+
   def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil,
       naPosition: String = "last"): PFrame = {
     val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending

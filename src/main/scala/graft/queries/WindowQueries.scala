@@ -169,6 +169,28 @@ object WindowQueries extends QueryModule {
              |  END AS roll_skew
              |FROM m""".stripMargin)),
 
+    // rolling(10).apply(lambda): arbitrary per-window code via
+    // collect_list over the frame + a HOF lambda on the gathered array
+    // (here: range = max−min and a custom sum-of-squares) — the shape
+    // any rolling UDF takes; stays codegen'd, no Python/Scala UDF.
+    QueryDef("rolling_apply_range",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 10)
+        val arr = collect_list(dec2(col("value"))).over(w)
+        T.events(s, d).select(col("event_id"),
+          (array_max(arr) - array_min(arr)).cast("double").as("roll_range"),
+          aggregate(arr, lit(0).cast("decimal(28,4)"),
+            (acc, x) => (acc + x * x).cast("decimal(28,4)")).cast("double").as("roll_sumsq"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(max(CAST(value AS DECIMAL(12,2))) OVER w
+             |     - min(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_range,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w
+             |       AS DOUBLE) AS roll_sumsq
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // rank(na_option='top'): missing keys rank first (nulls-first order).
     QueryDef("rank_na_top",
       (s, d) => {

@@ -113,4 +113,43 @@ class ApiSpec extends SparkSpec {
     assert(txt.contains("id: bigint") && txt.contains("s: string"))
     assert(pf.memoryUsage > 0)
   }
+
+  test("filterCols / pop / squeeze / xs label operations") {
+    val pf = PFrame(Seq((1L, 2.0, 3.0, "x")).toDF("id", "price_a", "price_b", "tag"),
+      Seq("id"))
+    assert(pf.filterCols(like = Some("price")).df.columns.toSeq ==
+      Seq("id", "price_a", "price_b"))
+    assert(pf.filterCols(regex = Some("^t")).df.columns.toSeq == Seq("id", "tag"))
+    val (popped, rest) = pf.pop("tag")
+    assert(popped.df.columns.toSeq == Seq("id", "tag"))
+    assert(!rest.df.columns.contains("tag"))
+    assert(popped.squeeze == Right("tag"))
+    assert(pf.squeeze.isLeft)
+    val multi = PFrame(Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"))
+    val xs = multi.xs("k1", 1L)
+    assert(xs.indexCols == Seq("k2") && xs.df.count() == 1)
+  }
+
+  test("divPandas yields ±inf/NaN where divNull yields null") {
+    import graft.operators.MathCompat
+    val df = Seq((1.0, 0.0), (-1.0, 0.0), (0.0, 0.0), (6.0, 2.0))
+      .toDF("a", "b")
+    val r = df.select(MathCompat.divPandas(col("a"), col("b")).as("p"),
+      MathCompat.divNull(col("a"), col("b")).as("n")).collect()
+    assert(r(0).getDouble(0).isPosInfinity && r(0).isNullAt(1))
+    assert(r(1).getDouble(0).isNegInfinity)
+    assert(r(2).getDouble(0).isNaN)
+    assert(r(3).getDouble(0) == 3.0 && r(3).getDouble(1) == 3.0)
+  }
+
+  test("EngineConf options round-trip over spark.conf") {
+    val conf = new graft.operators.EngineConf(spark)
+    assert(conf.get("display.max_rows") == "20") // default
+    conf.set("display.max_rows", "50")
+    assert(conf.get("display.max_rows") == "50")
+    conf.reset("display.max_rows")
+    assert(conf.get("display.max_rows") == "20")
+    assert(conf.get("compute.shuffle_partitions") == "4") // test session
+  }
 }
