@@ -50,9 +50,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: pay one-time session/codegen/parquet-footer costs outside
-    // the measured loop, as any long-lived cluster would have.
-    names.headOption.foreach(runOnce)
+    // Warmup: pay one-time session/codegen/JIT/parquet-footer costs
+    // outside the measured loop, as any long-lived cluster would have —
+    // each headline query runs once unmeasured, then once measured.
+    names.foreach(runOnce)
 
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
