@@ -220,6 +220,24 @@ object ExtrasQueries extends QueryModule {
              |  o_orderdate - INTERVAL 3 HOUR AS minus3h
              |FROM orders""".stripMargin)),
 
+    // to_timedelta / timestamp difference: duration arithmetic surfaced
+    // as exact integer units (DayTimeInterval internally; µs on the
+    // wire for oracle parity).
+    QueryDef("dt_timedelta",
+      (s, d) => {
+        val w = RollingOps.ordered(Seq("user_id"), evOrder)
+        val prev = lag(col("ts"), 1).over(w)
+        T.events(s, d).select(col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(prev)).as("delta_us"),
+          floor((unix_micros(col("ts")) - unix_micros(prev)) / 1000000L)
+            .as("delta_s"))
+      },
+      Some("""SELECT event_id,
+             |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us,
+             |  (epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) // 1000000 AS delta_s
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // to_datetime(unit='s'): epoch-second numbers → timestamps.
     QueryDef("dt_from_unit",
       (s, d) => T.events(s, d).select(col("event_id"),

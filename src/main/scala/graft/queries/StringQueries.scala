@@ -104,6 +104,23 @@ object StringQueries extends QueryModule {
              |FROM documents a, documents b
              |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // str.encode/decode round-trip + split().get(n) + array join
+    // (reference strings.py:2651 encode/decode, :2506 get, :2511 join).
+    QueryDef("str_encode_get_join",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        T.documents(s, d).select(col("doc_id"),
+          length(encode(col("source"), "utf-8")).as("enc_len"),
+          decode(encode(col("source"), "utf-8"), "utf-8").as("roundtrip"),
+          element_at(words, 2).as("second_word"),
+          array_join(slice(words, 1, 3), "-").as("first3"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(source)) AS enc_len,
+             |  decode(encode(source)) AS roundtrip,
+             |  string_split(text, ' ')[2] AS second_word,
+             |  array_to_string(string_split(text, ' ')[1:3], '-') AS first3
+             |FROM documents""".stripMargin)),
+
     // str.repeat / reversed slicing / str.translate
     // (reference strings.py:698 str_repeat, :2106 str_translate).
     QueryDef("str_misc",
