@@ -185,6 +185,46 @@ object DistScan {
     ranked.withColumn(out, bucket.cast("int")).drop("__grn")
   }
 
+  /** Global forward-fill (ffill / merge_ordered fill) over a total
+    * order: per-bucket windows fill locally, and each bucket's missing
+    * prefix is seeded with the LATEST non-null value of any preceding
+    * bucket — a ≤buckets-row aggregate (FILTER'd max_by per column)
+    * collected once and re-broadcast as literals. Deterministic literal
+    * boundaries (same machinery as withRunningSums), so no persist is
+    * needed. */
+  def withGlobalFfill(df: DataFrame, leadNum: Column, order: Seq[Column],
+      fillCols: Seq[String], buckets: Int = 32): DataFrame = {
+    val withPid = bucketed(df, leadNum, buckets)
+    // per column, last non-null in-bucket value via max_by over the
+    // order struct (FILTER keeps null values out of the argmax)
+    val tagged = withPid.withColumn("__ok", struct(order: _*))
+    val aggCols = fillCols.map(c =>
+      expr(s"max_by($c, __ok) FILTER (WHERE $c IS NOT NULL)").as(s"__last_$c"))
+    val lastRows = tagged.groupBy(col(PidCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    // seed for bucket p and column i: latest non-null among buckets < p
+    val pidOf = lastRows.map(_.getInt(0))
+    val seeds: Map[Int, Seq[Any]] = pidOf.zipWithIndex.map { case (p, rowIdx) =>
+      p -> fillCols.indices.map { ci =>
+        var q = rowIdx - 1; var v: Any = null
+        while (q >= 0 && v == null) { v = lastRows(q).get(ci + 1); q -= 1 }
+        v
+      }
+    }.toMap
+    val w = Window.partitionBy(col(PidCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.zipWithIndex.foldLeft(tagged.drop("__ok")) { case (d, (c, ci)) =>
+      val seedExpr = seeds.toSeq.sortBy(_._1).foldLeft(lit(null)) {
+        case (e, (p, vs)) =>
+          if (vs(ci) == null) e
+          else when(col(PidCol) === p, lit(vs(ci))).otherwise(e)
+      }
+      d.withColumn(c,
+        coalesce(last(col(c), ignoreNulls = true).over(w), seedExpr))
+    }.drop(PidCol)
+  }
+
   /** One-shuffle distributed rolling sum over a GLOBAL order for exact
     * integer (cent) values — the scale path for pandas
     * `rolling(n).sum()` on the whole frame.

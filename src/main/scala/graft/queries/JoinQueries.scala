@@ -139,14 +139,21 @@ object JoinQueries extends QueryModule {
              |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -1.0 END AS val
              |FROM orders""".stripMargin)),
 
-    // merge_ordered + ffill (reference merge.py:131 _OrderedMerge).
+    // merge_ordered + ffill (reference merge.py:131 _OrderedMerge). The
+    // keyless global fill runs through DistScan.withGlobalFfill —
+    // bucket-local last-ignoreNulls + driver-carried seeds — so even
+    // the no-group form never needs a single-partition window.
     QueryDef("merge_ordered_ffill",
       (s, d) => {
+        import graft.operators.DistScan
         val f = T.orders(s, d).filter(col("o_orderstatus") === "F")
           .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n_f"))
         val p = T.orders(s, d).filter(col("o_orderstatus") === "P")
           .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n_p"))
-        JoinOps.mergeOrdered(f, p, "day", Seq("n_f", "n_p"))
+        DistScan.withGlobalFfill(
+          f.join(p, Seq("day"), "full_outer"),
+          unix_micros(col("day").cast("timestamp")), Seq(col("day")),
+          Seq("n_f", "n_p"), buckets = 8)
       },
       Some("""WITH f AS (SELECT o_orderdate AS day, count(*) AS n_f
              |          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),

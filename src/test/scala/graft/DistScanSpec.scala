@@ -101,6 +101,22 @@ class DistScanSpec extends SparkSpec {
     assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
   }
 
+  test("withGlobalFfill equals single-partition last-ignoreNulls window") {
+    val df = frame(2000).withColumn("a",
+      when(col("id") % 3 === 0, col("v")).otherwise(lit(null)))
+      .withColumn("s",
+        when(col("id") % 17 === 0, concat(lit("x"), col("id"))).otherwise(lit(null)))
+    val ord = Seq(col("k"), col("id"))
+    val dist = DistScan.withGlobalFfill(df, col("k"), ord, Seq("a", "s"), buckets = 8)
+      .select(col("id"), col("a").cast("string"), col("s"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = df.select(col("id"),
+      last(col("a"), ignoreNulls = true).over(w).cast("string"),
+      last(col("s"), ignoreNulls = true).over(w))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+  }
+
   test("every bucket holds enough rows for the context window") {
     val df = frame(2000)
     val counts = DistScan.bucketed(df, col("k"), 8)
