@@ -94,6 +94,67 @@ object ResampleQueries extends QueryModule {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
              |FROM j""".stripMargin)),
 
+    // resample().interpolate(): upsample to the hourly grid, then
+    // linear interpolation across the empty buckets — grid positions
+    // are exact epoch-hour integers, sums exact decimal, so the
+    // interpolated doubles are bit-identical cross-engine.
+    QueryDef("resample_interpolate",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 8)
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("mn"), max(col("ts")).as("mx"))
+          .select(col("user_id"),
+            explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+        val hourly = ev.groupBy(col("user_id"),
+            window(col("ts"), "1 hour").getField("start").as("hour"))
+          .agg(dsum(col("value")).as("v"))
+        val base = grid.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("pos", expr("unix_micros(hour) div 3600000000"))
+        val w = Window.partitionBy("user_id").orderBy("pos")
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("v"), ignoreNulls = true).over(before)
+        val nv = first(col("v"), ignoreNulls = true).over(after)
+        val pp = last(when(col("v").isNotNull, col("pos")), ignoreNulls = true).over(before)
+        val np = first(when(col("v").isNotNull, col("pos")), ignoreNulls = true).over(after)
+        val interp = when(col("v").isNotNull, col("v"))
+          .when(pv.isNull, lit(null))
+          .when(nv.isNull, pv)
+          .otherwise((dec2(pv) * (np - pp) + (dec2(nv) - dec2(pv)) * (col("pos") - pp))
+            .cast("double") / (np - pp))
+        base.select(col("user_id"), col("hour"), interp.as("v"))
+      },
+      Some(s"""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+              |           FROM events WHERE user_id < 8 GROUP BY 1),
+              |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hour
+              |         FROM b),
+              |h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+              |        ${Q.dsumSql("value")} AS v
+              |      FROM events WHERE user_id < 8 GROUP BY 1, 2),
+              |j AS (SELECT grid.user_id, grid.hour, h.v,
+              |        epoch_us(grid.hour) // 3600000000 AS pos
+              |      FROM grid LEFT JOIN h USING (user_id, hour)),
+              |w AS (SELECT user_id, hour, v, pos,
+              |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+              |    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+              |  FROM j)
+              |SELECT user_id, hour,
+              |  CASE WHEN v IS NOT NULL THEN v
+              |       WHEN pv IS NULL THEN NULL
+              |       WHEN nv IS NULL THEN pv
+              |       ELSE CAST(${Q.dec2Sql("pv")} * (np - pp)
+              |                 + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (pos - pp) AS DOUBLE)
+              |            / (np - pp) END AS v
+              |FROM w""".stripMargin)),
+
     QueryDef("between_time",
       (s, d) => T.events(s, d).filter(
           (hour(col("ts")) > 2 || (hour(col("ts")) === 2 && minute(col("ts")) >= 15)) &&

@@ -87,6 +87,23 @@ object SelectionQueries extends QueryModule {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // nlargest(keep='all'): ties at the cutoff all survive — rank()
+    // instead of row_number, still a top-k-ish plan (rank filter
+    // pushes WindowGroupLimit).
+    QueryDef("nlargest_keep_all",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("o_totalprice").desc)
+        T.orders(s, d)
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 10)
+          .select("o_orderkey", "o_totalprice", "rk")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, rk FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |    rank() OVER (ORDER BY o_totalprice DESC) AS rk
+             |  FROM orders) WHERE rk <= 10""".stripMargin)),
+
     QueryDef("nsmallest_lineitem",
       (s, d) => SelectionOps.nsmallest(T.lineitem(s, d), 15,
           Seq("l_extendedprice"), Seq("l_orderkey", "l_linenumber"))
