@@ -104,6 +104,16 @@ object StringQueries extends QueryModule {
              |FROM documents a, documents b
              |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // Series.explode with positions (posexplode): index-preserving
+    // list expansion — the Generator shape with ordinality.
+    QueryDef("series_explode_pos",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |SELECT doc_id, i - 1 AS pos, w[i] AS word
+             |FROM t, UNNEST(generate_series(1, len(w))) AS s(i)""".stripMargin)),
+
     // str.encode/decode round-trip + split().get(n) + array join
     // (reference strings.py:2651 encode/decode, :2506 get, :2511 join).
     QueryDef("str_encode_get_join",
