@@ -87,6 +87,14 @@ object CoreQueries extends QueryModule {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q1_agg", q1, Some(q1Sql))
+    QueryDef("q1_agg", q1, Some(q1Sql)),
+
+    // Degenerate-result pin: a filter matching nothing must round-trip
+    // the gate as zero rows with the right schema on both engines.
+    QueryDef("empty_result",
+      (s, d) => Tables.nation(s, d)
+        .filter(col("n_nationkey") < 0)
+        .select("n_nationkey", "n_name"),
+      Some("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 0"))
   )
 }

@@ -83,4 +83,46 @@ class PropertySpec extends SparkSpec {
       assert(sparkSums == mem)
     }
   }
+
+  test("property: DistScan running sums + rolling equal global windows") {
+    import graft.operators.DistScan
+    import org.apache.spark.sql.expressions.Window
+    samples(4200L, n = 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((id, k, v), i) => (k.toLong, i.toLong, math.round(v * 4) * 25L) }
+        .toDF("k", "id", "c")
+      val ord = Seq(col("k"), col("id"))
+      val buckets = 1 + rows.size % 7
+      // cumulative sum
+      val dist = DistScan.dropBuckets(DistScan.withRunningSums(
+        df, col("k"), ord, Seq("cum" -> col("c")), buckets))
+        .select(col("id"), col("cum").cast("long"))
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val global = df.select(col("id"), sum(col("c")).over(w))
+      assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty,
+        s"cumsum mismatch at buckets=$buckets n=${rows.size}")
+      // rolling sum (window 4)
+      val roll = DistScan.centRollingSum(df, ord, col("c"), n = 4,
+        buckets = buckets).select(col("id"), col("roll_sum_cents"))
+      val globalRoll = df.select(col("id"),
+        sum(col("c")).over(w.rowsBetween(-3, 0)))
+      assert(roll.exceptAll(globalRoll).isEmpty && globalRoll.exceptAll(roll).isEmpty,
+        s"rolling mismatch at buckets=$buckets n=${rows.size}")
+    }
+  }
+
+  test("property: withGlobalRowNumber is always a 1..n permutation") {
+    import graft.operators.DistScan
+    samples(7700L, n = 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((id, k, v), i) => (k, i.toLong, v) }.toDF("k", "id", "v")
+      val (ranked, total) = DistScan.withGlobalRowNumber(df,
+        Seq(col("v").desc_nulls_last, col("id").asc), "pos",
+        buckets = 1 + rows.size % 5)
+      assert(total == rows.size)
+      val pos = ranked.select("pos").collect().map(_.getLong(0)).sorted
+      assert(pos.toSeq == (1L to rows.size).toSeq, s"not a permutation: n=${rows.size}")
+    }
+  }
 }
