@@ -44,6 +44,24 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Stream-stream interval join: the streaming face of merge_asof's
+    * bounded-lookback core. Each left event matches right events of the
+    * same key within [left.ts − lookback, left.ts]; watermarks on BOTH
+    * sides bound the buffered state (Spark evicts right rows once the
+    * watermark passes their ts + lookback). An exact streaming asof
+    * (top-1 per left row) would need the downstream picker; the
+    * interval join is the state-bounded primitive it composes from. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsLeft: String, tsRight: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withColumnRenamed(key, "__rk")
+      .withWatermark(tsRight, watermark)
+    l.join(r,
+      expr(s"$key = __rk AND $tsRight BETWEEN $tsLeft - INTERVAL $lookback AND $tsLeft"))
+      .drop("__rk")
+  }
+
   // ---- keyed running state (flatMapGroupsWithState) ----
 
   case class Point(user_id: Long, seq: Long, value: Double)

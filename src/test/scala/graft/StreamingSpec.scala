@@ -128,8 +128,38 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(v - closed(k)) < 1e-9, s"$k: $v vs ${closed(k)}")
     }
   }
+
+  test("stream-stream interval join matches batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSpec.{Trade, Quote}
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val joined = StreamingOps.streamIntervalJoin(
+      trades.toDF(), quotes.toDF(), "user_id", "t_ts", "q_ts",
+      "5 minutes", "10 minutes")
+      .select("user_id", "t_ts", "q_ts", "px")
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      val tData = (0 until 60).map(i => Trade(ts(i * 60L), i % 3L))
+      val qData = (0 until 120).map(i => Quote(ts(i * 30L), i % 3L, i * 1.0))
+      trades.addData(tData); quotes.addData(qData)
+      q.processAllAvailable()
+      val streamed = spark.table("sjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+      val batch = tData.toDF().join(
+        qData.toDF().withColumnRenamed("user_id", "u2"),
+        expr("user_id = u2 AND q_ts BETWEEN t_ts - INTERVAL 5 minutes AND t_ts"))
+        .select("user_id", "t_ts", "q_ts", "px")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
+  case class Trade(t_ts: Timestamp, user_id: Long)
+  case class Quote(q_ts: Timestamp, user_id: Long, px: Double)
 }
