@@ -246,6 +246,45 @@ object ExtrasQueries extends QueryModule {
              |  CAST(to_timestamp(1704067200 + event_id) AS TIMESTAMP) AS ts_s
              |FROM events""".stripMargin)),
 
+    // dt.is_quarter_start/end, is_year_start/end flags.
+    QueryDef("dt_period_flags",
+      (s, d) => {
+        val dt = col("o_orderdate").cast("date")
+        T.orders(s, d).select(col("o_orderkey"),
+          (dt === date_trunc("quarter", col("o_orderdate")).cast("date"))
+            .as("is_q_start"),
+          (dt === date_sub(add_months(
+            date_trunc("quarter", col("o_orderdate")).cast("date"), 3), 1))
+            .as("is_q_end"),
+          (month(dt) === 1 && dayofmonth(dt) === 1).as("is_y_start"),
+          (month(dt) === 12 && dayofmonth(dt) === 31).as("is_y_end"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) = CAST(date_trunc('quarter', o_orderdate) AS DATE)
+             |    AS is_q_start,
+             |  CAST(o_orderdate AS DATE) =
+             |    CAST(date_trunc('quarter', o_orderdate) AS DATE) + INTERVAL 3 MONTH - INTERVAL 1 DAY
+             |    AS is_q_end,
+             |  month(o_orderdate) = 1 AND day(o_orderdate) = 1 AS is_y_start,
+             |  month(o_orderdate) = 12 AND day(o_orderdate) = 31 AS is_y_end
+             |FROM orders""".stripMargin)),
+
+    // nunique(axis=1): distinct non-null values per row over a fixed
+    // column set — array ops, no pivot.
+    QueryDef("nunique_axis1",
+      (s, d) => {
+        val arr = array(col("l_returnflag"), col("l_linestatus"),
+          when(col("l_quantity") > 25, col("l_returnflag")))
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          size(array_distinct(filter(arr, x => x.isNotNull))).as("n_uniq"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  len(list_distinct(list_filter(
+             |      [l_returnflag, l_linestatus,
+             |       CASE WHEN l_quantity > 25 THEN l_returnflag END],
+             |      x -> x IS NOT NULL))) AS n_uniq
+             |FROM lineitem""".stripMargin)),
+
     // reductions with skipna=False: null-poisoning sums (pandas
     // sum(skipna=False)) — null if ANY input in the group is null.
     QueryDef("sum_skipna_false",

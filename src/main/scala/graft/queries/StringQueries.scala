@@ -104,6 +104,16 @@ object StringQueries extends QueryModule {
              |FROM documents a, documents b
              |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // str.count(pattern): non-overlapping regexp match count.
+    QueryDef("str_regexp_count",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        regexp_count(col("text"), lit("[aeiou]")).as("vowels"),
+        regexp_count(col("text"), lit("the")).as("thes")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[aeiou]')) AS vowels,
+             |  len(regexp_extract_all(text, 'the')) AS thes
+             |FROM documents""".stripMargin)),
+
     // Series.explode with positions (posexplode): index-preserving
     // list expansion — the Generator shape with ordinality.
     QueryDef("series_explode_pos",
