@@ -161,6 +161,36 @@ object GroupByQueries extends QueryModule {
              |  bool_and(value > 0.005) AS all_pos, count(*) AS n
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // sem (standard error of the mean) and prod — sem from the exact
+    // cent variance formula / sqrt(n); prod via exp∘Σ∘ln on a positive
+    // rescaling (pandas compound-style), round(6) absorbing libm ulps.
+    QueryDef("groupby_sem_prod",
+      (s, d) => {
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val agg = base.groupBy("event_type").agg(
+          count(col("c")).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"),
+          sum(log(lit(1.0) + col("value") / 1000000.0)).as("slog"))
+        val n = col("n")
+        val variance = (n * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (n * (n - 1)) / 10000.0
+        agg.select(col("event_type"),
+          when(n >= 2, round(sqrt(variance) / sqrt(n.cast("double")), 6)).as("sem"),
+          round(exp(col("slog")), 6).as("prod1p"))
+      },
+      Some("""WITH b AS (SELECT event_type, value,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
+             |a AS (SELECT event_type, count(c) AS n, sum(c) AS sx,
+             |    sum(c * c) AS sxx, sum(ln(1.0 + value / 1000000.0)) AS slog
+             |  FROM b GROUP BY event_type)
+             |SELECT event_type,
+             |  CASE WHEN n >= 2 THEN
+             |    round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1)) / 10000.0)
+             |          / sqrt(CAST(n AS DOUBLE)), 6) END AS sem,
+             |  round(exp(slog), 6) AS prod1p
+             |FROM a""".stripMargin)),
+
     // groupby(dropna=True) — the pandas DEFAULT drops null keys, while
     // Spark's groupBy keeps them: the engine pins pandas semantics with
     // an explicit key filter; dropna=False is plain groupBy (the null

@@ -54,6 +54,39 @@ object ReshapeQueries extends QueryModule {
              |       WHEN value < 300 THEN 'high' ELSE 'extreme' END AS bin
              |FROM events""".stripMargin)),
 
+    // cut(right=False, include_lowest) — left-closed bins, and
+    // get_dummies(drop_first=True, dummy_na=True) — first category
+    // dropped, an explicit null-indicator column.
+    QueryDef("cut_left_closed",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        when(col("value") >= 300, "extreme")
+          .when(col("value") >= 150, "high")
+          .when(col("value") >= 50, "mid")
+          .otherwise("low").as("bin")),
+      Some("""SELECT event_id,
+             |  CASE WHEN value >= 300 THEN 'extreme' WHEN value >= 150 THEN 'high'
+             |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS bin
+             |FROM events""".stripMargin)),
+
+    QueryDef("get_dummies_opts",
+      (s, d) => {
+        val masked = when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type"))
+        // categories sorted; drop_first drops 'click'; dummy_na adds is_na
+        val cats = Seq("purchase", "signup", "view")
+        val base = T.events(s, d).withColumn("k", masked)
+        base.select((col("event_id") +:
+          cats.map(c => when(col("k") === c, 1).otherwise(0).as(s"is_$c")) :+
+          when(col("k").isNull, 1).otherwise(0).as("is_na")): _*)
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN k = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             |  CASE WHEN k = 'signup' THEN 1 ELSE 0 END AS is_signup,
+             |  CASE WHEN k = 'view' THEN 1 ELSE 0 END AS is_view,
+             |  CASE WHEN k IS NULL THEN 1 ELSE 0 END AS is_na
+             |FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
+             |        ELSE event_type END AS k FROM events)""".stripMargin)),
+
     // qcut(4): quantile bucketing — SQL-ntile arithmetic over the
     // distributed global row number (DistScan), no single-partition sort.
     QueryDef("qcut_quartiles",
