@@ -63,7 +63,7 @@ final case class PFrame(
   def rename(mapping: (String, String)*): PFrame = {
     val m = mapping.toMap
     copy(
-      df = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))): _*),
+      df = df.select(df.columns.toSeq.map(c => col(c).as(m.getOrElse(c, c))): _*),
       indexCols = indexCols.map(c => m.getOrElse(c, c)),
       orderCol = orderCol.map(c => m.getOrElse(c, c)))
   }

@@ -133,7 +133,7 @@ object SimilarityOps {
       aggregate(zip_with(qe, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
     // nprobe nearest cells per query: sort the centroid scores (tiny,
     // fixed arity) via array sort of (score, idx) structs
-    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+    val cellScores = array(centroids.toSeq.zipWithIndex.map { case (c, i) =>
       struct((-dotLit(c)).as("negdot"), lit(i).as("cell"))
     }: _*)
     val probed = queries.withColumn("__cells",

@@ -27,10 +27,10 @@ object SetOps {
     * All by-name (ADVICE r1): positional union silently misaligns two
     * frames whose identical columns sit in different order. */
   def union(a: DataFrame, b: DataFrame): DataFrame        = a.unionByName(b).distinct()
-  def intersection(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b.select(a.columns.map(col): _*))
-  def difference(a: DataFrame, b: DataFrame): DataFrame   = a.except(b.select(a.columns.map(col): _*))
+  def intersection(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b.select(a.columns.toSeq.map(col): _*))
+  def difference(a: DataFrame, b: DataFrame): DataFrame   = a.except(b.select(a.columns.toSeq.map(col): _*))
   def symmetricDifference(a: DataFrame, b: DataFrame): DataFrame = {
-    val bb = b.select(a.columns.map(col): _*)
+    val bb = b.select(a.columns.toSeq.map(col): _*)
     a.except(bb).unionByName(bb.except(a))
   }
 

@@ -15,7 +15,7 @@ object SkewOps {
   /** Deterministic row salt in [0, salts): hash of the whole row, so
     * re-runs produce identical partials. */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong))
+    pmod(xxhash64(struct(df.columns.toSeq.map(col): _*)), lit(salts.toLong))
 
   /** Two-phase salted sum/count: phase 1 aggregates on (key, salt) —
     * a hot key spreads over `salts` reducers — phase 2 merges the
