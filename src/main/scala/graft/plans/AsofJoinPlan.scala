@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -38,7 +38,8 @@ case class AsofJoinNode(
     rightOn: Attribute,
     rightPayload: Seq[Attribute],
     allowExact: Boolean,
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean = false) extends BinaryNode {
   override val output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -48,8 +49,8 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lb, rb, lo, ro, pay, ae, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, pay, ae, tol) :: Nil
+    case AsofJoinNode(l, r, lb, rb, lo, ro, pay, ae, tol, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, pay, ae, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +64,8 @@ case class AsofJoinExec(
     rightOn: Attribute,
     rightPayload: Seq[Attribute],
     allowExact: Boolean,
-    toleranceMicros: Option[Long]) extends BinaryExecNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -74,12 +76,14 @@ case class AsofJoinExec(
     if (leftBy.isEmpty) Seq(AllTuples, AllTuples)
     else Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
 
+  private def onDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending)),
-    (rightBy :+ rightOn).map(a => SortOrder(a, Ascending)))
+    leftBy.map(a => SortOrder(a, Ascending)) :+ SortOrder(leftOn, onDir),
+    rightBy.map(a => SortOrder(a, Ascending)) :+ SortOrder(rightOn, onDir))
 
   override def outputOrdering: Seq[SortOrder] =
-    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending))
+    leftBy.map(a => SortOrder(a, Ascending)) :+ SortOrder(leftOn, onDir)
 
   /** Preparation rules may rewrite the expression fields into bound
     * form; resolve every reference to a plain ordinal on the driver and
@@ -113,6 +117,7 @@ case class AsofJoinExec(
     }
     val exact = allowExact
     val tol = toleranceMicros
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lByRefs)
@@ -152,7 +157,8 @@ case class AsofJoinExec(
             val eligible =
               c < 0 || (c == 0 && {
                 val rOnV = onOf(rOnBound, rBuf)
-                if (exact) rOnV <= lOnV else rOnV < lOnV
+                if (fwd) { if (exact) rOnV >= lOnV else rOnV > lOnV }
+                else { if (exact) rOnV <= lOnV else rOnV < lOnV }
               })
             if (eligible) {
               if (c == 0) { best = rBuf; bestOn = onOf(rOnBound, rBuf) }
@@ -160,7 +166,8 @@ case class AsofJoinExec(
             } else advancing = false
           }
           // 3. emit
-          val matched = best != null && tol.forall(t => lOnV - bestOn <= t)
+          val delta = if (fwd) bestOn - lOnV else lOnV - bestOn
+          val matched = best != null && tol.forall(t => delta <= t)
           val payload = if (matched) payloadProj(best) else nullPayload
           outProj(joined(l, payload))
         }
@@ -185,12 +192,14 @@ object AsofJoinPlan {
         ss.experimental.extraStrategies :+ AsofJoinStrategy
   }
 
-  /** merge_asof(direction='backward') through the custom operator.
-    * `right` columns are re-aliased so a self-asof cannot collide
-    * expression ids across the two children. */
+  /** merge_asof(direction='backward'|'forward') through the custom
+    * operator — forward is the same two-pointer merge over descending
+    * on-order. `right` columns are re-aliased so a self-asof cannot
+    * collide expression ids across the two children. */
   def asof(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
       rightCols: Seq[String], allowExact: Boolean = true,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val rightFresh = right
@@ -204,7 +213,8 @@ object AsofJoinPlan {
     val node = AsofJoinNode(lPlan, rPlan,
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
       attr(lPlan, on), attr(rPlan, on),
-      rightCols.map(attr(rPlan, _)), allowExact, toleranceMicros)
+      rightCols.map(attr(rPlan, _)), allowExact, toleranceMicros,
+      forward = direction == "forward")
     Bridge.ofRows(spark, node)
   }
 }

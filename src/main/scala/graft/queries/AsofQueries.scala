@@ -61,9 +61,13 @@ object AsofQueries extends QueryModule {
               |FROM t ASOF LEFT JOIN q
               |ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin)),
 
+    // Forward through the custom exec too (descending-order mirror of
+    // the same two-pointer merge); the window form still backs
+    // nearest/tolerance composition (asof_nearest).
     QueryDef("asof_forward_by",
-      (s, d) => AsofOps.asof(trades(s, d), quotes(s, d), "ts", Seq("user_id"),
-          Seq("q_value"), "forward")
+      (s, d) => graft.plans.AsofJoinPlan.asof(
+          trades(s, d), quotes(s, d), "ts", Seq("user_id"), Seq("q_value"),
+          direction = "forward")
         .select("event_id", "q_value"),
       Some(s"""WITH t AS ($tradesSql), q AS ($quotesSql)
               |SELECT t.event_id, q.q_value

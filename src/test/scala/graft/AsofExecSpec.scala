@@ -45,6 +45,27 @@ class AsofExecSpec extends SparkSpec {
     assertFrameEqual(exec, win)
   }
 
+  test("forward direction equals window form incl. exact ties and tolerance") {
+    // the operator contract requires right unique per (by, on) — both
+    // forms are tie-arbitrary otherwise (AsofOps scaladoc); keep last
+    val qdedup = quotes.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "ts").orderBy(col("px").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val exec = AsofJoinPlan.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      direction = "forward").select(col("g"), col("ts"), col("px"))
+    val win = AsofOps.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      direction = "forward").select(col("g"), col("ts"), col("px"))
+    assertFrameEqual(exec, win)
+    val execTol = AsofJoinPlan.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      allowExact = false, toleranceMicros = Some(60L), direction = "forward")
+      .select(col("g"), col("ts"), col("px"))
+    val winTol = AsofOps.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      direction = "forward", allowExact = false, toleranceMicros = Some(60L))
+      .select(col("g"), col("ts"), col("px"))
+    assertFrameEqual(execTol, winTol)
+  }
+
   test("custom exec equals window form on events self-asof at sf0.001") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val left = ev.select("user_id", "ts", "event_id")
