@@ -89,7 +89,10 @@ object LlmQueries extends QueryModule {
     QueryDef("bpe_token_count",
       (s, d) => T.documents(s, d).select(col("doc_id"),
         TextStatsOps.approxBpeTokenCount(col("text")).as("n_bpe")),
-      Some(s"""SELECT doc_id, sum(CAST(greatest(ceil(length(t) / 4.0), 1) AS BIGINT)) AS n_bpe
+      // CAST the sum itself: DuckDB sum(BIGINT) returns HUGEINT (int128),
+      // which the driver's hasher renders differently from Spark's int64
+      // even when values are equal — the r2 hash mismatch on this query.
+      Some(s"""SELECT doc_id, CAST(sum(CAST(greatest(ceil(length(t) / 4.0), 1) AS BIGINT)) AS BIGINT) AS n_bpe
               |FROM (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t
               |      FROM documents)
               |GROUP BY doc_id""".stripMargin)),

@@ -99,20 +99,29 @@ object ReshapeQueries extends QueryModule {
       Some("""SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS bucket
              |FROM events""".stripMargin)),
 
+    // Hash-exact contract for transcendentals: sqrt is IEEE
+    // correctly-rounded (bit-identical across engines) so it ships raw;
+    // ln/exp differ by up to 1 ULP between libm implementations, so they
+    // are compared as integer micro-units — round(f(x)*1e6) is
+    // deterministic because no dataset value sits within 1.6e-6 of a
+    // half-integer boundary (empirically checked at sf0.01 and sf0.1)
+    // while the libm disagreement is ~1e-9 at this magnitude. round(d,6)
+    // itself is NOT safe: Spark (BigDecimal HALF_UP) and DuckDB (libm
+    // scale/divide) can return doubles 1 ULP apart for equal decimals.
     QueryDef("math_elementwise",
       (s, d) => T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_d"),
         floor(col("l_quantity") / 7).as("fl"),
         ceil(col("l_quantity") / 7).as("ce"),
-        round(sqrt(col("l_extendedprice")), 6).as("sq"),
-        round(log(col("l_extendedprice")), 6).as("ln_p"),
-        round(exp(col("l_discount")), 6).as("exp_d"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        round(log(col("l_extendedprice")) * 1e6).cast("long").as("ln_p6"),
+        round(exp(col("l_discount")) * 1e6).cast("long").as("exp_d6"),
         pmod(col("l_orderkey"), lit(97)).as("m97")),
       Some("""SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_d,
              |  floor(l_quantity / 7) AS fl, ceil(l_quantity / 7) AS ce,
-             |  round(sqrt(l_extendedprice), 6) AS sq,
-             |  round(ln(l_extendedprice), 6) AS ln_p,
-             |  round(exp(l_discount), 6) AS exp_d,
+             |  sqrt(l_extendedprice) AS sq,
+             |  CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT) AS ln_p6,
+             |  CAST(round(exp(l_discount) * 1e6) AS BIGINT) AS exp_d6,
              |  l_orderkey % 97 AS m97
              |FROM lineitem""".stripMargin)),
 
