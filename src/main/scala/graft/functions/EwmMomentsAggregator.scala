@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** ewm(alpha).cov(y) / .var() / .corr(y) as a typed Aggregator
+  * (reference kernel pandas/_libs/window.pyx:1802 ewmcov; API
+  * pandas/core/window.py EWM.var/cov/corr).
+  *
+  * Like [[EwmAggregator]], partial buffers merge by concatenation and the
+  * weighted moments are evaluated over the position-sorted sequence at
+  * finish — O(group size) memory, one pass at finish. The weight vector
+  * follows pandas:
+  *
+  *   adjust=true:  w_i = r^(n-1-i)                    (r = 1-α)
+  *   adjust=false: w_0 = r^(n-1), w_i = α·r^(n-1-i)   (i > 0)
+  *
+  * and the estimator is the weighted co-moment around the weighted means,
+  * de-biased by (Σw)²/((Σw)²−Σw²) when bias=false. `stat` selects the
+  * output: cov (default), var (y ignored, cov(x,x)), or corr (bias factor
+  * cancels). Weights are computed back-to-front so r^k never overflows —
+  * safe for arbitrarily long groups, unlike the closed-form SQL window
+  * (RollingOps.ewmaAdjusted) which is bounded by pow's exponent range.
+  */
+class EwmMomentsAggregator(alpha: Double, adjust: Boolean = true,
+    bias: Boolean = false, stat: String = "cov")
+    extends Aggregator[(Long, Double, Double), Seq[(Long, Double, Double)], Double] {
+
+  require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+  require(Seq("cov", "var", "corr").contains(stat), s"unknown stat: $stat")
+
+  override def zero: Seq[(Long, Double, Double)] = Vector.empty
+
+  override def reduce(b: Seq[(Long, Double, Double)],
+      a: (Long, Double, Double)): Seq[(Long, Double, Double)] = b :+ a
+
+  override def merge(b1: Seq[(Long, Double, Double)],
+      b2: Seq[(Long, Double, Double)]): Seq[(Long, Double, Double)] = b1 ++ b2
+
+  override def finish(buf: Seq[(Long, Double, Double)]): Double = {
+    if (buf.length < 2) return Double.NaN
+    val sorted = buf.sortBy(_._1).toArray
+    val n = sorted.length
+    val r = 1.0 - alpha
+    // back-to-front: weight of the latest obs is 1 (adjust) or α; each
+    // step back multiplies by r — no r^(n) blowup for long groups.
+    val w = new Array[Double](n)
+    var acc = if (adjust) 1.0 else alpha
+    var i = n - 1
+    while (i >= 0) {
+      w(i) = acc
+      acc *= r
+      i -= 1
+    }
+    if (!adjust) w(0) = w(0) / alpha // first obs keeps full r^(n-1)
+    var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var swy = 0.0
+    i = 0
+    while (i < n) {
+      sw += w(i); sw2 += w(i) * w(i)
+      swx += w(i) * sorted(i)._2; swy += w(i) * sorted(i)._3
+      i += 1
+    }
+    val mx = swx / sw; val my = swy / sw
+    var cxy = 0.0; var cxx = 0.0; var cyy = 0.0
+    i = 0
+    while (i < n) {
+      val dx = sorted(i)._2 - mx; val dy = sorted(i)._3 - my
+      cxy += w(i) * dx * dy; cxx += w(i) * dx * dx; cyy += w(i) * dy * dy
+      i += 1
+    }
+    stat match {
+      case "corr" =>
+        if (cxx > 0 && cyy > 0) cxy / math.sqrt(cxx * cyy) else Double.NaN
+      case _ =>
+        val biased = (if (stat == "var") cxx else cxy) / sw
+        if (bias) biased
+        else {
+          val den = sw * sw - sw2
+          if (den > 0) biased * (sw * sw) / den else Double.NaN
+        }
+    }
+  }
+
+  override def bufferEncoder: Encoder[Seq[(Long, Double, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

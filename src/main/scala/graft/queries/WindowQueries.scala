@@ -169,6 +169,60 @@ object WindowQueries extends QueryModule {
              |  END AS roll_skew
              |FROM m""".stripMargin)),
 
+    // rolling(30).kurt(): Fisher-adjusted excess kurtosis over the
+    // trailing frame (reference kernel pandas/_libs/window.pyx:1010
+    // roll_kurt), same exact-cent 4th-moment machinery as
+    // groupby_skew_kurt. Cents are cast to DECIMAL(38,0) BEFORE the
+    // power products — c⁴ of 2-decimal values overflows int64 once
+    // |value| > ~550, which the sf0.1 fixture reaches (max 560.21).
+    QueryDef("rolling_kurt_30",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val w = RollingOps.fixed(Seq("user_id"), evOrder, 30)
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val cd = col("c").cast(d38)
+        val n = count(col("c")).over(w)
+        val s1 = sum(cd).over(w)
+        val s2 = sum(cd * cd).over(w)
+        val s3 = sum(cd * cd * cd).over(w)
+        val s4 = sum(cd * cd * cd * cd).over(w)
+        val nd = n.cast(d38)
+        val b = (nd * s2 - s1 * s1).cast("double")
+        val a4 = (nd * nd * nd * s4
+          - lit(4).cast(d38) * nd * nd * s3 * s1
+          + lit(6).cast(d38) * nd * s2 * s1 * s1
+          - lit(3).cast(d38) * s1 * s1 * s1 * s1).cast("double")
+        val kurt = when(n > 3 && b > 0,
+          round(((n * n - 1) * (a4 / (b * b)) - lit(3.0) * (n - 1) * (n - 1)) /
+            ((n - 2) * (n - 3)), 6))
+        base.select(col("event_id"), kurt.as("roll_kurt"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |    CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS c
+             |  FROM events),
+             |w AS (SELECT event_id, count(c) OVER w AS n, sum(c) OVER w AS s1,
+             |    sum(c * c) OVER w AS s2, sum(c * c * c) OVER w AS s3,
+             |    sum(c * c * c * c) OVER w AS s4
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT event_id, n,
+             |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS braw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
+             |      - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3 * s1
+             |      + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
+             |      - 3 * s1 * s1 * s1 * s1 AS a4raw
+             |  FROM w)
+             |SELECT event_id,
+             |  CASE WHEN n > 3 AND braw > 0 THEN
+             |    round(((n * n - 1) * ((sign(a4raw) * CAST(abs(a4raw) AS DOUBLE))
+             |        / (CAST(braw AS DOUBLE) * CAST(braw AS DOUBLE)))
+             |      - 3.0 * (n - 1) * (n - 1)) / ((n - 2) * (n - 3)), 6)
+             |  END AS roll_kurt
+             |FROM m""".stripMargin)),
+
     // rolling(10).apply(lambda): arbitrary per-window code via
     // collect_list over the frame + a HOF lambda on the gathered array
     // (here: range = max−min and a custom sum-of-squares) — the shape
@@ -242,6 +296,109 @@ object WindowQueries extends QueryModule {
              |FROM base
              |WINDOW w AS (PARTITION BY user_id ORDER BY pos
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ewm(alpha=0.5, adjust=true).var(bias=false) closed form
+    // (reference pandas/_libs/window.pyx:1802 ewmcov; var = cov(x,x)):
+    //   w_i = r^(t-i) ∝ 2^i for r = 0.5 — EXACTLY representable doubles,
+    // so every windowed sum is the same ordered sum of exact values in
+    // both engines and only the final divisions are IEEE ops. α=0.5 is
+    // chosen precisely for that bit-exactness (ewm_mean covers general α).
+    // NaN handling = pandas ignore_na=True (null rows dropped up front).
+    QueryDef("ewm_var",
+      (s, d) => {
+        val base0 = T.events(s, d).filter(col("value").isNotNull)
+        val pos = row_number().over(RollingOps.ordered(Seq("user_id"), evOrder)) - 1
+        val base = base0.withColumn("pos", pos)
+        val w = RollingOps.expanding(Seq("user_id"), Seq(col("pos")))
+        val wt = pow(lit(2.0), col("pos"))
+        val sw = sum(wt).over(w)
+        val sw2 = sum(wt * wt).over(w)
+        val swx = sum(wt * col("value")).over(w)
+        val swxx = sum(wt * col("value") * col("value")).over(w)
+        val n = count(lit(1)).over(w)
+        val mu = swx / sw
+        val varb = swxx / sw - mu * mu
+        val varu = varb * (sw * sw) / (sw * sw - sw2)
+        // integer 1e-4 units: round(d,6) on magnitudes ≥1e7 is not
+        // engine-deterministic (see math_elementwise), round-to-int is
+        base.select(col("event_id"),
+          when(n >= 2, round(varu * 1e4).cast("long")).as("ewm_var_e4"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, value,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT event_id,
+             |    sum(pow(2.0, pos)) OVER w AS sw,
+             |    sum(pow(2.0, pos) * pow(2.0, pos)) OVER w AS sw2,
+             |    sum(pow(2.0, pos) * value) OVER w AS swx,
+             |    sum(pow(2.0, pos) * value * value) OVER w AS swxx,
+             |    count(*) OVER w AS n
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY pos
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, CASE WHEN n >= 2 THEN
+             |    CAST(round((swxx / sw - (swx / sw) * (swx / sw)) * (sw * sw)
+             |          / (sw * sw - sw2) * 1e4) AS BIGINT)
+             |  END AS ewm_var_e4
+             |FROM a""".stripMargin)),
+
+    // ewm(alpha=0.5).cov(y) (bias=false) and ewm.corr(y) over
+    // (value, elapsed-seconds) — corr uses the biased moments (the
+    // unbiased factor cancels, as in pandas window.pyx ewmcov usage).
+    QueryDef("ewm_cov_corr",
+      (s, d) => {
+        val base0 = T.events(s, d).filter(col("value").isNotNull)
+          .withColumn("t", expr("unix_micros(ts) div 1000000 - 1704067200")
+            .cast("double"))
+        val pos = row_number().over(RollingOps.ordered(Seq("user_id"), evOrder)) - 1
+        val base = base0.withColumn("pos", pos)
+        val w = RollingOps.expanding(Seq("user_id"), Seq(col("pos")))
+        val wt = pow(lit(2.0), col("pos"))
+        val sw = sum(wt).over(w)
+        val sw2 = sum(wt * wt).over(w)
+        val swx = sum(wt * col("value")).over(w)
+        val swy = sum(wt * col("t")).over(w)
+        val swxy = sum(wt * col("value") * col("t")).over(w)
+        val swxx = sum(wt * col("value") * col("value")).over(w)
+        val swyy = sum(wt * col("t") * col("t")).over(w)
+        val n = count(lit(1)).over(w)
+        val mux = swx / sw; val muy = swy / sw
+        val covb = swxy / sw - mux * muy
+        val varxb = swxx / sw - mux * mux
+        val varyb = swyy / sw - muy * muy
+        val covu = covb * (sw * sw) / (sw * sw - sw2)
+        base.select(col("event_id"),
+          when(n >= 2, round(covu * 100).cast("long")).as("ewm_cov_c2"),
+          when(n >= 2 && varxb > 0 && varyb > 0,
+            round(covb / (sqrt(varxb) * sqrt(varyb)), 6)).as("ewm_corr"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, value,
+             |  CAST(epoch_us(ts) // 1000000 - 1704067200 AS DOUBLE) AS t,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT event_id,
+             |    sum(pow(2.0, pos)) OVER w AS sw,
+             |    sum(pow(2.0, pos) * pow(2.0, pos)) OVER w AS sw2,
+             |    sum(pow(2.0, pos) * value) OVER w AS swx,
+             |    sum(pow(2.0, pos) * t) OVER w AS swy,
+             |    sum(pow(2.0, pos) * value * t) OVER w AS swxy,
+             |    sum(pow(2.0, pos) * value * value) OVER w AS swxx,
+             |    sum(pow(2.0, pos) * t * t) OVER w AS swyy,
+             |    count(*) OVER w AS n
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY pos
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CASE WHEN n >= 2 THEN
+             |    CAST(round((swxy / sw - (swx / sw) * (swy / sw)) * (sw * sw)
+             |          / (sw * sw - sw2) * 100) AS BIGINT) END AS ewm_cov_c2,
+             |  CASE WHEN n >= 2 AND swxx / sw - (swx / sw) * (swx / sw) > 0
+             |            AND swyy / sw - (swy / sw) * (swy / sw) > 0 THEN
+             |    round((swxy / sw - (swx / sw) * (swy / sw))
+             |          / (sqrt(swxx / sw - (swx / sw) * (swx / sw))
+             |             * sqrt(swyy / sw - (swy / sw) * (swy / sw))), 6)
+             |  END AS ewm_corr
+             |FROM a""".stripMargin)),
 
     // Exact rolling variance: integer-cent sums make the textbook
     // formula (nΣc² − (Σc)²)/(n(n−1)) exact until one shared IEEE
