@@ -31,10 +31,13 @@ final case class PFrame(
   def valueCols: Seq[String] =
     df.columns.toSeq.filterNot(c => indexCols.contains(c) || orderCol.contains(c))
 
-  /** Ensure a deterministic order column exists; synthesizes row numbers
-    * over the index ordering when absent. Positional ops call this.
-    * NOTE: `row_number` over an empty partition spec is a single-partition
-    * hazard at scale — callers that can use a natural key column should.
+  /** Ensure a deterministic order column exists; synthesizes global row
+    * numbers over the index ordering when absent. Positional ops call
+    * this. Routed through DistScan's bucketed two-pass plan (range
+    * exchange + per-bucket row_number + collected prefix offsets) so the
+    * public API never plans a single-partition WindowExec — the r2
+    * verdict's scale-killer default (an unpartitioned
+    * `row_number().over(Window.orderBy(...))`).
     */
   def withOrder: PFrame = orderCol match {
     case Some(_) => this
@@ -42,10 +45,9 @@ final case class PFrame(
       require(indexCols.nonEmpty,
         "positional op needs an order: set an index or supply orderCol")
       val oc = "__order__"
-      PFrame(
-        df.withColumn(oc, row_number().over(
-          Window.orderBy(indexCols.map(col): _*))),
-        indexCols, Some(oc))
+      val (ranked, _) =
+        operators.DistScan.withGlobalRowNumber(df, indexCols.map(col), oc)
+      PFrame(ranked, indexCols, Some(oc))
   }
 
   def setIndex(cols: String*): PFrame = copy(indexCols = cols)

@@ -67,6 +67,15 @@ object DistScan {
   def bucketed(df: DataFrame, leadNum: Column, buckets: Int): DataFrame =
     df.withColumn(PidCol, pidExpr(leadNum, boundaries(df, leadNum, buckets)))
 
+  /** Boundary/bucket primitives for operators that must range-bucket TWO
+    * frames consistently (e.g. the keyless asof): compute boundaries from
+    * one frame, apply the same deterministic pid expression to both. */
+  def boundariesOf(df: DataFrame, leadNum: Column, buckets: Int): Seq[Double] =
+    boundaries(df, leadNum, buckets)
+
+  def bucketedBy(df: DataFrame, leadNum: Column, bs: Seq[Double]): DataFrame =
+    df.withColumn(PidCol, pidExpr(leadNum, bs))
+
   /** Global running sums over the (order) total order. `sums` maps output
     * column name → summed expression; use EXACT types (decimal/integer)
     * so the bucket cut cannot perturb values. Output keeps `__pid` for

@@ -195,11 +195,18 @@ object AsofJoinPlan {
   /** merge_asof(direction='backward'|'forward') through the custom
     * operator — forward is the same two-pointer merge over descending
     * on-order. `right` columns are re-aliased so a self-asof cannot
-    * collide expression ids across the two children. */
+    * collide expression ids across the two children.
+    *
+    * A keyless merge_asof (no `by`) does NOT serialize to one partition:
+    * both sides are range-bucketed on `on` with shared boundaries and the
+    * merge runs per bucket, keyed on the bucket id (see asofKeyless). */
   def asof(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
       rightCols: Seq[String], allowExact: Boolean = true,
       toleranceMicros: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
+    if (by.isEmpty)
+      return asofKeyless(left, right, on, rightCols, allowExact,
+        toleranceMicros, direction)
     val spark = left.sparkSession
     register(spark)
     val rightFresh = right
@@ -216,5 +223,54 @@ object AsofJoinPlan {
       rightCols.map(attr(rPlan, _)), allowExact, toleranceMicros,
       forward = direction == "forward")
     Bridge.ofRows(spark, node)
+  }
+
+  /** Keyless merge_asof at scale (r2 verdict fix #8): instead of
+    * `AllTuples` (single-partition merge), range-bucket BOTH sides on
+    * `on` with boundaries sampled once from the left, inject per bucket
+    * one carried "context" row — the nearest right row outside the
+    * bucket in the match direction, cascaded across empty buckets — and
+    * run the ordinary keyed asof with by = bucket id. Each bucket's
+    * two-pointer merge then sees exactly the candidates a global merge
+    * would: same-bucket rows plus the carried best. The edge collect is
+    * ≤ buckets rows (cluster-core count), not data-sized.
+    */
+  private def asofKeyless(left: DataFrame, right: DataFrame, on: String,
+      rightCols: Seq[String], allowExact: Boolean,
+      toleranceMicros: Option[Long], direction: String,
+      buckets: Int = 32): DataFrame = {
+    import graft.operators.DistScan
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val spark = left.sparkSession
+    val fwd = direction == "forward"
+    val onNum = col(on).cast("double")
+    val bs = DistScan.boundariesOf(left, onNum, buckets)
+    val lB = DistScan.bucketedBy(left, onNum, bs)
+    val rSlim = right.select((on +: rightCols).map(c => col(c).as(c)): _*)
+    val rB = DistScan.bucketedBy(rSlim, onNum, bs)
+    // Edge row per bucket: latest (backward) / earliest (forward) right
+    // row — the only row a neighboring bucket can ever need.
+    val wEdge = Window.partitionBy(col(DistScan.PidCol))
+      .orderBy(if (fwd) onNum.asc else onNum.desc)
+    val edges = rB.withColumn("__ern", row_number().over(wEdge))
+      .filter(col("__ern") === 1).drop("__ern").collect()
+    val schema = rB.schema
+    val pidIdx = schema.fieldIndex(DistScan.PidCol)
+    val byPid = edges.map(r => r.getInt(pidIdx) -> r).toMap
+    val maxPid = bs.length
+    val injected = Seq.newBuilder[Row]
+    var carry: Option[Row] = None
+    val order = if (fwd) maxPid to 0 by -1 else 0 to maxPid
+    for (k <- order) {
+      carry.foreach(r => injected += Row.fromSeq(r.toSeq.updated(pidIdx, k)))
+      byPid.get(k).foreach(r => carry = Some(r))
+    }
+    val ctxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(injected.result(), 1), schema)
+    val res = asof(lB, rB.unionByName(ctxDf), on, Seq(DistScan.PidCol),
+      rightCols, allowExact, toleranceMicros, direction)
+    res.drop(DistScan.PidCol)
   }
 }

@@ -86,6 +86,43 @@ class AsofExecSpec extends SparkSpec {
     assertFrameEqual(exec, win)
   }
 
+  test("keyless asof: bucketed merge equals window form, >1 partition") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.select("ts", "event_id")
+    // unique per on: keep the last value at each ts (operator contract)
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("value").as("v"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ts").orderBy(col("v").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    for (dir <- Seq("backward", "forward")) {
+      val exec = AsofJoinPlan.asof(left, right, "ts", Nil, Seq("v"),
+        direction = dir).select(col("event_id"), col("v"))
+      val win = AsofOps.asof(left, right, "ts", Nil, Seq("v"),
+        direction = dir).select(col("event_id"), col("v"))
+      assertFrameEqual(exec, win)
+      // the scale property: the merge is clustered on the range-bucket
+      // id, never an AllTuples/SinglePartition plan. (Runtime partition
+      // count is no proxy — AQE legitimately coalesces toy inputs.)
+      val execDf = AsofJoinPlan.asof(left, right, "ts", Nil, Seq("v"),
+        direction = dir)
+      val plan = execDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), plan.take(3000))
+      assert(plan.contains("Exchange hashpartitioning(__pid"),
+        s"keyless asof ($dir) not bucket-clustered:\n${plan.take(3000)}")
+    }
+    // tolerance carries through the bucketed path
+    val execTol = AsofJoinPlan.asof(left, right, "ts", Nil, Seq("v"),
+      allowExact = false, toleranceMicros = Some(60L * 1000000))
+      .select(col("event_id"), col("v"))
+    val winTol = AsofOps.asof(left, right, "ts", Nil, Seq("v"),
+      direction = "backward", allowExact = false,
+      toleranceMicros = Some(60L * 1000000))
+      .select(col("event_id"), col("v"))
+    assertFrameEqual(execTol, winTol)
+  }
+
   test("plan shape: one clustered exchange per side, no extra operators") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val left = ev.select("user_id", "ts", "event_id")

@@ -72,6 +72,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"asof shuffles too much ($exchanges):\n${p.take(3000)}")
   }
 
+  test("PFrame.withOrder / PGroupBy / PRolling plans never contain an " +
+      "unpartitioned WindowExec") {
+    import graft.core.PFrame
+    import org.apache.spark.sql.functions.col
+    val events = spark.read.parquet(s"$d/events.parquet")
+    val pf = PFrame(events, indexCols = Seq("event_id"))
+    val plans = Seq(
+      pf.withOrder.df,
+      PFrame(events, Seq("event_id")).groupby("user_id")
+        .cumsum("value", "cum").df,
+      PFrame(events, Seq("event_id")).groupby("user_id").rolling(10)
+        .mean("value", "m").df)
+    plans.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+        assert(l.contains("__pid") || l.contains("user_id"),
+          s"unpartitioned window in public-API plan: $l")
+      }
+    }
+  }
+
   test("cosine_topk: corpus scans once under a broadcast, never shuffles") {
     val p = plan("cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
