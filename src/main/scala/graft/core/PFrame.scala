@@ -247,4 +247,43 @@ final case class PFrame(
     }: _*)
     PFrame(out, indexCols, None)
   }
+
+  /** update(other): aligned coalesce the OTHER direction from
+    * combine_first — other's non-null values overwrite this frame's, the
+    * frame's own labels/columns never grow (reference:
+    * pandas/core/frame.py:5217; overwrite=True form). Realized as a LEFT
+    * join on the index (other is typically the small patch frame — mark
+    * it `broadcast()` at the call site and no shuffle of self occurs).
+    */
+  def update(other: PFrame): PFrame = {
+    require(indexCols.nonEmpty && indexCols == other.indexCols,
+      s"update needs matching index columns: $indexCols vs ${other.indexCols}")
+    val r = other.df.select(
+      other.indexCols.map(col) ++ other.valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = df.join(r, indexCols, "left")
+    val out = joined.select(indexCols.map(col) ++ valueCols.map { c =>
+      (if (other.valueCols.contains(c)) coalesce(col(s"__r_$c"), col(c))
+       else col(c)).as(c)
+    }: _*)
+    PFrame(out, indexCols, None)
+  }
+
+  /** combine(other, func): aligned elementwise combine over the UNION of
+    * columns (reference: pandas/core/frame.py:4970) — each shared column
+    * pair goes through `func`; one-sided columns pass through (fill_value
+    * semantics are the caller's via the function).
+    */
+  def combine(other: PFrame, func: (Column, Column) => Column): PFrame = {
+    val (joined, lc, rc) = align(other)
+    val all = (valueCols ++ other.valueCols).distinct
+    val out = joined.select(indexCols.map(col) ++ all.map { c =>
+      val has = (valueCols.contains(c), other.valueCols.contains(c))
+      (has match {
+        case (true, true)  => func(lc(c), rc(c))
+        case (true, false) => lc(c)
+        case _             => rc(c)
+      }).as(c)
+    }: _*)
+    PFrame(out, indexCols, None)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Wide↔long reshapes beyond single melt/pivot (SURVEY §2.8; reference:
+  * pandas/core/reshape/melt.py:181 wide_to_long, :111 lreshape,
+  * reshape.py:31 _Unstacker).
+  */
+object ReshapeOps {
+
+  /** wide_to_long(df, stubnames, i, j): columns named `<stub><sep><suffix>`
+    * become long rows keyed by (i, j=suffix) with one value column per
+    * stub. A flat map over rows (inline explode of per-suffix structs) —
+    * no shuffle, codegen-friendly, same plan family as melt's stack().
+    * Suffixes are taken from the column names (driver-side schema work,
+    * no data scan). A stub missing some suffix yields nulls, matching the
+    * reference's NaN fill.
+    */
+  def wideToLong(df: DataFrame, stubnames: Seq[String], i: Seq[String],
+      j: String, sep: String = ""): DataFrame = {
+    val suffixes = df.columns.toSeq
+      .filter(c => stubnames.exists(st => c.startsWith(st + sep) && c.length > (st + sep).length))
+      .map(c => stubnames.collectFirst {
+        case st if c.startsWith(st + sep) => c.drop((st + sep).length)
+      }.get)
+      .distinct.sorted
+    require(suffixes.nonEmpty, s"no <stub>$sep<suffix> columns found for $stubnames")
+    val rows = suffixes.map { sfx =>
+      struct(lit(sfx).as(j) +: stubnames.map { st =>
+        val c = s"$st$sep$sfx"
+        (if (df.columns.contains(c)) col(c) else lit(null)).as(st)
+      }: _*)
+    }
+    df.select(i.map(col) :+ explode(array(rows: _*)).as("__w2l"): _*)
+      .select(i.map(col) ++ (j +: stubnames).map(c => col(s"__w2l.$c").as(c)): _*)
+  }
+
+  /** lreshape: groups maps each output column to the wide columns that
+    * stack into it (reference melt.py:111). All groups must list equally
+    * many columns; row k of each group zips together.
+    */
+  def lreshape(df: DataFrame, i: Seq[String], groups: Map[String, Seq[String]]): DataFrame = {
+    val sizes = groups.values.map(_.size).toSet
+    require(sizes.size == 1, s"unbalanced lreshape groups: $groups")
+    val outCols = groups.keys.toSeq.sorted
+    val rows = (0 until sizes.head).map { k =>
+      struct(outCols.map(o => col(groups(o)(k)).as(o)): _*)
+    }
+    df.select(i.map(col) :+ explode(array(rows: _*)).as("__lr"): _*)
+      .select(i.map(col) ++ outCols.map(c => col(s"__lr.$c").as(c)): _*)
+  }
+
+  /** unstack(level): pivot ONE index level of a multi-index long frame
+    * into columns (reference reshape.py:31 _Unstacker), with fill_value.
+    * `pivotValues` bounds the output schema; when empty Spark collects
+    * the distinct level values first (two jobs — fine when the level's
+    * cardinality is column-shaped, i.e. small; a 100 TB-safe caller
+    * passes them explicitly).
+    */
+  def unstack(df: DataFrame, remainingIndex: Seq[String], level: String,
+      valueCol: String, pivotValues: Seq[String] = Nil,
+      fillValue: Option[Column] = None): DataFrame = {
+    val g = df.groupBy(remainingIndex.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(level, pivotValues) else g.pivot(level)
+    val wide = p.agg(first(col(valueCol)))
+    fillValue match {
+      case None => wide
+      case Some(f) =>
+        val vals = wide.columns.toSeq.filterNot(remainingIndex.contains)
+        wide.select(remainingIndex.map(col) ++
+          vals.map(c => coalesce(col(s"`$c`"), f).as(c)): _*)
+    }
+  }
+}

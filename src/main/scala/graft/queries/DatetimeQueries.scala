@@ -93,6 +93,30 @@ object DatetimeQueries extends QueryModule {
           expr("interval 1 day"))).as("day"))
       },
       Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-             |  TIMESTAMP '2024-03-01', INTERVAL '1 day')) AS day""".stripMargin))
+             |  TIMESTAMP '2024-03-01', INTERVAL '1 day')) AS day""".stripMargin)),
+
+    // timedelta_range (reference indexes/timedeltas.py:660): durations as
+    // BIGINT micros — 50 half-day steps from 1 day.
+    QueryDef("timedelta_range",
+      (s, d) => graft.operators.RangeOps
+        .timedeltaRange(s, 86400000000L, 43200000000L, 50),
+      Some("""SELECT unnest(generate_series(86400000000,
+             |  86400000000 + 49 * 43200000000, 43200000000)) AS td_us""".stripMargin)),
+
+    // period_range(freq='M') (reference indexes/period.py:996): monthly
+    // periods with their start instant and yyyy-MM label.
+    QueryDef("period_range",
+      (s, d) => graft.operators.RangeOps
+        .periodRange(s, "2023-01-01", "2024-12-01", "interval 1 month", "yyyy-MM"),
+      Some("""SELECT p AS period_start, strftime(p, '%Y-%m') AS period
+             |FROM (SELECT unnest(generate_series(TIMESTAMP '2023-01-01',
+             |  TIMESTAMP '2024-12-01', INTERVAL '1 month')) AS p)""".stripMargin)),
+
+    // interval_range (reference indexes/interval.py:1091): half-open
+    // [left, right) numeric bins.
+    QueryDef("interval_range",
+      (s, d) => graft.operators.RangeOps.intervalRange(s, 0.0, 500.0, 12.5),
+      Some("""SELECT 0.0 + k * 12.5 AS left, 0.0 + (k + 1) * 12.5 AS right
+             |FROM (SELECT unnest(generate_series(0, 39, 1)) AS k)""".stripMargin))
   )
 }

@@ -139,6 +139,53 @@ object JoinQueries extends QueryModule {
              |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -1.0 END AS val
              |FROM orders""".stripMargin)),
 
+    // update(other): other's non-null values overwrite in place, frame
+    // shape unchanged (reference frame.py:5217) — the aligned coalesce
+    // in the OTHER direction from combine_first. The patch frame is
+    // small → broadcast left join, the base never shuffles.
+    QueryDef("frame_update",
+      (s, d) => {
+        val base = PFrame(
+          T.orders(s, d).select(col("o_orderkey"), col("o_totalprice").as("val"),
+            col("o_orderpriority").as("prio")),
+          indexCols = Seq("o_orderkey"))
+        val patch = PFrame(
+          broadcast(T.orders(s, d).filter(col("o_orderstatus") === "P")
+            .select(col("o_orderkey"), lit(0.0).as("val"))),
+          indexCols = Seq("o_orderkey"))
+        base.update(patch).df
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'P' THEN 0.0 ELSE o_totalprice END AS val,
+             |  o_orderpriority AS prio
+             |FROM orders""".stripMargin)),
+
+    // combine(func): aligned elementwise combine with a caller function
+    // (reference frame.py:4970) — here func = greatest with null-propagate.
+    QueryDef("frame_combine",
+      (s, d) => {
+        val f = PFrame(
+          T.orders(s, d).filter(col("o_orderstatus") =!= "P")
+            .select(col("o_orderkey"), col("o_totalprice").as("val")),
+          indexCols = Seq("o_orderkey"))
+        val o = PFrame(
+          T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), (dec2(col("o_totalprice")) * 2)
+              .cast("double").as("val")),
+          indexCols = Seq("o_orderkey"))
+        f.combine(o, (a, b) => greatest(a, b)).df
+      },
+      // greatest() ignores nulls in BOTH engines (verified), giving the
+      // one-sided passthrough pandas' combine gets from fill_value.
+      Some("""WITH f AS (SELECT o_orderkey, o_totalprice AS val FROM orders
+             |           WHERE o_orderstatus <> 'P'),
+             |     o AS (SELECT o_orderkey,
+             |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS val
+             |           FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT coalesce(f.o_orderkey, o.o_orderkey) AS o_orderkey,
+             |  greatest(f.val, o.val) AS val
+             |FROM f FULL OUTER JOIN o ON f.o_orderkey = o.o_orderkey""".stripMargin)),
+
     // merge_ordered + ffill (reference merge.py:131 _OrderedMerge). The
     // keyless global fill runs through DistScan.withGlobalFfill —
     // bucket-local last-ignoreNulls + driver-carried seeds — so even

@@ -109,6 +109,66 @@ object MissingQueries extends QueryModule {
               |            / (np - pp) END AS interp
               |FROM w""".stripMargin)),
 
+    // interpolate(limit=2, limit_direction='both', limit_area=...):
+    // the limit variants (reference missing.py:111 interpolate_1d) are
+    // fill MASKS over the same two-window closed form —
+    //   inside : only gaps bracketed by valid values, within `limit`
+    //            rows of either edge of the gap;
+    //   outside: only leading/trailing runs, constant extension within
+    //            `limit` rows of the nearest valid value.
+    QueryDef("interpolate_limit_area",
+      (s, d) => {
+        val rn = row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        val base = withA(s, d).withColumn("rn", rn)
+        val w = Window.partitionBy("user_id").orderBy("rn")
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("a"), ignoreNulls = true).over(before)
+        val nv = first(col("a"), ignoreNulls = true).over(after)
+        val pp = last(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(before)
+        val np = first(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(after)
+        val lin = (Q.dec2(pv) * (np - pp) + (Q.dec2(nv) - Q.dec2(pv)) * (col("rn") - pp))
+          .cast("double") / (np - pp)
+        val inside = when(col("a").isNotNull, col("a"))
+          .when(pv.isNotNull && nv.isNotNull &&
+            (col("rn") - pp <= 2 || np - col("rn") <= 2), lin)
+        val outside = when(col("a").isNotNull, col("a"))
+          .when(pv.isNull && nv.isNotNull && np - col("rn") <= 2, nv)
+          .when(nv.isNull && pv.isNotNull && col("rn") - pp <= 2, pv)
+        base.select(col("event_id"), inside.as("interp_inside"),
+          outside.as("fill_outside"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM ($baseSql)
+              |), w AS (
+              |  SELECT event_id, a, rn,
+              |    last_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    first_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    last_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+              |    first_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+              |  FROM base)
+              |SELECT event_id,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+              |            AND (rn - pp <= 2 OR np - rn <= 2) THEN
+              |         CAST(${Q.dec2Sql("pv")} * (np - pp)
+              |              + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (rn - pp) AS DOUBLE)
+              |         / (np - pp)
+              |  END AS interp_inside,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NULL AND nv IS NOT NULL AND np - rn <= 2 THEN nv
+              |       WHEN nv IS NULL AND pv IS NOT NULL AND rn - pp <= 2 THEN pv
+              |  END AS fill_outside
+              |FROM w""".stripMargin)),
+
     // interpolate(method='time'): weights by elapsed time between the
     // surrounding known points, not by row position.
     QueryDef("interpolate_time",

@@ -94,6 +94,66 @@ object ResampleQueries extends QueryModule {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
              |FROM j""".stripMargin)),
 
+    // upsample + bfill / nearest (reference resample.py:478 backfill,
+    // :582 nearest): the same grid join, padded backward / from the
+    // nearer known bucket. Tie (equidistant) takes the PREVIOUS bucket —
+    // documented engine semantics, applied identically in the oracle.
+    QueryDef("upsample_bfill_nearest",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 8)
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("mn"), max(col("ts")).as("mx"))
+          .select(col("user_id"),
+            explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+        val hourly = ev.groupBy(col("user_id"),
+            window(col("ts"), "1 hour").getField("start").as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val joined = grid.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("pos", expr("unix_micros(hour) div 3600000000"))
+        val w = Window.partitionBy("user_id").orderBy("pos")
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("cnt"), ignoreNulls = true).over(before)
+        val nv = first(col("cnt"), ignoreNulls = true).over(after)
+        val pp = last(when(col("cnt").isNotNull, col("pos")), ignoreNulls = true).over(before)
+        val np = first(when(col("cnt").isNotNull, col("pos")), ignoreNulls = true).over(after)
+        val nearest = when(col("cnt").isNotNull, col("cnt"))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .when(col("pos") - pp <= np - col("pos"), pv)
+          .otherwise(nv)
+        joined.select(col("user_id"), col("hour"),
+          nv.as("bfill"), nearest.as("nearest"))
+      },
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+             |           FROM events WHERE user_id < 8 GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hour
+             |         FROM b),
+             |h AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour, count(*) AS cnt
+             |      FROM events WHERE user_id < 8 GROUP BY 1, 2),
+             |j AS (SELECT grid.user_id, grid.hour, h.cnt,
+             |        epoch_us(grid.hour) // 3600000000 AS pos
+             |      FROM grid LEFT JOIN h USING (user_id, hour)),
+             |w AS (SELECT user_id, hour, cnt, pos,
+             |    last_value(cnt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    first_value(cnt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    last_value(CASE WHEN cnt IS NOT NULL THEN pos END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             |    first_value(CASE WHEN cnt IS NOT NULL THEN pos END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+             |  FROM j)
+             |SELECT user_id, hour, nv AS bfill,
+             |  CASE WHEN cnt IS NOT NULL THEN cnt
+             |       WHEN pv IS NULL THEN nv
+             |       WHEN nv IS NULL THEN pv
+             |       WHEN pos - pp <= np - pos THEN pv
+             |       ELSE nv END AS nearest
+             |FROM w""".stripMargin)),
+
     // resample().interpolate(): upsample to the hourly grid, then
     // linear interpolation across the empty buckets — grid positions
     // are exact epoch-hour integers, sums exact decimal, so the

@@ -25,6 +25,45 @@ object ReshapeQueries extends QueryModule {
              |SELECT o_orderkey, 'custkey' AS var, CAST(o_custkey AS DOUBLE) AS val
              |FROM orders""".stripMargin)),
 
+    // wide_to_long: <stub><sep><suffix> columns → long rows keyed by
+    // (i, j=suffix) (reference melt.py:181) — flat row-local explode,
+    // no shuffle, like melt.
+    QueryDef("wide_to_long",
+      (s, d) => {
+        import graft.operators.ReshapeOps
+        val wide = T.orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice").as("amt_base"),
+          (dec2(col("o_totalprice")) * 2).cast("double").as("amt_double"),
+          year(col("o_orderdate")).cast("long").as("yr_base"),
+          (year(col("o_orderdate")) + 1).cast("long").as("yr_double"))
+        ReshapeOps.wideToLong(wide, Seq("amt", "yr"), Seq("o_orderkey"),
+          "kind", sep = "_")
+      },
+      Some("""SELECT o_orderkey, 'base' AS kind, o_totalprice AS amt,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'double',
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
+             |  CAST(year(o_orderdate) + 1 AS BIGINT) FROM orders""".stripMargin)),
+
+    // unstack(level) with fill_value: one level of the (prio, status)
+    // multi-index pivots into columns (reference reshape.py:31
+    // _Unstacker). Explicit pivotValues keep the plan one-pass.
+    QueryDef("unstack_fill",
+      (s, d) => {
+        import graft.operators.ReshapeOps
+        val long = T.orders(s, d)
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        ReshapeOps.unstack(long, Seq("o_orderpriority"), "o_orderstatus",
+          "n", pivotValues = Seq("F", "O", "P"), fillValue = Some(lit(0L)))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+             |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+             |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // get_dummies over a low-cardinality column: driver-side expr
     // codegen, one 0/1 column per category (reference reshape.py:686).
     QueryDef("get_dummies",

@@ -15,6 +15,21 @@ object StringQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // str.wrap(40): greedy word wrap as an aggregate-HOF fold; identical
+    // fold in DuckDB via list_reduce. Words are materialized as a column
+    // before the lambda (HOF re-evaluation rule).
+    QueryDef("str_wrap",
+      (s, d) => T.documents(s, d)
+        .withColumn("__w", split(col("text"), " "))
+        .select(col("doc_id"),
+          graft.functions.StrOps.wrap(col("__w"), 40).as("wrapped")),
+      Some("""SELECT doc_id,
+             |  list_reduce(string_split(text, ' '), (acc, w) ->
+             |    CASE WHEN length(string_split(acc, chr(10))[-1]) + length(w) + 1 <= 40
+             |         THEN acc || ' ' || w
+             |         ELSE acc || chr(10) || w END) AS wrapped
+             |FROM documents""".stripMargin)),
+
     QueryDef("str_basic",
       (s, d) => T.documents(s, d).select(col("doc_id"),
         length(col("text")).as("len"),

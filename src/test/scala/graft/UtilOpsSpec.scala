@@ -66,4 +66,34 @@ class UtilOpsSpec extends SparkSpec {
     assert(m1.keySet == m2.keySet)
     m1.foreach { case (k, v) => assert(math.abs(v - m2(k)) < 1e-9, s"$k") }
   }
+
+  test("StrOps.wrap: lines fit width, long words unbroken, text preserved") {
+    import graft.functions.StrOps
+    import org.apache.spark.sql.functions.{col, split}
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      "supercalifragilisticexpialidocious yes",
+      "one", "", "a b")
+    val out = texts.toDF("t").withColumn("w", split(col("t"), " "))
+      .select(StrOps.wrap(col("w"), 10)).collect().map(_.getString(0))
+    texts.zip(out).foreach { case (orig, wrapped) =>
+      assert(wrapped.replace("\n", " ") == orig, s"content changed: $orig")
+      wrapped.split("\n").foreach { line =>
+        assert(line.length <= 10 || !line.contains(" "),
+          s"overlong multi-word line '$line'")
+      }
+    }
+  }
+
+  test("StrOps.normalizeUnicode: NFC composes, NFKC folds compatibility") {
+    import graft.functions.StrOps
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("éclair", "ﬁne", null).toDF("s")
+      .select(StrOps.normalizeUnicode(col("s"), "NFC").as("nfc"),
+        StrOps.normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .collect()
+    assert(rows(0).getString(0) == "éclair")      // e+combining → é
+    assert(rows(1).getString(1) == "fine")             // ﬁ ligature folds
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1)) // null propagates
+  }
 }
