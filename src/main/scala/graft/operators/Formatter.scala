@@ -35,4 +35,42 @@ object Formatter {
     val body = (fmt(headers) +: rows.map(r => fmt(r))).mkString("\n")
     if (truncated) body + "\n..." else body
   }
+
+  private def headRows(df: DataFrame, n: Int): (Seq[Seq[String]], Boolean) = {
+    val head = df.limit(n + 1).collect()
+    (head.take(n).toSeq.map(_.toSeq.map {
+      case null => "NaN"
+      case v => v.toString
+    }), head.length > n)
+  }
+
+  /** to_html (reference io/formats/format.py to_html): head-`n` rows as a
+    * minimal escaped HTML table — same driver-side truncation contract. */
+  def toHtmlTable(df: DataFrame, n: Int = 20): String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    val (rows, truncated) = headRows(df, n)
+    val thead = df.columns.map(c => s"<th>${esc(c)}</th>").mkString
+    val tbody = rows.map(r =>
+      "<tr>" + r.map(c => s"<td>${esc(c)}</td>").mkString + "</tr>")
+    val ell = if (truncated) Seq(s"<tr><td colspan=${df.columns.length}>...</td></tr>")
+      else Nil
+    (Seq("<table>", s"<thead><tr>$thead</tr></thead>", "<tbody>") ++
+      tbody ++ ell ++ Seq("</tbody>", "</table>")).mkString("\n")
+  }
+
+  /** to_latex (reference io/formats/format.py to_latex): tabular body
+    * with escaped cells. */
+  def toLatexTable(df: DataFrame, n: Int = 20): String = {
+    def esc(s: String): String =
+      "([&%$#_{}])".r.replaceAllIn(s, m => "\\\\" + m.group(1))
+    val (rows, truncated) = headRows(df, n)
+    val colspec = df.schema.fields.map(_ => "l").mkString
+    val lines = Seq(s"\\begin{tabular}{$colspec}", "\\toprule",
+      df.columns.map(esc).mkString(" & ") + " \\\\", "\\midrule") ++
+      rows.map(r => r.map(esc).mkString(" & ") + " \\\\") ++
+      (if (truncated) Seq("... \\\\") else Nil) ++
+      Seq("\\bottomrule", "\\end{tabular}")
+    lines.mkString("\n")
+  }
 }

@@ -68,6 +68,25 @@ object SelectionOps {
     df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .orderBy(cols.map(col(_).desc) ++ tiebreak.map(col(_).asc): _*).limit(n)
 
+  /** Series.searchsorted(probes) over the column's sort order: the
+    * insertion index of probe p is the count of values < p (side='left')
+    * or <= p (side='right') — one conditional-count aggregate pass, no
+    * sort, no shuffle beyond the final 1-row reduce (reference:
+    * pandas/core/series.py:2337; probes are few by construction).
+    * Output long form: (probe, idx). */
+  def searchsorted(df: DataFrame, c: String, probes: Seq[Double],
+      side: String = "left"): DataFrame = {
+    val aggs = probes.zipWithIndex.map { case (p, i) =>
+      sum(when(if (side == "right") col(c) <= p else col(c) < p, 1L)
+        .otherwise(0L)).as(s"__i$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = probes.zipWithIndex.map { case (p, i) =>
+      one.select(lit(p).as("probe"), col(s"__i$i").as("idx"))
+    }
+    stacked.reduce(_ unionByName _)
+  }
+
   def nsmallest(df: DataFrame, n: Int, cols: Seq[String], tiebreak: Seq[String]): DataFrame =
     df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .orderBy(cols.map(col(_).asc) ++ tiebreak.map(col(_).asc): _*).limit(n)

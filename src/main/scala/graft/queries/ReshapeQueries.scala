@@ -46,6 +46,26 @@ object ReshapeQueries extends QueryModule {
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE),
              |  CAST(year(o_orderdate) + 1 AS BIGINT) FROM orders""".stripMargin)),
 
+    // lreshape: explicit column-group stacking (reference melt.py:111) —
+    // same row-local explode family as wide_to_long, no suffix parsing.
+    QueryDef("lreshape_groups",
+      (s, d) => {
+        import graft.operators.ReshapeOps
+        val wide = T.orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice").as("p1"),
+          (dec2(col("o_totalprice")) * 3).cast("double").as("p2"),
+          year(col("o_orderdate")).cast("long").as("y1"),
+          (year(col("o_orderdate")) + 10).cast("long").as("y2"))
+        ReshapeOps.lreshape(wide, Seq("o_orderkey"),
+          Map("amt" -> Seq("p1", "p2"), "yr" -> Seq("y1", "y2")))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS amt,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+             |UNION ALL
+             |SELECT o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DOUBLE),
+             |  CAST(year(o_orderdate) + 10 AS BIGINT) FROM orders""".stripMargin)),
+
     // unstack(level) with fill_value: one level of the (prio, status)
     // multi-index pivots into columns (reference reshape.py:31
     // _Unstacker). Explicit pivotValues keep the plan one-pass.

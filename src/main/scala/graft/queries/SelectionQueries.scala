@@ -87,6 +87,19 @@ object SelectionQueries extends QueryModule {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // searchsorted: insertion indices as conditional counts — one
+    // aggregate pass over the column, no sort (reference series.py:2337).
+    QueryDef("searchsorted_prices",
+      (s, d) => graft.operators.SelectionOps.searchsorted(
+        T.orders(s, d), "o_totalprice", Seq(1000.0, 50000.0, 200000.0)),
+      // CAST each sum: DuckDB sum(int) returns HUGEINT (the bpe lesson)
+      Some("""SELECT 1000.0 AS probe,
+             |  CAST(sum(CASE WHEN o_totalprice < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS idx FROM orders
+             |UNION ALL SELECT 50000.0,
+             |  CAST(sum(CASE WHEN o_totalprice < 50000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+             |UNION ALL SELECT 200000.0,
+             |  CAST(sum(CASE WHEN o_totalprice < 200000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders""".stripMargin)),
+
     // nlargest(keep='all'): ties at the cutoff all survive — rank()
     // instead of row_number, still a top-k-ish plan (rank filter
     // pushes WindowGroupLimit).

@@ -81,6 +81,36 @@ object SessionRangeQueries extends QueryModule {
              |END AS tri_mean
              |FROM w""".stripMargin)),
 
+    // win_type='gaussian' (std=2) over a 7-row frame. Transcendental
+    // weights are precomputed ONCE on the driver and pasted into both
+    // engines as shortest-round-trip double literals, so the per-row
+    // arithmetic is identical ordered IEEE ops — the engines' exp()
+    // disagree at 1 ULP and must not run per-row.
+    QueryDef("rolling_weighted_gauss",
+      (s, d) => {
+        val ws = (0 until 7).map(i => math.exp(-0.5 * math.pow((i - 3) / 2.0, 2)))
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 7)
+        val l = collect_list(col("value")).over(w)
+        val weights = array(ws.map(lit): _*)
+        val num = aggregate(zip_with(l, weights, (x, wt) => x * wt),
+          lit(0.0), (acc, x) => acc + x)
+        T.events(s, d).select(col("event_id"),
+          when(size(l) === 7, round(num / lit(ws.sum), 6)).as("gauss_mean"))
+      },
+      Some {
+        val ws = (0 until 7).map(i => math.exp(-0.5 * math.pow((i - 3) / 2.0, 2)))
+        // list_reduce = strict left fold, matching Spark's aggregate();
+        // list_sum's accumulation order is unspecified for doubles.
+        s"""WITH w AS (SELECT event_id, list(value) OVER w AS l FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           |SELECT event_id, CASE WHEN len(l) = 7 THEN
+           |  round(list_reduce(list_transform(generate_series(1, 7),
+           |    i -> l[i] * ([${ws.mkString(", ")}])[i]), (a, b) -> a + b) / ${ws.sum}, 6)
+           |END AS gauss_mean
+           |FROM w""".stripMargin
+      }),
+
     // first_valid_index / last_valid_index (reference generic.py:9826).
     QueryDef("valid_index_bounds",
       (s, d) => T.events(s, d)

@@ -40,6 +40,19 @@ class UtilOpsSpec extends SparkSpec {
     assert(lines(3) == "...")
   }
 
+  test("toHtmlTable / toLatexTable render escaped head") {
+    val df = Seq((1, "a<b", 1.5), (2, "x&y", 2.0), (3, "c_d", 3.0))
+      .toDF("id", "s", "v")
+    val html = Formatter.toHtmlTable(df.orderBy("id"), 2)
+    assert(html.contains("<th>id</th>") && html.contains("<td>a&lt;b</td>"))
+    assert(html.contains("<td>x&amp;y</td>") && html.contains("colspan=3"))
+    val tex = Formatter.toLatexTable(df.orderBy("id"), 3)
+    assert(tex.contains("\\begin{tabular}{lll}"))
+    assert(tex.contains("1 & a<b & 1.5 \\\\") || tex.contains("1 & a<b & 1.5"))
+    assert(tex.contains("x\\&y") && tex.contains("c\\_d"))
+    assert(!tex.contains("... \\\\"))
+  }
+
   test("frame.dot via melt+join+agg equals direct fold dot") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = emb.filter(col("vec_id") < 3)
