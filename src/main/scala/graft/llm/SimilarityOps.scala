@@ -70,20 +70,45 @@ object SimilarityOps {
 
   // ---- IVF (inverted-file) tier ----
 
+  /** Deterministic k-means||-style seeding: batched farthest-point
+    * (maximin) selection. Start from the lowest-id vector; each round
+    * adds the `k/rounds` corpus rows farthest from the current seed set
+    * (max-dot ascending — cosine geometry), via TakeOrderedAndProject.
+    * `rounds` scans total regardless of k (vs k scans for classic
+    * maximin, vs the spread-less first-k-by-id), fully deterministic —
+    * no sampling seed to drift between runs. */
+  def seedCentroidsMaximin(corpus: DataFrame, cId: String, embCol: String,
+      k: Int, rounds: Int = 4): Array[Array[Double]] = {
+    val e = toDoubleArr(col(embCol))
+    def dotLit(c: Array[Double]): Column =
+      aggregate(zip_with(e, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    var seeds: Array[Array[Double]] = corpus.orderBy(col(cId).asc).limit(1)
+      .select(e.as("e")).collect().map(_.getSeq[Double](0).toArray)
+    val perRound = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
+    while (seeds.length < k) {
+      val dots = seeds.map(dotLit).toIndexedSeq
+      val closeness = if (dots.length == 1) dots.head else greatest(dots: _*)
+      val batch = corpus.withColumn("__md", closeness)
+        .orderBy(col("__md").asc, col(cId).asc)
+        .limit(math.min(perRound, k - seeds.length))
+        .select(e.as("e")).collect().map(_.getSeq[Double](0).toArray)
+      if (batch.isEmpty) return seeds // corpus smaller than k
+      seeds ++= batch
+    }
+    seeds
+  }
+
   /** Train a coarse quantizer: k centroids via Lloyd iterations run as
     * DataFrame aggregations (assign = argmin over broadcast centroids;
     * update = per-cell mean — one hash agg per iteration, corpus never
-    * collected). Seeded deterministically from the first k corpus rows
-    * by id order (k-means|| niceties are orthogonal to the plumbing).
-    * Returns the centroid list (small, driver-held — this IS the IVF
-    * index's coarse layer). */
+    * collected). Seeded by deterministic maximin (above) so cells start
+    * spread instead of id-clustered. Returns the centroid list (small,
+    * driver-held — this IS the IVF index's coarse layer). */
   def trainIvfCentroids(corpus: DataFrame, cId: String, embCol: String,
       k: Int, iters: Int = 2): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(col(cId).asc).limit(k)
-      .select(toDoubleArr(col(embCol)).as("e"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    var centroids: Array[Array[Double]] =
+      seedCentroidsMaximin(corpus, cId, embCol, k)
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, embCol, centroids)
       val dim = centroids(0).length
