@@ -61,4 +61,18 @@ object TextStatsOps {
   def approxBpeTokenCount(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1L)))
+
+  /** Word n-gram shingles of a MATERIALIZED token-array column (HOF
+    * re-evaluation rule: pass `tokens(text)` through a column first). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Repetition ratio: 1 − distinct/total word n-grams — the standard
+    * boilerplate/templating signal in training-data quality filters
+    * (high ⇒ repeated phrases). Row-local, codegen'd, no shuffle. */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val sh = shingles(toks, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
 }

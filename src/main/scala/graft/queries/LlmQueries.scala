@@ -43,6 +43,24 @@ object LlmQueries extends QueryModule {
         TextDedupOps.fingerprint(col("text")).as("fp")),
       Some(s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents")),
 
+    // Repetition ratio (1 − distinct/total word 3-grams): the standard
+    // boilerplate signal in pretraining quality filters. Row-local HOF
+    // shingling — no explode, no shuffle; runs inside the scan stage.
+    QueryDef("repetition_ratio",
+      (s, d) => T.documents(s, d)
+        .withColumn("__toks", TextStatsOps.tokens(col("text")))
+        .select(col("doc_id"),
+          round(TextStatsOps.repetitionRatio(col("__toks"), 3), 6).as("rep3")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |sh AS (SELECT doc_id, list_transform(
+              |    generate_series(1, greatest(len(w) - 2, 1)),
+              |    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS s
+              |  FROM t)
+              |SELECT doc_id,
+              |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6) AS rep3
+              |FROM sh""".stripMargin)),
+
     QueryDef("token_stats",
       (s, d) => T.documents(s, d).select(col("doc_id"),
         TextStatsOps.tokenCount(col("text")).as("n_tok"),
