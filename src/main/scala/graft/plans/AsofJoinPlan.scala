@@ -39,7 +39,8 @@ case class AsofJoinNode(
     rightPayload: Seq[Attribute],
     allowExact: Boolean,
     toleranceMicros: Option[Long],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
   override val output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,8 +50,9 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lb, rb, lo, ro, pay, ae, tol, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, pay, ae, tol, fwd) :: Nil
+    case AsofJoinNode(l, r, lb, rb, lo, ro, pay, ae, tol, fwd, near) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, pay, ae, tol,
+        fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -65,7 +67,12 @@ case class AsofJoinExec(
     rightPayload: Seq[Attribute],
     allowExact: Boolean,
     toleranceMicros: Option[Long],
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
+
+  require(!nearest || (allowExact && !forward),
+    "nearest runs the ascending merge with exact matches allowed; " +
+      "use the window composition for allow_exact=false nearest")
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -118,6 +125,7 @@ case class AsofJoinExec(
     val exact = allowExact
     val tol = toleranceMicros
     val fwd = forward
+    val near = nearest
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lByRefs)
@@ -167,9 +175,30 @@ case class AsofJoinExec(
           }
           // 3. emit
           val delta = if (fwd) bestOn - lOnV else lOnV - bestOn
-          val matched = best != null && tol.forall(t => delta <= t)
-          val payload = if (matched) payloadProj(best) else nullPayload
-          outProj(joined(l, payload))
+          val matchedB = best != null && tol.forall(t => delta <= t)
+          if (!near) {
+            val payload = if (matchedB) payloadProj(best) else nullPayload
+            outProj(joined(l, payload))
+          } else {
+            // nearest: the merge ran ascending, so the row the pointer
+            // stopped on is the FIRST same-group row with on > lOn — the
+            // forward candidate (exact matches were consumed as backward-
+            // eligible; right is unique per (by, on), operator contract).
+            // Closer side wins, backward wins ties (pandas semantics).
+            val fwdOk = rBuf != null &&
+              keyOrd.compare(rKeyProj(rBuf), lKeyProj(l)) == 0 && {
+                val fDelta = onOf(rOnBound, rBuf) - lOnV
+                fDelta > 0 && tol.forall(t => fDelta <= t)
+              }
+            val chosen =
+              if (matchedB && fwdOk)
+                if (delta <= onOf(rOnBound, rBuf) - lOnV) best else rBuf
+              else if (matchedB) best
+              else if (fwdOk) rBuf
+              else null
+            val payload = if (chosen != null) payloadProj(chosen) else nullPayload
+            outProj(joined(l, payload))
+          }
         }
       }
     }
@@ -221,7 +250,8 @@ object AsofJoinPlan {
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
       attr(lPlan, on), attr(rPlan, on),
       rightCols.map(attr(rPlan, _)), allowExact, toleranceMicros,
-      forward = direction == "forward")
+      forward = direction == "forward",
+      nearest = direction == "nearest")
     Bridge.ofRows(spark, node)
   }
 
@@ -251,22 +281,28 @@ object AsofJoinPlan {
     val rSlim = right.select((on +: rightCols).map(c => col(c).as(c)): _*)
     val rB = DistScan.bucketedBy(rSlim, onNum, bs)
     // Edge row per bucket: latest (backward) / earliest (forward) right
-    // row — the only row a neighboring bucket can ever need.
-    val wEdge = Window.partitionBy(col(DistScan.PidCol))
-      .orderBy(if (fwd) onNum.asc else onNum.desc)
-    val edges = rB.withColumn("__ern", row_number().over(wEdge))
-      .filter(col("__ern") === 1).drop("__ern").collect()
+    // row — the only row a neighboring bucket can ever need. `nearest`
+    // needs BOTH carries: its per-bucket merge may match either side.
+    val near = direction == "nearest"
     val schema = rB.schema
     val pidIdx = schema.fieldIndex(DistScan.PidCol)
-    val byPid = edges.map(r => r.getInt(pidIdx) -> r).toMap
     val maxPid = bs.length
     val injected = Seq.newBuilder[Row]
-    var carry: Option[Row] = None
-    val order = if (fwd) maxPid to 0 by -1 else 0 to maxPid
-    for (k <- order) {
-      carry.foreach(r => injected += Row.fromSeq(r.toSeq.updated(pidIdx, k)))
-      byPid.get(k).foreach(r => carry = Some(r))
+    def carryPass(earliestEdge: Boolean): Unit = {
+      val wEdge = Window.partitionBy(col(DistScan.PidCol))
+        .orderBy(if (earliestEdge) onNum.asc else onNum.desc)
+      val edges = rB.withColumn("__ern", row_number().over(wEdge))
+        .filter(col("__ern") === 1).drop("__ern").collect()
+      val byPid = edges.map(r => r.getInt(pidIdx) -> r).toMap
+      var carry: Option[Row] = None
+      val order = if (earliestEdge) maxPid to 0 by -1 else 0 to maxPid
+      for (k <- order) {
+        carry.foreach(r => injected += Row.fromSeq(r.toSeq.updated(pidIdx, k)))
+        byPid.get(k).foreach(r => carry = Some(r))
+      }
     }
+    if (fwd || near) carryPass(earliestEdge = true)
+    if (!fwd) carryPass(earliestEdge = false)
     val ctxDf = spark.createDataFrame(
       spark.sparkContext.parallelize(injected.result(), 1), schema)
     val res = asof(lB, rB.unionByName(ctxDf), on, Seq(DistScan.PidCol),

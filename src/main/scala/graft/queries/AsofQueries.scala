@@ -85,9 +85,14 @@ object AsofQueries extends QueryModule {
               |FROM t ASOF LEFT JOIN q
               |ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin)),
 
+    // nearest through the CUSTOM exec (r3): the ascending two-pointer's
+    // stopped row IS the forward candidate, so nearest costs one extra
+    // compare at emit — no second pass, no self-join (the two-pass
+    // window composition remains in AsofOps.asofNearest and the spec
+    // pins the differential).
     QueryDef("asof_nearest",
-      (s, d) => AsofOps.asofNearest(trades(s, d), quotes(s, d), "ts",
-          Seq("user_id"), Seq("q_value"), "event_id")
+      (s, d) => graft.plans.AsofJoinPlan.asof(trades(s, d), quotes(s, d),
+          "ts", Seq("user_id"), Seq("q_value"), direction = "nearest")
         .select("event_id", "q_value"),
       Some(s"""WITH t AS ($tradesSql), q AS ($quotesSql),
               |b AS (SELECT t.event_id, t.ts, q.ts AS b_on, q.q_value AS b_val

@@ -86,6 +86,54 @@ class AsofExecSpec extends SparkSpec {
     assertFrameEqual(exec, win)
   }
 
+  test("nearest direction equals two-pass window composition") {
+    val qdedup = quotes.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "ts").orderBy(col("px").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val exec = AsofJoinPlan.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      direction = "nearest").select(col("g"), col("ts"), col("px"))
+    val win = AsofOps.asofNearest(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      leftKey = "ts")
+    // window form keys by leftKey only; compare on (g, ts) via the exec's
+    // own rows against per-row recomputation instead: join on (g, ts)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.select("user_id", "ts", "event_id")
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("v"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("v").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val execEv = AsofJoinPlan.asof(left, right, "ts", Seq("user_id"), Seq("v"),
+      direction = "nearest").select(col("event_id"), col("v"))
+    val winEv = AsofOps.asofNearest(left, right, "ts", Seq("user_id"), Seq("v"),
+      leftKey = "event_id").select(col("event_id"), col("v"))
+    assertFrameEqual(execEv, winEv)
+    // toy frame: tolerance carries through
+    val execTol = AsofJoinPlan.asof(trades, qdedup, "ts", Seq("g"), Seq("px"),
+      toleranceMicros = Some(60L), direction = "nearest")
+      .select(col("g"), col("ts"), col("px")).collect()
+    assert(execTol.nonEmpty)
+    assert(exec.collect().nonEmpty && win.collect().nonEmpty)
+  }
+
+  test("keyless nearest equals keyed window composition on a single group") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.select("ts", "event_id")
+    val right = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("value").as("v"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ts").orderBy(col("v").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exec = AsofJoinPlan.asof(left, right, "ts", Nil, Seq("v"),
+      direction = "nearest").select(col("event_id"), col("v"))
+    val win = AsofOps.asofNearest(left, right, "ts", Nil, Seq("v"),
+      leftKey = "event_id").select(col("event_id"), col("v"))
+    assertFrameEqual(exec, win)
+  }
+
   test("keyless asof: bucketed merge equals window form, >1 partition") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val left = ev.select("ts", "event_id")
