@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weighted sampling (reference: generic.py:4383 sample(weights=)).
@@ -13,6 +13,35 @@ import org.apache.spark.sql.functions._
   * Deterministic for a fixed seed: u comes from xxhash64(id, seed).
   */
 object SampleOps {
+
+  /** Cross-engine deterministic uniform in [0, 2^32) from a key: the
+    * first 8 hex chars of md5(key || ':' || salt). Unlike xxhash64 this
+    * is reproducible in any engine (DuckDB, Trino, pandas) — the basis
+    * for oracle-checkable sampling and stable train/val/test splits
+    * that survive reprocessing (a training-data-pipeline requirement:
+    * the split of a document must never depend on cluster layout). */
+  def hashU32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+
+  /** Deterministic frac-sample: keep rows whose hash-uniform < frac.
+    * Per-row independent ⇒ already stratified under any grouping;
+    * reproducible and oracle-exact (unlike rand()-based sample). */
+  def hashSample(df: DataFrame, keyCol: Column, frac: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(hashU32(keyCol, salt) < (frac * 4294967296.0).toLong)
+
+  /** Deterministic dataset split: label each row train/val/test by
+    * cumulative fraction thresholds over the hash-uniform. */
+  def hashSplit(keyCol: Column, fracs: Seq[(String, Double)],
+      salt: String = "graft"): Column = {
+    val u = hashU32(keyCol, salt).cast("double") / 4294967296.0
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    val pairs = fracs.map(_._1).zip(cum)
+    pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((name, hi), acc) => when(u < hi, name).otherwise(acc)
+    }
+  }
 
   /** Weighted sample WITHOUT replacement of n rows. `idCol` must be
     * unique and non-null; rows with weight <= 0 or null are excluded

@@ -217,6 +217,33 @@ object SelectionQueries extends QueryModule {
         .select("event_id"),
       None),
 
+    // Deterministic md5-hash sampling + train/val/test split: unlike
+    // rand()-based sample above this IS oracle-exact (both engines
+    // compute the identical md5-derived uniform), and a document's
+    // split never depends on cluster layout or reprocessing order —
+    // the property a training-data pipeline actually needs.
+    QueryDef("hash_sample_split",
+      (s, d) => {
+        import graft.operators.SampleOps
+        // binary-exact fractions: the scanLeft cums (0.75, 0.875, 1.0)
+        // are exactly representable, so the oracle thresholds match
+        T.events(s, d).select(col("event_id"),
+          SampleOps.hashSplit(col("event_id"),
+            Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "graft")
+            .as("split"),
+          (SampleOps.hashU32(col("event_id"), "graft") <
+            (0.1 * 4294967296.0).toLong).as("sampled_10pct"))
+      },
+      Some("""WITH u AS (SELECT event_id,
+             |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':graft'), 1, 8)) AS BIGINT) AS h
+             |  FROM events)
+             |SELECT event_id,
+             |  CASE WHEN CAST(h AS DOUBLE) / 4294967296.0 < 0.75 THEN 'train'
+             |       WHEN CAST(h AS DOUBLE) / 4294967296.0 < 0.875 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  h < 429496729 AS sampled_10pct
+             |FROM u""".stripMargin)),
+
     // sort with order captured as a rank column (row content alone can't
     // witness ORDER BY — the differential compare re-sorts rows).
     // Ranked via DistScan.withGlobalRowNumber: range shuffle + per-range
