@@ -22,6 +22,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * safe for arbitrarily long groups, unlike the closed-form SQL window
   * (RollingOps.ewmaAdjusted) which is bounded by pow's exponent range.
   */
+/** ewm parameterizations (reference pandas/core/window.py _get_alpha):
+  * com/span/halflife are alternate spellings of alpha. */
+object EwmParams {
+  def fromCom(com: Double): Double = { require(com >= 0); 1.0 / (1.0 + com) }
+  def fromSpan(span: Double): Double = { require(span >= 1); 2.0 / (span + 1.0) }
+  def fromHalflife(hl: Double): Double = {
+    require(hl > 0); 1.0 - math.exp(-math.log(2.0) / hl)
+  }
+}
+
 class EwmMomentsAggregator(alpha: Double, adjust: Boolean = true,
     bias: Boolean = false, stat: String = "cov")
     extends Aggregator[(Long, Double, Double), Seq[(Long, Double, Double)], Double] {

@@ -51,6 +51,20 @@ object ReshapeOps {
       .select(i.map(col) ++ outCols.map(c => col(s"__lr.$c").as(c)): _*)
   }
 
+  /** pivot (no aggregation, reference pivot.py:379): like unstack but
+    * FAILS on duplicate (index, column) pairs the way pandas raises
+    * ValueError — first(value) would silently pick one. The check is one
+    * extra count aggregate over the same grouping (cheap, same shuffle
+    * key); callers that know uniqueness use unstack directly. */
+  def pivotStrict(df: DataFrame, index: Seq[String], column: String,
+      valueCol: String, pivotValues: Seq[String] = Nil): DataFrame = {
+    val dups = df.groupBy((index :+ column).map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"pivot: duplicate entries for ${index :+ column} (e.g. ${dups.headOption})")
+    unstack(df, index, column, valueCol, pivotValues)
+  }
+
   /** unstack(level): pivot ONE index level of a multi-index long frame
     * into columns (reference reshape.py:31 _Unstacker), with fill_value.
     * `pivotValues` bounds the output schema; when empty Spark collects

@@ -66,6 +66,12 @@ class EwmAggSpec extends SparkSpec {
       }
     }
 
+    // parameterization identities (pandas window.py _get_alpha)
+    import graft.functions.EwmParams
+    assert(math.abs(EwmParams.fromCom(4.0) - 0.2) < 1e-15)
+    assert(math.abs(EwmParams.fromSpan(9.0) - 0.2) < 1e-15)
+    assert(math.abs(EwmParams.fromHalflife(1.0) - 0.5) < 1e-15)
+
     for (stat <- Seq("cov", "var", "corr"); adjust <- Seq(true, false)) {
       val got = run(stat, adjust, bias = false)
       got.foreach { case (g, v) =>

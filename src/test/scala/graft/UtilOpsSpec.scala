@@ -80,6 +80,18 @@ class UtilOpsSpec extends SparkSpec {
     m1.foreach { case (k, v) => assert(math.abs(v - m2(k)) < 1e-9, s"$k") }
   }
 
+  test("pivotStrict raises on duplicate (index, column) pairs") {
+    import graft.operators.ReshapeOps
+    val ok = Seq((1, "a", 10L), (1, "b", 20L), (2, "a", 30L))
+      .toDF("k", "c", "v")
+    val wide = ReshapeOps.pivotStrict(ok, Seq("k"), "c", "v", Seq("a", "b"))
+    assert(wide.count() == 2 && wide.columns.toSeq == Seq("k", "a", "b"))
+    val dup = ok.union(Seq((1, "a", 99L)).toDF("k", "c", "v"))
+    intercept[IllegalArgumentException] {
+      ReshapeOps.pivotStrict(dup, Seq("k"), "c", "v", Seq("a", "b"))
+    }
+  }
+
   test("StrOps.wrap: lines fit width, long words unbroken, text preserved") {
     import graft.functions.StrOps
     import org.apache.spark.sql.functions.{col, split}
