@@ -258,6 +258,13 @@ final case class PFrame(
   def update(other: PFrame): PFrame = {
     require(indexCols.nonEmpty && indexCols == other.indexCols,
       s"update needs matching index columns: $indexCols vs ${other.indexCols}")
+    // pandas raises on duplicate labels in `other`; a silent left join
+    // would instead FAN OUT matching base rows. One cheap count-agg on
+    // the same key (same shuffle) guards the invariant.
+    val dup = other.df.groupBy(other.indexCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"update: duplicate index labels in other (e.g. ${dup.headOption})")
     val r = other.df.select(
       other.indexCols.map(col) ++ other.valueCols.map(c => col(c).as(s"__r_$c")): _*)
     val joined = df.join(r, indexCols, "left")

@@ -36,7 +36,9 @@ class EwmMomentsAggregator(alpha: Double, adjust: Boolean = true,
     bias: Boolean = false, stat: String = "cov")
     extends Aggregator[(Long, Double, Double), Seq[(Long, Double, Double)], Double] {
 
-  require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+  // alpha = 1 is legal (com=0 / span=1: all weight on the newest obs;
+  // the unbiased de-noising then yields NaN via den <= 0, correctly)
+  require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
   require(Seq("cov", "var", "corr").contains(stat), s"unknown stat: $stat")
 
   override def zero: Seq[(Long, Double, Double)] = Vector.empty

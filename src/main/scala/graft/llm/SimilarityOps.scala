@@ -82,18 +82,31 @@ object SimilarityOps {
     val e = toDoubleArr(col(embCol))
     def dotLit(c: Array[Double]): Column =
       aggregate(zip_with(e, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    var seeds: Array[Array[Double]] = corpus.orderBy(col(cId).asc).limit(1)
-      .select(e.as("e")).collect().map(_.getSeq[Double](0).toArray)
+    val first = corpus.orderBy(col(cId).asc).limit(1)
+      .select(col(cId), e.as("e")).collect()
+    if (first.isEmpty) return Array.empty
+    var seeds = first.map(_.getSeq[Double](1).toArray)
+    // track picked ids and EXCLUDE them from later rounds — otherwise a
+    // corpus smaller than k (or a vector minimizing max-dot against the
+    // set including itself) gets re-selected and Lloyd starts with
+    // duplicate centroids / empty cells.
+    var seedIds = first.map(_.get(0)).toSet
     val perRound = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
-    while (seeds.length < k) {
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
       val dots = seeds.map(dotLit).toIndexedSeq
       val closeness = if (dots.length == 1) dots.head else greatest(dots: _*)
-      val batch = corpus.withColumn("__md", closeness)
+      val batch = corpus
+        .filter(!col(cId).isInCollection(seedIds))
+        .withColumn("__md", closeness)
         .orderBy(col("__md").asc, col(cId).asc)
         .limit(math.min(perRound, k - seeds.length))
-        .select(e.as("e")).collect().map(_.getSeq[Double](0).toArray)
-      if (batch.isEmpty) return seeds // corpus smaller than k
-      seeds ++= batch
+        .select(col(cId), e.as("e")).collect()
+      if (batch.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        seeds ++= batch.map(_.getSeq[Double](1).toArray)
+        seedIds ++= batch.map(_.get(0))
+      }
     }
     seeds
   }

@@ -46,6 +46,22 @@ object DistScan {
   val PidCol = "__pid"
   val CtxCol = "__ctx"
 
+  // Persisted intermediates (the range-partitioned frames whose
+  // boundaries must not drift between the counts pass and the ranking
+  // pass). They cannot be unpersisted inside the builder — the returned
+  // plan still reads them — so they register here and the application
+  // releases them at its own step boundaries (Verify does per query).
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Unpersist every DistScan-cached intermediate. Call between
+    * pipeline steps once prior results are materialized; long sessions
+    * that skip this accumulate executor storage until eviction. */
+  def releaseCaches(): Unit = {
+    var d = persistedFrames.poll()
+    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+  }
+
   /** Range boundaries of the leading key's numeric image. Distinct +
     * sorted; duplicate quantiles (heavy keys) just merge buckets. */
   private def boundaries(df: DataFrame, leadNum: Column, buckets: Int): Seq[Double] = {
@@ -165,6 +181,7 @@ object DistScan {
     val parted = df.repartitionByRange(buckets, ord: _*)
       .withColumn(PidCol, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(parted)
     val counts = parted.groupBy(col(PidCol)).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
@@ -261,6 +278,7 @@ object DistScan {
       .repartitionByRange(buckets, ord: _*)
       .sortWithinPartitions(ord: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(base)
 
     // Pass 1: boundary stats. Local cum of row j lives at ring((j-1) % n).
     val stats = base.select(col("__c")).rdd.mapPartitionsWithIndex { (pid, it) =>

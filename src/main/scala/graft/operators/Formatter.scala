@@ -62,8 +62,15 @@ object Formatter {
   /** to_latex (reference io/formats/format.py to_latex): tabular body
     * with escaped cells. */
   def toLatexTable(df: DataFrame, n: Int = 20): String = {
-    def esc(s: String): String =
-      "([&%$#_{}])".r.replaceAllIn(s, m => "\\\\" + m.group(1))
+    // quoteReplacement: the replacement string is itself interpreted by
+    // Matcher.appendReplacement, so a bare "\\$" is an illegal group ref
+    // and any cell containing '$' would crash the render. Backslash is
+    // escaped first (to \textbackslash) so it can't double-escape.
+    def esc(s: String): String = {
+      val noBs = s.replace("\\", "\\textbackslash{}")
+      "([&%$#_{}])".r.replaceAllIn(noBs,
+        m => java.util.regex.Matcher.quoteReplacement("\\" + m.group(1)))
+    }
     val (rows, truncated) = headRows(df, n)
     val colspec = df.schema.fields.map(_ => "l").mkString
     val lines = Seq(s"\\begin{tabular}{$colspec}", "\\toprule",

@@ -77,8 +77,9 @@ object SelectionOps {
   def searchsorted(df: DataFrame, c: String, probes: Seq[Double],
       side: String = "left"): DataFrame = {
     val aggs = probes.zipWithIndex.map { case (p, i) =>
-      sum(when(if (side == "right") col(c) <= p else col(c) < p, 1L)
-        .otherwise(0L)).as(s"__i$i")
+      // coalesce: sum over zero rows is null; pandas returns 0
+      coalesce(sum(when(if (side == "right") col(c) <= p else col(c) < p, 1L)
+        .otherwise(0L)), lit(0L)).as(s"__i$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = probes.zipWithIndex.map { case (p, i) =>

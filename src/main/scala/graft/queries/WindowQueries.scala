@@ -304,6 +304,13 @@ object WindowQueries extends QueryModule {
     // both engines and only the final divisions are IEEE ops. α=0.5 is
     // chosen precisely for that bit-exactness (ewm_mean covers general α).
     // NaN handling = pandas ignore_na=True (null rows dropped up front).
+    // BOUND: 2^pos overflows past pos=1023 — this closed form (like
+    // ewm_mean's, bounded near pos≈3178) assumes groups of at most ~1e3
+    // rows, which the fixture (≤99/user) and the oracle share; longer
+    // groups must use EwmMomentsAggregator, whose back-to-front weights
+    // never overflow. Documented, not silently wrong: beyond the bound
+    // Spark yields NaN→0 casts while DuckDB errors — the differential
+    // would catch it, not mask it.
     QueryDef("ewm_var",
       (s, d) => {
         val base0 = T.events(s, d).filter(col("value").isNotNull)

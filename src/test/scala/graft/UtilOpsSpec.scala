@@ -48,6 +48,9 @@ class UtilOpsSpec extends SparkSpec {
     assert(html.contains("<td>x&amp;y</td>") && html.contains("colspan=3"))
     val tex = Formatter.toLatexTable(df.orderBy("id"), 3)
     assert(tex.contains("\\begin{tabular}{lll}"))
+    // '$' in a cell must escape, not crash (appendReplacement group ref)
+    val texDollar = Formatter.toLatexTable(Seq((1, "$5.00")).toDF("id", "amt"), 1)
+    assert(texDollar.contains("\\$5.00"))
     assert(tex.contains("1 & a<b & 1.5 \\\\") || tex.contains("1 & a<b & 1.5"))
     assert(tex.contains("x\\&y") && tex.contains("c\\_d"))
     assert(!tex.contains("... \\\\"))
