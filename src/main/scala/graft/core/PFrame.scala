@@ -53,6 +53,29 @@ final case class PFrame(
   def setIndex(cols: String*): PFrame = copy(indexCols = cols)
   def resetIndex: PFrame = copy(indexCols = Nil)
 
+  // MultiIndex level utilities (reference: pandas/core/generic.py
+  // swaplevel/droplevel, indexes/multi.py reorder_levels). The index is
+  // ordinary columns here, so these are metadata-only — no data movement,
+  // no plan change beyond column bookkeeping.
+  def swaplevel(i: Int = 0, j: Int = 1): PFrame = {
+    require(indexCols.length > math.max(i, j), s"index has ${indexCols.length} levels")
+    copy(indexCols = indexCols.updated(i, indexCols(j)).updated(j, indexCols(i)))
+  }
+
+  /** droplevel: remove an index level. The column stays in the frame
+    * (pandas discards it; callers drop() explicitly when wanted) — kept
+    * so the operation is lossless and lazily cheap. */
+  def droplevel(level: String): PFrame = {
+    require(indexCols.contains(level), s"no index level $level in $indexCols")
+    copy(indexCols = indexCols.filterNot(_ == level))
+  }
+
+  def reorderLevels(order: Seq[String]): PFrame = {
+    require(order.sorted == indexCols.sorted,
+      s"reorder_levels must permute $indexCols, got $order")
+    copy(indexCols = order)
+  }
+
   def select(cols: String*): PFrame =
     copy(df = df.select((indexCols ++ orderCol ++ cols).distinct.map(col): _*))
 

@@ -152,4 +152,17 @@ class ApiSpec extends SparkSpec {
     assert(conf.get("display.max_rows") == "20")
     assert(conf.get("compute.shuffle_partitions") == "4") // test session
   }
+
+  test("swaplevel / droplevel / reorder_levels are metadata-only") {
+    import graft.core.PFrame
+    val df = Seq((1L, "a", 2.0)).toDF("k1", "k2", "v")
+    val pf = PFrame(df, indexCols = Seq("k1", "k2"))
+    assert(pf.swaplevel().indexCols == Seq("k2", "k1"))
+    assert(pf.droplevel("k1").indexCols == Seq("k2"))
+    assert(pf.reorderLevels(Seq("k2", "k1")).indexCols == Seq("k2", "k1"))
+    // no plan change: same analyzed plan object semantics
+    assert(pf.swaplevel().df eq pf.df)
+    intercept[IllegalArgumentException](pf.droplevel("nope"))
+    intercept[IllegalArgumentException](pf.reorderLevels(Seq("k1")))
+  }
 }
