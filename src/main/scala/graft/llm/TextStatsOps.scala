@@ -68,6 +68,18 @@ object TextStatsOps {
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
 
+  /** PII scrubbing for training corpora: redact emails and phone-shaped
+    * digit runs (the two patterns every curation pipeline starts with).
+    * Pure regexp_replace — codegen'd, scan-local; patterns deliberately
+    * use only syntax common to Java regex and RE2 so the same strings
+    * drive any engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}|[0-9]{3}[-. ][0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Repetition ratio: 1 − distinct/total word n-grams — the standard
     * boilerplate/templating signal in training-data quality filters
     * (high ⇒ repeated phrases). Row-local, codegen'd, no shuffle. */

@@ -43,6 +43,25 @@ object LlmQueries extends QueryModule {
         TextDedupOps.fingerprint(col("text")).as("fp")),
       Some(s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents")),
 
+    // PII redaction: emails + phone-shaped digit runs → placeholders.
+    // The fixture text is synthetic-clean, so PII is injected
+    // deterministically first (same construction in the oracle) — the
+    // redaction is then verified to remove exactly what was planted.
+    QueryDef("pii_redact",
+      (s, d) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        T.documents(s, d).select(col("doc_id"),
+          TextStatsOps.redactPii(planted).as("clean"))
+      },
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+             |    '${TextStatsOps.EmailRe}', '<EMAIL>', 'g'),
+             |  '${TextStatsOps.PhoneRe}', '<PHONE>', 'g') AS clean
+             |FROM documents""".stripMargin)),
+
     // Repetition ratio (1 − distinct/total word 3-grams): the standard
     // boilerplate signal in pretraining quality filters. Row-local HOF
     // shingling — no explode, no shuffle; runs inside the scan stage.
