@@ -125,4 +125,41 @@ class PropertySpec extends SparkSpec {
       assert(pos.toSeq == (1L to rows.size).toSeq, s"not a permutation: n=${rows.size}")
     }
   }
+
+  test("searchsorted equals the scala reference on random data") {
+    samples(500L, 5).foreach { rows =>
+      val df = rows.toDF("id", "k", "v")
+      val vs = rows.map(_._3)
+      val probes = Seq(-30.0, 0.0, 12.25, 200.0)
+      val got = SelectionOps.searchsorted(df, "v", probes)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      probes.foreach { p =>
+        assert(got(p) == vs.count(_ < p).toLong, s"probe $p on $vs")
+      }
+      // side='right' counts <= ; difference = multiplicity of the probe
+      val right = SelectionOps.searchsorted(df, "v", probes, side = "right")
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      probes.foreach { p =>
+        assert(right(p) - got(p) == vs.count(_ == p).toLong)
+      }
+    }
+  }
+
+  test("hashSplit is exhaustive, deterministic, and frequency-sane") {
+    import graft.operators.SampleOps
+    val n = 20000
+    val df = (0 until n).map(_.toLong).toDF("id")
+    val split = SampleOps.hashSplit(col("id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val counts = df.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n) // every row labeled
+    assert(math.abs(counts("train") - 0.75 * n) < 0.03 * n, counts.toString)
+    assert(math.abs(counts("val") - 0.125 * n) < 0.02 * n, counts.toString)
+    // determinism: same ids → identical assignment
+    val a = df.select(col("id"), split.as("s")).collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = df.orderBy(col("id").desc).select(col("id"), split.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toMap == b.toMap)
+  }
 }
