@@ -93,6 +93,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("scan-local text ops: no Exchange anywhere in the plan") {
+    // These curation ops are pure per-row expressions — a shuffle
+    // appearing in any of them is a regression at any scale.
+    for (name <- Seq("repetition_ratio", "pii_redact", "lang_id",
+        "quality_score", "bpe_token_count", "doc_fingerprint",
+        "hash_sample_split", "str_wrap", "wide_to_long")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
+    }
+  }
+
   test("cosine_topk: corpus scans once under a broadcast, never shuffles") {
     val p = plan("cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
