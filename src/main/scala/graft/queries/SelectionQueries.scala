@@ -87,6 +87,42 @@ object SelectionQueries extends QueryModule {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
 
+    // value_counts(bins=4): numeric histogram — cut into equal-width
+    // bins over the observed range, then count (reference
+    // algorithms.py:581 value_counts with bins → cut + groupby).
+    QueryDef("value_counts_bins",
+      (s, d) => {
+        val stats = T.events(s, d).agg(
+          min(col("value")).as("mn"), max(col("value")).as("mx")).collect()(0)
+        val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+        val width = (mx - mn) / 4
+        // bin = #left-edges strictly below value, clamped to the last bin
+        // (pandas puts the max into the top bin, include_lowest bottom)
+        val bin = least(greatest(
+          floor((col("value") - mn) / width).cast("int"), lit(0)), lit(3))
+        T.events(s, d).groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+             |SELECT least(greatest(CAST(floor((value - mn) / ((mx - mn) / 4)) AS INT), 0), 3) AS bin,
+             |  count(*) AS cnt
+             |FROM events, s GROUP BY 1""".stripMargin)),
+
+    // mode() keep-all-ties (pandas mode returns EVERY maximal value;
+    // mode_value keeps one): rank over counts, filter rank 1.
+    QueryDef("mode_all_ties",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = T.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("user_id").orderBy(col("cnt").desc)
+        cnt.withColumn("rk", rank().over(w)).filter(col("rk") === 1)
+          .select("user_id", "event_type", "cnt")
+      },
+      Some("""SELECT user_id, event_type, cnt FROM (
+             |  SELECT user_id, event_type, count(*) AS cnt,
+             |    rank() OVER (PARTITION BY user_id ORDER BY count(*) DESC) AS rk
+             |  FROM events GROUP BY user_id, event_type) WHERE rk = 1""".stripMargin)),
+
     // searchsorted: insertion indices as conditional counts — one
     // aggregate pass over the column, no sort (reference series.py:2337).
     QueryDef("searchsorted_prices",
