@@ -15,6 +15,17 @@ object StringQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // str.normalize('NFC'): the fixture text is ASCII, so a decomposed
+    // accent (e + U+0301) is planted deterministically and both engines
+    // must compose it — java.text.Normalizer vs DuckDB nfc_normalize.
+    QueryDef("str_normalize",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        graft.functions.StrOps.normalizeUnicode(
+          concat(col("text"), lit(" caf"), lit("é")), "NFC").as("norm")),
+      Some("""SELECT doc_id,
+             |  nfc_normalize(text || ' caf' || 'e' || chr(769)) AS norm
+             |FROM documents""".stripMargin)),
+
     // str.wrap(40): greedy word wrap as an aggregate-HOF fold; identical
     // fold in DuckDB via list_reduce. Words are materialized as a column
     // before the lambda (HOF re-evaluation rule).
