@@ -42,6 +42,27 @@ object ResampleQueries extends QueryModule {
               |  count(*) AS cnt, ${davgSql("value")} AS avg_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // resample(closed='right', label='right'): buckets are (b-5m, b]
+    // labeled by their right edge — integer µs arithmetic (ceil-div)
+    // identical in both engines, no FP bucket edges. origin offset:
+    // pandas offset='90s' shifts the grid; same ceil-div on (t - 90s).
+    QueryDef("resample_closed_right",
+      (s, d) => {
+        // integer `div` (truncating; all operands positive) — Column./
+        // would be DOUBLE division and FP bucket edges
+        val bucketR = expr(
+          "timestamp_micros(((unix_micros(ts) + 299999999) div 300000000) * 300000000)")
+        val bucketO = expr(
+          "timestamp_micros((((unix_micros(ts) - 90000000) + 299999999) div 300000000) * 300000000 + 90000000)")
+        T.events(s, d)
+          .groupBy(bucketR.as("bucket_r"), bucketO.as("bucket_o"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT make_timestamp(((epoch_us(ts) + 299999999) // 300000000) * 300000000) AS bucket_r,
+              |  make_timestamp((((epoch_us(ts) - 90000000) + 299999999) // 300000000) * 300000000 + 90000000) AS bucket_o,
+              |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // asfreq: upsample to an hourly grid, no fill — absent hours null.
     QueryDef("asfreq_hour_grid",
       (s, d) => {
