@@ -19,6 +19,16 @@ object GroupByQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // groupby str.cat / string_agg: order pinned by sorting the
+    // collected values (equal elements interchangeable → deterministic).
+    QueryDef("groupby_str_cat",
+      (s, d) => T.events(s, d).groupBy("user_id")
+        .agg(array_join(array_sort(collect_list(col("event_type"))), ",")
+          .as("types")),
+      Some("""SELECT user_id,
+             |  string_agg(event_type, ',' ORDER BY event_type) AS types
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     QueryDef("groupby_multi_agg",
       (s, d) => T.lineitem(s, d).groupBy("l_returnflag").agg(
         count(lit(1)).as("cnt"),

@@ -407,6 +407,31 @@ object WindowQueries extends QueryModule {
              |  END AS ewm_corr
              |FROM a""".stripMargin)),
 
+    // rolling('10min', closed=left/both/neither): the four interval
+    // closures as µs range-frame bounds ([-w,-1], [-w,0], [-(w-1),-1])
+    // vs the default right ((t-w, t]) already covered by
+    // rolling_time_10min. Pure frame arithmetic — same plan shape.
+    QueryDef("rolling_time_closed",
+      (s, d) => {
+        val t = expr("unix_micros(ts)")
+        val w = 600000000L // 10 min µs
+        def spec(lo: Long, hi: Long) =
+          Window.partitionBy("user_id").orderBy(t.asc).rangeBetween(lo, hi)
+        val base = T.events(s, d)
+        base.select(col("event_id"),
+          count(lit(1)).over(spec(-w, -1L)).as("n_left"),
+          count(lit(1)).over(spec(-w, 0L)).as("n_both"),
+          count(lit(1)).over(spec(-(w - 1), -1L)).as("n_neither"))
+      },
+      Some("""SELECT event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING) AS n_left,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_both,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 599999999 PRECEDING AND 1 PRECEDING) AS n_neither
+             |FROM events""".stripMargin)),
+
     // Exact rolling variance: integer-cent sums make the textbook
     // formula (nΣc² − (Σc)²)/(n(n−1)) exact until one shared IEEE
     // division — engine-native var_samp merge formulas differ at ulp
