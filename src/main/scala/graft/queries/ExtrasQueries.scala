@@ -116,6 +116,47 @@ object ExtrasQueries extends QueryModule {
              |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS roll_corr
              |FROM w""".stripMargin)),
 
+    // expanding().cov()/corr(): same exact integer co-moments over the
+    // unbounded-preceding frame (reference window.py Expanding.corr).
+    QueryDef("expanding_covcorr",
+      (s, d) => {
+        val base = T.events(s, d)
+          .withColumn("x", (dec2(col("value")) * 100).cast("long"))
+          .withColumn("y", get_json_object(col("props"), "$.k").cast("long"))
+        val w = RollingOps.expanding(Seq("user_id"), evOrder)
+        val n = count(col("x")).over(w)
+        val sx = sum(col("x")).over(w);  val sy = sum(col("y")).over(w)
+        val sxx = sum(col("x") * col("x")).over(w)
+        val syy = sum(col("y") * col("y")).over(w)
+        val sxy = sum(col("x") * col("y")).over(w)
+        val covNum = (n * sxy - sx * sy).cast("double")
+        val varX = (n * sxx - sx * sx).cast("double")
+        val varY = (n * syy - sy * sy).cast("double")
+        base.select(col("event_id"),
+          when(n >= 2, covNum / (n * (n - 1)) / 100.0).as("exp_cov"),
+          when(n >= 2 && varX > 0 && varY > 0,
+            covNum / (sqrt(varX) * sqrt(varY))).as("exp_corr"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS y FROM events),
+             |w AS (SELECT event_id, count(x) OVER w AS n,
+             |  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             |  sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             |  sum(x * y) OVER w AS sxy
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CASE WHEN n >= 2 THEN
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) / (n * (n - 1)) / 100.0 END AS exp_cov,
+             |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             |            AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             |    sign(n * sxy - sx * sy) * CAST(abs(n * sxy - sx * sy) AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS exp_corr
+             |FROM w""".stripMargin)),
+
     // BusinessDay offset arithmetic (reference tseries/offsets.py:445):
     // next business day. Spark dow: 1=Sun..7=Sat; DuckDB: 0=Sun..6=Sat.
     QueryDef("bdate_shift",
