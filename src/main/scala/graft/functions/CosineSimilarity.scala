@@ -93,12 +93,15 @@ object CosineSimilarity {
 
 /** SparkSessionExtensions installer:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
-  * makes `cosine_sim(a, b)` available in every session derived from the
-  * builder — the deployment-grade registration path. */
+  * makes `cosine_sim(a, b)` AND the AsofJoin planner strategy available
+  * in every session derived from the builder — the deployment-grade
+  * registration path (no per-session register() calls needed). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

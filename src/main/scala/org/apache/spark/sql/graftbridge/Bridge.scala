@@ -13,4 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-only visibility shim: SparkSessionExtensions' builders are
+    * private[sql]; specs use this to assert what an extensions installer
+    * actually injected. */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession) =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

@@ -40,10 +40,11 @@ class CosineExprSpec extends SparkSpec {
     assert(n == 200)
   }
 
-  test("extensions installer registers the function at session build") {
-    // verify the injectFunction path compiles/instantiates; applying it
-    // to a fresh extensions object must not throw
-    new graft.functions.GraftExtensions()(
-      new org.apache.spark.sql.SparkSessionExtensions)
+  test("extensions installer registers the function and asof strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    val strategies =
+      org.apache.spark.sql.graftbridge.Bridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsofJoinStrategy), strategies.toString)
   }
 }
