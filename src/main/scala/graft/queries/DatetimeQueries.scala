@@ -28,6 +28,26 @@ object DatetimeQueries extends QueryModule {
              |  dayofweek(ts) AS dow, dayofyear(ts) AS doy, quarter(ts) AS q
              |FROM events""".stripMargin)),
 
+    // dt.is_month_start / is_month_end / is_quarter_start / is_year_end
+    // boundary predicates (reference datetimes accessor arrays) — pure
+    // calendar arithmetic, scan-local.
+    QueryDef("dt_predicates",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        (dayofmonth(col("ts")) === 1).as("is_month_start"),
+        (col("ts").cast("date") === last_day(col("ts"))).as("is_month_end"),
+        (dayofmonth(col("ts")) === 1 && month(col("ts")).isin(1, 4, 7, 10))
+          .as("is_quarter_start"),
+        (month(col("ts")) === 12 && dayofmonth(col("ts")) === 31)
+          .as("is_year_end"),
+        (dayofweek(col("ts")).isin(1, 7)).as("is_weekend")),
+      Some("""SELECT event_id,
+             |  day(ts) = 1 AS is_month_start,
+             |  CAST(ts AS DATE) = last_day(CAST(ts AS DATE)) AS is_month_end,
+             |  day(ts) = 1 AND month(ts) IN (1, 4, 7, 10) AS is_quarter_start,
+             |  month(ts) = 12 AND day(ts) = 31 AS is_year_end,
+             |  dayofweek(ts) IN (0, 6) AS is_weekend
+             |FROM events""".stripMargin)),
+
     QueryDef("dt_trunc",
       (s, d) => T.events(s, d).select(col("event_id"),
         date_trunc("hour", col("ts")).as("t_hour"),
