@@ -43,6 +43,17 @@ object SampleOps {
     }
   }
 
+  /** Deterministic corpus mixing: per-source hash-sampled subsets at the
+    * given keep-fractions, unioned — the "dataset mixture" step of a
+    * pretraining pipeline (e.g. upsample wiki, downsample crawl).
+    * Reproducible under reprocessing and layout changes like hashSample;
+    * per-source salts keep the draws independent. */
+  def mixCorpora(sources: Seq[(DataFrame, Double)], keyCol: String,
+      salt: String = "mix"): DataFrame =
+    sources.zipWithIndex.map { case ((df, frac), i) =>
+      hashSample(df, df(keyCol), frac, s"$salt:$i")
+    }.reduce(_ unionByName _)
+
   /** Weighted sample WITHOUT replacement of n rows. `idCol` must be
     * unique and non-null; rows with weight <= 0 or null are excluded
     * (pandas semantics). */

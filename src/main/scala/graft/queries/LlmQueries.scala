@@ -43,6 +43,25 @@ object LlmQueries extends QueryModule {
         TextDedupOps.fingerprint(col("text")).as("fp")),
       Some(s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents")),
 
+    // Dataset mixture: per-source deterministic hash sampling at target
+    // keep-fractions (downsample src0 to 30%, keep the rest whole) —
+    // the pretraining-mix step, reproducible across reprocessing.
+    QueryDef("dataset_mixture",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d)
+        SampleOps.mixCorpora(Seq(
+          docs.filter(col("source") === "src0") -> 0.3,
+          docs.filter(col("source") =!= "src0") -> 1.0), "doc_id")
+          .select("doc_id", "source")
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix:0'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents WHERE source = 'src0') WHERE h < 1288490188
+             |UNION ALL
+             |SELECT doc_id, source FROM documents WHERE source <> 'src0'""".stripMargin)),
+
     // PII redaction: emails + phone-shaped digit runs → placeholders.
     // The fixture text is synthetic-clean, so PII is injected
     // deterministically first (same construction in the oracle) — the

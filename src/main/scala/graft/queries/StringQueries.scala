@@ -150,6 +150,22 @@ object StringQueries extends QueryModule {
              |SELECT doc_id, i - 1 AS pos, w[i] AS word
              |FROM t, UNNEST(generate_series(1, len(w))) AS s(i)""".stripMargin)),
 
+    // explode with keep-empty (pandas explode leaves a NaN row for an
+    // empty list — Spark explode_outer): arrays are emptied
+    // deterministically for short docs so the outer branch is exercised.
+    QueryDef("explode_outer_empty",
+      (s, d) => {
+        val arr = when(col("n_chars") < 60, array().cast("array<string>"))
+          .otherwise(split(col("text"), " "))
+        T.documents(s, d).select(col("doc_id"), explode_outer(arr).as("word"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN n_chars < 60 THEN [] ELSE string_split(text, ' ') END AS w
+             |  FROM documents)
+             |SELECT doc_id,
+             |  unnest(CASE WHEN len(w) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE w END) AS word
+             |FROM t""".stripMargin)),
+
     // str.encode/decode round-trip + split().get(n) + array join
     // (reference strings.py:2651 encode/decode, :2506 get, :2511 join).
     QueryDef("str_encode_get_join",
