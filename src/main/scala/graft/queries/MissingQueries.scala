@@ -169,6 +169,69 @@ object MissingQueries extends QueryModule {
               |  END AS fill_outside
               |FROM w""".stripMargin)),
 
+    // interpolate(method='nearest'): the closer known NEIGHBOR VALUE by
+    // row distance (scipy interp1d 'nearest'; halfway takes the left).
+    QueryDef("interpolate_nearest",
+      (s, d) => {
+        val rn = row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        val base = withA(s, d).withColumn("rn", rn)
+        val w = Window.partitionBy("user_id").orderBy("rn")
+        val before = w.rowsBetween(Window.unboundedPreceding, 0)
+        val after = w.rowsBetween(0, Window.unboundedFollowing)
+        val pv = last(col("a"), ignoreNulls = true).over(before)
+        val nv = first(col("a"), ignoreNulls = true).over(after)
+        val pp = last(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(before)
+        val np = first(when(col("a").isNotNull, col("rn")), ignoreNulls = true).over(after)
+        val pick = when(col("a").isNotNull, col("a"))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .when(col("rn") - pp <= np - col("rn"), pv)
+          .otherwise(nv)
+        base.select(col("event_id"), pick.as("interp"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM ($baseSql)
+              |), w AS (
+              |  SELECT event_id, a, rn,
+              |    last_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    first_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    last_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+              |    first_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY rn
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+              |  FROM base)
+              |SELECT event_id,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NULL THEN nv
+              |       WHEN nv IS NULL THEN pv
+              |       WHEN rn - pp <= np - rn THEN pv
+              |       ELSE nv END AS interp
+              |FROM w""".stripMargin)),
+
+    // fillna(axis=1, method='ffill'): fill ACROSS columns left→right —
+    // a coalesce cascade over the column order, scan-local.
+    QueryDef("fillna_axis1",
+      (s, d) => {
+        val a = when(col("value") < 50, lit(null)).otherwise(col("value"))
+        val b = when(col("value") % 7 < 2, lit(null)).otherwise(col("value") * 2)
+        val c = when(col("value") % 11 < 3, lit(null)).otherwise(col("value") + 1)
+        T.events(s, d).select(col("event_id"),
+          a.as("a"), coalesce(b, a).as("b"), coalesce(c, b, a).as("c"))
+      },
+      Some("""WITH t AS (SELECT event_id,
+             |    CASE WHEN value < 50 THEN NULL ELSE value END AS a,
+             |    CASE WHEN value % 7 < 2 THEN NULL ELSE value * 2 END AS b,
+             |    CASE WHEN value % 11 < 3 THEN NULL ELSE value + 1 END AS c
+             |  FROM events)
+             |SELECT event_id, a, coalesce(b, a) AS b, coalesce(c, b, a) AS c
+             |FROM t""".stripMargin)),
+
     // interpolate(method='time'): weights by elapsed time between the
     // surrounding known points, not by row position.
     QueryDef("interpolate_time",
