@@ -253,6 +253,22 @@ object SelectionQueries extends QueryModule {
         .select("event_id"),
       None),
 
+    // sample(n=500) deterministic: the n smallest hash-uniforms — an
+    // order-by-hash top-k (TakeOrderedAndProject, no full sort), exact
+    // row count, reproducible, and oracle-checkable unlike rand().
+    QueryDef("sample_n_hash",
+      (s, d) => {
+        import graft.operators.SampleOps
+        T.events(s, d)
+          .orderBy(SampleOps.hashU32(col("event_id"), "n500").asc,
+            col("event_id").asc)
+          .limit(500).select("event_id")
+      },
+      Some("""SELECT event_id FROM events
+             |ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':n500'), 1, 8)) AS BIGINT),
+             |  event_id
+             |LIMIT 500""".stripMargin)),
+
     // Deterministic md5-hash sampling + train/val/test split: unlike
     // rand()-based sample above this IS oracle-exact (both engines
     // compute the identical md5-derived uniform), and a document's
