@@ -165,6 +165,34 @@ object ApplyQueries extends QueryModule {
              |  timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_wall
              |FROM events""".stripMargin)),
 
+    // rank(axis=1, method='min'): each cell's rank among its own row's
+    // values — array filter counts, no pivot, scan-local. Values are
+    // made distinct-free-safe by comparing exact doubles.
+    QueryDef("rank_axis1",
+      (s, d) => {
+        val a = col("value")
+        val b = get_json_object(col("props"), "$.k").cast("double")
+        val c = (col("user_id") % 100).cast("double")
+        val arr = array(a, b, c)
+        T.events(s, d)
+          .withColumn("__arr", arr)
+          .select(col("event_id"),
+            (size(filter(col("__arr"), v => v < a)) + 1).as("rank_a"),
+            (size(filter(col("__arr"), v => v < b)) + 1).as("rank_b"),
+            (size(filter(col("__arr"), v => v < c)) + 1).as("rank_c"))
+      },
+      Some("""WITH t AS (SELECT event_id,
+             |    [value, CAST(json_extract_string(props, '$.k') AS DOUBLE),
+             |     CAST(user_id % 100 AS DOUBLE)] AS arr,
+             |    value AS a, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS b,
+             |    CAST(user_id % 100 AS DOUBLE) AS c
+             |  FROM events)
+             |SELECT event_id,
+             |  len(list_filter(arr, v -> v < a)) + 1 AS rank_a,
+             |  len(list_filter(arr, v -> v < b)) + 1 AS rank_b,
+             |  len(list_filter(arr, v -> v < c)) + 1 AS rank_c
+             |FROM t""".stripMargin)),
+
     // axis=1 reductions: per-row non-null count / any / all across a
     // column set (reference: frame.py:7038 count(axis=1), nanops any/all)
     // — pure codegen'd expressions, no row pivoting.
