@@ -150,6 +150,19 @@ object StringQueries extends QueryModule {
              |SELECT doc_id, i - 1 AS pos, w[i] AS word
              |FROM t, UNNEST(generate_series(1, len(w))) AS s(i)""".stripMargin)),
 
+    // str.count(pat) + str.findall(pat) head (reference strings.py:2450
+    // count, :2610 findall) — regexp_count / regexp_extract_all.
+    QueryDef("str_count_findall",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        regexp_count(col("text"), lit("ta[a-z]+")).as("n_ta"),
+        // try_element_at: ANSI element_at throws on the empty-match array
+        try_element_at(regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0)),
+          lit(1)).as("first_ta")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, 'ta[a-z]+')) AS n_ta,
+             |  regexp_extract_all(text, 'ta[a-z]+')[1] AS first_ta
+             |FROM documents""".stripMargin)),
+
     // explode with keep-empty (pandas explode leaves a NaN row for an
     // empty list — Spark explode_outer): arrays are emptied
     // deterministically for short docs so the outer branch is exercised.
