@@ -178,6 +178,14 @@ final case class PFrame(
   def query(q: String, vars: Map[String, Any] = Map.empty): PFrame =
     filter(graft.expr.QueryExpr.translate(q, vars))
 
+  /** df.eval("c = a + b\nd = c > 1"): assignment program over the same
+    * grammar (reference eval.py:156); sequential withColumn so later
+    * lines see earlier targets. */
+  def eval(program: String, vars: Map[String, Any] = Map.empty): PFrame =
+    graft.expr.QueryExpr.evalAssignments(program, vars).foldLeft(this) {
+      case (f, (name, c)) => f.withColumn(name, c)
+    }
+
   def head(n: Int): PFrame = {
     val o = withOrder
     o.copy(df = operators.SelectionOps.head(o.df, n, Seq(col(o.orderCol.get))))

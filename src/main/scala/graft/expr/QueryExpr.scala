@@ -29,6 +29,35 @@ object QueryExpr {
   def translate(q: String, vars: Map[String, Any] = Map.empty): Column =
     new Parser(q, vars).parse()
 
+  /** DataFrame.eval / pd.eval assignment form (reference eval.py:156
+    * multi-line programs): "target = expr" per line, later lines may
+    * reference earlier targets (realized by sequential withColumn).
+    * Returns (target, translated Column) in program order. */
+  def evalAssignments(program: String,
+      vars: Map[String, Any] = Map.empty): Seq[(String, Column)] =
+    program.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+      val i = topLevelAssignIndex(line)
+      require(i > 0, s"eval expects 'name = expr': $line")
+      val name = line.substring(0, i).trim
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad eval target: $name")
+      name -> translate(line.substring(i + 1), vars)
+    }
+
+  /** Index of a bare '=' (not ==, <=, >=, !=), outside string literals. */
+  private def topLevelAssignIndex(s: String): Int = {
+    var i = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '=' &&
+          (i + 1 >= s.length || s(i + 1) != '=') &&
+          (i == 0 || !"<>=!".contains(s(i - 1)))) return i
+      i += 1
+    }
+    -1
+  }
+
   private sealed trait Tok
   private case class Ident(s: String) extends Tok
   private case class Num(v: Double, isInt: Boolean) extends Tok

@@ -30,6 +30,17 @@ object ExtrasQueries extends QueryModule {
              |WHERE l_quantity >= 45 AND (l_discount <= 0.02 OR l_returnflag = 'R')
              |  AND l_linenumber IN (1, 2)""".stripMargin)),
 
+    // df.eval assignment program over the same grammar: later lines
+    // reference earlier targets (reference eval.py:156).
+    QueryDef("eval_assign",
+      (s, d) => graft.core.PFrame(T.lineitem(s, d))
+        .eval("z = l_quantity * 2 + @off\nbig = z >= 60", Map("off" -> 1))
+        .df.select("l_orderkey", "l_linenumber", "z", "big"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_quantity * 2 + 1 AS z,
+             |  l_quantity * 2 + 1 >= 60 AS big
+             |FROM lineitem""".stripMargin)),
+
     // to_csv/read_csv as expressions: the file-level path is
     // spark.read.csv; the expression round-trip is oracle-checkable.
     QueryDef("csv_roundtrip",

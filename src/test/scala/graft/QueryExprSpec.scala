@@ -43,4 +43,18 @@ class QueryExprSpec extends SparkSpec {
   test("rejects trailing garbage") {
     intercept[IllegalArgumentException](ids("v > 1 x"))
   }
+
+  test("eval assignments: sequential targets, ==-vs-= disambiguation") {
+    import graft.core.PFrame
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val out = PFrame(df).eval("z = v * 2 + @off\nbig = z >= 41", Map("off" -> 1))
+      .df.orderBy("id").collect()
+    assert(out(0).getDouble(2) == 21.0 && !out(0).getBoolean(3))
+    assert(out(1).getDouble(2) == 41.0 && out(1).getBoolean(3))
+    // '==' inside the expr must not be mistaken for an assignment
+    val flagged = PFrame(df).eval("eq = v == 10.0").df.orderBy("id").collect()
+    assert(flagged(0).getBoolean(2) && !flagged(1).getBoolean(2))
+    intercept[IllegalArgumentException](PFrame(df).eval("v + 1"))
+  }
 }
