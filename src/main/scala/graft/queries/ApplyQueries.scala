@@ -165,6 +165,31 @@ object ApplyQueries extends QueryModule {
              |  timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_wall
              |FROM events""".stripMargin)),
 
+    // cumsum(axis=1) + clip(column bounds): row-wise prefix sums across
+    // the column order, and clip against per-row bounds — both pure
+    // scan-local arithmetic. Exact decimal additions, cast back.
+    QueryDef("cumsum_axis1_clip",
+      (s, d) => {
+        val a = dec2(col("value"))
+        val b = dec2(get_json_object(col("props"), "$.k").cast("double"))
+        val c = dec2((col("user_id") % 100).cast("double"))
+        val hi = (col("user_id") % 300 + 100).cast("double")
+        T.events(s, d).select(col("event_id"),
+          a.cast("double").as("c1"),
+          (a + b).cast("double").as("c2"),
+          (a + b + c).cast("double").as("c3"),
+          least(greatest(col("value"), lit(10.0)), hi).as("clipped"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS c1,
+             |  CAST(CAST(value AS DECIMAL(12,2))
+             |    + CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(12,2)) AS DOUBLE) AS c2,
+             |  CAST(CAST(value AS DECIMAL(12,2))
+             |    + CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(12,2))
+             |    + CAST(CAST(user_id % 100 AS DOUBLE) AS DECIMAL(12,2)) AS DOUBLE) AS c3,
+             |  least(greatest(value, 10.0), CAST(user_id % 300 + 100 AS DOUBLE)) AS clipped
+             |FROM events""".stripMargin)),
+
     // rank(axis=1, method='min'): each cell's rank among its own row's
     // values — array filter counts, no pivot, scan-local. Values are
     // made distinct-free-safe by comparing exact doubles.

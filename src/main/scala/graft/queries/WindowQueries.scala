@@ -407,6 +407,24 @@ object WindowQueries extends QueryModule {
              |  END AS ewm_corr
              |FROM a""".stripMargin)),
 
+    // groupby().pct_change(): per-group relative change vs the previous
+    // observation (reference groupby.py pct_change) — lag + try_divide
+    // (ANSI-safe when the previous value is 0).
+    QueryDef("groupby_pct_change",
+      (s, d) => {
+        val w = RollingOps.ordered(Seq("user_id"), evOrder)
+        val prev = lag(col("value"), 1).over(w)
+        T.events(s, d).select(col("event_id"),
+          round((try_divide(col("value"), prev) - 1) * 1e6).cast("long")
+            .as("pct_e6"))
+      },
+      // integer micro-units: value/prev is a true division whose round(6)
+      // would sit on rounding boundaries (the math_elementwise rule)
+      Some("""SELECT event_id,
+             |  CAST(round((value / nullif(lag(value, 1) OVER w, 0) - 1) * 1e6) AS BIGINT) AS pct_e6
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // rolling('10min', closed=left/both/neither): the four interval
     // closures as µs range-frame bounds ([-w,-1], [-w,0], [-(w-1),-1])
     // vs the default right ((t-w, t]) already covered by
