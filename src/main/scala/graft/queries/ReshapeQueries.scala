@@ -177,7 +177,8 @@ object ReshapeQueries extends QueryModule {
         round(exp(col("l_discount")) * 1e6).cast("long").as("exp_d6"),
         pmod(col("l_orderkey"), lit(97)).as("m97")),
       Some("""SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_d,
-             |  floor(l_quantity / 7) AS fl, ceil(l_quantity / 7) AS ce,
+             |  CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
+             |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ce,
              |  sqrt(l_extendedprice) AS sq,
              |  CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT) AS ln_p6,
              |  CAST(round(exp(l_discount) * 1e6) AS BIGINT) AS exp_d6,

@@ -9,14 +9,33 @@ sfDir parquet tables, and compares (schema-insensitively): columns
 sorted by name, rows sorted by all columns, exact value equality
 (floats compared to 1e-9 relative to flag near-misses separately).
 
+The driver's hasher is TYPED: an int 3 vs float 3.0 hash-mismatches even
+though Python says 3 == 3.0. So a cross-engine type mismatch (e.g. Spark
+floor() -> BIGINT vs DuckDB floor() -> DOUBLE) is a hard FAIL here, not
+a pass — it predicts a driver hash-red exactly.
+
 This is a dev tool only — the driver has its own copy of this logic.
 """
+import decimal
 import glob
 import json
 import math
 import sys
 
 import duckdb
+
+
+def kind(v):
+    # Type "kind" mirroring the driver's hasher, which goes through a
+    # pandas frame: DECIMAL and DOUBLE both land as float64 (so they
+    # compare equal), but BIGINT lands as int64 (so int 3 != float 3.0).
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, (float, decimal.Decimal)):
+        return "float"
+    return type(v).__name__
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -101,14 +120,24 @@ def main():
         bad = None
         exact = True
         for i, (rs, ro) in enumerate(zip(s, o)):
+            # Strict typed pass first: int != float even when values are
+            # numerically equal — mirrors the driver's typed hasher.
+            tm = next((j for j, (a, b) in enumerate(zip(rs, ro))
+                       if a is not None and b is not None
+                       and kind(a) != kind(b)), None)
+            if tm is not None:
+                bad = (i, rs, ro,
+                       f"typed: col {sc[tm]} is {kind(rs[tm])} "
+                       f"vs oracle {kind(ro[tm])}")
+                break
             if rs != ro:
                 exact = False
                 if not all(eq(a, b) for a, b in zip(rs, ro)):
-                    bad = (i, rs, ro)
+                    bad = (i, rs, ro, "value")
                     break
         if bad:
-            i, rs, ro = bad
-            print(f"FAIL {name}: row {i} differs\n  spark : {rs}\n  oracle: {ro}")
+            i, rs, ro, why = bad
+            print(f"FAIL {name}: row {i} differs ({why})\n  spark : {rs}\n  oracle: {ro}")
             n_fail += 1
         elif not exact:
             print(f"WARN {name}: matches only within float tolerance (driver may hash-mismatch)")
