@@ -58,14 +58,26 @@ object Bench {
 
     // Warmup: pay one-time session/codegen/JIT/parquet-footer costs
     // outside the measured loop, as any long-lived cluster would have —
-    // each headline query runs once unmeasured, then once measured.
+    // each headline query runs once unmeasured, then 3 measured reps.
     names.foreach(runOnce)
 
-    val results = names.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Median of 3 reps per query: a single-shot number on a contended
+    // host has misstated totals by 2-3x; the median is robust to one
+    // noisy rep and the per-rep times are kept in the JSON for audit.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val results = names.map { n =>
+      val times = (1 to reps).map(_ => runOnce(n)).toVector
+      val ok = times.filter(_ >= 0).sorted
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      (n, median, times)
+    }
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,6 +54,11 @@ object DistScan {
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Register an externally-persisted frame (e.g. minhash signatures)
+    * with the same release queue, so `releaseCaches()` is the single
+    * step-boundary hook a long-lived application calls. */
+  def registerCache(df: DataFrame): DataFrame = { persistedFrames.add(df); df }
+
   /** Unpersist every DistScan-cached intermediate. Call between
     * pipeline steps once prior results are materialized; long sessions
     * that skip this accumulate executor storage until eviction. */

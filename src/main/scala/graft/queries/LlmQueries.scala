@@ -180,11 +180,15 @@ object LlmQueries extends QueryModule {
     // times (band explode + two pair-side re-attach joins), and the
     // shingle-explode+32-way min agg is the expensive stage — at any
     // scale you materialize signatures once, never recompute per use.
+    // Registered with DistScan's release queue so the application's
+    // step-boundary releaseCaches() frees them — previously nothing
+    // did, leaking one cached plan per invocation in long sessions.
     QueryDef("minhash_near_dup",
       (s, d) => {
-        val sigs = TextDedupOps.minHashSignatures(
-          augmented(s, d), "doc_id", "text", shingleN = 3, k = 32)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigs = graft.operators.DistScan.registerCache(
+          TextDedupOps.minHashSignatures(
+            augmented(s, d), "doc_id", "text", shingleN = 3, k = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         TextDedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.9)
       },
       None),
