@@ -89,6 +89,73 @@ object MomentQueries extends QueryModule {
              |  END AS kurt
              |FROM m""".stripMargin)),
 
+    // expanding().skew() / .kurt() (reference core/window.py:1792 —
+    // Expanding mirrors Rolling's full method table; kernels
+    // window.pyx:1010/1106 with an unbounded-preceding frame). Same
+    // exact cent-power-sum machinery as groupby_skew_kurt, evaluated
+    // over a cumulative window: sums stay exact in DECIMAL(38,0) /
+    // HUGEINT up to ~2·10⁵ rows per group for the 4th moment, far above
+    // any per-user history in the fixtures; repartitioning users across
+    // executors keeps this scale-safe at 100 TB (window is per-user).
+    QueryDef("expanding_skew_kurt",
+      (s, d) => {
+        import graft.operators.RollingOps
+        val d38 = DecimalType(38, 0)
+        val w = RollingOps.expanding(Seq("user_id"), Seq(col("ts"), col("event_id")))
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val cd = col("c").cast(d38)
+        val n = count(col("c")).over(w)
+        val s1 = sum(cd).over(w)
+        val s2 = sum(cd * cd).over(w)
+        val s3 = sum(cd * cd * cd).over(w)
+        val s4 = sum(cd * cd * cd * cd).over(w)
+        val nd = n.cast(d38)
+        val b = (nd * s2 - s1 * s1).cast("double")
+        val a3 = (nd * nd * s3 - lit(3).cast(d38) * nd * s2 * s1
+          + lit(2).cast(d38) * s1 * s1 * s1).cast("double")
+        val a4 = (nd * nd * nd * s4
+          - lit(4).cast(d38) * nd * nd * s3 * s1
+          + lit(6).cast(d38) * nd * s2 * s1 * s1
+          - lit(3).cast(d38) * s1 * s1 * s1 * s1).cast("double")
+        val skew = when(n > 2 && b > 0,
+          round(sqrt((n * (n - 1)).cast("double")) / (n - 2) * a3 / pow(b, 1.5), 6))
+        val kurt = when(n > 3 && b > 0,
+          round(((n * n - 1) * (a4 / (b * b)) - lit(3.0) * (n - 1) * (n - 1)) /
+            ((n - 2) * (n - 3)), 6))
+        base.select(col("event_id"), skew.as("exp_skew"), kurt.as("exp_kurt"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |    CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT) AS c
+             |  FROM events),
+             |w AS (SELECT event_id, count(c) OVER w AS n, sum(c) OVER w AS s1,
+             |    sum(c * c) OVER w AS s2, sum(c * c * c) OVER w AS s3,
+             |    sum(c * c * c * c) OVER w AS s4
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT event_id, n,
+             |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS braw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+             |      - 3 * CAST(n AS HUGEINT) * s2 * s1 + 2 * s1 * s1 * s1 AS a3raw,
+             |    CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
+             |      - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3 * s1
+             |      + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
+             |      - 3 * s1 * s1 * s1 * s1 AS a4raw
+             |  FROM w)
+             |SELECT event_id,
+             |  CASE WHEN n > 2 AND braw > 0 THEN
+             |    round(sqrt(CAST(n * (n - 1) AS DOUBLE)) / (n - 2)
+             |      * (sign(a3raw) * CAST(abs(a3raw) AS DOUBLE))
+             |      / pow(sign(braw) * CAST(abs(braw) AS DOUBLE), 1.5), 6)
+             |  END AS exp_skew,
+             |  CASE WHEN n > 3 AND braw > 0 THEN
+             |    round(((n * n - 1) * ((sign(a4raw) * CAST(abs(a4raw) AS DOUBLE))
+             |        / (CAST(braw AS DOUBLE) * CAST(braw AS DOUBLE)))
+             |      - 3.0 * (n - 1) * (n - 1)) / ((n - 2) * (n - 3)), 6)
+             |  END AS exp_kurt
+             |FROM m""".stripMargin)),
+
     // str.extractall → Generator shape: array-returning regexp + explode
     // (reference strings.py:2765; compared as a (doc_id, match) multiset).
     QueryDef("str_extractall",

@@ -111,6 +111,83 @@ object SessionRangeQueries extends QueryModule {
            |FROM w""".stripMargin
       }),
 
+    // win_type='hamming' (M=7): cosine-series weights precomputed on the
+    // driver (WindowWeights) and pasted into both engines as round-trip
+    // double literals — same discipline as gauss above.
+    QueryDef("rolling_weighted_hamming",
+      (s, d) => {
+        import graft.operators.WindowWeights
+        val ws = WindowWeights.hamming(7)
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 7)
+        T.events(s, d).select(col("event_id"),
+          WindowWeights.weightedMean(col("value"), w, ws).as("ham_mean"))
+      },
+      Some {
+        val ws = graft.operators.WindowWeights.hamming(7)
+        s"""WITH w AS (SELECT event_id, list(value) OVER w AS l FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           |SELECT event_id, CASE WHEN len(l) = 7 THEN
+           |  round(list_reduce(list_transform(generate_series(1, 7),
+           |    i -> l[i] * ([${ws.mkString(", ")}])[i]), (a, b) -> a + b) / ${ws.sum}, 6)
+           |END AS ham_mean
+           |FROM w""".stripMargin
+      }),
+
+    // win_type='blackman' (M=7): same driver-literal discipline.
+    QueryDef("rolling_weighted_blackman",
+      (s, d) => {
+        import graft.operators.WindowWeights
+        val ws = WindowWeights.blackman(7)
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 7)
+        T.events(s, d).select(col("event_id"),
+          WindowWeights.weightedMean(col("value"), w, ws).as("black_mean"))
+      },
+      Some {
+        val ws = graft.operators.WindowWeights.blackman(7)
+        s"""WITH w AS (SELECT event_id, list(value) OVER w AS l FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           |SELECT event_id, CASE WHEN len(l) = 7 THEN
+           |  round(list_reduce(list_transform(generate_series(1, 7),
+           |    i -> l[i] * ([${ws.mkString(", ")}])[i]), (a, b) -> a + b) / ${ws.sum}, 6)
+           |END AS black_mean
+           |FROM w""".stripMargin
+      }),
+
+    // win_type='bartlett' (M=5, weights [0,½,1,½,0] → ×2 integer
+    // [0,1,2,1,0]) and 'boxcar' (plain mean as a win_type): both exact
+    // in integer cents, no rounding needed — the only doubles are the
+    // final identical-ordered divisions.
+    QueryDef("rolling_weighted_bartlett",
+      (s, d) => {
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 5)
+        val cents = (dec2(col("value")) * 100).cast("long")
+        val base = T.events(s, d).withColumn("c", cents)
+        val l = collect_list(col("c")).over(w)
+        val bart2 = array(lit(0L), lit(1L), lit(2L), lit(1L), lit(0L))
+        val bsum = aggregate(zip_with(l, bart2, (x, wt) => x * wt),
+          lit(0L), (acc, x) => acc + x)
+        val boxsum = aggregate(l, lit(0L), (acc, x) => acc + x)
+        base.select(col("event_id"),
+          when(size(l) === 5, bsum.cast("double") / 100.0 / 4.0).as("bart_mean"),
+          when(size(l) === 5, boxsum.cast("double") / 100.0 / 5.0).as("box_mean"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
+             |w AS (SELECT event_id, list(c) OVER w AS l FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CASE WHEN len(l) = 5 THEN
+             |    CAST(list_sum(list_transform(generate_series(1, 5),
+             |      i -> l[i] * ([0, 1, 2, 1, 0])[i])) AS DOUBLE) / 100.0 / 4.0
+             |  END AS bart_mean,
+             |  CASE WHEN len(l) = 5 THEN
+             |    CAST(list_sum(l) AS DOUBLE) / 100.0 / 5.0
+             |  END AS box_mean
+             |FROM w""".stripMargin)),
+
     // first_valid_index / last_valid_index (reference generic.py:9826).
     QueryDef("valid_index_bounds",
       (s, d) => T.events(s, d)
