@@ -61,10 +61,25 @@ object Bench {
     // each headline query runs once unmeasured, then 3 measured reps.
     names.foreach(runOnce)
 
+    // Plan-shape signal: shuffle-exchange count per query (+1 = stage
+    // count on a non-adaptive run). Wall-time noise can hide a plan
+    // regression; an extra Exchange cannot hide from this.
+    // (shuffles print as "Exchange hashpartitioning/rangepartitioning";
+    // BroadcastExchange is not a stage boundary and is excluded)
+    def planStages(name: String): Int = {
+      val plan = queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")) + 1
+    }
+
     // Median of 3 reps per query: a single-shot number on a contended
     // host has misstated totals by 2-3x; the median is robust to one
     // noisy rep and the per-rep times are kept in the JSON for audit.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Malformed or non-positive rep overrides fall back to 3 — reps=0
+    // would silently report every query as excluded-as-failed.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+      .getOrElse(3)
     val results = names.map { n =>
       val times = (1 to reps).map(_ => runOnce(n)).toVector
       val ok = times.filter(_ >= 0).sorted
@@ -76,8 +91,10 @@ object Bench {
     val rs = results.map { case (k, _, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val st = names.map(n => "\"" + n + "\":" + planStages(n))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

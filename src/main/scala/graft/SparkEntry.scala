@@ -27,7 +27,8 @@ object SparkEntry {
     qmod.AlignQueries,
     qmod.SetOpQueries,
     qmod.MissingQueries,
-    qmod.ApplyQueries
+    qmod.ApplyQueries,
+    qmod.OffsetQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

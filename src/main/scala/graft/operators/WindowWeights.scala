@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * — and any differential oracle engine — then run identical ordered
   * IEEE arithmetic. Evaluating cos/exp per row instead would diverge
   * across libm implementations at 1 ULP and break hash-exact compares.
+  *
+  * Fidelity note: hamming/blackman use the textbook cosine series at
+  * arguments 2πn/(M−1); scipy evaluates its general_cosine form at
+  * linspace(−π,π) arguments, which differs from this at ~1 ULP for some
+  * (M, n). Both engines here receive the SAME literals so parity is
+  * unaffected — only bit-compatibility with scipy's exact output is
+  * approximate.
   */
 object WindowWeights {
 
@@ -30,17 +37,22 @@ object WindowWeights {
   }
 
   /** bartlett(M): triangular with zero endpoints — exact dyadic weights
-    * for odd M (0, 1/2, 1, ...), so the dot product can stay exact. */
+    * for odd M (0, 1/2, 1, ...), so the dot product can stay exact.
+    * M=1 is scipy's special case [1.0] (the series would be 0/0). */
   def bartlett(m: Int): Seq[Double] =
-    (0 until m).map(n => 1.0 - math.abs(2.0 * n / (m - 1) - 1.0))
+    if (m == 1) Seq(1.0)
+    else (0 until m).map(n => 1.0 - math.abs(2.0 * n / (m - 1) - 1.0))
 
-  /** hamming(M): 0.54 − 0.46·cos(2πn/(M−1)). */
+  /** hamming(M): 0.54 − 0.46·cos(2πn/(M−1)); hamming(1) = [1.0]. */
   def hamming(m: Int): Seq[Double] =
-    (0 until m).map(n => 0.54 - 0.46 * math.cos(2 * math.Pi * n / (m - 1)))
+    if (m == 1) Seq(1.0)
+    else (0 until m).map(n => 0.54 - 0.46 * math.cos(2 * math.Pi * n / (m - 1)))
 
-  /** blackman(M): 0.42 − 0.5·cos(2πn/(M−1)) + 0.08·cos(4πn/(M−1)). */
+  /** blackman(M): 0.42 − 0.5·cos(2πn/(M−1)) + 0.08·cos(4πn/(M−1));
+    * blackman(1) = [1.0]. */
   def blackman(m: Int): Seq[Double] =
-    (0 until m).map { n =>
+    if (m == 1) Seq(1.0)
+    else (0 until m).map { n =>
       val x = 2 * math.Pi * n / (m - 1)
       0.42 - 0.5 * math.cos(x) + 0.08 * math.cos(2 * x)
     }

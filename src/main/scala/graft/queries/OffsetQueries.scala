@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Offsets
+import org.apache.spark.sql.functions._
+
+/** Anchored-frequency resample / shift / range queries (SURVEY §2.9
+  * datetime offsets + §2.10 resample rules; reference
+  * pandas/tseries/offsets.py:445-2098, resample.py TimeGrouper with
+  * anchored W-/Q-/A- rules; semantics cross-checked against pandas
+  * directly — see OffsetsSpec).
+  *
+  * All labels are closed-form DATE arithmetic (Offsets) evaluated in the
+  * scan stage; the aggregations are ordinary hash aggs on the label —
+  * the same one-shuffle shape as plain resample, so anchoring is free at
+  * 100 TB.
+  */
+object OffsetQueries extends QueryModule {
+
+  private val T = Tables
+  import Q._
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // resample('W-SUN') on event timestamps: weekly bins (Mon..Sun] by
+    // date, labeled by their Sunday (pandas closed='right'/label='right'
+    // weekly default with the end-of-day edge adjustment).
+    QueryDef("resample_weekly_anchored",
+      (s, d) => T.events(s, d)
+        .groupBy(Offsets.weekAnchorLabel(to_date(col("ts")), 6).as("week_end"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value")),
+      Some(s"""SELECT ${Offsets.weekAnchorLabelSql("ts", 6)} AS week_end,
+              |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    // resample('Q-NOV') fiscal quarters (ending Feb/May/Aug/Nov) plus the
+    // containing A-JUN fiscal year — both anchored labels in one pass.
+    QueryDef("resample_quarter_fiscal",
+      (s, d) => T.orders(s, d)
+        .groupBy(
+          Offsets.quarterEndLabel(col("o_orderdate"), 11).as("q_end"),
+          Offsets.yearEndLabel(col("o_orderdate"), 6).as("fy_end"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT ${Offsets.quarterEndLabelSql("o_orderdate", 11)} AS q_end,
+              |  ${Offsets.yearEndLabelSql("o_orderdate", 6)} AS fy_end,
+              |  count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // shift(freq=) through the anchored-offset algebra: Week(weekday=2),
+    // MonthBegin, MonthEnd, QuarterEnd(startingMonth=12), YearEnd(month=6)
+    // — on-anchor dates advance one full period (pandas `ts + offset`).
+    QueryDef("shift_anchored_offsets",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        Offsets.shiftWeek(col("o_orderdate"), 2).as("next_wed"),
+        Offsets.shiftMonthBegin(col("o_orderdate")).as("month_begin"),
+        Offsets.shiftMonthEnd(col("o_orderdate")).as("month_end"),
+        Offsets.shiftQuarterEnd(col("o_orderdate"), 12).as("quarter_end"),
+        Offsets.shiftYearEnd(col("o_orderdate"), 6).as("fy_end")),
+      Some(s"""SELECT o_orderkey,
+              |  ${Offsets.shiftWeekSql("o_orderdate", 2)} AS next_wed,
+              |  ${Offsets.shiftMonthBeginSql("o_orderdate")} AS month_begin,
+              |  ${Offsets.shiftMonthEndSql("o_orderdate")} AS month_end,
+              |  ${Offsets.shiftQuarterEndSql("o_orderdate", 12)} AS quarter_end,
+              |  ${Offsets.shiftYearEndSql("o_orderdate", 6)} AS fy_end
+              |FROM orders""".stripMargin)),
+
+    // date_range(freq='W-WED'): Wednesdays from the first anchor at or
+    // after the start — sequence() + explode, generated distributively.
+    QueryDef("date_range_weekly_anchored",
+      (s, d) => s.range(1).select(explode(sequence(
+          Offsets.weekAnchorLabel(lit("2024-01-01").cast("date"), 2),
+          lit("2024-06-30").cast("date"),
+          expr("interval 7 days"))).as("wed")),
+      Some("""SELECT CAST(unnest(generate_series(DATE '2024-01-03',
+             |  DATE '2024-06-30', INTERVAL 7 DAY)) AS DATE) AS wed""".stripMargin))
+  )
+}

@@ -76,8 +76,8 @@ object SessionRangeQueries extends QueryModule {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
              |SELECT event_id, CASE WHEN len(l) = 5 THEN
-             |  CAST(list_sum(list_transform(generate_series(1, 5),
-             |    i -> l[i] * ([1, 2, 3, 2, 1])[i])) AS DOUBLE) / 100.0 / 9.0
+             |  CAST(list_reduce(list_transform(generate_series(1, 5),
+             |    i -> l[i] * ([1, 2, 3, 2, 1])[i]), (a, b) -> a + b) AS DOUBLE) / 100.0 / 9.0
              |END AS tri_mean
              |FROM w""".stripMargin)),
 
@@ -180,11 +180,11 @@ object SessionRangeQueries extends QueryModule {
              |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
              |SELECT event_id,
              |  CASE WHEN len(l) = 5 THEN
-             |    CAST(list_sum(list_transform(generate_series(1, 5),
-             |      i -> l[i] * ([0, 1, 2, 1, 0])[i])) AS DOUBLE) / 100.0 / 4.0
+             |    CAST(list_reduce(list_transform(generate_series(1, 5),
+             |      i -> l[i] * ([0, 1, 2, 1, 0])[i]), (a, b) -> a + b) AS DOUBLE) / 100.0 / 4.0
              |  END AS bart_mean,
              |  CASE WHEN len(l) = 5 THEN
-             |    CAST(list_sum(l) AS DOUBLE) / 100.0 / 5.0
+             |    CAST(list_reduce(l, (a, b) -> a + b) AS DOUBLE) / 100.0 / 5.0
              |  END AS box_mean
              |FROM w""".stripMargin)),
 

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Offsets
+import org.apache.spark.sql.functions._
+
+/** Anchored-offset algebra vs pandas ground truth. Every expected value
+  * below was produced by pandas itself (resample('W-SUN'/'Q-NOV'/'A-JUN')
+  * bin labels; `ts + Week(weekday=2) / MonthBegin / MonthEnd /
+  * QuarterEnd(startingMonth=12) / YearEnd(month=6)`), pinning the
+  * rollforward-vs-advance distinction and the leap/on-anchor edges. */
+class OffsetsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dates(ds: String*) =
+    ds.toDF("s").select(col("s").cast("date").as("d"))
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.get(0).toString).toSeq
+
+  test("week anchor label (W-SUN): rollforward, on-anchor stays") {
+    val in = dates("2024-01-15", "2024-01-07", "2024-02-29", "2023-12-31", "2024-01-03")
+    val out = got(in.select(Offsets.weekAnchorLabel(col("d"), 6)))
+    assert(out == Seq("2024-01-21", "2024-01-07", "2024-03-03", "2023-12-31", "2024-01-07"))
+  }
+
+  test("quarter/year end labels (Q-NOV, A-JUN)") {
+    val in = dates("2024-01-15", "2023-12-31", "2024-06-30", "2024-02-29")
+    val q = got(in.select(Offsets.quarterEndLabel(col("d"), 11)))
+    assert(q == Seq("2024-02-29", "2024-02-29", "2024-08-31", "2024-02-29"))
+    val a = got(in.select(Offsets.yearEndLabel(col("d"), 6)))
+    assert(a == Seq("2024-06-30", "2024-06-30", "2024-06-30", "2024-06-30"))
+  }
+
+  test("shifts advance a full period when on-anchor") {
+    val in = dates("2024-01-15", "2024-01-03", "2024-01-31", "2024-01-01",
+      "2024-02-29", "2023-12-31", "2024-06-30")
+    assert(got(in.select(Offsets.shiftWeek(col("d"), 2))) ==
+      Seq("2024-01-17", "2024-01-10", "2024-02-07", "2024-01-03",
+        "2024-03-06", "2024-01-03", "2024-07-03"))
+    assert(got(in.select(Offsets.shiftMonthBegin(col("d")))) ==
+      Seq("2024-02-01", "2024-02-01", "2024-02-01", "2024-02-01",
+        "2024-03-01", "2024-01-01", "2024-07-01"))
+    assert(got(in.select(Offsets.shiftMonthEnd(col("d")))) ==
+      Seq("2024-01-31", "2024-01-31", "2024-02-29", "2024-01-31",
+        "2024-03-31", "2024-01-31", "2024-07-31"))
+    assert(got(in.select(Offsets.shiftQuarterEnd(col("d"), 12))) ==
+      Seq("2024-03-31", "2024-03-31", "2024-03-31", "2024-03-31",
+        "2024-03-31", "2024-03-31", "2024-09-30"))
+    assert(got(in.select(Offsets.shiftYearEnd(col("d"), 6))) ==
+      Seq("2024-06-30", "2024-06-30", "2024-06-30", "2024-06-30",
+        "2024-06-30", "2024-06-30", "2025-06-30"))
+  }
+
+  test("anchored labels work on intraday timestamps (end-of-day bin edge)") {
+    val in = Seq("2024-01-07 23:30:00", "2024-02-29 23:59:59")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val out = got(in.select(Offsets.weekAnchorLabel(to_date(col("ts")), 6)))
+    assert(out == Seq("2024-01-07", "2024-03-03"))
+  }
+}
