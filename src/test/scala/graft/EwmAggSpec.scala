@@ -83,4 +83,101 @@ class EwmAggSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- scale-safe segment state (EwmState) ----
+
+  import graft.functions.{EwmMomentsAggregator, EwmState}
+  import EwmRefData.{fx, fy}
+
+  /** O(n) forward reference with backward-built weights, two-pass. */
+  private def refMoments(n: Int, alpha: Double, adjust: Boolean,
+      stat: String): Double = {
+    val r = 1 - alpha
+    val w = new Array[Double](n)
+    var acc = if (adjust) 1.0 else alpha
+    var i = n - 1
+    while (i >= 0) { w(i) = acc; acc *= r; i -= 1 }
+    if (!adjust) w(0) = w(0) / alpha
+    var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var swy = 0.0
+    i = 0
+    while (i < n) { sw += w(i); sw2 += w(i) * w(i); swx += w(i) * fx(i); swy += w(i) * fy(i); i += 1 }
+    val mx = swx / sw; val my = swy / sw
+    var cxx = 0.0; var cyy = 0.0; var cxy = 0.0
+    i = 0
+    while (i < n) {
+      val dx = fx(i) - mx; val dy = fy(i) - my
+      cxx += w(i) * dx * dx; cyy += w(i) * dy * dy; cxy += w(i) * dx * dy; i += 1
+    }
+    stat match {
+      case "corr" => cxy / math.sqrt(cxx * cyy)
+      case "var" => cxx / sw * sw * sw / (sw * sw - sw2)
+      case _ => cxy / sw * sw * sw / (sw * sw - sw2)
+    }
+  }
+
+  test("segment state stays bounded on a long sorted group") {
+    val r = 0.95
+    var buf = EwmState.empty
+    (0 until 100000).foreach(i => buf = EwmState.reduce(r, buf, i.toLong, fx(i), fy(i)))
+    assert(buf.raw.length < EwmState.flushAt)
+    assert(buf.segs.length <= 100000 / EwmState.flushAt + 1,
+      s"segments did not compact: ${buf.segs.length}")
+  }
+
+  test("long single-key group aggregates under segment compression and matches the O(n) reference") {
+    val n = 300000
+    val alpha = 0.05
+    import spark.implicits._
+    val ds = spark.range(n)
+      .map(i => (1L, i, EwmRefData.fx(i), EwmRefData.fy(i)))
+      .toDF("g", "pos", "x", "y")
+    for (stat <- Seq("cov", "var", "corr"); adjust <- Seq(true, false)) {
+      val a = udaf(new EwmMomentsAggregator(alpha, adjust, bias = false, stat))
+      val got = ds.groupBy("g").agg(a(col("pos"), col("x"), col("y")))
+        .collect().head.getDouble(1)
+      val want = refMoments(n, alpha, adjust, stat)
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+        s"$stat adjust=$adjust: $got vs $want")
+    }
+    // adjust=false mean via EwmAggregator equals the sequential recurrence
+    val m = udaf(new EwmAggregator(alpha))
+    val gotMean = ds.groupBy("g").agg(m(col("pos"), col("x")))
+      .collect().head.getDouble(1)
+    var y = fx(0)
+    (1 until n).foreach(i => y = (1 - alpha) * y + alpha * fx(i))
+    assert(math.abs(gotMean - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+      s"mean: $gotMean vs $y")
+  }
+
+  test("out-of-order long group degrades to the exact path, still correct") {
+    val r = 0.9
+    var buf = EwmState.empty
+    // descending arrival: first flush compresses the newest run; all later
+    // rows sit below it, so compaction refuses and raw simply grows
+    (9999 to 0 by -1).foreach(i => buf = EwmState.reduce(r, buf, i.toLong, fx(i), fy(i)))
+    val t = EwmState.total(r, buf).get
+    val sortedRef = EwmState.fromSorted(r,
+      (0 until 10000).map(i => (i.toLong, fx(i), fy(i))).toIndexedSeq)
+    assert(t.cnt == sortedRef.cnt)
+    for ((a, b) <- Seq((t.sw, sortedRef.sw), (t.swxx, sortedRef.swxx), (t.swxy, sortedRef.swxy)))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"$a vs $b")
+  }
+
+  test("interleaved compressed ranges are rejected, not silently wrong") {
+    val r = 0.9
+    def seg(lo: Int, hi: Int) = EwmState.fromSorted(r,
+      (lo to hi).map(i => (i.toLong, fx(i), fy(i))).toIndexedSeq)
+    val b1 = EwmState.Buf(Vector(seg(0, 5000), seg(10000, 15000)), Vector.empty)
+    val b2 = EwmState.Buf(Vector(seg(2000, 12000)), Vector.empty)
+    intercept[IllegalStateException] {
+      EwmState.total(r, EwmState.merge(b1, b2))
+    }
+  }
+}
+
+/** Deterministic pseudo-random fixtures, serializable for executor-side
+  * generation (a spec-class closure would drag org.scalatest.Engine in). */
+object EwmRefData {
+  def fx(i: Long): Double = ((i * 2654435761L) % 10007).toDouble / 100.0
+  def fy(i: Long): Double = ((i * 40503L + 7) % 9973).toDouble / 100.0
 }
