@@ -70,18 +70,42 @@ object SimilarityOps {
 
   // ---- IVF (inverted-file) tier ----
 
+  /** One-row frame holding every centroid as array<struct<cell, emb>> —
+    * cross-joined (broadcast) onto a scan so centroid data travels as a
+    * broadcast relation, NOT as plan literals. The literal encoding made
+    * plan size O(k·dim) and expression arity O(k): `greatest(dots: _*)` /
+    * a k-deep when-fold stopped codegenning near k≈4096. Here the plan
+    * carries ONE column reference regardless of k, and the per-row work
+    * is a single codegen'd HOF fold over the broadcast array. */
+  private def centroidsFrame(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    Seq(centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("__cents")
+      .select(transform(col("__cents"), s =>
+        struct(s.getField("_1").as("cell"), s.getField("_2").as("emb")))
+        .as("__cents"))
+  }
+
+  /** score+cell struct per centroid for a row's embedding `e`. */
+  private def centScores(e: Column): Column =
+    transform(col("__cents"), c =>
+      struct(dot(e, c.getField("emb")).as("score"), c.getField("cell").as("cell")))
+
   /** Deterministic k-means||-style seeding: batched farthest-point
     * (maximin) selection. Start from the lowest-id vector; each round
     * adds the `k/rounds` corpus rows farthest from the current seed set
     * (max-dot ascending — cosine geometry), via TakeOrderedAndProject.
     * `rounds` scans total regardless of k (vs k scans for classic
     * maximin, vs the spread-less first-k-by-id), fully deterministic —
-    * no sampling seed to drift between runs. */
+    * no sampling seed to drift between runs. Already-picked seeds are
+    * excluded by a broadcast anti-join and the max-dot closeness is an
+    * array_max over the broadcast centroid frame, so plan size and
+    * expression arity stay O(1) in k. */
   def seedCentroidsMaximin(corpus: DataFrame, cId: String, embCol: String,
       k: Int, rounds: Int = 4): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
     val e = toDoubleArr(col(embCol))
-    def dotLit(c: Array[Double]): Column =
-      aggregate(zip_with(e, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
     val first = corpus.orderBy(col(cId).asc).limit(1)
       .select(col(cId), e.as("e")).collect()
     if (first.isEmpty) return Array.empty
@@ -90,14 +114,19 @@ object SimilarityOps {
     // corpus smaller than k (or a vector minimizing max-dot against the
     // set including itself) gets re-selected and Lloyd starts with
     // duplicate centroids / empty cells.
-    var seedIds = first.map(_.get(0)).toSet
+    var seedIds = first.map(_.get(0))
+    val idField = corpus.schema(cId)
+    def seedIdsFrame: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(seedIds.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(idField.copy(name = "__seed_id"))))
     val perRound = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
     var exhausted = false
     while (seeds.length < k && !exhausted) {
-      val dots = seeds.map(dotLit).toIndexedSeq
-      val closeness = if (dots.length == 1) dots.head else greatest(dots: _*)
+      val closeness = array_max(transform(
+        col("__cents"), c => dot(e, c.getField("emb"))))
       val batch = corpus
-        .filter(!col(cId).isInCollection(seedIds))
+        .join(broadcast(seedIdsFrame), col(cId) === col("__seed_id"), "left_anti")
+        .crossJoin(broadcast(centroidsFrame(spark, seeds)))
         .withColumn("__md", closeness)
         .orderBy(col("__md").asc, col(cId).asc)
         .limit(math.min(perRound, k - seeds.length))
@@ -142,21 +171,20 @@ object SimilarityOps {
     centroids
   }
 
-  /** Nearest-centroid cell id via a codegen'd argmin over the broadcast
-    * centroid literals (no UDF: a fold of `when` comparisons on
-    * negative-dot distance — centroids are unit-agnostic under cosine). */
+  /** Nearest-centroid cell id: one codegen'd HOF argmax over the
+    * broadcast centroid frame (no UDF, no per-centroid plan literals;
+    * strict-greater keeps the LOWEST cell on ties, matching the previous
+    * when-fold). Centroids are unit-agnostic under cosine. */
   def assignCells(df: DataFrame, embCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val e = toDoubleArr(col(embCol))
-    def dotLit(c: Array[Double]): Column =
-      aggregate(zip_with(e, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    val scored = centroids.zipWithIndex.map { case (c, i) => (dotLit(c), i) }
-    // argmax over dot products: fold keeping (bestScore, bestIdx)
-    val idxExpr = scored.tail.foldLeft((scored.head._1, lit(0))) {
-      case ((bs, bi), (s, i)) =>
-        (when(s > bs, s).otherwise(bs), when(s > bs, lit(i)).otherwise(bi))
-    }._2
-    df.withColumn("__cell", idxExpr.cast("int"))
+    val spark = df.sparkSession
+    val best = aggregate(centScores(toDoubleArr(col(embCol))),
+      struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
+      (acc, sc) => when(sc.getField("score") > acc.getField("score"), sc)
+        .otherwise(acc))
+    df.crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn("__cell", best.getField("cell"))
+      .drop("__cents")
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only — the
@@ -166,16 +194,15 @@ object SimilarityOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
       qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
-    val qe = toDoubleArr(col("q_emb"))
-    def dotLit(c: Array[Double]): Column =
-      aggregate(zip_with(qe, lit(c), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    // nprobe nearest cells per query: sort the centroid scores (tiny,
-    // fixed arity) via array sort of (score, idx) structs
-    val cellScores = array(centroids.toSeq.zipWithIndex.map { case (c, i) =>
-      struct((-dotLit(c)).as("negdot"), lit(i).as("cell"))
-    }: _*)
-    val probed = queries.withColumn("__cells",
-      slice(array_sort(cellScores), 1, nprobe))
+    val spark = queries.sparkSession
+    // nprobe nearest cells per query: negate+sort the per-centroid score
+    // structs from the broadcast centroid frame (one HOF chain, arity
+    // O(1) in k)
+    val cellScores = transform(centScores(toDoubleArr(col("q_emb"))), sc =>
+      struct((-sc.getField("score")).as("negdot"), sc.getField("cell").as("cell")))
+    val probed = queries
+      .crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn("__cells", slice(array_sort(cellScores), 1, nprobe))
       .select(col(qId), col("q_emb"),
         explode(transform(col("__cells"), s => s.getField("cell"))).as("__cell"))
     val assigned = assignCells(corpus, "embedding", centroids)

@@ -33,4 +33,22 @@ class IvfSpec extends SparkSpec {
     assert(r8 == 1.0, s"nprobe=all must equal brute force, got $r8")
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe2=$r2, @8=$r8")
   }
+
+  test("k=256: seeding/assignment/probe plans stay O(1)-size in k") {
+    // the former literal encoding (isInCollection + k-ary greatest /
+    // when-fold) put O(k·dim) literals in the plan: 256 centroids × 64
+    // dims ≈ 16k doubles ≈ >300k plan chars and codegen fell back. The
+    // broadcast centroid frame keeps the plan a fixed HOF chain.
+    val cents = SimilarityOps.seedCentroidsMaximin(emb, "vec_id", "embedding", 256)
+    assert(cents.length == 256)
+    assert(cents.map(_.toSeq).distinct.length == 256, "duplicate seeds")
+    val assigned = SimilarityOps.assignCells(emb, "embedding", cents)
+    val planLen = assigned.queryExecution.executedPlan.toString.length
+    assert(planLen < 20000, s"assign plan blew up: $planLen chars")
+    assert(assigned.select("__cell").distinct().count() > 32, "degenerate cells")
+    val top = SimilarityOps.ivfTopK(queries, emb, 3, cents, nprobe = 64)
+    assert(top.queryExecution.executedPlan.toString.length < 40000,
+      "probe plan blew up")
+    assert(top.collect().length == 30)
+  }
 }
