@@ -237,6 +237,16 @@ final case class PFrame(
   /** Deferred group-by view (reference: DataFrameGroupBy). */
   def groupby(keys: String*): PGroupBy = PGroupBy(this, keys)
 
+  /** groupby(Grouper(key, freq), extraKeys...) — the unified time-bucket
+    * spelling (reference core/groupby/grouper.py:30): materializes the
+    * freq bucket as a column and delegates to the ordinary grouped path
+    * (identical plan to resample). */
+  def groupby(g: Grouper, extra: String*): PGroupBy = {
+    val bname = s"${g.key}_bucket"
+    PGroupBy(PFrame(df.withColumn(bname, Grouper.bucket(col(g.key), g.freq)),
+      indexCols, orderCol), bname +: extra)
+  }
+
   /** rolling(n) over the frame's order (pass keys via groupby().rolling
     * — PGroupBy.rolling — for the partitioned form). */
   def rolling(n: Int, minPeriods: Int = 1): PRolling =

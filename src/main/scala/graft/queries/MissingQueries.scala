@@ -214,6 +214,75 @@ object MissingQueries extends QueryModule {
               |       ELSE nv END AS interp
               |FROM w""".stripMargin)),
 
+    // interpolate(method='polynomial', order=2) (reference
+    // core/missing.py:111 method table): per-gap LOCAL quadratic —
+    // Lagrange through the two nearest known points before the gap and
+    // the first after, the bounded-work distributed reading of the
+    // scipy global fit (documented deviation: scipy fits through all
+    // points; a local fit is the only O(1)-state form a 100 TB scan
+    // admits). Degrades to linear when only one point precedes, pads
+    // with the previous value at the tail, stays null at the head —
+    // matching interpolate_linear's documented edges. The Lagrange
+    // numerator is EXACT: decimal values × integer position products
+    // over the common integer denominator; the single final division
+    // is the only IEEE op, identical in both engines.
+    QueryDef("interpolate_poly",
+      (s, d) => {
+        val rn = row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        val base = withA(s, d).withColumn("rn", rn.cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("rn")
+        val vrn = when(col("a").isNotNull, col("rn"))
+        val pv = lag(col("a"), 1, null, ignoreNulls = true).over(w)
+        val pp = lag(vrn, 1, null, ignoreNulls = true).over(w)
+        val pv2 = lag(col("a"), 2, null, ignoreNulls = true).over(w)
+        val pp2 = lag(vrn, 2, null, ignoreNulls = true).over(w)
+        val nv = lead(col("a"), 1, null, ignoreNulls = true).over(w)
+        val np = lead(vrn, 1, null, ignoreNulls = true).over(w)
+        val x = col("rn")
+        val lin = (Q.dec2(pv) * (np - pp) + (Q.dec2(nv) - Q.dec2(pv)) * (x - pp))
+          .cast("double") / (np - pp)
+        val num = Q.dec2(pv2) * ((pp - np) * (x - pp) * (x - np)) -
+          Q.dec2(pv) * ((pp2 - np) * (x - pp2) * (x - np)) +
+          Q.dec2(nv) * ((pp2 - pp) * (x - pp2) * (x - pp))
+        val den = (pp2 - pp) * (pp2 - np) * (pp - np)
+        val quad = num.cast("double") / den
+        val interp = when(col("a").isNotNull, col("a"))
+          .when(pv.isNull, lit(null))
+          .when(nv.isNull, pv)
+          .when(pv2.isNull, lin)
+          .otherwise(quad)
+        base.select(col("event_id"), interp.as("interp"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM ($baseSql)
+              |), w AS (
+              |  SELECT event_id, a, rn,
+              |    lag(a, 1 IGNORE NULLS) OVER win AS pv,
+              |    lag(CASE WHEN a IS NOT NULL THEN rn END, 1 IGNORE NULLS) OVER win AS pp,
+              |    lag(a, 2 IGNORE NULLS) OVER win AS pv2,
+              |    lag(CASE WHEN a IS NOT NULL THEN rn END, 2 IGNORE NULLS) OVER win AS pp2,
+              |    lead(a, 1 IGNORE NULLS) OVER win AS nv,
+              |    lead(CASE WHEN a IS NOT NULL THEN rn END, 1 IGNORE NULLS) OVER win AS np
+              |  FROM base
+              |  WINDOW win AS (PARTITION BY user_id ORDER BY rn))
+              |SELECT event_id,
+              |  CASE WHEN a IS NOT NULL THEN a
+              |       WHEN pv IS NULL THEN NULL
+              |       WHEN nv IS NULL THEN pv
+              |       WHEN pv2 IS NULL THEN
+              |         CAST(${Q.dec2Sql("pv")} * (np - pp)
+              |              + (${Q.dec2Sql("nv")} - ${Q.dec2Sql("pv")}) * (rn - pp) AS DOUBLE)
+              |         / (np - pp)
+              |       ELSE
+              |         CAST(${Q.dec2Sql("pv2")} * ((pp - np) * (rn - pp) * (rn - np))
+              |              - ${Q.dec2Sql("pv")} * ((pp2 - np) * (rn - pp2) * (rn - np))
+              |              + ${Q.dec2Sql("nv")} * ((pp2 - pp) * (rn - pp2) * (rn - pp)) AS DOUBLE)
+              |         / ((pp2 - pp) * (pp2 - np) * (pp - np))
+              |  END AS interp
+              |FROM w""".stripMargin)),
+
     // fillna(axis=1, method='ffill'): fill ACROSS columns left→right —
     // a coalesce cascade over the column order, scan-local.
     QueryDef("fillna_axis1",

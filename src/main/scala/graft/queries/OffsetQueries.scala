@@ -64,6 +64,35 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftYearEndSql("o_orderdate", 6)} AS fy_end
               |FROM orders""".stripMargin)),
 
+    // groupby(Grouper(key='ts', freq='1H'), 'user_id') — the unified
+    // grouping spelling (reference core/groupby/grouper.py:30), exercised
+    // through the PFrame API; plan-identical to grouped resample.
+    QueryDef("grouper_freq_agg",
+      (s, d) => {
+        import graft.core.{Grouper, PFrame}
+        PFrame(T.events(s, d))
+          .groupby(Grouper("ts", "1H"), "user_id")
+          .agg("cnt" -> count(lit(1)), "avg_value" -> davg(col("value")))
+          .df
+      },
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ts_bucket, user_id,
+              |  count(*) AS cnt, ${davgSql("value")} AS avg_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // groupby(Grouper(freq='W-SUN')) — anchored rule through the same
+    // unified spelling.
+    QueryDef("grouper_freq_anchored",
+      (s, d) => {
+        import graft.core.{Grouper, PFrame}
+        PFrame(T.events(s, d))
+          .groupby(Grouper("ts", "W-SUN"))
+          .agg("cnt" -> count(lit(1)), "sum_value" -> dsum(col("value")))
+          .df
+      },
+      Some(s"""SELECT ${Offsets.weekAnchorLabelSql("ts", 6)} AS ts_bucket,
+              |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
     // date_range(freq='W-WED'): Wednesdays from the first anchor at or
     // after the start — sequence() + explode, generated distributively.
     QueryDef("date_range_weekly_anchored",
