@@ -61,6 +61,42 @@ object WindowWeights {
   def gaussian(m: Int, std: Double): Seq[Double] =
     (0 until m).map(n => math.exp(-0.5 * math.pow((n - (m - 1) / 2.0) / std, 2)))
 
+  /** Modified Bessel I₀ via its power series Σ ((x/2)^k / k!)² — the
+    * standard evaluation (numpy.i0 agrees to ~1 ULP); terms fall below
+    * machine epsilon after ~x/2 + 20 iterations for window-sized β. */
+  def besselI0(x: Double): Double = {
+    val h = x / 2.0
+    var term = 1.0
+    var sum = 1.0
+    var k = 1
+    while (term > sum * 1e-18 && k < 1000) {
+      term *= (h / k) * (h / k)
+      sum += term
+      k += 1
+    }
+    sum
+  }
+
+  /** kaiser(M, β): I₀(β·√(1−((2n/(M−1))−1)²)) / I₀(β); kaiser(1) = [1.0]
+    * (scipy's M=1 special case). Parameterized — the first win_type here
+    * whose shape is tuned per call rather than fixed by M. */
+  def kaiser(m: Int, beta: Double): Seq[Double] =
+    if (m == 1) Seq(1.0)
+    else {
+      val den = besselI0(beta)
+      (0 until m).map { n =>
+        val t = 2.0 * n / (m - 1) - 1.0
+        besselI0(beta * math.sqrt(math.max(0.0, 1.0 - t * t))) / den
+      }
+    }
+
+  /** exponential(M, τ), symmetric center (M−1)/2: exp(−|n−center|/τ)
+    * (scipy.signal.windows.exponential with default center, sym=True). */
+  def exponential(m: Int, tau: Double): Seq[Double] = {
+    require(tau > 0, s"tau must be positive: $tau")
+    (0 until m).map(n => math.exp(-math.abs(n - (m - 1) / 2.0) / tau))
+  }
+
   /** Weighted rolling mean over a full M-row frame: Σwᵢxᵢ/Σwᵢ via a
     * strict left-fold dot product (deterministic summation order — a
     * commutative sum would let partition order flip low bits), null

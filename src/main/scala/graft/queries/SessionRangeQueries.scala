@@ -155,6 +155,40 @@ object SessionRangeQueries extends QueryModule {
            |FROM w""".stripMargin
       }),
 
+    // win_type='kaiser' (β=8.6) and 'exponential' (τ=2) — the
+    // PARAMETERIZED scipy windows (reference window.py:434 accepts
+    // win_type kwargs); same driver-literal discipline: Bessel/exp
+    // evaluated once on the driver (WindowWeights, numpy-verified in
+    // WindowWeightsSpec), pasted into both engines as round-trip double
+    // literals.
+    QueryDef("rolling_weighted_kaiser",
+      (s, d) => {
+        import graft.operators.WindowWeights
+        val wk = WindowWeights.kaiser(7, 8.6)
+        val we = WindowWeights.exponential(7, 2.0)
+        val w = RollingOps.fixed(Seq("user_id"), Seq(col("ts"), col("event_id")), 7)
+        T.events(s, d).select(col("event_id"),
+          WindowWeights.weightedMean(col("value"), w, wk).as("kaiser_mean"),
+          WindowWeights.weightedMean(col("value"), w, we).as("exp_mean"))
+      },
+      Some {
+        val wk = graft.operators.WindowWeights.kaiser(7, 8.6)
+        val we = graft.operators.WindowWeights.exponential(7, 2.0)
+        s"""WITH w AS (SELECT event_id, list(value) OVER w AS l FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           |SELECT event_id,
+           |  CASE WHEN len(l) = 7 THEN
+           |    round(list_reduce(list_transform(generate_series(1, 7),
+           |      i -> l[i] * ([${wk.mkString(", ")}])[i]), (a, b) -> a + b) / ${wk.sum}, 6)
+           |  END AS kaiser_mean,
+           |  CASE WHEN len(l) = 7 THEN
+           |    round(list_reduce(list_transform(generate_series(1, 7),
+           |      i -> l[i] * ([${we.mkString(", ")}])[i]), (a, b) -> a + b) / ${we.sum}, 6)
+           |  END AS exp_mean
+           |FROM w""".stripMargin
+      }),
+
     // win_type='bartlett' (M=5, weights [0,½,1,½,0] → ×2 integer
     // [0,1,2,1,0]) and 'boxcar' (plain mean as a win_type): both exact
     // in integer cents, no rounding needed — the only doubles are the

@@ -52,4 +52,30 @@ class WindowWeightsSpec extends AnyFunSuite {
     approx(Seq(w.head), Seq(math.exp(-0.5 * math.pow(3 / 2.0, 2))))
     assert(w == w.reverse)
   }
+
+  test("m=1 special cases collapse to [1.0]") {
+    for (w <- Seq(WindowWeights.bartlett(1), WindowWeights.hamming(1),
+      WindowWeights.blackman(1), WindowWeights.kaiser(1, 8.6)))
+      assert(w == Seq(1.0))
+  }
+
+  test("kaiser(7, 8.6) matches numpy.kaiser") {
+    // numpy.kaiser(7, 8.6) and numpy.i0(8.6), captured verbatim
+    assert(math.abs(WindowWeights.besselI0(8.6) - 750.4611595631659) < 1e-9)
+    val want = Seq(0.0013325139979024198, 0.13040194654166437,
+      0.6304119273359405, 1.0, 0.6304119273359405, 0.13040194654166437,
+      0.0013325139979024198)
+    WindowWeights.kaiser(7, 8.6).zip(want).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-12 * math.max(1.0, b), s"$a vs $b")
+    }
+  }
+
+  test("exponential(7, 2.0) matches scipy's symmetric form") {
+    val want = Seq(0.22313016014842982, 0.3678794411714424,
+      0.6065306597126334, 1.0, 0.6065306597126334, 0.3678794411714424,
+      0.22313016014842982)
+    approx(WindowWeights.exponential(7, 2.0), want)
+    assert(WindowWeights.exponential(7, 2.0) ==
+      WindowWeights.exponential(7, 2.0).reverse)
+  }
 }
