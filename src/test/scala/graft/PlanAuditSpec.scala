@@ -104,6 +104,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("anchored offsets: shifts are scan-local, anchored resamples are " +
+      "one-shuffle hash aggs") {
+    // shift(freq=) via Offsets is pure calendar arithmetic — no Exchange
+    val shift = plan("shift_anchored_offsets")
+    assert(!shift.contains("Exchange"), s"anchored shift shuffles:\n${shift.take(2000)}")
+    // anchored resample = same plan family as plain resample: partial +
+    // final HashAggregate around exactly one hash exchange
+    for (name <- Seq("resample_weekly_anchored", "resample_quarter_fiscal",
+        "grouper_freq_anchored", "grouper_freq_agg")) {
+      val p = plan(name)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name:\n${p.take(2000)}")
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(ex == 1, s"$name should shuffle exactly once, got $ex:\n${p.take(2000)}")
+    }
+  }
+
+  test("interpolate_poly: one grouped shuffle, no unpartitioned window") {
+    val p = plan("interpolate_poly")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"interpolate_poly shuffles $ex times:\n${p.take(3000)}")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("user_id"), s"unpartitioned window: $l")
+    }
+  }
+
   test("cosine_topk: corpus scans once under a broadcast, never shuffles") {
     val p = plan("cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
