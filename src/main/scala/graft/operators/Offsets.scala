@@ -56,38 +56,69 @@ object Offsets {
     last_day(add_months(d, pmod(lit(anchorMonth) - month(d), lit(12)).cast("int")))
   }
 
-  // ---- shifts (d + offset: on-anchor advances one full period) ----
+  // ---- shifts (d + n·offset: on-anchor advances a full period; n >= 1
+  // composes as pandas `d + n*Offset()` — the first step rolls, the
+  // remaining n−1 add whole periods) ----
 
-  /** d + Week(weekday=anchor): next anchor weekday STRICTLY after d. */
-  def shiftWeek(d: Column, anchorDow: Int): Column = {
+  /** d + n·Week(weekday=anchor): n-th anchor weekday STRICTLY after d. */
+  def shiftWeek(d: Column, anchorDow: Int, n: Int = 1): Column = {
     require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
-    date_add(d, (pmod(lit(anchorDow) - pandasDow(d) - 1, lit(7)) + 1).cast("int"))
+    require(n >= 1, s"n >= 1: $n")
+    date_add(d,
+      (pmod(lit(anchorDow) - pandasDow(d) - 1, lit(7)) + 1 + 7 * (n - 1)).cast("int"))
   }
 
-  /** d + MonthBegin(1): first day of the next month (pandas MonthBegin
-    * rolls any date, including a month start, to the NEXT month's 1st). */
-  def shiftMonthBegin(d: Column): Column =
-    trunc(add_months(d, 1), "month")
+  /** d + MonthBegin(n): first day of the n-th following month (pandas
+    * MonthBegin rolls any date, including a month start, forward). */
+  def shiftMonthBegin(d: Column, n: Int = 1): Column = {
+    require(n >= 1, s"n >= 1: $n")
+    trunc(add_months(d, n), "month")
+  }
 
-  /** d + MonthEnd(1): this month's last day, unless d already is it —
-    * then next month's last day. */
-  def shiftMonthEnd(d: Column): Column = {
+  /** d + MonthEnd(n): this month's last day counts as step one unless d
+    * already is it — then the n-th following month end. */
+  def shiftMonthEnd(d: Column, n: Int = 1): Column = {
+    require(n >= 1, s"n >= 1: $n")
     val dd = d.cast("date")
-    when(dd === last_day(d), last_day(add_months(d, 1))).otherwise(last_day(d))
+    val first = when(dd === last_day(d), last_day(add_months(d, 1))).otherwise(last_day(d))
+    if (n == 1) first else last_day(add_months(first, n - 1))
   }
 
-  /** d + QuarterEnd(startingMonth=anchor): anchored quarter end strictly
-    * after-or-at d, advancing a quarter when d is already on it. */
-  def shiftQuarterEnd(d: Column, anchorMonth: Int): Column = {
+  /** d + QuarterEnd(startingMonth=anchor, n): anchored quarter end
+    * after-or-at d (advancing when on it), then n−1 further quarters. */
+  def shiftQuarterEnd(d: Column, anchorMonth: Int, n: Int = 1): Column = {
+    require(n >= 1, s"n >= 1: $n")
     val qe = quarterEndLabel(d, anchorMonth)
-    when(d.cast("date") === qe, last_day(add_months(d, 3))).otherwise(qe)
+    val first = when(d.cast("date") === qe, last_day(add_months(d, 3))).otherwise(qe)
+    if (n == 1) first else last_day(add_months(first, 3 * (n - 1)))
   }
 
-  /** d + YearEnd(month=anchor): anchored year end, advancing a year when
-    * d is already on it. */
-  def shiftYearEnd(d: Column, anchorMonth: Int): Column = {
+  /** d + YearEnd(month=anchor, n): anchored year end, advancing when on
+    * it, then n−1 further years. */
+  def shiftYearEnd(d: Column, anchorMonth: Int, n: Int = 1): Column = {
+    require(n >= 1, s"n >= 1: $n")
     val ye = yearEndLabel(d, anchorMonth)
-    when(d.cast("date") === ye, last_day(add_months(d, 12))).otherwise(ye)
+    val first = when(d.cast("date") === ye, last_day(add_months(d, 12))).otherwise(ye)
+    if (n == 1) first else last_day(add_months(first, 12 * (n - 1)))
+  }
+
+  /** d + CustomBusinessDay(holidays): next weekday strictly after d that
+    * is neither a weekend nor a listed holiday (reference offsets.py
+    * CustomBusinessDay; holiday calendars reduce to their date list).
+    * The scan stays expression-only: the roll is unrolled to the worst
+    * chain a weekend + the holiday list can form, so plan depth is
+    * bounded by the calendar size, not the data. */
+  def shiftBusinessDay(d: Column, holidays: Seq[String] = Nil): Column = {
+    val isBusiness: Column => Column = c => {
+      val weekday = !dayofweek(c).isin(1, 7)
+      if (holidays.isEmpty) weekday
+      else weekday && !c.cast("string").isInCollection(holidays)
+    }
+    val steps = 2 * holidays.size + 6
+    def roll(c: Column, k: Int): Column =
+      if (k == 0) c
+      else when(isBusiness(c), c).otherwise(roll(date_add(c, 1), k - 1))
+    roll(date_add(d.cast("date"), 1), steps)
   }
 
   // ---- DuckDB transliterations (same arithmetic, oracle side) ----
@@ -125,4 +156,37 @@ object Offsets {
     s"""CASE WHEN CAST($d AS DATE) = ${yearEndLabelSql(d, anchorMonth)}
        |  THEN last_day(CAST($d AS DATE) + to_months(12))
        |  ELSE ${yearEndLabelSql(d, anchorMonth)} END""".stripMargin
+
+  def shiftWeekSql(d: String, anchorDow: Int, n: Int): String =
+    s"CAST($d AS DATE) + CAST((($anchorDow - ${pandasDowSql(d)} - 1) % 7 + 7) % 7 + 1 + ${7 * (n - 1)} AS INTEGER)"
+
+  def shiftMonthBeginSql(d: String, n: Int): String =
+    s"CAST(date_trunc('month', CAST($d AS DATE) + to_months($n)) AS DATE)"
+
+  def shiftMonthEndSql(d: String, n: Int): String =
+    if (n == 1) shiftMonthEndSql(d)
+    else s"last_day((${shiftMonthEndSql(d)}) + to_months(${n - 1}))"
+
+  def shiftQuarterEndSql(d: String, anchorMonth: Int, n: Int): String =
+    if (n == 1) shiftQuarterEndSql(d, anchorMonth)
+    else s"last_day((${shiftQuarterEndSql(d, anchorMonth)}) + to_months(${3 * (n - 1)}))"
+
+  def shiftYearEndSql(d: String, anchorMonth: Int, n: Int): String =
+    if (n == 1) shiftYearEndSql(d, anchorMonth)
+    else s"last_day((${shiftYearEndSql(d, anchorMonth)}) + to_months(${12 * (n - 1)}))"
+
+  /** Mirrors shiftBusinessDay: the same unrolled roll as nested CASE. */
+  def shiftBusinessDaySql(d: String, holidays: Seq[String]): String = {
+    def isB(c: String): String = {
+      val wd = s"dayofweek($c) NOT IN (0, 6)"
+      if (holidays.isEmpty) wd
+      else wd +
+        s" AND CAST($c AS VARCHAR) NOT IN (${holidays.map(h => s"'$h'").mkString(", ")})"
+    }
+    val steps = 2 * holidays.size + 6
+    def roll(c: String, k: Int): String =
+      if (k == 0) c
+      else s"CASE WHEN ${isB(c)} THEN $c ELSE ${roll(s"($c + 1)", k - 1)} END"
+    roll(s"(CAST($d AS DATE) + 1)", steps)
+  }
 }

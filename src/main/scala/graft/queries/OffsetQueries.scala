@@ -64,6 +64,39 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftYearEndSql("o_orderdate", 6)} AS fy_end
               |FROM orders""".stripMargin)),
 
+    // n-period offsets (pandas `d + n*Offset()`) and
+    // CustomBusinessDay(holidays) — the roll is unrolled to the worst
+    // weekend+holiday chain, so the plan stays scan-local and bounded by
+    // the calendar size. Window restricted to one fiscal year so three
+    // holiday dates cover every row.
+    QueryDef("shift_n_period_offsets",
+      (s, d) => {
+        val hol = Seq("1995-12-25", "1995-12-26", "1996-01-01")
+        T.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            Offsets.shiftWeek(col("o_orderdate"), 2, 2).as("wed2"),
+            Offsets.shiftMonthBegin(col("o_orderdate"), 2).as("mbegin2"),
+            Offsets.shiftMonthEnd(col("o_orderdate"), 3).as("mend3"),
+            Offsets.shiftQuarterEnd(col("o_orderdate"), 12, 2).as("qend2"),
+            Offsets.shiftYearEnd(col("o_orderdate"), 6, 2).as("yend2"),
+            Offsets.shiftBusinessDay(col("o_orderdate"), hol).as("next_cbday"))
+      },
+      Some {
+        val hol = Seq("1995-12-25", "1995-12-26", "1996-01-01")
+        s"""SELECT o_orderkey,
+           |  ${Offsets.shiftWeekSql("o_orderdate", 2, 2)} AS wed2,
+           |  ${Offsets.shiftMonthBeginSql("o_orderdate", 2)} AS mbegin2,
+           |  ${Offsets.shiftMonthEndSql("o_orderdate", 3)} AS mend3,
+           |  ${Offsets.shiftQuarterEndSql("o_orderdate", 12, 2)} AS qend2,
+           |  ${Offsets.shiftYearEndSql("o_orderdate", 6, 2)} AS yend2,
+           |  ${Offsets.shiftBusinessDaySql("o_orderdate", hol)} AS next_cbday
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01'""".stripMargin
+      }),
+
     // groupby(Grouper(key='ts', freq='1H'), 'user_id') — the unified
     // grouping spelling (reference core/groupby/grouper.py:30), exercised
     // through the PFrame API; plan-identical to grouped resample.

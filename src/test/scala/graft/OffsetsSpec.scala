@@ -51,6 +51,30 @@ class OffsetsSpec extends SparkSpec {
         "2024-06-30", "2024-06-30", "2025-06-30"))
   }
 
+  test("n-period shifts compose as pandas d + n*Offset()") {
+    val in = dates("2024-01-15", "2024-01-31", "2023-12-31")
+    assert(got(in.select(Offsets.shiftWeek(col("d"), 2, 2))) ==
+      Seq("2024-01-24", "2024-02-14", "2024-01-10"))
+    assert(got(in.select(Offsets.shiftMonthBegin(col("d"), 2))) ==
+      Seq("2024-03-01", "2024-03-01", "2024-02-01"))
+    assert(got(in.select(Offsets.shiftMonthEnd(col("d"), 3))) ==
+      Seq("2024-03-31", "2024-04-30", "2024-03-31"))
+    assert(got(in.select(Offsets.shiftQuarterEnd(col("d"), 12, 2))) ==
+      Seq("2024-06-30", "2024-06-30", "2024-06-30"))
+    assert(got(in.select(Offsets.shiftYearEnd(col("d"), 6, 2))) ==
+      Seq("2025-06-30", "2025-06-30", "2025-06-30"))
+  }
+
+  test("custom business day skips weekends and listed holidays") {
+    val hol = Seq("1995-12-25", "1995-12-26", "1996-01-01")
+    val in = dates("1995-12-22", "1995-12-23", "1995-12-24", "1995-12-29",
+      "1995-12-31", "1995-06-14")
+    // pandas CustomBusinessDay(holidays=...) outputs, captured verbatim
+    assert(got(in.select(Offsets.shiftBusinessDay(col("d"), hol))) ==
+      Seq("1995-12-27", "1995-12-27", "1995-12-27", "1996-01-02",
+        "1996-01-02", "1995-06-15"))
+  }
+
   test("anchored labels work on intraday timestamps (end-of-day bin edge)") {
     val in = Seq("2024-01-07 23:30:00", "2024-02-29 23:59:59")
       .toDF("s").select(col("s").cast("timestamp").as("ts"))
