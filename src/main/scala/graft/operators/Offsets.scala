@@ -56,6 +56,24 @@ object Offsets {
     last_day(add_months(d, pmod(lit(anchorMonth) - month(d), lit(12)).cast("int")))
   }
 
+  /** Fiscal year of d under an A-<month> rule: the calendar year the
+    * enclosing fiscal year ENDS in (pandas Period(freq='A-JUN').year). */
+  def fiscalYear(d: Column, anchorMonth: Int): Column =
+    year(yearEndLabel(d, anchorMonth))
+
+  /** pandas Period(freq='Q-<mon>') label, e.g. '1996Q1' for Dec 1995
+    * under Q-NOV: fiscal year of the quarter end, quarter index counted
+    * from the fiscal year start. */
+  def fiscalQuarterLabel(d: Column, anchorMonth: Int): Column = {
+    val qe = quarterEndLabel(d, anchorMonth)
+    val fy = yearEndLabel(qe, anchorMonth)
+    val diff = (year(fy) * 12 + month(fy)) - (year(qe) * 12 + month(qe))
+    // Column./ is double division — cast back to int so the label is
+    // "1996Q1", not "1996Q1.0" (diff is a multiple of 3, so exact)
+    val qnum = (lit(4) - (diff / lit(3)).cast("int")).cast("string")
+    concat(year(fy).cast("string"), lit("Q"), qnum)
+  }
+
   // ---- shifts (d + n·offset: on-anchor advances a full period; n >= 1
   // composes as pandas `d + n*Offset()` — the first step rolls, the
   // remaining n−1 add whole periods) ----
@@ -174,6 +192,19 @@ object Offsets {
   def shiftYearEndSql(d: String, anchorMonth: Int, n: Int): String =
     if (n == 1) shiftYearEndSql(d, anchorMonth)
     else s"last_day((${shiftYearEndSql(d, anchorMonth)}) + to_months(${12 * (n - 1)}))"
+
+  def fiscalYearSql(d: String, anchorMonth: Int): String =
+    s"year(${yearEndLabelSql(d, anchorMonth)})"
+
+  def fiscalQuarterLabelSql(d: String, anchorMonth: Int): String = {
+    val qe = qeCte(d, anchorMonth) // quarter-end date fragment
+    val fy = s"last_day($qe + to_months(CAST((($anchorMonth - month($qe)) % 12 + 12) % 12 AS INTEGER)))"
+    s"""concat(CAST(year($fy) AS VARCHAR), 'Q',
+       |  CAST(4 - ((year($fy) * 12 + month($fy)) - (year($qe) * 12 + month($qe))) // 3 AS VARCHAR))""".stripMargin
+  }
+
+  private def qeCte(d: String, anchorMonth: Int): String =
+    quarterEndLabelSql(d, anchorMonth)
 
   /** Mirrors shiftBusinessDay: the same unrolled roll as nested CASE. */
   def shiftBusinessDaySql(d: String, holidays: Seq[String]): String = {

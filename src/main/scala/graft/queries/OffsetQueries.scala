@@ -64,6 +64,21 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftYearEndSql("o_orderdate", 6)} AS fy_end
               |FROM orders""".stripMargin)),
 
+    // Period(freq='Q-NOV'/'A-JUN') fiscal labels (reference
+    // indexes/period.py; Period.qyear/quarter): '1996Q1' for Dec 1995
+    // under Q-NOV — fiscal year of the quarter end, quarter counted from
+    // the fiscal year start. One hash agg over the label expressions.
+    QueryDef("period_fiscal_labels",
+      (s, d) => T.orders(s, d)
+        .groupBy(
+          Offsets.fiscalQuarterLabel(col("o_orderdate"), 11).as("fq"),
+          Offsets.fiscalYear(col("o_orderdate"), 6).as("fy"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT ${Offsets.fiscalQuarterLabelSql("o_orderdate", 11)} AS fq,
+              |  ${Offsets.fiscalYearSql("o_orderdate", 6)} AS fy,
+              |  count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // n-period offsets (pandas `d + n*Offset()`) and
     // CustomBusinessDay(holidays) — the roll is unrolled to the worst
     // weekend+holiday chain, so the plan stays scan-local and bounded by

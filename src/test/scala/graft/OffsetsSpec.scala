@@ -65,6 +65,15 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("fiscal period labels match pandas Period(freq='Q-NOV'/'A-JUN')") {
+    val in = dates("1995-07-15", "1995-11-30", "1995-12-01", "1996-02-29",
+      "1996-03-15", "1995-01-10")
+    assert(got(in.select(Offsets.fiscalQuarterLabel(col("d"), 11))) ==
+      Seq("1995Q3", "1995Q4", "1996Q1", "1996Q1", "1996Q2", "1995Q1"))
+    assert(got(in.select(Offsets.fiscalYear(col("d"), 6))) ==
+      Seq("1996", "1996", "1996", "1996", "1996", "1995"))
+  }
+
   test("custom business day skips weekends and listed holidays") {
     val hol = Seq("1995-12-25", "1995-12-26", "1996-01-01")
     val in = dates("1995-12-22", "1995-12-23", "1995-12-24", "1995-12-29",
