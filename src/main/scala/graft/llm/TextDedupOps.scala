@@ -163,6 +163,47 @@ object TextDedupOps {
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * dedup pipelines keep one document per CLUSTER, not per pair, so
+    * the pair graph must be collapsed. Distributed min-label
+    * propagation: every node starts as its own label; each round a node
+    * takes the minimum label among itself and its direct neighbors (one
+    * join + one hash agg), converging in O(graph diameter) rounds —
+    * near-dup clusters are shallow (clones of one source), so a handful
+    * of rounds suffice at any corpus size. The per-round driver work is
+    * a single count (convergence check); at 100 TB scale checkpoint
+    * `labels` every few rounds to truncate lineage.
+    * Returns (id, cluster) with cluster = min id in the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("c")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("c")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("__chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("__chg")).count()
+      labels.unpersist()
+      labels = next.drop("__chg")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word tokens: per bit, the sign of the sum of
     * ±1 votes from each token hash. One explode + one hash-agg. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

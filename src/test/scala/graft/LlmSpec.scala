@@ -108,4 +108,18 @@ class LlmSpec extends SparkSpec {
       col("meta_height")).collect()
     assert(r0.forall(r => r.getInt(0) <= 32 && r.getInt(1) == 8 && r.getInt(2) == 4))
   }
+
+  test("connectedComponents: path, triangle, pair — min label per component") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want, s"$got")
+  }
 }
