@@ -207,6 +207,43 @@ object LlmQueries extends QueryModule {
               |SELECT a AS doc_id, least(a, min(b)) AS cluster
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // The end-to-end near-dup dedup a pipeline actually ships: collapse
+    // pair graph to clusters, keep the lowest doc_id per cluster, drop
+    // the rest — documents not in any pair survive untouched (anti-join
+    // against the non-canonical cluster members; one broadcast-sized
+    // side at any corpus scale since members ≪ corpus).
+    QueryDef("dedup_near_text",
+      (s, d) => {
+        val pairs = TextDedupOps.jaccardPairs(
+          T.documents(s, d), "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.8)
+        val losers = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        T.documents(s, d).join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+      },
+      Some(s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM docs),
+              |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+              |p AS (SELECT id_a, id_b FROM common
+              |  JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+              |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |losers AS (SELECT a AS doc_id FROM reach
+              |  GROUP BY a HAVING least(a, min(b)) <> a)
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
     // MinHash + LSH banding over planted duplicates — Spark-only
     // (xxhash64); rows-only driver check + ScalaTest planted-dup test.
     // Signatures persist MEMORY_AND_DISK: the plan consumes them three
