@@ -74,50 +74,69 @@ object Offsets {
     concat(year(fy).cast("string"), lit("Q"), qnum)
   }
 
-  // ---- shifts (d + n·offset: on-anchor advances a full period; n >= 1
-  // composes as pandas `d + n*Offset()` — the first step rolls, the
-  // remaining n−1 add whole periods) ----
+  // ---- shifts (d + n·offset, n != 0: pandas `d + n*Offset()`; on-anchor
+  // dates advance a full period in n's direction — the first step rolls,
+  // the remaining |n|−1 add whole periods. Negative n is the pandas
+  // `d - Offset()` family: previous anchor STRICTLY before d.) ----
 
-  /** d + n·Week(weekday=anchor): n-th anchor weekday STRICTLY after d. */
+  /** d + n·Week(weekday=anchor): n-th anchor weekday strictly after
+    * (n > 0) / before (n < 0) d. */
   def shiftWeek(d: Column, anchorDow: Int, n: Int = 1): Column = {
     require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
-    require(n >= 1, s"n >= 1: $n")
-    date_add(d,
-      (pmod(lit(anchorDow) - pandasDow(d) - 1, lit(7)) + 1 + 7 * (n - 1)).cast("int"))
+    require(n != 0, "n must be nonzero")
+    if (n > 0)
+      date_add(d,
+        (pmod(lit(anchorDow) - pandasDow(d) - 1, lit(7)) + 1 + 7 * (n - 1)).cast("int"))
+    else
+      date_sub(d,
+        (pmod(pandasDow(d) - lit(anchorDow) - 1, lit(7)) + 1 + 7 * (-n - 1)).cast("int"))
   }
 
-  /** d + MonthBegin(n): first day of the n-th following month (pandas
-    * MonthBegin rolls any date, including a month start, forward). */
+  /** d + MonthBegin(n): n-th month start after d (n > 0; any date rolls
+    * forward) / before d (n < 0; a month start steps back a month). */
   def shiftMonthBegin(d: Column, n: Int = 1): Column = {
-    require(n >= 1, s"n >= 1: $n")
-    trunc(add_months(d, n), "month")
+    require(n != 0, "n must be nonzero")
+    if (n > 0) trunc(add_months(d, n), "month")
+    else {
+      val first = when(dayofmonth(d) === 1, trunc(add_months(d, -1), "month"))
+        .otherwise(trunc(d, "month"))
+      if (n == -1) first else add_months(first, n + 1)
+    }
   }
 
-  /** d + MonthEnd(n): this month's last day counts as step one unless d
-    * already is it — then the n-th following month end. */
+  /** d + MonthEnd(n): for n > 0 this month's last day counts as step one
+    * unless d already is it; for n < 0 the previous month ends —
+    * uniformly last_day(d − |n| months), since the nearest month end
+    * strictly before d always lies in the previous month. */
   def shiftMonthEnd(d: Column, n: Int = 1): Column = {
-    require(n >= 1, s"n >= 1: $n")
-    val dd = d.cast("date")
-    val first = when(dd === last_day(d), last_day(add_months(d, 1))).otherwise(last_day(d))
-    if (n == 1) first else last_day(add_months(first, n - 1))
+    require(n != 0, "n must be nonzero")
+    if (n > 0) {
+      val dd = d.cast("date")
+      val first = when(dd === last_day(d), last_day(add_months(d, 1))).otherwise(last_day(d))
+      if (n == 1) first else last_day(add_months(first, n - 1))
+    } else last_day(add_months(d, n))
   }
 
-  /** d + QuarterEnd(startingMonth=anchor, n): anchored quarter end
-    * after-or-at d (advancing when on it), then n−1 further quarters. */
+  /** d + QuarterEnd(startingMonth=anchor, n): anchored quarter ends in
+    * n's direction (on-anchor advances; negative n lands strictly
+    * before d — the rollforward label minus 3|n| months). */
   def shiftQuarterEnd(d: Column, anchorMonth: Int, n: Int = 1): Column = {
-    require(n >= 1, s"n >= 1: $n")
+    require(n != 0, "n must be nonzero")
     val qe = quarterEndLabel(d, anchorMonth)
-    val first = when(d.cast("date") === qe, last_day(add_months(d, 3))).otherwise(qe)
-    if (n == 1) first else last_day(add_months(first, 3 * (n - 1)))
+    if (n > 0) {
+      val first = when(d.cast("date") === qe, last_day(add_months(d, 3))).otherwise(qe)
+      if (n == 1) first else last_day(add_months(first, 3 * (n - 1)))
+    } else last_day(add_months(qe, 3 * n))
   }
 
-  /** d + YearEnd(month=anchor, n): anchored year end, advancing when on
-    * it, then n−1 further years. */
+  /** d + YearEnd(month=anchor, n): anchored year ends in n's direction. */
   def shiftYearEnd(d: Column, anchorMonth: Int, n: Int = 1): Column = {
-    require(n >= 1, s"n >= 1: $n")
+    require(n != 0, "n must be nonzero")
     val ye = yearEndLabel(d, anchorMonth)
-    val first = when(d.cast("date") === ye, last_day(add_months(d, 12))).otherwise(ye)
-    if (n == 1) first else last_day(add_months(first, 12 * (n - 1)))
+    if (n > 0) {
+      val first = when(d.cast("date") === ye, last_day(add_months(d, 12))).otherwise(ye)
+      if (n == 1) first else last_day(add_months(first, 12 * (n - 1)))
+    } else last_day(add_months(ye, 12 * n))
   }
 
   /** d + CustomBusinessDay(holidays): next weekday strictly after d that
@@ -176,22 +195,35 @@ object Offsets {
        |  ELSE ${yearEndLabelSql(d, anchorMonth)} END""".stripMargin
 
   def shiftWeekSql(d: String, anchorDow: Int, n: Int): String =
-    s"CAST($d AS DATE) + CAST((($anchorDow - ${pandasDowSql(d)} - 1) % 7 + 7) % 7 + 1 + ${7 * (n - 1)} AS INTEGER)"
+    if (n > 0)
+      s"CAST($d AS DATE) + CAST((($anchorDow - ${pandasDowSql(d)} - 1) % 7 + 7) % 7 + 1 + ${7 * (n - 1)} AS INTEGER)"
+    else
+      s"CAST($d AS DATE) - CAST(((${pandasDowSql(d)} - $anchorDow - 1) % 7 + 7) % 7 + 1 + ${7 * (-n - 1)} AS INTEGER)"
 
   def shiftMonthBeginSql(d: String, n: Int): String =
-    s"CAST(date_trunc('month', CAST($d AS DATE) + to_months($n)) AS DATE)"
+    if (n > 0)
+      s"CAST(date_trunc('month', CAST($d AS DATE) + to_months($n)) AS DATE)"
+    else {
+      val first = s"""CASE WHEN day(CAST($d AS DATE)) = 1
+                     |  THEN CAST(date_trunc('month', CAST($d AS DATE) + to_months(-1)) AS DATE)
+                     |  ELSE CAST(date_trunc('month', CAST($d AS DATE)) AS DATE) END""".stripMargin
+      if (n == -1) first else s"CAST(($first) + to_months(${n + 1}) AS DATE)"
+    }
 
   def shiftMonthEndSql(d: String, n: Int): String =
     if (n == 1) shiftMonthEndSql(d)
-    else s"last_day((${shiftMonthEndSql(d)}) + to_months(${n - 1}))"
+    else if (n > 1) s"last_day((${shiftMonthEndSql(d)}) + to_months(${n - 1}))"
+    else s"last_day(CAST($d AS DATE) + to_months($n))"
 
   def shiftQuarterEndSql(d: String, anchorMonth: Int, n: Int): String =
     if (n == 1) shiftQuarterEndSql(d, anchorMonth)
-    else s"last_day((${shiftQuarterEndSql(d, anchorMonth)}) + to_months(${3 * (n - 1)}))"
+    else if (n > 1) s"last_day((${shiftQuarterEndSql(d, anchorMonth)}) + to_months(${3 * (n - 1)}))"
+    else s"last_day((${quarterEndLabelSql(d, anchorMonth)}) + to_months(${3 * n}))"
 
   def shiftYearEndSql(d: String, anchorMonth: Int, n: Int): String =
     if (n == 1) shiftYearEndSql(d, anchorMonth)
-    else s"last_day((${shiftYearEndSql(d, anchorMonth)}) + to_months(${12 * (n - 1)}))"
+    else if (n > 1) s"last_day((${shiftYearEndSql(d, anchorMonth)}) + to_months(${12 * (n - 1)}))"
+    else s"last_day((${yearEndLabelSql(d, anchorMonth)}) + to_months(${12 * n}))"
 
   def fiscalYearSql(d: String, anchorMonth: Int): String =
     s"year(${yearEndLabelSql(d, anchorMonth)})"

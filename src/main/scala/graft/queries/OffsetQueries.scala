@@ -64,6 +64,23 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftYearEndSql("o_orderdate", 6)} AS fy_end
               |FROM orders""".stripMargin)),
 
+    // negative-n offsets (pandas `d - Offset()` rollback family):
+    // previous anchor strictly before the date.
+    QueryDef("shift_negative_offsets",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        Offsets.shiftWeek(col("o_orderdate"), 2, -1).as("prev_wed"),
+        Offsets.shiftMonthBegin(col("o_orderdate"), -1).as("mbegin_m1"),
+        Offsets.shiftMonthEnd(col("o_orderdate"), -2).as("mend_m2"),
+        Offsets.shiftQuarterEnd(col("o_orderdate"), 12, -1).as("qend_m1"),
+        Offsets.shiftYearEnd(col("o_orderdate"), 6, -1).as("yend_m1")),
+      Some(s"""SELECT o_orderkey,
+              |  ${Offsets.shiftWeekSql("o_orderdate", 2, -1)} AS prev_wed,
+              |  ${Offsets.shiftMonthBeginSql("o_orderdate", -1)} AS mbegin_m1,
+              |  ${Offsets.shiftMonthEndSql("o_orderdate", -2)} AS mend_m2,
+              |  ${Offsets.shiftQuarterEndSql("o_orderdate", 12, -1)} AS qend_m1,
+              |  ${Offsets.shiftYearEndSql("o_orderdate", 6, -1)} AS yend_m1
+              |FROM orders""".stripMargin)),
+
     // Period(freq='Q-NOV'/'A-JUN') fiscal labels (reference
     // indexes/period.py; Period.qyear/quarter): '1996Q1' for Dec 1995
     // under Q-NOV — fiscal year of the quarter end, quarter counted from

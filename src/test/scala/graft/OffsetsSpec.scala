@@ -65,6 +65,29 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("negative-n shifts land strictly before d (pandas d - Offset())") {
+    val in = dates("2024-01-15", "2024-01-17", "2024-01-31", "2024-01-01",
+      "2024-02-29", "2023-12-31")
+    assert(got(in.select(Offsets.shiftWeek(col("d"), 2, -1))) ==
+      Seq("2024-01-10", "2024-01-10", "2024-01-24", "2023-12-27",
+        "2024-02-28", "2023-12-27"))
+    assert(got(in.select(Offsets.shiftMonthBegin(col("d"), -1))) ==
+      Seq("2024-01-01", "2024-01-01", "2024-01-01", "2023-12-01",
+        "2024-02-01", "2023-12-01"))
+    assert(got(in.select(Offsets.shiftMonthEnd(col("d"), -1))) ==
+      Seq("2023-12-31", "2023-12-31", "2023-12-31", "2023-12-31",
+        "2024-01-31", "2023-11-30"))
+    assert(got(in.select(Offsets.shiftMonthEnd(col("d"), -2))) ==
+      Seq("2023-11-30", "2023-11-30", "2023-11-30", "2023-11-30",
+        "2023-12-31", "2023-10-31"))
+    assert(got(in.select(Offsets.shiftQuarterEnd(col("d"), 12, -1))) ==
+      Seq("2023-12-31", "2023-12-31", "2023-12-31", "2023-12-31",
+        "2023-12-31", "2023-09-30"))
+    assert(got(in.select(Offsets.shiftYearEnd(col("d"), 6, -1))) ==
+      Seq("2023-06-30", "2023-06-30", "2023-06-30", "2023-06-30",
+        "2023-06-30", "2023-06-30"))
+  }
+
   test("fiscal period labels match pandas Period(freq='Q-NOV'/'A-JUN')") {
     val in = dates("1995-07-15", "1995-11-30", "1995-12-01", "1996-02-29",
       "1996-03-15", "1995-01-10")
