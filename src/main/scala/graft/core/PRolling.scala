@@ -61,12 +61,15 @@ final case class PResampler(frame: PFrame, tsCol: String, width: String,
     keys: Seq[String]) {
 
   def agg(exprs: (String, Column)*): PFrame = {
+    // Grouper.bucket unifies the rule spelling: plain durations
+    // ('5 minutes' / pandas '5min') bucket by window().start; anchored
+    // rules ('W-SUN', 'Q-NOV', 'A-JUN', 'M', 'MS') by their Offsets
+    // label — same single-shuffle hash-agg plan either way.
     val grouped = frame.df.groupBy(
-      (keys.map(col) :+ window(col(tsCol), width)): _*)
+      (keys.map(col) :+ Grouper.bucket(col(tsCol), width).as("bucket")): _*)
     val out = grouped.agg(exprs.head._2.as(exprs.head._1),
       exprs.tail.map { case (n, e) => e.as(n) }: _*)
-      .select((keys.map(col) :+ col("window.start").as("bucket")) ++
-        exprs.map(e => col(e._1)): _*)
+      .select((keys.map(col) :+ col("bucket")) ++ exprs.map(e => col(e._1)): _*)
     PFrame(out, keys :+ "bucket", None)
   }
 

@@ -41,6 +41,13 @@ object Offsets {
     date_add(d, pmod(lit(anchorDow) - pandasDow(d), lit(7)).cast("int"))
   }
 
+  /** W-<weekday> ROLLBACK label: largest anchor weekday <= d — the
+    * `resample('W-...', closed='left', label='left')` bucketing. */
+  def weekAnchorLabelBack(d: Column, anchorDow: Int): Column = {
+    require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
+    date_sub(d, pmod(pandasDow(d) - lit(anchorDow), lit(7)).cast("int"))
+  }
+
   /** Q-<month> label: last day of the earliest month >= d's month that is
     * congruent to the anchor month mod 3 (Q-NOV => quarters ending
     * Feb/May/Aug/Nov). */
@@ -166,6 +173,9 @@ object Offsets {
 
   def weekAnchorLabelSql(d: String, anchorDow: Int): String =
     s"CAST($d AS DATE) + CAST((($anchorDow - ${pandasDowSql(d)}) % 7 + 7) % 7 AS INTEGER)"
+
+  def weekAnchorLabelBackSql(d: String, anchorDow: Int): String =
+    s"CAST($d AS DATE) - CAST(((${pandasDowSql(d)} - $anchorDow) % 7 + 7) % 7 AS INTEGER)"
 
   def quarterEndLabelSql(d: String, anchorMonth: Int): String =
     s"last_day(CAST($d AS DATE) + to_months(CAST((($anchorMonth - month($d)) % 3 + 3) % 3 AS INTEGER)))"

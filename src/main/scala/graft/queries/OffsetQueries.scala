@@ -33,6 +33,16 @@ object OffsetQueries extends QueryModule {
               |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1""".stripMargin)),
 
+    // resample('W-SUN', closed='left', label='left'): rollback bucketing
+    // — weeks [anchor, next anchor) by date, labeled by their start.
+    QueryDef("resample_weekly_left",
+      (s, d) => T.events(s, d)
+        .groupBy(Offsets.weekAnchorLabelBack(to_date(col("ts")), 6).as("week_start"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value")),
+      Some(s"""SELECT ${Offsets.weekAnchorLabelBackSql("ts", 6)} AS week_start,
+              |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
     // resample('Q-NOV') fiscal quarters (ending Feb/May/Aug/Nov) plus the
     // containing A-JUN fiscal year — both anchored labels in one pass.
     QueryDef("resample_quarter_fiscal",

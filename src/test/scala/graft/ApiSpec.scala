@@ -89,11 +89,22 @@ class ApiSpec extends SparkSpec {
       sum(col("v")).over(w) / count(col("v")).over(w))
     assert(rolled.select("seq", "rm").exceptAll(direct.select("seq", "rm")).isEmpty)
 
-    // resample: tumbling buckets
+    // resample: tumbling buckets (Spark and pandas duration spellings)
     val ev = df.withColumn("ts",
       timestamp_micros(col("seq") * 60L * 1000000L))
     val res = PFrame(ev, Seq("seq")).resample("ts", "5 minutes").count().df
     assert(res.agg(sum("count")).collect()(0).getLong(0) == 40)
+    val resP = PFrame(ev, Seq("seq")).resample("ts", "5min").count().df
+    assert(resP.agg(sum("count")).collect()(0).getLong(0) == 40)
+
+    // resample: anchored weekly rule through the same API
+    val evDays = df.withColumn("ts",
+      expr("timestamp_micros(CAST(1704067200000000 + seq * 86400000000 AS BIGINT))"))
+    val resW = PFrame(evDays, Seq("seq")).resample("ts", "W-SUN").count().df
+    assert(resW.agg(sum("count")).collect()(0).getLong(0) == 40)
+    // every bucket label is a Sunday
+    val dows = resW.select(dayofweek(col("bucket"))).collect().map(_.getInt(0))
+    assert(dows.forall(_ == 1), dows.mkString(","))
 
     // grouped ewm equals the sequential recurrence
     val alpha = 0.4

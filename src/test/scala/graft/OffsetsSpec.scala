@@ -23,6 +23,14 @@ class OffsetsSpec extends SparkSpec {
     assert(out == Seq("2024-01-21", "2024-01-07", "2024-03-03", "2023-12-31", "2024-01-07"))
   }
 
+  test("week rollback label (closed='left'): largest anchor <= d") {
+    // pandas resample('W-SUN', closed='left', label='left'): Jan 7/8/10
+    // all label Jan 7; Jan 14 labels itself
+    val in = dates("2024-01-07", "2024-01-08", "2024-01-10", "2024-01-14")
+    assert(got(in.select(Offsets.weekAnchorLabelBack(col("d"), 6))) ==
+      Seq("2024-01-07", "2024-01-07", "2024-01-07", "2024-01-14"))
+  }
+
   test("quarter/year end labels (Q-NOV, A-JUN)") {
     val in = dates("2024-01-15", "2023-12-31", "2024-06-30", "2024-02-29")
     val q = got(in.select(Offsets.quarterEndLabel(col("d"), 11)))
