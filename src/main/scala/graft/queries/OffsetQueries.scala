@@ -91,6 +91,31 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftYearEndSql("o_orderdate", 6, -1)} AS yend_m1
               |FROM orders""".stripMargin)),
 
+    // CustomBusinessDay(calendar=USFederalHolidayCalendar()): the
+    // holiday DATES come from rules (nth-weekday + observed fixed
+    // dates, HolidayCalendar — pandas-pinned in HolidayCalendarSpec),
+    // generated on the driver and inlined identically into both
+    // engines. Window chosen so the calendar slice covers every roll.
+    QueryDef("bday_us_federal",
+      (s, d) => {
+        val hol = graft.operators.HolidayCalendar.dates(
+          graft.operators.HolidayCalendar.usFederal, "1995-06-01", "1996-07-31")
+        T.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            Offsets.shiftBusinessDay(col("o_orderdate"), hol).as("next_usbday"))
+      },
+      Some {
+        val hol = graft.operators.HolidayCalendar.dates(
+          graft.operators.HolidayCalendar.usFederal, "1995-06-01", "1996-07-31")
+        s"""SELECT o_orderkey,
+           |  ${Offsets.shiftBusinessDaySql("o_orderdate", hol)} AS next_usbday
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01'""".stripMargin
+      }),
+
     // Period(freq='Q-NOV'/'A-JUN') fiscal labels (reference
     // indexes/period.py; Period.qyear/quarter): '1996Q1' for Dec 1995
     // under Q-NOV — fiscal year of the quarter end, quarter counted from
