@@ -216,6 +216,24 @@ object SimilarityOps {
       .select(col(qId), col(cId), col("score"), col("rn"))
   }
 
+  /** Per-vector symmetric int8 quantization (the standard ANN storage
+    * reduction: 4× smaller vectors, codes = round(x/scale) with
+    * scale = max|x|/127). Pure scan-stage HOFs — codes, their checksum,
+    * and the max reconstruction error are all per-row expressions, so
+    * quantizing 100 TB of embeddings is map-side throughput with zero
+    * shuffle. Rounded code integers are engine-exact (round-to-int
+    * HALF_UP ≡ std::round); the error is emitted in 1e-6 integer units
+    * for the same reason. */
+  def quantizeInt8(emb: Column): (Column, Column, Column) = {
+    val e = toDoubleArr(emb)
+    val scale = array_max(transform(e, x => abs(x))) / lit(127.0)
+    val codes = transform(e, x => round(x / scale).cast("int"))
+    val err = array_max(zip_with(e, codes, (x, c) => abs(x - c * scale)))
+    (when(scale > 0, codes).as("codes"),
+      when(scale > 0, aggregate(codes, lit(0L), (a, c) => a + c)).as("code_sum"),
+      when(scale > 0, round(err * 1e6).cast("long")).as("err_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDupPairs(corpus: DataFrame, cId: String, bits: Int,
       minCosine: Double): DataFrame = {

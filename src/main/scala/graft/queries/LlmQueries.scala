@@ -263,6 +263,28 @@ object LlmQueries extends QueryModule {
       },
       None),
 
+    // int8 embedding quantization: codes + checksum + max reconstruction
+    // error (1e-6 integer units) — scan-local, exact cross-engine.
+    QueryDef("embedding_quantize_int8",
+      (s, d) => {
+        val (codes, codeSum, err) =
+          SimilarityOps.quantizeInt8(col("embedding"))
+        T.embeddings(s, d).select(col("vec_id"), codes, codeSum, err)
+          .filter(col("err_e6").isNotNull) // zero vectors: dropped both sides
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, e, s,
+             |    list_transform(e, x -> CAST(round(x / s) AS INTEGER)) AS codes
+             |  FROM b WHERE s > 0)
+             |SELECT vec_id, codes,
+             |  CAST(list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+             |    (a, b) -> a + b) AS BIGINT) AS code_sum,
+             |  CAST(round(list_max(list_transform(generate_series(1, len(e)),
+             |    i -> abs(e[i] - codes[i] * s))) * 1e6) AS BIGINT) AS err_e6
+             |FROM q""".stripMargin)),
+
     QueryDef("simhash_docs",
       (s, d) => TextDedupOps.simHash(T.documents(s, d), "doc_id", "text"),
       None),
