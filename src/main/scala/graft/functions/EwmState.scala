@@ -96,7 +96,10 @@ object EwmState {
   def compact(r: Double, b: Buf): Buf = {
     if (b.raw.isEmpty) return b
     val sorted = b.raw.sortBy(_._1).toIndexedSeq
-    if (b.segs.nonEmpty && sorted.head._1 < b.segs.last.hi) b
+    // compare against the MAX hi — within one partial buffer segments are
+    // appended in increasing ranges, but a buffer that has been merged
+    // holds them in concatenation order
+    if (b.segs.nonEmpty && sorted.head._1 < b.segs.map(_.hi).max) b
     else Buf(b.segs :+ fromSorted(r, sorted), Vector.empty)
   }
 

@@ -146,6 +146,23 @@ object Offsets {
     } else last_day(add_months(ye, 12 * n))
   }
 
+  /** d + SemiMonthEnd(): next anchor in {15th, month end} strictly
+    * after d (pandas SemiMonthEnd, day_of_month=15). */
+  def shiftSemiMonthEnd(d: Column): Column = {
+    val dd = d.cast("date")
+    val fifteenth = date_add(trunc(d, "month"), 14)
+    when(dayofmonth(d) < 15, fifteenth)
+      .when(dd < last_day(d), last_day(d))
+      .otherwise(date_add(trunc(add_months(d, 1), "month"), 14))
+  }
+
+  /** d + SemiMonthBegin(): next anchor in {1st, 15th} strictly after d. */
+  def shiftSemiMonthBegin(d: Column): Column = {
+    val fifteenth = date_add(trunc(d, "month"), 14)
+    when(dayofmonth(d) < 15, fifteenth)
+      .otherwise(trunc(add_months(d, 1), "month"))
+  }
+
   /** d + CustomBusinessDay(holidays): next weekday strictly after d that
     * is neither a weekend nor a listed holiday (reference offsets.py
     * CustomBusinessDay; holiday calendars reduce to their date list).
@@ -247,6 +264,20 @@ object Offsets {
 
   private def qeCte(d: String, anchorMonth: Int): String =
     quarterEndLabelSql(d, anchorMonth)
+
+  def shiftSemiMonthEndSql(d: String): String =
+    s"""CASE WHEN day(CAST($d AS DATE)) < 15
+       |  THEN CAST(date_trunc('month', CAST($d AS DATE)) AS DATE) + 14
+       |  WHEN CAST($d AS DATE) < last_day(CAST($d AS DATE))
+       |  THEN last_day(CAST($d AS DATE))
+       |  ELSE CAST(date_trunc('month', CAST($d AS DATE) + to_months(1)) AS DATE) + 14
+       |END""".stripMargin
+
+  def shiftSemiMonthBeginSql(d: String): String =
+    s"""CASE WHEN day(CAST($d AS DATE)) < 15
+       |  THEN CAST(date_trunc('month', CAST($d AS DATE)) AS DATE) + 14
+       |  ELSE CAST(date_trunc('month', CAST($d AS DATE) + to_months(1)) AS DATE)
+       |END""".stripMargin
 
   /** Mirrors shiftBusinessDay: the same unrolled roll as nested CASE. */
   def shiftBusinessDaySql(d: String, holidays: Seq[String]): String = {

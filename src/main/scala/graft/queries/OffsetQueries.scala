@@ -193,6 +193,52 @@ object OffsetQueries extends QueryModule {
               |  count(*) AS cnt, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1""".stripMargin)),
 
+    // SemiMonthEnd / SemiMonthBegin (pandas 15th + month-end / 1st +
+    // 15th anchors) — pandas-pinned in OffsetsSpec.
+    QueryDef("shift_semi_month",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        Offsets.shiftSemiMonthEnd(col("o_orderdate")).as("sm_end"),
+        Offsets.shiftSemiMonthBegin(col("o_orderdate")).as("sm_begin")),
+      Some(s"""SELECT o_orderkey,
+              |  ${Offsets.shiftSemiMonthEndSql("o_orderdate")} AS sm_end,
+              |  ${Offsets.shiftSemiMonthBeginSql("o_orderdate")} AS sm_begin
+              |FROM orders""".stripMargin)),
+
+    // date_range(freq='Q-NOV'): anchored quarter-end sequence — the
+    // rollforward label of the start, then +3-month last_days.
+    QueryDef("date_range_quarter_fiscal",
+      (s, d) => s.range(1)
+        .select(explode(sequence(lit(0), lit(12))).as("k"))
+        .select(last_day(add_months(
+          Offsets.quarterEndLabel(lit("1995-01-01").cast("date"), 11),
+          (col("k") * 3).cast("int"))).as("q_end"))
+        .filter(col("q_end") <= lit("1997-12-31").cast("date")),
+      Some(s"""SELECT q_end FROM (
+              |  SELECT last_day((${Offsets.quarterEndLabelSql("DATE '1995-01-01'", 11)})
+              |    + to_months(CAST(3 * k AS INTEGER))) AS q_end
+              |  FROM (SELECT unnest(generate_series(0, 12)) AS k))
+              |WHERE q_end <= DATE '1997-12-31'""".stripMargin)),
+
+    // bdate_range(holidays=US federal): weekday grid minus the
+    // rule-generated calendar.
+    QueryDef("bdate_range_holidays",
+      (s, d) => {
+        val hol = graft.operators.HolidayCalendar.dates(
+          graft.operators.HolidayCalendar.usFederal, "1995-12-01", "1996-01-31")
+        graft.operators.RangeOps.bdateRange(s, "1995-12-01", "1996-01-31")
+          .filter(!col("ts").cast("date").cast("string").isInCollection(hol))
+          .select(col("ts").cast("date").as("bday"))
+      },
+      Some {
+        val hol = graft.operators.HolidayCalendar.dates(
+          graft.operators.HolidayCalendar.usFederal, "1995-12-01", "1996-01-31")
+        s"""SELECT CAST(d AS DATE) AS bday FROM
+           |  (SELECT unnest(generate_series(TIMESTAMP '1995-12-01',
+           |     TIMESTAMP '1996-01-31', INTERVAL 1 DAY)) AS d)
+           |WHERE dayofweek(CAST(d AS DATE)) NOT IN (0, 6)
+           |  AND CAST(CAST(d AS DATE) AS VARCHAR) NOT IN (${hol.map(h => s"'$h'").mkString(", ")})""".stripMargin
+      }),
+
     // date_range(freq='W-WED'): Wednesdays from the first anchor at or
     // after the start — sequence() + explode, generated distributively.
     QueryDef("date_range_weekly_anchored",

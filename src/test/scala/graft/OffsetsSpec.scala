@@ -73,6 +73,17 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("semi-month shifts match pandas SemiMonthEnd/SemiMonthBegin") {
+    val in = dates("2024-01-10", "2024-01-15", "2024-01-20", "2024-01-31",
+      "2024-01-01", "2024-02-14", "2024-02-29")
+    assert(got(in.select(Offsets.shiftSemiMonthEnd(col("d")))) ==
+      Seq("2024-01-15", "2024-01-31", "2024-01-31", "2024-02-15",
+        "2024-01-15", "2024-02-15", "2024-03-15"))
+    assert(got(in.select(Offsets.shiftSemiMonthBegin(col("d")))) ==
+      Seq("2024-01-15", "2024-02-01", "2024-02-01", "2024-02-01",
+        "2024-01-15", "2024-02-15", "2024-03-01"))
+  }
+
   test("negative-n shifts land strictly before d (pandas d - Offset())") {
     val in = dates("2024-01-15", "2024-01-17", "2024-01-31", "2024-01-01",
       "2024-02-29", "2023-12-31")
