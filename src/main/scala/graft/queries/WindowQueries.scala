@@ -349,6 +349,39 @@ object WindowQueries extends QueryModule {
              |  END AS ewm_var_e4
              |FROM a""".stripMargin)),
 
+    // ewm(halflife=Timedelta('1 day'), times=ts).mean() — IRREGULAR-TIME
+    // exponential decay (reference core/window.py EWM times= parameter;
+    // kernel window.pyx ewma with deltas): w_i = 0.5^((T_n − t_i)/hl)
+    // ∝ 2^(day_i). DOCUMENTED DEVIATION: deltas are FLOOR-DAY granular
+    // (pandas uses continuous sub-day deltas) — integer day offsets make
+    // every weight an exact power of two (same bit-exactness trick as
+    // ewm_var's α=½), so the expanding sums are identical ordered IEEE
+    // additions in both engines; continuous deltas would need per-row
+    // pow with fractional exponents, which diverges across libms and
+    // breaks the hash gate. BOUND: 2^day overflows past day≈1023 from
+    // the rebase epoch (~2.8 years) — beyond that, rebase per partition
+    // or use EwmMomentsAggregator's back-to-front weights. The fixture
+    // spans 30 days.
+    QueryDef("ewm_time_halflife",
+      (s, d) => {
+        val base = T.events(s, d).filter(col("value").isNotNull)
+          .withColumn("dy", expr("unix_micros(ts) div 86400000000 - 19723"))
+        val w = RollingOps.expanding(Seq("user_id"), evOrder)
+        val wt = pow(lit(2.0), col("dy"))
+        base.select(col("event_id"),
+          round(sum(wt * col("value")).over(w) / sum(wt).over(w), 6)
+            .as("ewm_t"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, ts, value,
+             |    epoch_us(ts) // 86400000000 - 19723 AS dy
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT event_id,
+             |  round(sum(pow(2.0, dy) * value) OVER w
+             |        / sum(pow(2.0, dy)) OVER w, 6) AS ewm_t
+             |FROM base
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ewm(alpha=0.5).cov(y) (bias=false) and ewm.corr(y) over
     // (value, elapsed-seconds) — corr uses the biased moments (the
     // unbiased factor cancels, as in pandas window.pyx ewmcov usage).
