@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anchored weekly agg (complete mode) equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // 12-hour steps over 600 events ≈ 43 W-SUN buckets
+    val weekly = (0 until 600).map(i => Ev(ts(i * 43200L), i % 5L, (i % 37) * 1.5))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(graft.operators.Offsets.weekAnchorLabel(to_date(col("ts")), 6)
+        .as("week_end"))
+      .agg(count(lit(1)).as("cnt"))
+    val stream = MemoryStream[Ev]
+    val q = agg(stream.toDF()).writeStream.format("memory").queryName("wkanchor")
+      .outputMode("complete").start()
+    try {
+      stream.addData(weekly)
+      q.processAllAvailable()
+      val streamed = spark.table("wkanchor").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = agg(weekly.toDF()).collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(streamed == batch && batch.size > 30, s"${batch.size} buckets")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per key") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
