@@ -146,6 +146,32 @@ object Offsets {
     } else last_day(add_months(ye, 12 * n))
   }
 
+  /** n-th anchor weekday of d's month (n 1-based), as a date. */
+  private def nthWeekdayOfMonth(monthStart: Column, anchorDow: Int, n: Int): Column =
+    date_add(monthStart,
+      (pmod(lit(anchorDow) - pandasDow(monthStart), lit(7)) + 7 * (n - 1)).cast("int"))
+
+  /** d + WeekOfMonth(week, weekday): next "(week+1)-th <weekday> of the
+    * month" strictly after d (pandas WeekOfMonth; week is 0-based). */
+  def shiftWeekOfMonth(d: Column, week: Int, anchorDow: Int): Column = {
+    require(week >= 0 && week <= 3, s"week 0..3: $week")
+    require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
+    val thisM = nthWeekdayOfMonth(trunc(d, "month"), anchorDow, week + 1)
+    val nextM = nthWeekdayOfMonth(trunc(add_months(d, 1), "month"), anchorDow, week + 1)
+    when(thisM > d.cast("date"), thisM).otherwise(nextM)
+  }
+
+  /** d + LastWeekOfMonth(weekday): next "last <weekday> of the month"
+    * strictly after d. */
+  def shiftLastWeekOfMonth(d: Column, anchorDow: Int): Column = {
+    require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
+    def lastIn(ld: Column): Column =
+      date_sub(ld, pmod(pandasDow(ld) - lit(anchorDow), lit(7)).cast("int"))
+    val thisM = lastIn(last_day(d))
+    val nextM = lastIn(last_day(add_months(d, 1)))
+    when(thisM > d.cast("date"), thisM).otherwise(nextM)
+  }
+
   /** d + SemiMonthEnd(): next anchor in {15th, month end} strictly
     * after d (pandas SemiMonthEnd, day_of_month=15). */
   def shiftSemiMonthEnd(d: Column): Column = {
@@ -264,6 +290,25 @@ object Offsets {
 
   private def qeCte(d: String, anchorMonth: Int): String =
     quarterEndLabelSql(d, anchorMonth)
+
+  private def nthWeekdayOfMonthSql(monthStart: String, anchorDow: Int, n: Int): String =
+    s"($monthStart) + CAST((($anchorDow - (dayofweek($monthStart) + 6) % 7) % 7 + 7) % 7 + ${7 * (n - 1)} AS INTEGER)"
+
+  def shiftWeekOfMonthSql(d: String, week: Int, anchorDow: Int): String = {
+    val thisM = nthWeekdayOfMonthSql(
+      s"CAST(date_trunc('month', CAST($d AS DATE)) AS DATE)", anchorDow, week + 1)
+    val nextM = nthWeekdayOfMonthSql(
+      s"CAST(date_trunc('month', CAST($d AS DATE) + to_months(1)) AS DATE)", anchorDow, week + 1)
+    s"CASE WHEN ($thisM) > CAST($d AS DATE) THEN ($thisM) ELSE ($nextM) END"
+  }
+
+  def shiftLastWeekOfMonthSql(d: String, anchorDow: Int): String = {
+    def lastIn(ld: String): String =
+      s"($ld) - CAST((((dayofweek($ld) + 6) % 7 - $anchorDow) % 7 + 7) % 7 AS INTEGER)"
+    val thisM = lastIn(s"last_day(CAST($d AS DATE))")
+    val nextM = lastIn(s"last_day(CAST($d AS DATE) + to_months(1))")
+    s"CASE WHEN ($thisM) > CAST($d AS DATE) THEN ($thisM) ELSE ($nextM) END"
+  }
 
   def shiftSemiMonthEndSql(d: String): String =
     s"""CASE WHEN day(CAST($d AS DATE)) < 15

@@ -204,6 +204,17 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftSemiMonthBeginSql("o_orderdate")} AS sm_begin
               |FROM orders""".stripMargin)),
 
+    // WeekOfMonth(week=1, weekday=2) = "2nd Wednesday" and
+    // LastWeekOfMonth(weekday=4) = "last Friday" — pandas-pinned.
+    QueryDef("shift_week_of_month",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        Offsets.shiftWeekOfMonth(col("o_orderdate"), 1, 2).as("wom_2wed"),
+        Offsets.shiftLastWeekOfMonth(col("o_orderdate"), 4).as("lwom_fri")),
+      Some(s"""SELECT o_orderkey,
+              |  ${Offsets.shiftWeekOfMonthSql("o_orderdate", 1, 2)} AS wom_2wed,
+              |  ${Offsets.shiftLastWeekOfMonthSql("o_orderdate", 4)} AS lwom_fri
+              |FROM orders""".stripMargin)),
+
     // date_range(freq='Q-NOV'): anchored quarter-end sequence — the
     // rollforward label of the start, then +3-month last_days.
     QueryDef("date_range_quarter_fiscal",

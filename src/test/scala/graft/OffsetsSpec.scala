@@ -73,6 +73,17 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("WeekOfMonth / LastWeekOfMonth shifts match pandas") {
+    val in = dates("2024-01-01", "2024-01-10", "2024-01-11", "2024-01-26",
+      "2024-01-31", "2024-02-14", "2023-12-31")
+    assert(got(in.select(Offsets.shiftWeekOfMonth(col("d"), 1, 2))) ==
+      Seq("2024-01-10", "2024-02-14", "2024-02-14", "2024-02-14",
+        "2024-02-14", "2024-03-13", "2024-01-10"))
+    assert(got(in.select(Offsets.shiftLastWeekOfMonth(col("d"), 4))) ==
+      Seq("2024-01-26", "2024-01-26", "2024-01-26", "2024-02-23",
+        "2024-02-23", "2024-02-23", "2024-01-26"))
+  }
+
   test("semi-month shifts match pandas SemiMonthEnd/SemiMonthBegin") {
     val in = dates("2024-01-10", "2024-01-15", "2024-01-20", "2024-01-31",
       "2024-01-01", "2024-02-14", "2024-02-29")
