@@ -172,6 +172,40 @@ object Offsets {
     when(thisM > d.cast("date"), thisM).otherwise(nextM)
   }
 
+  /** FY5253 (52-53-week retail calendar) year-end anchor for the fiscal
+    * year whose anchor month falls in calendar year `y`:
+    * variation='last' → last <weekday> of the month; 'nearest' → the
+    * <weekday> nearest the month's last day. */
+  private def fy5253Anchor(y: Column, anchorMonth: Int, anchorDow: Int,
+      variation: String): Column = {
+    val ld = last_day(make_date(y, lit(anchorMonth), lit(1)))
+    val back = pmod(pandasDow(ld) - lit(anchorDow), lit(7))
+    variation match {
+      case "last" => date_sub(ld, back.cast("int"))
+      case "nearest" =>
+        when(back <= 3, date_sub(ld, back.cast("int")))
+          .otherwise(date_add(ld, (lit(7) - back).cast("int")))
+      case other => throw new IllegalArgumentException(
+        s"variation must be last|nearest: $other")
+    }
+  }
+
+  /** d + FY5253(weekday, startingMonth, variation): next 52/53-week
+    * fiscal-year end strictly after d (pandas FY5253 — the retail
+    * 4-5-4 calendar; reference offsets.py FY5253). */
+  def shiftFY5253(d: Column, anchorDow: Int, anchorMonth: Int,
+      variation: String): Column = {
+    require(anchorDow >= 0 && anchorDow <= 6, s"weekday 0..6: $anchorDow")
+    require(anchorMonth >= 1 && anchorMonth <= 12, s"month 1..12: $anchorMonth")
+    // anchor(y-1) can still lie after d when the 'nearest' anchor of a
+    // December-ending year spills into early January of year y
+    val am = fy5253Anchor(year(d) - 1, anchorMonth, anchorDow, variation)
+    val a0 = fy5253Anchor(year(d), anchorMonth, anchorDow, variation)
+    val a1 = fy5253Anchor(year(d) + 1, anchorMonth, anchorDow, variation)
+    when(am > d.cast("date"), am)
+      .when(a0 > d.cast("date"), a0).otherwise(a1)
+  }
+
   /** d + SemiMonthEnd(): next anchor in {15th, month end} strictly
     * after d (pandas SemiMonthEnd, day_of_month=15). */
   def shiftSemiMonthEnd(d: Column): Column = {
@@ -308,6 +342,27 @@ object Offsets {
     val thisM = lastIn(s"last_day(CAST($d AS DATE))")
     val nextM = lastIn(s"last_day(CAST($d AS DATE) + to_months(1))")
     s"CASE WHEN ($thisM) > CAST($d AS DATE) THEN ($thisM) ELSE ($nextM) END"
+  }
+
+  private def fy5253AnchorSql(y: String, anchorMonth: Int, anchorDow: Int,
+      variation: String): String = {
+    val ld = s"last_day(make_date($y, $anchorMonth, 1))"
+    val back = s"(((dayofweek($ld) + 6) % 7 - $anchorDow) % 7 + 7) % 7"
+    variation match {
+      case "last" => s"($ld - CAST($back AS INTEGER))"
+      case _ =>
+        s"""(CASE WHEN $back <= 3 THEN $ld - CAST($back AS INTEGER)
+           |  ELSE $ld + CAST(7 - ($back) AS INTEGER) END)""".stripMargin
+    }
+  }
+
+  def shiftFY5253Sql(d: String, anchorDow: Int, anchorMonth: Int,
+      variation: String): String = {
+    val am = fy5253AnchorSql(s"CAST(year($d) - 1 AS INTEGER)", anchorMonth, anchorDow, variation)
+    val a0 = fy5253AnchorSql(s"CAST(year($d) AS INTEGER)", anchorMonth, anchorDow, variation)
+    val a1 = fy5253AnchorSql(s"CAST(year($d) + 1 AS INTEGER)", anchorMonth, anchorDow, variation)
+    s"""CASE WHEN ($am) > CAST($d AS DATE) THEN ($am)
+       |  WHEN ($a0) > CAST($d AS DATE) THEN ($a0) ELSE ($a1) END""".stripMargin
   }
 
   def shiftSemiMonthEndSql(d: String): String =

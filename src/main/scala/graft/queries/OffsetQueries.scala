@@ -204,6 +204,17 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftSemiMonthBeginSql("o_orderdate")} AS sm_begin
               |FROM orders""".stripMargin)),
 
+    // FY5253: 52/53-week retail fiscal year ending on the Saturday
+    // nearest to (or last in) January — pandas-pinned.
+    QueryDef("shift_fy5253",
+      (s, d) => T.orders(s, d).select(col("o_orderkey"),
+        Offsets.shiftFY5253(col("o_orderdate"), 5, 1, "nearest").as("fy_nearest"),
+        Offsets.shiftFY5253(col("o_orderdate"), 5, 1, "last").as("fy_last")),
+      Some(s"""SELECT o_orderkey,
+              |  ${Offsets.shiftFY5253Sql("o_orderdate", 5, 1, "nearest")} AS fy_nearest,
+              |  ${Offsets.shiftFY5253Sql("o_orderdate", 5, 1, "last")} AS fy_last
+              |FROM orders""".stripMargin)),
+
     // WeekOfMonth(week=1, weekday=2) = "2nd Wednesday" and
     // LastWeekOfMonth(weekday=4) = "last Friday" — pandas-pinned.
     QueryDef("shift_week_of_month",

@@ -73,6 +73,23 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("FY5253 retail year ends match pandas (nearest and last variations)") {
+    val in = dates("2024-01-15", "2024-02-03", "2024-02-04", "2024-06-30",
+      "2023-12-31", "2024-01-27")
+    assert(got(in.select(Offsets.shiftFY5253(col("d"), 5, 1, "nearest"))) ==
+      Seq("2024-02-03", "2025-02-01", "2025-02-01", "2025-02-01",
+        "2024-02-03", "2024-02-03"))
+    assert(got(in.select(Offsets.shiftFY5253(col("d"), 5, 1, "last"))) ==
+      Seq("2024-01-27", "2025-01-25", "2025-01-25", "2025-01-25",
+        "2024-01-27", "2025-01-25"))
+    // December-ending year whose 'nearest' anchor spills into January:
+    // FY2021 ends Sat 2022-01-01, so early-Jan 2021 dates must see the
+    // PREVIOUS calendar year's anchor (pandas-pinned)
+    val dec = dates("2021-01-02", "2021-12-30", "2022-01-01")
+    assert(got(dec.select(Offsets.shiftFY5253(col("d"), 5, 12, "nearest"))) ==
+      Seq("2022-01-01", "2022-01-01", "2022-12-31"))
+  }
+
   test("WeekOfMonth / LastWeekOfMonth shifts match pandas") {
     val in = dates("2024-01-01", "2024-01-10", "2024-01-11", "2024-01-26",
       "2024-01-31", "2024-02-14", "2023-12-31")
