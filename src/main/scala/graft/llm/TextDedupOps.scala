@@ -176,16 +176,24 @@ object TextDedupOps {
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // `cached` tracks the EXACT persisted plan of the current label
+    // generation — unpersisting a derived projection would not release
+    // the underlying cache entry. The final generation backs the
+    // returned plan, so it registers with the application's
+    // step-boundary release hook instead (the r6 minhash cache-leak
+    // lesson); every intermediate generation is released in-loop.
+    var cached = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).withColumn("__chg", lit(false))
+      .persist(lvl)
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
+      val labels = cached.drop("__chg")
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("c")), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -194,14 +202,15 @@ object TextDedupOps {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("__chg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
       changed = next.filter(col("__chg")).count()
-      labels.unpersist()
-      labels = next.drop("__chg")
+      cached.unpersist()
+      cached = next
       i += 1
     }
     edges.unpersist()
-    labels
+    graft.operators.DistScan.registerCache(cached)
+    cached.drop("__chg")
   }
 
   /** 64-bit SimHash over word tokens: per bit, the sign of the sum of

@@ -364,23 +364,43 @@ object WindowQueries extends QueryModule {
     // spans 30 days.
     QueryDef("ewm_time_halflife",
       (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
         val base = T.events(s, d).filter(col("value").isNotNull)
           .withColumn("dy", expr("unix_micros(ts) div 86400000000 - 19723"))
+          // weights and numerator kept as EXACT integers (cents × 2^dy in
+          // DECIMAL(38,0)/HUGEINT): windowed double sums are NOT
+          // associativity-stable across engines (DuckDB's segment-tree
+          // vs Spark's running accumulation flipped a 6th decimal at
+          // sf0.1) — exact integer sums make the one double division the
+          // only IEEE op
+          .withColumn("c", (dec2(col("value")) * 100).cast("long"))
+          .withColumn("wt", pow(lit(2.0), col("dy")).cast(d38))
         val w = RollingOps.expanding(Seq("user_id"), evOrder)
-        val wt = pow(lit(2.0), col("dy"))
+        val num = sum(col("wt") * col("c").cast(d38)).over(w)
+        val den = sum(col("wt")).over(w)
+        // 1e-6 integer units, round-to-int: the exact-integer quotients
+        // land on dyadic rounding TIES (x.xxxxxx5 exactly representable)
+        // where round(d, 6) diverges between the engines' rounding
+        // implementations — round-to-int HALF_UP is identical in both
         base.select(col("event_id"),
-          round(sum(wt * col("value")).over(w) / sum(wt).over(w), 6)
-            .as("ewm_t"))
+          round(num.cast("double") / den.cast("double") / 100.0 * 1e6)
+            .cast("long").as("ewm_t_e6"))
       },
-      Some("""WITH base AS (SELECT event_id, user_id, ts, value,
-             |    epoch_us(ts) // 86400000000 - 19723 AS dy
-             |  FROM events WHERE value IS NOT NULL)
+      Some("""WITH base AS (SELECT event_id, user_id, ts,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+             |    CAST(pow(2.0, epoch_us(ts) // 86400000000 - 19723) AS HUGEINT) AS wt
+             |  FROM events WHERE value IS NOT NULL),
+             |s AS (SELECT event_id,
+             |    sum(wt * CAST(c AS HUGEINT)) OVER w AS num,
+             |    sum(wt) OVER w AS den
+             |  FROM base
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              |SELECT event_id,
-             |  round(sum(pow(2.0, dy) * value) OVER w
-             |        / sum(pow(2.0, dy)) OVER w, 6) AS ewm_t
-             |FROM base
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+             |  CAST(round(sign(num) * CAST(abs(num) AS DOUBLE)
+             |        / CAST(den AS DOUBLE) / 100.0 * 1e6) AS BIGINT) AS ewm_t_e6
+             |FROM s""".stripMargin)),
 
     // ewm(alpha=0.5).cov(y) (bias=false) and ewm.corr(y) over
     // (value, elapsed-seconds) — corr uses the biased moments (the
