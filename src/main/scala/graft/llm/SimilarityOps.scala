@@ -224,14 +224,22 @@ object SimilarityOps {
     * shuffle. Rounded code integers are engine-exact (round-to-int
     * HALF_UP ≡ std::round); the error is emitted in 1e-6 integer units
     * for the same reason. */
-  def quantizeInt8(emb: Column): (Column, Column, Column) = {
-    val e = toDoubleArr(emb)
-    val scale = array_max(transform(e, x => abs(x))) / lit(127.0)
-    val codes = transform(e, x => round(x / scale).cast("int"))
-    val err = array_max(zip_with(e, codes, (x, c) => abs(x - c * scale)))
-    (when(scale > 0, codes).as("codes"),
-      when(scale > 0, aggregate(codes, lit(0L), (a, c) => a + c)).as("code_sum"),
-      when(scale > 0, round(err * 1e6).cast("long")).as("err_e6"))
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame = {
+    val e = toDoubleArr(col(embCol))
+    // scale and codes materialize as columns BEFORE the lambdas that use
+    // them: a lambda referencing the scale EXPRESSION would re-evaluate
+    // the array_max per array element (O(dim²) per row)
+    df.withColumn("__scale",
+        when(array_max(transform(e, x => abs(x))) > 0,
+          array_max(transform(e, x => abs(x))) / lit(127.0)))
+      .withColumn("codes",
+        transform(e, x => round(x / col("__scale")).cast("int")))
+      .withColumn("code_sum",
+        aggregate(col("codes"), lit(0L), (a, c) => a + c))
+      .withColumn("err_e6",
+        round(array_max(zip_with(e, col("codes"),
+          (x, c) => abs(x - c * col("__scale")))) * 1e6).cast("long"))
+      .drop("__scale")
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */

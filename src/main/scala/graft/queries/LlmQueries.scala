@@ -266,12 +266,9 @@ object LlmQueries extends QueryModule {
     // int8 embedding quantization: codes + checksum + max reconstruction
     // error (1e-6 integer units) — scan-local, exact cross-engine.
     QueryDef("embedding_quantize_int8",
-      (s, d) => {
-        val (codes, codeSum, err) =
-          SimilarityOps.quantizeInt8(col("embedding"))
-        T.embeddings(s, d).select(col("vec_id"), codes, codeSum, err)
-          .filter(col("err_e6").isNotNull) // zero vectors: dropped both sides
-      },
+      (s, d) => SimilarityOps.quantizeInt8(T.embeddings(s, d), "embedding")
+        .select("vec_id", "codes", "code_sum", "err_e6")
+        .filter(col("err_e6").isNotNull), // zero vectors: dropped both sides
       Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
              |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
              |  FROM embeddings),
