@@ -120,6 +120,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r7 offset/quantize queries stay scan-local (zero Exchange)") {
+    for (name <- Seq("shift_n_period_offsets", "shift_negative_offsets",
+        "shift_semi_month", "shift_week_of_month", "shift_fy5253",
+        "bday_us_federal", "embedding_quantize_int8")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
+    }
+  }
+
+  test("ewm_time_halflife: one grouped shuffle, partitioned window") {
+    val p = plan("ewm_time_halflife")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"shuffles $ex times:\n${p.take(3000)}")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("user_id"), s"unpartitioned window: $l")
+    }
+  }
+
   test("interpolate_poly: one grouped shuffle, no unpartitioned window") {
     val p = plan("interpolate_poly")
     val ex = "Exchange hashpartitioning".r.findAllIn(p).size
