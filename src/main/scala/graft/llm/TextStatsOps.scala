@@ -1,5 +1,7 @@
 package graft.llm
 
+// (chunking lives here with the other per-document scan-local ops)
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -86,5 +88,27 @@ object TextStatsOps {
   def repetitionRatio(toks: Column, n: Int): Column = {
     val sh = shingles(toks, n)
     lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
+  /** Sliding word-window chunking — the curation step before embedding:
+    * each document becomes ceil((words − overlap)/(max − overlap))
+    * chunks of up to `maxWords` words, consecutive chunks sharing
+    * `overlap` words. Pure flatMap shape (one posexplode over a
+    * row-local sequence — no shuffle, no state): 100 TB of documents
+    * chunk at scan throughput. Returns (idCol, chunk_id, chunk). */
+  def chunkWords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxWords: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxWords > overlap && overlap >= 0,
+      s"need maxWords > overlap >= 0: $maxWords, $overlap")
+    val step = maxWords - overlap
+    val words = tokens(col(textCol))
+    // integer ceil-div via FP divide + truncating cast (operands are
+    // small positive ints — exact in double)
+    val n = greatest(lit(1),
+      ((size(words) - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"))
+    df.select(col(idCol), posexplode(transform(sequence(lit(0), n - 1),
+        k => array_join(slice(words, k * step + 1, lit(maxWords)), " "))))
+      .select(col(idCol), col("pos").as("chunk_id"), col("col").as("chunk"))
   }
 }

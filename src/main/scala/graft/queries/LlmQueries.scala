@@ -263,6 +263,26 @@ object LlmQueries extends QueryModule {
       },
       None),
 
+    // Sliding word-window chunking (50-word chunks, 10-word overlap):
+    // the pre-embedding curation step, emitted as (doc, chunk_id,
+    // fingerprint, word count) so the compare stays compact.
+    QueryDef("chunk_documents",
+      (s, d) => TextStatsOps
+        .chunkWords(T.documents(s, d), "doc_id", "text", 50, 10)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk")).as("chunk_md5"),
+          size(split(col("chunk"), " ")).as("n_words")),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |c AS (SELECT doc_id, w,
+              |    greatest(1, CAST((len(w) - 10 + 39) // 40 AS INTEGER)) AS n
+              |  FROM d)
+              |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+              |  md5(array_to_string(list_slice(w, k * 40 + 1, k * 40 + 50), ' ')) AS chunk_md5,
+              |  CAST(len(string_split(array_to_string(
+              |    list_slice(w, k * 40 + 1, k * 40 + 50), ' '), ' ')) AS INTEGER) AS n_words
+              |FROM c, unnest(generate_series(0, n - 1)) AS t(k)""".stripMargin)),
+
     // int8 embedding quantization: codes + checksum + max reconstruction
     // error (1e-6 integer units) — scan-local, exact cross-engine.
     QueryDef("embedding_quantize_int8",
