@@ -123,7 +123,7 @@ class PlanAuditSpec extends SparkSpec {
   test("r7 offset/quantize queries stay scan-local (zero Exchange)") {
     for (name <- Seq("shift_n_period_offsets", "shift_negative_offsets",
         "shift_semi_month", "shift_week_of_month", "shift_fy5253",
-        "bday_us_federal", "embedding_quantize_int8")) {
+        "bday_us_federal", "embedding_quantize_int8", "chunk_documents")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
     }
