@@ -163,6 +163,28 @@ object TextDedupOps {
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
+  /** Benchmark decontamination: fraction of each corpus document's
+    * distinct word n-grams that appear ANYWHERE in the benchmark set
+    * (the standard eval-leakage check before training). The benchmark
+    * shingle set is distinct-collapsed and broadcast when small — the
+    * corpus is scanned once, never self-joined; matched counts come
+    * from one semi-join-shaped aggregation on the shingle key. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = explodedShingles(corpus, idCol, textCol, n)
+      .select(col(idCol), col("__sh"))
+    val benchSh = explodedShingles(benchmark, idCol, textCol, n)
+      .select(col("__sh")).distinct()
+    val totals = corpusSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val matched = corpusSh.join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    totals.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"))
+          .as("contamination"))
+  }
+
   /** Connected components over an undirected near-dup pair list —
     * dedup pipelines keep one document per CLUSTER, not per pair, so
     * the pair graph must be collapsed. Distributed min-label

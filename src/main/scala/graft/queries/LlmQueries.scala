@@ -263,6 +263,32 @@ object LlmQueries extends QueryModule {
       },
       None),
 
+    // Benchmark decontamination: per-doc fraction of distinct 3-gram
+    // shingles also present in the "eval" slice (doc_id < 20) — the
+    // leakage check every training pipeline runs. Benchmark shingles
+    // broadcast; corpus scanned once.
+    QueryDef("contamination_score",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        TextDedupOps.contaminationScore(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", 3)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM docs),
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE id < 20),
+              |corp AS (SELECT * FROM sh WHERE id >= 20),
+              |t AS (SELECT id, count(*) AS n_sh FROM corp GROUP BY id),
+              |m AS (SELECT id, count(*) AS n_hit FROM corp JOIN bench USING (sh)
+              |      GROUP BY id)
+              |SELECT id AS doc_id, n_sh, coalesce(n_hit, 0) AS n_hit,
+              |  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh AS contamination
+              |FROM t LEFT JOIN m USING (id)""".stripMargin)),
+
     // Sliding word-window chunking (50-word chunks, 10-word overlap):
     // the pre-embedding curation step, emitted as (doc, chunk_id,
     // fingerprint, word count) so the compare stays compact.
