@@ -109,6 +109,39 @@ class LlmSpec extends SparkSpec {
     assert(r0.forall(r => r.getInt(0) <= 32 && r.getInt(1) == 8 && r.getInt(2) == 4))
   }
 
+  test("chunkWords: coverage, overlap, and short-doc degenerate cases") {
+    import spark.implicits._
+    val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words120), (2L, "just three words"), (3L, "")).toDF("doc_id", "text")
+    val chunks = graft.llm.TextStatsOps.chunkWords(df, "doc_id", "text", 50, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1)
+    // 120 words, step 40: ceil(110/40) = 3 chunks; consecutive chunks
+    // share exactly the 10-word overlap
+    assert(byDoc(1L).length == 3)
+    val c0 = byDoc(1L).find(_._2 == 0).get._3.split(" ")
+    val c1 = byDoc(1L).find(_._2 == 1).get._3.split(" ")
+    assert(c0.length == 50 && c1.length == 50)
+    assert(c0.takeRight(10).toSeq == c1.take(10).toSeq, "overlap mismatch")
+    // short and empty docs degrade to a single chunk
+    assert(byDoc(2L).length == 1 && byDoc(2L).head._3 == "just three words")
+    assert(byDoc(3L).length == 1)
+  }
+
+  test("contaminationScore: clone of a benchmark doc scores 1.0, fresh text 0.0") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // clone
+      (11L, "completely unrelated content with zero shared phrases here"))
+      .toDF("doc_id", "text")
+    val got = TextDedupOps.contaminationScore(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(10L) == 1.0, s"clone: ${got(10L)}")
+    assert(got(11L) == 0.0, s"fresh: ${got(11L)}")
+  }
+
   test("connectedComponents: path, triangle, pair — min label per component") {
     import spark.implicits._
     // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
