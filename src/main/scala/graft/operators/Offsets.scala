@@ -223,6 +223,37 @@ object Offsets {
       .otherwise(trunc(add_months(d, 1), "month"))
   }
 
+  /** Floor integer division by a positive constant. The double quotient
+    * is correctly rounded and the smallest nonzero fractional part
+    * (1/b) far exceeds 1 ulp at these magnitudes, so floor(a/b) cannot
+    * land on the wrong integer. */
+  private def idiv(a: Column, b: Long): Column = floor(a / b).cast("long")
+
+  /** ts + BusinessHour(n): pandas BusinessHour — business time runs
+    * 09:00-17:00 on weekdays; out-of-hours starts roll to the next
+    * opening first. Implemented as a CONTINUOUS business-time axis:
+    * micros-of-business-day within weekday ordinals (exact integer
+    * arithmetic end-to-end), shift by n hours, invert. The 17:00 close
+    * and the next 09:00 open are the same axis point, which reproduces
+    * pandas exactly (16:00 + 1h lands on next-day 09:00, not 17:00). */
+  def shiftBusinessHour(ts: Column, n: Int = 1): Column = {
+    require(n >= 1, s"n >= 1: $n")
+    val DAY = 86400000000L; val OPEN = 32400000000L; val BIZ = 28800000000L
+    val us = unix_micros(ts)
+    val eday = idiv(us, DAY)
+    val m = eday + 3 // m = days since a Monday
+    val w = pmod(m, lit(7)) // 0=Mon..6=Sun
+    val usod = us - eday * DAY
+    val busod = when(w <= 4,
+      least(greatest(usod - OPEN, lit(0L)), lit(BIZ))).otherwise(lit(0L))
+    val wd = lit(5L) * idiv(m, 7) + least(pmod(m, lit(7)), lit(5L)) // weekdays in [0,m)
+    val b = wd * BIZ + busod + lit(n * 3600000000L)
+    val dd = idiv(b, BIZ)
+    val rem = b - dd * BIZ
+    val eday2 = idiv(dd, 5) * 7 + pmod(dd, lit(5)) - 3
+    timestamp_micros(eday2 * DAY + OPEN + rem)
+  }
+
   /** d + CustomBusinessDay(holidays): next weekday strictly after d that
     * is neither a weekend nor a listed holiday (reference offsets.py
     * CustomBusinessDay; holiday calendars reduce to their date list).
@@ -378,6 +409,24 @@ object Offsets {
        |  THEN CAST(date_trunc('month', CAST($d AS DATE)) AS DATE) + 14
        |  ELSE CAST(date_trunc('month', CAST($d AS DATE) + to_months(1)) AS DATE)
        |END""".stripMargin
+
+  /** Mirrors shiftBusinessHour exactly (DuckDB `//` is floor division;
+    * every operand is a nonnegative integer, so `%` agrees with pmod). */
+  def shiftBusinessHourSql(ts: String, n: Int): String = {
+    val us = s"epoch_us($ts)"
+    val eday = s"($us // 86400000000)"
+    val m = s"($eday + 3)"
+    val busod =
+      s"""(CASE WHEN $m % 7 <= 4
+         |  THEN least(greatest($us - $eday * 86400000000 - 32400000000, 0), 28800000000)
+         |  ELSE 0 END)""".stripMargin
+    val wd = s"(5 * ($m // 7) + least($m % 7, 5))"
+    val b = s"($wd * 28800000000 + $busod + ${n.toLong * 3600000000L})"
+    val dd = s"($b // 28800000000)"
+    s"""make_timestamp(
+       |  (($dd // 5) * 7 + $dd % 5 - 3) * 86400000000
+       |  + 32400000000 + $b % 28800000000)""".stripMargin
+  }
 
   /** Mirrors shiftBusinessDay: the same unrolled roll as nested CASE. */
   def shiftBusinessDaySql(d: String, holidays: Seq[String]): String = {

@@ -204,6 +204,18 @@ object OffsetQueries extends QueryModule {
               |  ${Offsets.shiftSemiMonthBeginSql("o_orderdate")} AS sm_begin
               |FROM orders""".stripMargin)),
 
+    // BusinessHour: intraday business-time arithmetic (09:00-17:00
+    // weekdays) over event timestamps with full microsecond
+    // preservation — exact integer micros end-to-end; pandas-pinned.
+    QueryDef("shift_business_hour",
+      (s, d) => T.events(s, d).select(col("event_id"),
+        Offsets.shiftBusinessHour(col("ts")).as("next_bh"),
+        Offsets.shiftBusinessHour(col("ts"), 3).as("plus_3bh")),
+      Some(s"""SELECT event_id,
+              |  ${Offsets.shiftBusinessHourSql("ts", 1)} AS next_bh,
+              |  ${Offsets.shiftBusinessHourSql("ts", 3)} AS plus_3bh
+              |FROM events""".stripMargin)),
+
     // FY5253: 52/53-week retail fiscal year ending on the Saturday
     // nearest to (or last in) January — pandas-pinned.
     QueryDef("shift_fy5253",

@@ -73,6 +73,25 @@ class OffsetsSpec extends SparkSpec {
       Seq("2025-06-30", "2025-06-30", "2025-06-30"))
   }
 
+  test("BusinessHour shifts match pandas (spill, weekend, pre-open, n>1)") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val in = Seq("2024-01-02 10:15:30", "2024-01-02 16:00:00",
+      "2024-01-02 16:30:45", "2024-01-02 17:00:00", "2024-01-05 16:30:00",
+      "2024-01-06 12:00:00", "2024-01-02 07:30:00", "2024-01-02 17:45:00",
+      "2024-01-01 00:00:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    assert(got(in.select(Offsets.shiftBusinessHour(col("ts")))) ==
+      Seq("2024-01-02 11:15:30.0", "2024-01-03 09:00:00.0",
+        "2024-01-03 09:30:45.0", "2024-01-03 10:00:00.0",
+        "2024-01-08 09:30:00.0", "2024-01-08 10:00:00.0",
+        "2024-01-02 10:00:00.0", "2024-01-03 10:00:00.0",
+        "2024-01-01 10:00:00.0"))
+    val fri = Seq("2024-01-05 15:00:00").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    assert(got(fri.select(Offsets.shiftBusinessHour(col("ts"), 3))) ==
+      Seq("2024-01-08 10:00:00.0"))
+  }
+
   test("FY5253 retail year ends match pandas (nearest and last variations)") {
     val in = dates("2024-01-15", "2024-02-03", "2024-02-04", "2024-06-30",
       "2023-12-31", "2024-01-27")
