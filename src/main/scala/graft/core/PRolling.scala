@@ -52,6 +52,30 @@ final case class PRolling(frame: PFrame, keys: Seq[String], n: Int,
       org.apache.spark.sql.functions.count(col(c)).over(w)))
   }
 
+  /** rolling(n, win_type=...).mean() (reference pandas/core/window.py:434
+    * Window): weighted mean over the full n-row frame with driver-
+    * computed scipy-compatible weights (WindowWeights) — null until the
+    * frame holds all n rows, matching pandas' min_periods=window for
+    * weighted windows. Parameterized types take their scipy kwarg. */
+  def weightedMean(c: String, as: String, winType: String,
+      param: Double = Double.NaN): PFrame = {
+    import graft.operators.WindowWeights
+    val weights = winType match {
+      case "boxcar" => WindowWeights.boxcar(n)
+      case "triang" => WindowWeights.triang(n)
+      case "bartlett" => WindowWeights.bartlett(n)
+      case "hamming" => WindowWeights.hamming(n)
+      case "blackman" => WindowWeights.blackman(n)
+      case "gaussian" => WindowWeights.gaussian(n, param)
+      case "kaiser" => WindowWeights.kaiser(n, param)
+      case "exponential" => WindowWeights.exponential(n, param)
+      case other => throw new IllegalArgumentException(s"unknown win_type: $other")
+    }
+    val (o, w) = spec
+    o.copy(df = o.df.withColumn(as,
+      WindowWeights.weightedMean(col(c), w, weights)))
+  }
+
   private def sum_(c: Column) = org.apache.spark.sql.functions.sum(c)
 }
 

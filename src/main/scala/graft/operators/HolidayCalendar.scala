@@ -26,6 +26,25 @@ object HolidayCalendar {
     * n = -1 means the LAST such weekday of the month. */
   final case class NthWeekday(month: Int, weekday: Int, n: Int) extends Rule
 
+  /** Easter Sunday + offset days (pandas Easter offset / the
+    * GoodFriday(-2) and EasterMonday(+1) holiday rules). */
+  final case class EasterOffset(days: Int = 0) extends Rule
+
+  /** Gregorian computus (the anonymous Gauss algorithm — the same one
+    * dateutil/pandas use). */
+  def easterSunday(year: Int): LocalDate = {
+    val a = year % 19; val b = year / 100; val c = year % 100
+    val d = b / 4; val e = b % 4; val f = (b + 8) / 25
+    val g = (b - f + 1) / 3
+    val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4; val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = (h + l - 7 * m + 114) % 31 + 1
+    LocalDate.of(year, month, day)
+  }
+
   private def nearestWorkday(d: LocalDate): LocalDate = d.getDayOfWeek match {
     case DayOfWeek.SATURDAY => d.minusDays(1)
     case DayOfWeek.SUNDAY => d.plusDays(1)
@@ -45,6 +64,7 @@ object HolidayCalendar {
         if (n == -1) LocalDate.of(year, m, 1).`with`(TemporalAdjusters.lastInMonth(dow))
         else LocalDate.of(year, m, 1).`with`(TemporalAdjusters.dayOfWeekInMonth(n, dow))
       Some(d)
+    case EasterOffset(days) => Some(easterSunday(year).plusDays(days.toLong))
   }
 
   /** Sorted ISO dates for `rules` whose OBSERVED date falls in

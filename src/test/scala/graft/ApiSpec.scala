@@ -106,6 +106,28 @@ class ApiSpec extends SparkSpec {
     val dows = resW.select(dayofweek(col("bucket"))).collect().map(_.getInt(0))
     assert(dows.forall(_ == 1), dows.mkString(","))
 
+    // rolling win_type: triangular weighted mean vs the direct formula
+    val wm = pf.groupby("g").rolling(3).weightedMean("v", "wm", "triang").df
+      .orderBy("seq").collect().map(r => Option(r.get(r.fieldIndex("wm"))))
+    val rows = (1 to 40).map(i => (i % 2L, i.toLong, (i % 7).toDouble))
+    val byG = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val wTri = graft.operators.WindowWeights.triang(3)
+    val wantWm = rows.sortBy(_._2).map { case (g, seq, _) =>
+      val vs = byG(g)
+      val pos = rows.filter(_._1 == g).sortBy(_._2).indexWhere(_._2 == seq)
+      if (pos < 2) None
+      else Some(math.round((0 to 2).map(j => wTri(j) * vs(pos - 2 + j)).sum
+        / wTri.sum * 1e6) / 1e6)
+    }
+    wm.zip(wantWm).zipWithIndex.foreach { case ((a, e), i) =>
+      (a, e) match {
+        case (Some(x: java.lang.Double), Some(y)) =>
+          assert(math.abs(x - y) < 1e-9, s"row $i: $x vs $y")
+        case (None, None) => ()
+        case other => fail(s"row $i: $other")
+      }
+    }
+
     // grouped ewm equals the sequential recurrence
     val alpha = 0.4
     val got = PFrame(df, Seq("seq")).groupby("g").ewm(alpha)

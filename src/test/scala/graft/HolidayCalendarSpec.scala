@@ -31,6 +31,21 @@ class HolidayCalendarSpec extends AnyFunSuite {
     assert(got == want, s"\n$got\nvs\n$want")
   }
 
+  test("Easter computus matches pandas; GoodFriday/EasterMonday rules") {
+    // pandas Easter() landing dates, captured verbatim
+    val want = Map(1995 -> "1995-04-16", 2000 -> "2000-04-23",
+      2008 -> "2008-03-23", 2011 -> "2011-04-24", 2024 -> "2024-03-31",
+      2025 -> "2025-04-20", 2038 -> "2038-04-25")
+    want.foreach { case (y, d) =>
+      assert(HolidayCalendar.easterSunday(y).toString == d, s"$y")
+    }
+    // GoodFriday = Easter - 2, EasterMonday = Easter + 1 (pandas rules)
+    assert(HolidayCalendar.dates(Seq(HolidayCalendar.EasterOffset(-2)),
+      "2024-01-01", "2024-12-31") == Seq("2024-03-29"))
+    assert(HolidayCalendar.dates(Seq(HolidayCalendar.EasterOffset(1)),
+      "2024-01-01", "2024-12-31") == Seq("2024-04-01"))
+  }
+
   test("calendar feeds the business-day roll") {
     // Fri 1995-12-22 → Wed 1995-12-27 (weekend + observed Christmas Mon
     // is 12-25 itself here, 12-26 not a US holiday — but with the
