@@ -145,6 +145,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: anchored offset algebra invariants over random dates") {
+    import graft.operators.Offsets
+    val rnd = new scala.util.Random(41)
+    val dates = (1 to 300).map(_ => java.time.LocalDate.ofEpochDay(
+      8000 + rnd.nextInt(20000)).toString) // ~1991..2045
+    import spark.implicits._
+    val df = dates.toDF("s").select(col("s").cast("date").as("d"))
+
+    def gather(c: org.apache.spark.sql.Column): Seq[java.time.LocalDate] =
+      df.select(col("d"), c.as("x")).collect()
+        .map(r => r.getDate(1).toLocalDate).toSeq
+    val ds = dates.map(java.time.LocalDate.parse)
+
+    // rollforward labels: at-or-after, idempotent, correct anchor
+    val wk = gather(Offsets.weekAnchorLabel(col("d"), 3))
+    ds.zip(wk).foreach { case (d, l) =>
+      assert(!l.isBefore(d) && l.getDayOfWeek.getValue == 4) // Thursday
+      assert(java.time.temporal.ChronoUnit.DAYS.between(d, l) < 7)
+    }
+    val qe = gather(Offsets.quarterEndLabel(col("d"), 2))
+    ds.zip(qe).foreach { case (d, l) =>
+      assert(!l.isBefore(d) && Set(2, 5, 8, 11)(l.getMonthValue))
+      assert(l == l.`with`(java.time.temporal.TemporalAdjusters.lastDayOfMonth()))
+    }
+
+    // shifts: strictly after, correct anchor, within one period
+    val sw = gather(Offsets.shiftWeek(col("d"), 0))
+    ds.zip(sw).foreach { case (d, l) =>
+      assert(l.isAfter(d) && l.getDayOfWeek.getValue == 1)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(d, l) <= 7)
+    }
+    val sme = gather(Offsets.shiftMonthEnd(col("d")))
+    ds.zip(sme).foreach { case (d, l) =>
+      assert(l.isAfter(d))
+      assert(l == l.`with`(java.time.temporal.TemporalAdjusters.lastDayOfMonth()))
+    }
+    // negative shift is the left inverse direction: strictly before
+    val smeN = gather(Offsets.shiftMonthEnd(col("d"), -1))
+    ds.zip(smeN).foreach { case (d, l) => assert(l.isBefore(d)) }
+    // business day: strictly after, never weekend, within 3 days bare
+    val bd = gather(Offsets.shiftBusinessDay(col("d")))
+    ds.zip(bd).foreach { case (d, l) =>
+      assert(l.isAfter(d) && l.getDayOfWeek.getValue <= 5)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(d, l) <= 3)
+    }
+  }
+
   test("hashSplit is exhaustive, deterministic, and frequency-sane") {
     import graft.operators.SampleOps
     val n = 20000
