@@ -310,18 +310,24 @@ object LlmQueries extends QueryModule {
               |FROM c, unnest(generate_series(0, n - 1)) AS t(k)""".stripMargin)),
 
     // int8 embedding quantization: codes + checksum + max reconstruction
-    // error (1e-6 integer units) — scan-local, exact cross-engine.
+    // error (1e-6 integer units) — scan-local, exact cross-engine. The
+    // compared projection flattens `codes` to a CSV string: the driver's
+    // pandas-side compare sorts result columns and cannot hash a raw
+    // array cell (r7 gate red). The engine API (quantizeInt8) still
+    // returns the typed array<int> column.
     QueryDef("embedding_quantize_int8",
       (s, d) => SimilarityOps.quantizeInt8(T.embeddings(s, d), "embedding")
-        .select("vec_id", "codes", "code_sum", "err_e6")
-        .filter(col("err_e6").isNotNull), // zero vectors: dropped both sides
+        .filter(col("err_e6").isNotNull) // zero vectors: dropped both sides
+        .select(col("vec_id"),
+          array_join(col("codes"), ",").as("codes_csv"),
+          col("code_sum"), col("err_e6")),
       Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
              |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
              |  FROM embeddings),
              |q AS (SELECT vec_id, e, s,
              |    list_transform(e, x -> CAST(round(x / s) AS INTEGER)) AS codes
              |  FROM b WHERE s > 0)
-             |SELECT vec_id, codes,
+             |SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
              |  CAST(list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
              |    (a, b) -> a + b) AS BIGINT) AS code_sum,
              |  CAST(round(list_max(list_transform(generate_series(1, len(e)),
