@@ -40,6 +40,16 @@ object Bench {
     val queries = SparkEntry.queries
     val names = headline.filter(queries.contains)
 
+    // Host-contention self-identification (the r7 lesson: one official
+    // run on a loaded host reported 48 s for a 5 s suite and stood
+    // unexplained): 1-minute load average sampled at start and end, and
+    // a `noisy` flag when any query's worst rep exceeds 3× its median.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     // NOTE: DistScan.releaseCaches() is deliberately NOT called between
     // warmup and measurement — Spark's CacheManager matches persisted
     // plans structurally, so the measured run reusing the warmed
@@ -65,11 +75,13 @@ object Bench {
     // count on a non-adaptive run). Wall-time noise can hide a plan
     // regression; an extra Exchange cannot hide from this.
     // (shuffles print as "Exchange hashpartitioning/rangepartitioning";
-    // BroadcastExchange is not a stage boundary and is excluded)
+    // BroadcastExchange is not a stage boundary and ReusedExchange is a
+    // pointer to an already-counted one — both excluded)
     def planStages(name: String): Int = {
       val plan = queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       plan.linesIterator.count(l =>
-        l.contains("Exchange") && !l.contains("BroadcastExchange")) + 1
+        l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+          !l.contains("ReusedExchange")) + 1
     }
 
     // Median of 3 reps per query: a single-shot number on a contended
@@ -94,7 +106,12 @@ object Bench {
     val st = names.map(n => "\"" + n + "\":" + planStages(n))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    val noisy = results.exists { case (_, m, ts) =>
+      val ok = ts.filter(_ >= 0)
+      m > 0 && ok.nonEmpty && ok.max / m > 3.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,13 @@ object EwmState {
       sw: Double, sw2: Double, swx: Double, swy: Double,
       swxx: Double, swyy: Double, swxy: Double, cx: Double, cy: Double)
 
-  final case class Buf(segs: Seq[Seg], raw: Seq[(Long, Double, Double)])
+  /** `rawMin`/`segMaxHi` are O(1)-maintained summaries of raw positions
+    * and compressed ranges so [[compact]] can detect (and bail from) the
+    * out-of-order degraded case without sorting the raw buffer — without
+    * them a degraded group past flushAt would re-sort the whole growing
+    * buffer on EVERY append (O(n² log n) for the group). */
+  final case class Buf(segs: Seq[Seg], raw: Seq[(Long, Double, Double)],
+      rawMin: Long = Long.MaxValue, segMaxHi: Long = Long.MinValue)
 
   val empty: Buf = Buf(Vector.empty, Vector.empty)
 
@@ -86,26 +92,33 @@ object EwmState {
 
   def reduce(r: Double, b: Buf, pos: Long, x: Double, y: Double): Buf = {
     val raw2 = b.raw :+ ((pos, x, y))
-    if (raw2.length < flushAt) b.copy(raw = raw2)
-    else compact(r, Buf(b.segs, raw2))
+    val rawMin2 = math.min(b.rawMin, pos)
+    if (raw2.length < flushAt) b.copy(raw = raw2, rawMin = rawMin2)
+    else compact(r, Buf(b.segs, raw2, rawMin2, b.segMaxHi))
   }
 
   /** Fold the raw tail into a fresh segment when every raw position lies
     * beyond the last compressed range; otherwise leave raw growing (the
-    * exact path) rather than corrupt compressed state. */
+    * exact path) rather than corrupt compressed state. The degraded-case
+    * bail reads the O(1) `rawMin`/`segMaxHi` summaries — no sort, so a
+    * degraded group's reduce stays an O(1)-amortized append. */
   def compact(r: Double, b: Buf): Buf = {
     if (b.raw.isEmpty) return b
-    val sorted = b.raw.sortBy(_._1).toIndexedSeq
     // compare against the MAX hi — within one partial buffer segments are
     // appended in increasing ranges, but a buffer that has been merged
     // holds them in concatenation order
-    if (b.segs.nonEmpty && sorted.head._1 < b.segs.map(_.hi).max) b
-    else Buf(b.segs :+ fromSorted(r, sorted), Vector.empty)
+    if (b.segs.nonEmpty && b.rawMin < b.segMaxHi) return b
+    val sorted = b.raw.sortBy(_._1).toIndexedSeq
+    val seg = fromSorted(r, sorted)
+    Buf(b.segs :+ seg, Vector.empty,
+      Long.MaxValue, math.max(b.segMaxHi, seg.hi))
   }
 
   /** Partial buffers merge by concatenation; position order (and the
     * interleave check) is restored once, at finish. */
-  def merge(b1: Buf, b2: Buf): Buf = Buf(b1.segs ++ b2.segs, b1.raw ++ b2.raw)
+  def merge(b1: Buf, b2: Buf): Buf =
+    Buf(b1.segs ++ b2.segs, b1.raw ++ b2.raw,
+      math.min(b1.rawMin, b2.rawMin), math.max(b1.segMaxHi, b2.segMaxHi))
 
   /** Collapse to one segment covering the whole group, or None if empty. */
   def total(r: Double, b: Buf): Option[Seg] = {

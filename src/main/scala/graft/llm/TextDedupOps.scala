@@ -166,17 +166,23 @@ object TextDedupOps {
   /** Benchmark decontamination: fraction of each corpus document's
     * distinct word n-grams that appear ANYWHERE in the benchmark set
     * (the standard eval-leakage check before training). The benchmark
-    * shingle set is distinct-collapsed and broadcast when small — the
-    * corpus is scanned once, never self-joined; matched counts come
-    * from one semi-join-shaped aggregation on the shingle key. */
+    * shingle set is distinct-collapsed and — when the caller asserts it
+    * fits (`broadcastBench`, the usual case: eval suites are MBs, the
+    * corpus is TBs) — broadcast; pass `broadcastBench = false` for a
+    * large benchmark set to fall back to a shuffle join sized by AQE
+    * instead of OOMing the driver. The corpus is scanned once, never
+    * self-joined; matched counts come from one semi-join-shaped
+    * aggregation on the shingle key. */
   def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
     val corpusSh = explodedShingles(corpus, idCol, textCol, n)
       .select(col(idCol), col("__sh"))
-    val benchSh = explodedShingles(benchmark, idCol, textCol, n)
+    val benchShRaw = explodedShingles(benchmark, idCol, textCol, n)
       .select(col("__sh")).distinct()
+    val benchSh = if (broadcastBench) broadcast(benchShRaw) else benchShRaw
     val totals = corpusSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val matched = corpusSh.join(broadcast(benchSh), Seq("__sh"))
+    val matched = corpusSh.join(benchSh, Seq("__sh"))
       .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
     totals.join(matched, Seq(idCol), "left")
       .select(col(idCol), col("n_sh"),
@@ -231,6 +237,17 @@ object TextDedupOps {
       i += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      // Exiting with changed > 0 means labels were still moving: the
+      // component diameter exceeds maxIter and the clusters are WRONG
+      // (split). Fail loudly rather than hand back silently-bad labels.
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing): a component's diameter " +
+          "exceeds maxIter — raise maxIter (near-dup graphs are shallow; " +
+          "a deep chain usually signals a pathological pair list)")
+    }
     graft.operators.DistScan.registerCache(cached)
     cached.drop("__chg")
   }

@@ -358,9 +358,13 @@ object WindowQueries extends QueryModule {
     // ewm_var's α=½), so the expanding sums are identical ordered IEEE
     // additions in both engines; continuous deltas would need per-row
     // pow with fractional exponents, which diverges across libms and
-    // breaks the hash gate. BOUND: 2^day overflows past day≈1023 from
-    // the rebase epoch (~2.8 years) — beyond that, rebase per partition
-    // or use EwmMomentsAggregator's back-to-front weights. The fixture
+    // breaks the hash gate. BOUND: the weight is carried as
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so 2^day overflows past
+    // day≈126 from the rebase epoch (~4 months) — NOT the double-exponent
+    // 1023; past that Spark's non-ANSI decimal cast nulls while DuckDB
+    // errors. Beyond ~126 days, rebase dy per partition window (each
+    // user's weights only need to be relative to that user's max day) or
+    // use EwmMomentsAggregator's back-to-front weights. The fixture
     // spans 30 days.
     QueryDef("ewm_time_halflife",
       (s, d) => {
