@@ -6,9 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries (north-star): dedup, similarity
-  * search, text analysis over documents/embeddings. MinHash/SimHash have
-  * no DuckDB oracle (xxhash64 is Spark-side) — they are covered by
-  * ScalaTest determinism + planted-duplicate tests instead.
+  * search, text analysis over documents/embeddings. MinHash/SimHash raw
+  * values have no DuckDB twin (xxhash64 is Spark-side), so their gate
+  * queries pin an ENGINE-INDEPENDENT invariant instead: pairs with
+  * identical normalized text (md5-fingerprint join — DuckDB-computable)
+  * are guaranteed identical MinHash signatures (hence LSH candidates
+  * with est_jaccard exactly 1.0) and identical SimHash (hence Hamming
+  * distance 0), because both derive deterministically from the
+  * normalized token stream. The full candidate/signature behavior is
+  * additionally covered by ScalaTest planted-dup recall tests.
   */
 object LlmQueries extends QueryModule {
 
@@ -244,24 +250,48 @@ object LlmQueries extends QueryModule {
               |SELECT doc_id, source FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
-    // MinHash + LSH banding over planted duplicates — Spark-only
-    // (xxhash64); rows-only driver check + ScalaTest planted-dup test.
+    // MinHash + LSH banding over planted duplicates, PINNED against the
+    // oracle via the exact-duplicate tier (r7/r8 verdict task): the full
+    // signature + banding machinery runs over the augmented corpus, and
+    // the compared projection is the LSH candidate set inner-joined with
+    // the md5-fingerprint clone pairs. Identical normalized text ⇒
+    // identical word hashes ⇒ identical signatures ⇒ ALL bands collide
+    // and est_jaccard = 32/32 = 1.0 exactly — so the intersection equals
+    // the fingerprint pair set, which DuckDB computes independently
+    // (no xxhash64 needed). A signature/banding bug that drops or
+    // corrupts a clone pair hash-fails the gate. The Spark-only false
+    // positives / near-dup candidates stay covered by LlmSpec's
+    // planted-dup recall test.
     // Signatures persist MEMORY_AND_DISK: the plan consumes them three
     // times (band explode + two pair-side re-attach joins), and the
     // shingle-explode+32-way min agg is the expensive stage — at any
     // scale you materialize signatures once, never recompute per use.
     // Registered with DistScan's release queue so the application's
-    // step-boundary releaseCaches() frees them — previously nothing
-    // did, leaking one cached plan per invocation in long sessions.
+    // step-boundary releaseCaches() frees them.
     QueryDef("minhash_near_dup",
       (s, d) => {
+        val aug = augmented(s, d)
         val sigs = graft.operators.DistScan.registerCache(
           TextDedupOps.minHashSignatures(
-            augmented(s, d), "doc_id", "text", shingleN = 3, k = 32)
+            aug, "doc_id", "text", shingleN = 3, k = 32)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        TextDedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.9)
+        val lsh = TextDedupOps.lshCandidatePairs(sigs, "doc_id",
+          bands = 8, threshold = 0.9)
+        val fp = aug.select(col("doc_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val clonePairs = fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        clonePairs.join(lsh, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard") * 1e6).cast("long").as("est_e6"))
       },
-      None),
+      Some(s"""WITH aug AS ($augmentedSql),
+              |f AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM aug)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(1000000 AS BIGINT) AS est_e6
+              |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
 
     // Benchmark decontamination: per-doc fraction of distinct 3-gram
     // shingles also present in the "eval" slice (doc_id < 20) — the
@@ -334,9 +364,37 @@ object LlmQueries extends QueryModule {
              |    i -> abs(e[i] - codes[i] * s))) * 1e6) AS BIGINT) AS err_e6
              |FROM q""".stripMargin)),
 
+    // SimHash pinned the same way as minhash_near_dup: 64-bit simhashes
+    // are computed for the whole augmented corpus (the real operator
+    // runs in full), and the compared projection is the Hamming distance
+    // over the md5-fingerprint clone pairs — identical normalized text ⇒
+    // identical token stream ⇒ identical per-bit vote sums ⇒ Hamming 0,
+    // an invariant DuckDB states without needing xxhash64. A tokenizer /
+    // vote / bit-packing bug that breaks simhash determinism hash-fails
+    // the gate; bucket behavior on non-identical docs is spec'd in
+    // LlmSpec.
     QueryDef("simhash_docs",
-      (s, d) => TextDedupOps.simHash(T.documents(s, d), "doc_id", "text"),
-      None),
+      (s, d) => {
+        val aug = augmented(s, d)
+        val sh = TextDedupOps.simHash(aug, "doc_id", "text")
+        val fp = aug.select(col("doc_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val clonePairs = fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        clonePairs
+          .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            TextDedupOps.hammingDistance(col("h_a"), col("h_b"))
+              .cast("long").as("hamming"))
+      },
+      Some(s"""WITH aug AS ($augmentedSql),
+              |f AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM aug)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(0 AS BIGINT) AS hamming
+              |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
 
     QueryDef("cosine_topk",
       (s, d) => {
