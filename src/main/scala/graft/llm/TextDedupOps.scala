@@ -110,17 +110,39 @@ object TextDedupOps {
   /** LSH banding: candidate pairs whose signatures collide in ≥1 of
     * `bands` bands (rows = k/bands), then filtered by the signature-
     * estimated Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard).
-    */
+    *
+    * `maxBucketSize` caps per-(band, band_hash) bucket occupancy: a
+    * bucket with b members emits b·(b−1)/2 pairs, so one boilerplate
+    * bucket (site chrome, license headers, templated pages) with 10⁵
+    * members would emit 5·10⁹ pairs and stall the stage — the classic
+    * 100 TB dedup pathology. Buckets above the cap are DROPPED, which is
+    * safe for near-dup detection because (a) exact duplicates must be
+    * removed by [[exactDedup]] BEFORE minhash (standard pipeline order —
+    * identical docs saturate every band bucket at once, no cap can keep
+    * them), and (b) a genuine near-dup pair that lands in one hot bucket
+    * has `bands − 1` further independent chances to collide in a cooler
+    * band. The default keeps every bucket (small-corpus / gate-query
+    * behavior); 100 TB runs should set it to O(100). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-      bands: Int, threshold: Double): DataFrame = {
+      bands: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // Slim (id, band, band_hash) rows into the bucket join; the distinct
     // runs on bare id pairs, and full signatures re-attach afterwards —
     // at scale the shuffle carries 3 longs per row, not k+3.
-    val banded = signatures.select(col(idCol),
+    val bandedAll = signatures.select(col(idCol),
       posexplode(split_band(col("signature"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumn("band_hash", xxhash64(col("col").cast("string")))
       .drop("col")
+    val banded = if (maxBucketSize == Int.MaxValue) bandedAll else {
+      // One extra map-side-combined count + semi-join on the slim frame;
+      // the count shuffles (band, band_hash, cnt) triples only.
+      val keep = bandedAll.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band", "band_hash")
+      bandedAll.join(keep, Seq("band", "band_hash"), "left_semi")
+    }
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     val pairs = a.join(b, Seq("band", "band_hash"))

@@ -27,6 +27,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lsh hot-bucket cap drops boilerplate buckets, keeps cool-bucket pairs") {
+    // Boilerplate cluster: 40 docs sharing a 29-word template plus one
+    // unique tail word each — their band buckets are dominated by the
+    // template shingles, so most land in the same hot (band, hash)
+    // buckets and the uncapped pair count grows quadratically (the
+    // 100 TB site-chrome pathology). A clean exact-clone pair with
+    // disjoint vocabulary sits in occupancy-2 buckets.
+    val template = (0 until 29).map(j => s"b$j").mkString(" ")
+    val boiler = (200L until 240L).map(i => (i, s"$template unique$i"))
+    val pairText = (0 until 30).map(j => s"w${j * 13 % 50}").mkString(" ")
+    val df = (boiler ++ Seq((1L, pairText), (101L, pairText)))
+      .toDF("doc_id", "text")
+    val sigs = TextDedupOps.minHashSignatures(df, "doc_id", "text", 3, 32)
+    val uncapped = TextDedupOps
+      .lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = TextDedupOps
+      .lshCandidatePairs(sigs, "doc_id", bands = 8, threshold = 0.0,
+        maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted pair survives the cap (its buckets have occupancy 2)
+    assert(capped.contains((1L, 101L)))
+    // boilerplate blowup is bounded: uncapped is ~quadratic in cluster
+    // size, the cap removes the hot buckets that produce it
+    val boilerUncapped = uncapped.count { case (a, b) => a >= 200 && b >= 200 }
+    val boilerCapped = capped.count { case (a, b) => a >= 200 && b >= 200 }
+    assert(boilerUncapped > 100, s"expected quadratic blowup, got $boilerUncapped")
+    assert(boilerCapped < boilerUncapped / 4,
+      s"cap did not bound boilerplate pairs: $boilerCapped vs $boilerUncapped")
+  }
+
   test("exact dedup keeps lowest id per content") {
     val out = TextDedupOps.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
