@@ -19,6 +19,64 @@ object WindowQueries extends QueryModule {
 
   private val evOrder = Seq(col("ts"), col("event_id"))
 
+  /** Irregular-time EWM mean shared by ewm_time_halflife and its
+    * long-span fixture variant: weights 2^(per-user-rebased day) carried
+    * as exact integers (cents × 2^dy in DECIMAL(38,0)/HUGEINT) because
+    * windowed double sums are NOT associativity-stable across engines
+    * (DuckDB's segment-tree vs Spark's running accumulation flipped a
+    * 6th decimal at sf0.1); the single double division at the end is the
+    * only IEEE op. Output in 1e-6 integer units, round-to-int: the
+    * exact-integer quotients land on dyadic rounding TIES where
+    * round(d, 6) diverges between the engines — round-to-int HALF_UP is
+    * identical in both. `shiftDays` (a SQL expression over event
+    * columns, applied identically in both engines) staggers timestamps
+    * for the long-span variant. */
+  private def ewmTimeHalflife(name: String,
+      shiftDays: Option[String]): QueryDef = {
+    val sparkFn = (s: org.apache.spark.sql.SparkSession, d: String) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val ev0 = T.events(s, d)
+      val ev = shiftDays.map(sh => ev0.withColumn("ts",
+        expr(s"timestampadd(DAY, CAST($sh AS INT), ts)"))).getOrElse(ev0)
+      val base = ev.filter(col("value").isNotNull)
+        .withColumn("dy", expr("unix_micros(ts) div 86400000000"))
+        .withColumn("dy",
+          col("dy") - min(col("dy")).over(Window.partitionBy("user_id")))
+        .withColumn("c", (dec2(col("value")) * 100).cast("long"))
+        .withColumn("wt", pow(lit(2.0), col("dy")).cast(d38))
+      val w = RollingOps.expanding(Seq("user_id"), evOrder)
+      val num = sum(col("wt") * col("c").cast(d38)).over(w)
+      val den = sum(col("wt")).over(w)
+      base.select(col("event_id"),
+        round(num.cast("double") / den.cast("double") / 100.0 * 1e6)
+          .cast("long").as("ewm_t_e6"))
+    }
+    val tsSql = shiftDays
+      .map(sh => s"ts + to_days(CAST($sh AS INTEGER))").getOrElse("ts")
+    QueryDef(name, sparkFn,
+      Some(s"""WITH ev AS (SELECT event_id, user_id, $tsSql AS ts, value
+             |    FROM events),
+             |base AS (SELECT event_id, user_id, ts,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+             |    epoch_us(ts) // 86400000000 AS dy
+             |  FROM ev WHERE value IS NOT NULL),
+             |rb AS (SELECT *, dy - min(dy) OVER (PARTITION BY user_id) AS rdy
+             |  FROM base),
+             |wx AS (SELECT event_id, user_id, ts, c,
+             |    CAST(pow(2.0, rdy) AS HUGEINT) AS wt FROM rb),
+             |s AS (SELECT event_id,
+             |    sum(wt * CAST(c AS HUGEINT)) OVER w AS num,
+             |    sum(wt) OVER w AS den
+             |  FROM wx
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id,
+             |  CAST(round(sign(num) * CAST(abs(num) AS DOUBLE)
+             |        / CAST(den AS DOUBLE) / 100.0 * 1e6) AS BIGINT) AS ewm_t_e6
+             |FROM s""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Global 100-row rolling sum via DistScan.centRollingSum: one range
@@ -358,53 +416,31 @@ object WindowQueries extends QueryModule {
     // ewm_var's α=½), so the expanding sums are identical ordered IEEE
     // additions in both engines; continuous deltas would need per-row
     // pow with fractional exponents, which diverges across libms and
-    // breaks the hash gate. BOUND: the weight is carried as
-    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so 2^day overflows past
-    // day≈126 from the rebase epoch (~4 months) — NOT the double-exponent
-    // 1023; past that Spark's non-ANSI decimal cast nulls while DuckDB
-    // errors. Beyond ~126 days, rebase dy per partition window (each
-    // user's weights only need to be relative to that user's max day) or
-    // use EwmMomentsAggregator's back-to-front weights. The fixture
-    // spans 30 days.
-    QueryDef("ewm_time_halflife",
-      (s, d) => {
-        import org.apache.spark.sql.types.DecimalType
-        val d38 = DecimalType(38, 0)
-        val base = T.events(s, d).filter(col("value").isNotNull)
-          .withColumn("dy", expr("unix_micros(ts) div 86400000000 - 19723"))
-          // weights and numerator kept as EXACT integers (cents × 2^dy in
-          // DECIMAL(38,0)/HUGEINT): windowed double sums are NOT
-          // associativity-stable across engines (DuckDB's segment-tree
-          // vs Spark's running accumulation flipped a 6th decimal at
-          // sf0.1) — exact integer sums make the one double division the
-          // only IEEE op
-          .withColumn("c", (dec2(col("value")) * 100).cast("long"))
-          .withColumn("wt", pow(lit(2.0), col("dy")).cast(d38))
-        val w = RollingOps.expanding(Seq("user_id"), evOrder)
-        val num = sum(col("wt") * col("c").cast(d38)).over(w)
-        val den = sum(col("wt")).over(w)
-        // 1e-6 integer units, round-to-int: the exact-integer quotients
-        // land on dyadic rounding TIES (x.xxxxxx5 exactly representable)
-        // where round(d, 6) diverges between the engines' rounding
-        // implementations — round-to-int HALF_UP is identical in both
-        base.select(col("event_id"),
-          round(num.cast("double") / den.cast("double") / 100.0 * 1e6)
-            .cast("long").as("ewm_t_e6"))
-      },
-      Some("""WITH base AS (SELECT event_id, user_id, ts,
-             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
-             |    CAST(pow(2.0, epoch_us(ts) // 86400000000 - 19723) AS HUGEINT) AS wt
-             |  FROM events WHERE value IS NOT NULL),
-             |s AS (SELECT event_id,
-             |    sum(wt * CAST(c AS HUGEINT)) OVER w AS num,
-             |    sum(wt) OVER w AS den
-             |  FROM base
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT event_id,
-             |  CAST(round(sign(num) * CAST(abs(num) AS DOUBLE)
-             |        / CAST(den AS DOUBLE) / 100.0 * 1e6) AS BIGINT) AS ewm_t_e6
-             |FROM s""".stripMargin)),
+    // breaks the hash gate.
+    // Day offsets are REBASED PER USER (dy − min(dy) over the user
+    // partition): the EWM quotient is invariant under any per-user
+    // weight scaling, so the rebase changes no output, and it removes
+    // the r7/r8 absolute-date cliff (the old fixed 2024-01-01 epoch
+    // overflowed DECIMAL(38,0)/HUGEINT for any data past day ~126 —
+    // i.e., for every corpus dated beyond ~May 2024 regardless of its
+    // span). Residual bound: weights are exact integers < 10^38 ≈
+    // 2^126, so a SINGLE USER whose events span more than ~100 days
+    // (126 minus log2 of the user's total cents, ≈ 24 bits at fixture
+    // value ranges) still overflows — such spans need
+    // EwmMomentsAggregator's normalized back-to-front weights (spec'd
+    // in EwmAggSpec), which trade the cross-engine bit-exactness this
+    // gate query requires. ewm_time_halflife_long below witnesses the
+    // rebase on a corpus spanning ~330 days.
+    ewmTimeHalflife("ewm_time_halflife", shiftDays = None),
+
+    // The >126-day-span witness (r8 verdict task #3): same computation
+    // on a fixture variant whose timestamps are staggered per user by
+    // (user_id % 7)·50 days — the corpus spans ~330 days (> 126), which
+    // the pre-rebase formulation could not represent (Spark nulled,
+    // DuckDB errored), while per-user spans stay ≤ 30 days so the exact
+    // integer weights hold. Both engines apply the identical shift.
+    ewmTimeHalflife("ewm_time_halflife_long",
+      shiftDays = Some("(user_id % 7) * 50")),
 
     // ewm(alpha=0.5).cov(y) (bias=false) and ewm.corr(y) over
     // (value, elapsed-seconds) — corr uses the biased moments (the
