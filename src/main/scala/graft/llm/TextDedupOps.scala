@@ -221,11 +221,17 @@ object TextDedupOps {
     * join + one hash agg), converging in O(graph diameter) rounds —
     * near-dup clusters are shallow (clones of one source), so a handful
     * of rounds suffice at any corpus size. The per-round driver work is
-    * a single count (convergence check); at 100 TB scale checkpoint
-    * `labels` every few rounds to truncate lineage.
+    * a single count (convergence check).
+    * `checkpointEvery` > 0 truncates label lineage with an eager
+    * `localCheckpoint` every that-many rounds: each round otherwise
+    * stacks two joins and an aggregate onto the label plan, and at
+    * 100 TB the re-planning / task-serialization cost of a
+    * dozen-round-deep lineage (plus full recomputation on a lost
+    * partition) dominates — checkpointing bounds both. Labels are
+    * identical with or without the knob (spec'd in LlmSpec).
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -248,11 +254,17 @@ object TextDedupOps {
         .join(labels.select(col("id").as("dst"), col("cluster").as("c")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("c")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val step = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("__chg"))
-        .persist(lvl)
+      // An eager localCheckpoint both materializes and caches, so it
+      // replaces the persist for checkpoint rounds; the truncated plan
+      // frees the two-joins-per-round lineage stack.
+      val next =
+        if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
+          step.localCheckpoint(true)
+        else step.persist(lvl)
       changed = next.filter(col("__chg")).count()
       cached.unpersist()
       cached = next

@@ -186,4 +186,21 @@ class LlmSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     assert(got == want, s"$got")
   }
+
+  test("connectedComponents: checkpointEvery yields identical labels") {
+    import spark.implicits._
+    // path 0-1-...-5: enough propagation rounds that the checkpoint
+    // branch fires more than once at checkpointEvery = 2. (Kept at
+    // diameter 5: the UNcheckpointed comparison run doubles its logical
+    // plan every round — the very pathology the knob removes — so a
+    // much longer path makes the plain baseline itself intractable.)
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val plain = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckpt = TextDedupOps
+      .connectedComponents(pairs, "id_a", "id_b", checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == ckpt, s"$plain vs $ckpt")
+    assert(ckpt.values.toSet == Set(0L))
+  }
 }
