@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Paths, StandardOpenOption}
+import java.time.{Instant, LocalDate}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.message.ArrowBlock
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** read_feather / to_feather (reference: pandas/io/feather_format.py:87
+  * `read_feather`, :37 `to_feather`). Feather v2 IS the Arrow IPC file
+  * format, so this reads/writes with the Arrow Java library Spark
+  * already ships — no extra dependency.
+  *
+  * Scale design: an IPC file's footer indexes its record batches, so
+  * `read` enumerates the batch blocks on the driver (footer-only, no
+  * data read) and loads each batch in a separate Spark task — batches
+  * are the parallelism unit, the natural analog of parquet row-groups.
+  * The file must be visible to executors (shared filesystem), the same
+  * contract parquet reads have. `write` produces the single file the
+  * format requires (feather is an interchange format, not a data-lake
+  * layout — SURVEY §4 prescribes parquet for that), streaming batches
+  * through one bounded VectorSchemaRoot via `toLocalIterator`, never
+  * collecting the frame.
+  */
+object FeatherIo {
+
+  private def sparkType(t: ArrowType): DataType = t match {
+    case i: ArrowType.Int => i.getBitWidth match {
+      case 64 => LongType
+      case 32 => IntegerType
+      case 16 => ShortType
+      case _ => ByteType
+    }
+    case f: ArrowType.FloatingPoint => f.getPrecision match {
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case _ => FloatType
+    }
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Timestamp => TimestampType
+    case _: ArrowType.Date => DateType
+    case _: ArrowType.Binary => BinaryType
+    case other =>
+      throw new UnsupportedOperationException(s"feather type $other")
+  }
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case ByteType => new ArrowType.Int(8, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+      case DateType => new ArrowType.Date(DateUnit.DAY)
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case other =>
+        throw new UnsupportedOperationException(s"to_feather type $other")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  /** One Arrow cell → the external Java value Spark's Row converters
+    * accept (Instant/LocalDate for temporals — timezone-free). */
+  private def cell(v: FieldVector, i: Int): Any =
+    if (v.isNull(i)) null
+    else v match {
+      case x: BigIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: TinyIntVector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: Float4Vector => x.get(i)
+      case x: VarCharVector => new String(x.get(i), UTF_8)
+      case x: BitVector => x.get(i) == 1
+      case x: TimeStampVector => // covers all timestamp unit/tz variants
+        val micros = x.getField.getType match {
+          case t: ArrowType.Timestamp => t.getUnit match {
+            case ATimeUnit.SECOND => x.get(i) * 1000000L
+            case ATimeUnit.MILLISECOND => x.get(i) * 1000L
+            case ATimeUnit.MICROSECOND => x.get(i)
+            case ATimeUnit.NANOSECOND => Math.floorDiv(x.get(i), 1000L)
+          }
+        }
+        Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case x: DateDayVector => LocalDate.ofEpochDay(x.get(i).toLong)
+      case x: VarBinaryVector => x.get(i)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"feather vector ${other.getClass.getSimpleName}")
+    }
+
+  /** Footer metadata only: (spark schema, record-batch blocks). */
+  private def footer(path: String): (StructType, Seq[(Long, Int, Long)]) = {
+    val alloc = new RootAllocator()
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val reader = new ArrowFileReader(ch, alloc)
+      try {
+        val schema = StructType(reader.getVectorSchemaRoot.getSchema
+          .getFields.asScala.toSeq.map(f =>
+            StructField(f.getName, sparkType(f.getType), f.isNullable)))
+        val blocks = reader.getRecordBlocks.asScala.toSeq.map(b =>
+          (b.getOffset, b.getMetadataLength, b.getBodyLength))
+        (schema, blocks)
+      } finally reader.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  /** pandas `read_feather(path)`: the IPC file as a DataFrame, one
+    * task per record batch. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (schema, blocks) = footer(path)
+    if (blocks.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val parallelism = math.min(blocks.size, 32)
+    val rdd = spark.sparkContext
+      .parallelize(blocks, parallelism)
+      .flatMap { case (off, metaLen, bodyLen) =>
+        val alloc = new RootAllocator()
+        val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+        try {
+          val reader = new ArrowFileReader(ch, alloc)
+          try {
+            reader.loadRecordBatch(new ArrowBlock(off, metaLen, bodyLen))
+            val root = reader.getVectorSchemaRoot
+            val vecs = root.getFieldVectors.asScala.toArray
+            val out = new ArrayBuffer[Row](root.getRowCount)
+            var i = 0
+            while (i < root.getRowCount) {
+              out += Row.fromSeq(vecs.toIndexedSeq.map(v => cell(v, i)))
+              i += 1
+            }
+            out
+          } finally reader.close()
+        } finally { ch.close(); alloc.close() }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** pandas `to_feather(df, path)`: stream the frame into one IPC file
+    * in `batchSize`-row record batches. */
+  def write(df: DataFrame, path: String, batchSize: Int = 4096): Unit = {
+    val fields = df.schema.fields
+    val arrowSchema = new ArrowSchema(fields.map(arrowField).toSeq.asJava)
+    val alloc = new RootAllocator()
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema, alloc)
+      try {
+        val writer = new ArrowFileWriter(root, null, ch)
+        try {
+          writer.start()
+          val it = df.toLocalIterator().asScala
+          it.grouped(batchSize).foreach { rows =>
+            root.allocateNew()
+            rows.zipWithIndex.foreach { case (row, i) =>
+              var c = 0
+              while (c < fields.length) {
+                setCell(root.getVector(c), i, row.get(c))
+                c += 1
+              }
+            }
+            root.setRowCount(rows.size)
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally writer.close()
+      } finally root.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  private def setCell(v: FieldVector, i: Int, value: Any): Unit =
+    (v, value) match {
+      case (x: BaseFixedWidthVector, null) => x.setNull(i)
+      case (x: BaseVariableWidthVector, null) => x.setNull(i)
+      case (x: BigIntVector, n: Long) => x.setSafe(i, n)
+      case (x: IntVector, n: Int) => x.setSafe(i, n)
+      case (x: SmallIntVector, n: Short) => x.setSafe(i, n)
+      case (x: TinyIntVector, n: Byte) => x.setSafe(i, n)
+      case (x: Float8Vector, n: Double) => x.setSafe(i, n)
+      case (x: Float4Vector, n: Float) => x.setSafe(i, n)
+      case (x: VarCharVector, s: String) => x.setSafe(i, s.getBytes(UTF_8))
+      case (x: BitVector, b: Boolean) => x.setSafe(i, if (b) 1 else 0)
+      case (x: TimeStampVector, t: java.sql.Timestamp) =>
+        x.setSafe(i, t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case (x: TimeStampVector, t: Instant) =>
+        x.setSafe(i, t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (x: DateDayVector, d: java.sql.Date) =>
+        x.setSafe(i, d.toLocalDate.toEpochDay.toInt)
+      case (x: DateDayVector, d: LocalDate) =>
+        x.setSafe(i, d.toEpochDay.toInt)
+      case (x: VarBinaryVector, b: Array[Byte]) => x.setSafe(i, b)
+      case (vec, other) =>
+        throw new UnsupportedOperationException(
+          s"to_feather cell ${vec.getClass.getSimpleName} <- $other")
+    }
+}
