@@ -273,6 +273,48 @@ object Offsets {
     roll(date_add(d.cast("date"), 1), steps)
   }
 
+  /** Tick (fixed-duration) offset units: Day/Hour/Minute/Second/Milli/
+    * Micro/Nano (reference pandas/tseries/offsets.py:2205-2366,
+    * Tick._inc and the seven leaf classes :2333-2366). Unlike the
+    * anchored offsets above, a Tick is pure interval arithmetic —
+    * pandas applies `other + self.delta` — so Day here is the Tick Day:
+    * exactly 24 hours, never calendar-aware (Spark's UTC TimestampType
+    * axis has no DST, matching pandas tz-naive behavior). `prefix`
+    * mirrors the pandas freqstr codes (D/H/T/S/L/U/N). */
+  sealed abstract class TickUnit(val nanos: Long, val prefix: String)
+  case object DayTick extends TickUnit(86400L * 1000000000L, "D")
+  case object HourTick extends TickUnit(3600L * 1000000000L, "H")
+  case object MinuteTick extends TickUnit(60L * 1000000000L, "T")
+  case object SecondTick extends TickUnit(1000000000L, "S")
+  case object MilliTick extends TickUnit(1000000L, "L")
+  case object MicroTick extends TickUnit(1000L, "U")
+  case object NanoTick extends TickUnit(1L, "N")
+
+  private val tickUnits: Seq[TickUnit] = Seq(DayTick, HourTick, MinuteTick,
+    SecondTick, MilliTick, MicroTick, NanoTick)
+
+  /** ts + n·unit, closed-form micros arithmetic (codegen'd, no UDF).
+    * Sub-microsecond remainders floor toward negative infinity at
+    * Spark's microsecond timestamp precision — identical to the pandas
+    * nanosecond-exact result floored to microseconds, so Nano ticks
+    * stay pandas-consistent at the precision the engine can store
+    * (DOCUMENTED DEVIATION: pandas keeps the ns remainder). */
+  def shiftTick(ts: Column, unit: TickUnit, n: Long = 1): Column = {
+    val micros = Math.floorDiv(Math.multiplyExact(unit.nanos, n), 1000L)
+    timestamp_micros(unix_micros(ts) + micros)
+  }
+
+  /** pandas liboffsets._delta_to_tick (offsets.py:2369): the largest
+    * tick unit representing `nanos` exactly, with its count. */
+  def tickOf(nanos: Long): (TickUnit, Long) = {
+    val u = tickUnits.find(u => nanos % u.nanos == 0).get
+    (u, nanos / u.nanos)
+  }
+
+  /** pandas freqstr for n ticks of a unit: '3H', 'T', '500L', ... */
+  def tickFreqStr(unit: TickUnit, n: Long = 1): String =
+    (if (n == 1) "" else n.toString) + unit.prefix
+
   // ---- DuckDB transliterations (same arithmetic, oracle side) ----
   // DuckDB dayofweek(): 0=Sunday..6=Saturday => pandasDow = (dow+6) % 7.
   // DATE + INTEGER is day arithmetic; to_months() builds month intervals.

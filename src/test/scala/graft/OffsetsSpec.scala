@@ -179,4 +179,41 @@ class OffsetsSpec extends SparkSpec {
     val out = got(in.select(Offsets.weekAnchorLabel(to_date(col("ts")), 6)))
     assert(out == Seq("2024-01-07", "2024-03-03"))
   }
+
+  test("tick offsets: pandas `ts + Tick(n)` values at microsecond precision") {
+    import Offsets._
+    // pandas 'ts + offsets.<Unit>(n)' outputs (ns result floored to the
+    // engine's microsecond precision), captured verbatim for a mid-day
+    // stamp and a year-boundary stamp
+    val in = Seq("2024-01-15 10:30:00.123456", "2023-12-31 23:59:59.999999")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val cases: Seq[(TickUnit, Long, Seq[String])] = Seq(
+      (DayTick, 2L, Seq("2024-01-17 10:30:00.123456", "2024-01-02 23:59:59.999999")),
+      (DayTick, -1L, Seq("2024-01-14 10:30:00.123456", "2023-12-30 23:59:59.999999")),
+      (HourTick, 3L, Seq("2024-01-15 13:30:00.123456", "2024-01-01 02:59:59.999999")),
+      (HourTick, -26L, Seq("2024-01-14 08:30:00.123456", "2023-12-30 21:59:59.999999")),
+      (MinuteTick, -90L, Seq("2024-01-15 09:00:00.123456", "2023-12-31 22:29:59.999999")),
+      (SecondTick, 5L, Seq("2024-01-15 10:30:05.123456", "2024-01-01 00:00:04.999999")),
+      (MilliTick, 1500L, Seq("2024-01-15 10:30:01.623456", "2024-01-01 00:00:01.499999")),
+      (MicroTick, -7L, Seq("2024-01-15 10:30:00.123449", "2023-12-31 23:59:59.999992")),
+      (NanoTick, 2500L, Seq("2024-01-15 10:30:00.123458", "2024-01-01 00:00:00.000001")),
+      (NanoTick, -2500L, Seq("2024-01-15 10:30:00.123453", "2023-12-31 23:59:59.999996")))
+    cases.foreach { case (unit, n, want) =>
+      val out = got(in.select(
+        date_format(Offsets.shiftTick(col("ts"), unit, n),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      assert(out == want, s"${Offsets.tickFreqStr(unit, n)}: $out")
+    }
+  }
+
+  test("tickOf normalizes durations to the largest exact unit") {
+    import Offsets._
+    assert(Offsets.tickOf(90L * 60L * 1000000000L) == ((MinuteTick, 90L))) // pandas <90 * Minutes>
+    assert(Offsets.tickOf(2L * 86400L * 1000000000L) == ((DayTick, 2L)))
+    assert(Offsets.tickOf(1500000L) == ((MicroTick, 1500L))) // 1.5ms is not a Milli tick
+    assert(Offsets.tickOf(2500L) == ((NanoTick, 2500L)))
+    assert(Offsets.tickFreqStr(HourTick, 3) == "3H")
+    assert(Offsets.tickFreqStr(MinuteTick) == "T")
+    assert(Offsets.tickFreqStr(MilliTick, 500) == "500L")
+  }
 }
