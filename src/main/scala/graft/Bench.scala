@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs the HEADLINE query set from
   * BASELINE.md — not the whole registry, which is sized for correctness
@@ -40,6 +40,43 @@ object Bench {
     val queries = SparkEntry.queries
     val names = headline.filter(queries.contains)
 
+    /** Wall-clock witness for the LSH hot-bucket cap (r8 verdict task
+      * #8): every 10th document is rewritten into one boilerplate
+      * template cluster (shared chrome + unique tail — the site-chrome
+      * skew shape), then capped candidate generation + connected
+      * components run end-to-end. Uncapped, the boilerplate bucket
+      * pair count is quadratic in cluster size (10% of the corpus);
+      * the cap keeps the stage bucket-bounded, and this entry times
+      * that path at bench scale every round. */
+    def lshStressCapped(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextDedupOps
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val boiler = "this page is protected by copyright terms of " +
+        "service apply to all visitors please review the policy "
+      val skewed = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit(boiler * 4), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      val sigs = TextDedupOps.minHashSignatures(skewed, "doc_id", "text",
+        shingleN = 3, k = 32)
+      val pairs = TextDedupOps.lshCandidatePairs(sigs, "doc_id",
+        bands = 8, threshold = 0.8, maxBucketSize = 64)
+      TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+        checkpointEvery = 4)
+    }
+
+    // Headline registry queries; the stress entries below are
+    // deliberately NOT registry queries (their outputs are
+    // xxhash64-dependent, which would reintroduce a no-oracle row in
+    // the correctness gate) and NOT part of `total` (they time an
+    // iterative pipeline, not a single plan — folding them in would
+    // break round-over-round total comparability).
+    val entries: Seq[(String, () => DataFrame)] =
+      names.map(n => n -> (() => queries(n)(spark, sfDir)))
+    val stressEntries: Seq[(String, () => DataFrame)] =
+      Seq("lsh_stress_capped" -> (() => lshStressCapped()))
+
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood
     // unexplained): 1-minute load average sampled at start and end, and
@@ -56,9 +93,9 @@ object Bench {
     // range-partition cache IS the steady state a long-lived cluster
     // sits in (releasing mid-bench re-times the one-off partitioning:
     // +50% total, all of it warmup cost this harness exists to exclude).
-    def runOnce(name: String): Double = {
+    def runOnce(name: String, frame: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try frame().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
@@ -69,7 +106,7 @@ object Bench {
     // Warmup: pay one-time session/codegen/JIT/parquet-footer costs
     // outside the measured loop, as any long-lived cluster would have —
     // each headline query runs once unmeasured, then 3 measured reps.
-    names.foreach(runOnce)
+    entries.foreach { case (n, f) => runOnce(n, f) }
 
     // Plan-shape signal: shuffle-exchange count per query (+1 = stage
     // count on a non-adaptive run). Wall-time noise can hide a plan
@@ -77,8 +114,8 @@ object Bench {
     // (shuffles print as "Exchange hashpartitioning/rangepartitioning";
     // BroadcastExchange is not a stage boundary and ReusedExchange is a
     // pointer to an already-counted one — both excluded)
-    def planStages(name: String): Int = {
-      val plan = queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def planStages(frame: () => DataFrame): Int = {
+      val plan = frame().queryExecution.executedPlan.toString
       plan.linesIterator.count(l =>
         l.contains("Exchange") && !l.contains("BroadcastExchange") &&
           !l.contains("ReusedExchange")) + 1
@@ -92,8 +129,8 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
       .getOrElse(3)
-    val results = names.map { n =>
-      val times = (1 to reps).map(_ => runOnce(n)).toVector
+    val results = entries.map { case (n, f) =>
+      val times = (1 to reps).map(_ => runOnce(n, f)).toVector
       val ok = times.filter(_ >= 0).sorted
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       (n, median, times)
@@ -103,15 +140,20 @@ object Bench {
     val rs = results.map { case (k, _, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val st = names.map(n => "\"" + n + "\":" + planStages(n))
+    val st = entries.map { case (n, f) => "\"" + n + "\":" + planStages(f) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Stress witnesses: single rep each (wall-clock evidence, not a
+    // median-quality timing; headline warmup already paid JIT costs).
+    val stress = stressEntries.map { case (n, f) => (n, runOnce(n, f)) }
+    val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val loadEnd = loadAvg()
     val noisy = results.exists { case (_, m, ts) =>
       val ok = ts.filter(_ >= 0)
       m > 0 && ok.nonEmpty && ok.max / m > 3.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
