@@ -80,4 +80,80 @@ object Formatter {
       Seq("\\bottomrule", "\\end{tabular}")
     lines.mkString("\n")
   }
+
+  // ---- driver-side conversions (reference frame.py to_dict:1119,
+  // from_records:1354, itertuples:887). pandas materializes the whole
+  // frame for these; here to_dict keeps the bounded-head contract of
+  // the other driver-side renders (`n` rows, raise to taste), while
+  // itertuples STREAMS partitions through the driver — the only
+  // collect-shaped iteration that stays sane on a large frame. ----
+
+  /** to_dict(orient='records'): head-n rows as column→value maps. */
+  def toDictRecords(df: DataFrame, n: Int = 1000): Seq[Map[String, Any]] = {
+    val cols = df.columns
+    df.limit(n).collect().toSeq.map(r =>
+      cols.iterator.zip(r.toSeq.iterator).toMap)
+  }
+
+  /** to_dict(orient='list'): column → head-n value sequence. */
+  def toDictList(df: DataFrame, n: Int = 1000): Map[String, Seq[Any]] = {
+    val rows = df.limit(n).collect()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.toSeq.map(_.get(i))
+    }.toMap
+  }
+
+  /** to_dict(orient='dict'): column → (RangeIndex position → value) —
+    * the pandas default orient, with the default integer index. */
+  def toDictColumnMajor(df: DataFrame, n: Int = 1000)
+      : Map[String, Map[Long, Any]] = {
+    val rows = df.limit(n).collect()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.toSeq.zipWithIndex.map { case (r, pos) =>
+        pos.toLong -> r.get(i)
+      }.toMap
+    }.toMap
+  }
+
+  /** to_dict(orient='split'): (columns, head-n data rows). */
+  def toDictSplit(df: DataFrame, n: Int = 1000)
+      : (Seq[String], Seq[Seq[Any]]) =
+    (df.columns.toSeq, df.limit(n).collect().toSeq.map(_.toSeq))
+
+  /** itertuples: a driver-side iterator of row value tuples, streamed
+    * one partition at a time via toLocalIterator — never a full
+    * collect. */
+  def itertuples(df: DataFrame): Iterator[Seq[Any]] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.map(_.toSeq)
+  }
+
+  /** from_records: driver-side records → DataFrame. Column order is
+    * first-seen across records; per-column type comes from the first
+    * non-null value (Int/Long/Double/Boolean/String — mixed numeric
+    * widths in one column are the caller's error, as in pandas'
+    * object-dtype trap). Missing keys become nulls. */
+  def fromRecords(spark: org.apache.spark.sql.SparkSession,
+      records: Seq[Map[String, Any]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cols = records.foldLeft(Vector.empty[String]) { (acc, m) =>
+      acc ++ m.keys.filterNot(acc.contains)
+    }
+    def typeOf(v: Any): DataType = v match {
+      case _: Int => IntegerType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _ => StringType
+    }
+    val schema = StructType(cols.map { c =>
+      val first = records.iterator.map(_.getOrElse(c, null))
+        .find(_ != null)
+      StructField(c, first.map(typeOf).getOrElse(StringType), nullable = true)
+    })
+    val rows = records.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null))))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
 }

@@ -56,6 +56,31 @@ class UtilOpsSpec extends SparkSpec {
     assert(!tex.contains("... \\\\"))
   }
 
+  test("to_dict orients, itertuples streaming, from_records round-trip") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .orderBy("id")
+    // pandas df.to_dict('records') / ('list') / default / ('split')
+    assert(Formatter.toDictRecords(df) == Seq(
+      Map("id" -> 1L, "s" -> "a", "v" -> 1.5),
+      Map("id" -> 2L, "s" -> "b", "v" -> 2.5)))
+    assert(Formatter.toDictList(df) == Map(
+      "id" -> Seq(1L, 2L), "s" -> Seq("a", "b"), "v" -> Seq(1.5, 2.5)))
+    assert(Formatter.toDictColumnMajor(df)("s") == Map(0L -> "a", 1L -> "b"))
+    val (cols, data) = Formatter.toDictSplit(df)
+    assert(cols == Seq("id", "s", "v") && data == Seq(
+      Seq(1L, "a", 1.5), Seq(2L, "b", 2.5)))
+    assert(Formatter.itertuples(df).toSeq == data)
+    // from_records: first-seen column order, missing keys null,
+    // types from first non-null value
+    val back = Formatter.fromRecords(spark, Seq(
+      Map("id" -> 1L, "s" -> "a"),
+      Map("id" -> 2L, "v" -> 2.5)))
+    assert(back.columns.toSeq == Seq("id", "s", "v"))
+    assert(back.schema("v").dataType.typeName == "double")
+    val rows = back.orderBy("id").collect().map(_.toSeq)
+    assert(rows(0) == Seq(1L, "a", null) && rows(1) == Seq(2L, null, 2.5))
+  }
+
   test("frame.dot via melt+join+agg equals direct fold dot") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = emb.filter(col("vec_id") < 3)
