@@ -305,4 +305,46 @@ object TextDedupOps {
   /** Hamming distance between two simhashes (near-dup test ≤ r bits). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs, banded like MinHash LSH: the
+    * 64-bit simhash splits into `bands` contiguous chunks, docs bucket
+    * on (chunk index, chunk value), pairs join INSIDE buckets only —
+    * never all-pairs — then exact Hamming distance filters to
+    * ≤ maxHamming. Pigeonhole guarantee: a pair within Hamming distance
+    * ≤ bands − 1 differs in at most bands − 1 chunks, so at least one
+    * chunk matches and the pair is found; recall is exact for
+    * maxHamming ≤ bands − 1 (the usual configuration, e.g. 4 bands /
+    * ≤ 3 bits) and partial beyond. `maxBucketSize` caps hot chunk
+    * buckets exactly as in [[lshCandidatePairs]] (a common 16-bit
+    * chunk value across a boilerplate corpus is the same quadratic
+    * pathology). Returns (id_a, id_b, hamming). */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = simHash(df, idCol, textCol)
+    val chunks = array((0 until bands).map(i =>
+      shiftrightunsigned(col("simhash"), i * width).bitwiseAND(lit(mask))): _*)
+    val bandedAll = sh.select(col(idCol), col("simhash"),
+      posexplode(chunks).as(Seq("band", "chunk")))
+    val banded = if (maxBucketSize == Int.MaxValue) bandedAll else {
+      val keep = bandedAll.groupBy("band", "chunk")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band", "chunk")
+      bandedAll.join(keep, Seq("band", "chunk"), "left_semi")
+    }
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("h_a"), col("h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -76,6 +76,31 @@ class LlmSpec extends SparkSpec {
     assert(h == 0L)
   }
 
+  test("simHashNearDupPairs: banded Hamming buckets equal brute force") {
+    // near-identical docs: clone docs 0-9 with ONE word changed → tiny
+    // Hamming distance; banded generation must find exactly the pairs
+    // brute force finds (pigeonhole: maxHamming = bands - 1)
+    val nearDup = (0L until 10L).map { i =>
+      val words = (0 until 30).map(j =>
+        if (j == 7) "changed" else s"w${(i * 7 + j * 13) % 50}")
+      (i + 200L, words.mkString(" "))
+    }
+    val df = docs.unionByName(nearDup.toDF("doc_id", "text"))
+    val got = TextDedupOps
+      .simHashNearDupPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force reference over the collected simhashes
+    val sh = TextDedupOps.simHash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want, s"banded $got vs brute $want")
+    // exact clones (hamming 0) are always among the pairs
+    (0L until 10L).foreach(i => assert(got.contains((i, i + 100L))))
+  }
+
   test("jaccardPairs: clones have jaccard 1.0") {
     val j = TextDedupOps.jaccardPairs(docs, "doc_id", "text", 3)
       .filter(col("id_b") === col("id_a") + 100)
