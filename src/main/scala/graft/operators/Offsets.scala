@@ -273,6 +273,46 @@ object Offsets {
     roll(date_add(d.cast("date"), 1), steps)
   }
 
+  /** Easter Sunday of year `y` by the anonymous Gregorian computus —
+    * closed-form integer column arithmetic, no UDF (reference
+    * offsets.py Easter, which delegates to dateutil's western
+    * computus). */
+  def easterOfYear(y: Column): Column = {
+    val a = pmod(y, lit(19))
+    val b = idiv(y, 100)
+    val c = pmod(y, lit(100))
+    val d0 = idiv(b, 4)
+    val e = pmod(b, lit(4))
+    val f = idiv(b + 8, 25)
+    val g = idiv(b - f + 1, 3)
+    val h = pmod(a * 19 + b - d0 - g + 15, lit(30))
+    val i0 = idiv(c, 4)
+    val k = pmod(c, lit(4))
+    val l = pmod(lit(32) + e * 2 + i0 * 2 - h - k, lit(7))
+    val m = idiv(a + h * 11 + l * 22, 451)
+    val mon = idiv(h + l - m * 7 + 114, 31)
+    val day = pmod(h + l - m * 7 + 114, lit(31)) + 1
+    make_date(y.cast("int"), mon.cast("int"), day.cast("int"))
+  }
+
+  /** d + n·Easter(): pandas Easter offset — the n-th Easter STRICTLY
+    * after d (n > 0) or strictly before (n < 0); an on-Easter date
+    * advances a full period, like every anchored offset here.
+    * Consecutive Easters are one per calendar year, so the n-th is the
+    * first ± (|n| − 1) years. */
+  def shiftEaster(d: Column, n: Int = 1): Column = {
+    require(n != 0, "Easter offset with n == 0 is not a shift")
+    val dd = d.cast("date")
+    val y = year(dd)
+    if (n > 0) {
+      val y1 = when(easterOfYear(y) > dd, y).otherwise(y + 1)
+      easterOfYear(y1 + (n - 1))
+    } else {
+      val y1 = when(easterOfYear(y) < dd, y).otherwise(y - 1)
+      easterOfYear(y1 + (n + 1))
+    }
+  }
+
   /** Tick (fixed-duration) offset units: Day/Hour/Minute/Second/Milli/
     * Micro/Nano (reference pandas/tseries/offsets.py:2205-2366,
     * Tick._inc and the seven leaf classes :2333-2366). Unlike the

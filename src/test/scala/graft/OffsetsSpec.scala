@@ -180,6 +180,22 @@ class OffsetsSpec extends SparkSpec {
     assert(out == Seq("2024-01-07", "2024-03-03"))
   }
 
+  test("easter offset: pandas `d ± n*Easter()` pins incl. on-anchor advance") {
+    // pandas offsets.Easter outputs captured verbatim: +1 / -1 / +2 on
+    // mid-year, on-Easter, day-after-Easter, and far-years cases
+    val in = dates("2024-01-15", "2024-03-31", "2024-04-01", "2023-12-31",
+      "2025-04-20", "2025-04-21", "1995-06-14", "2000-04-23", "2038-04-25")
+    assert(got(in.select(Offsets.shiftEaster(col("d")))) ==
+      Seq("2024-03-31", "2025-04-20", "2025-04-20", "2024-03-31",
+        "2026-04-05", "2026-04-05", "1996-04-07", "2001-04-15", "2039-04-10"))
+    assert(got(in.select(Offsets.shiftEaster(col("d"), -1))) ==
+      Seq("2023-04-09", "2023-04-09", "2024-03-31", "2023-04-09",
+        "2024-03-31", "2025-04-20", "1995-04-16", "1999-04-04", "2037-04-05"))
+    assert(got(in.select(Offsets.shiftEaster(col("d"), 2))) ==
+      Seq("2025-04-20", "2026-04-05", "2026-04-05", "2025-04-20",
+        "2027-03-28", "2027-03-28", "1997-03-30", "2002-03-31", "2040-04-01"))
+  }
+
   test("tick offsets: pandas `ts + Tick(n)` values at microsecond precision") {
     import Offsets._
     // pandas 'ts + offsets.<Unit>(n)' outputs (ns result floored to the
