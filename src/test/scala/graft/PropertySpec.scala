@@ -209,4 +209,29 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(a.toMap == b.toMap)
   }
+
+  test("feather round-trip preserves random frames across batch sizes") {
+    import graft.sources.FeatherIo
+    val cellGen: Gen[(Long, Option[Double], Option[String], Option[Boolean])] =
+      for {
+        id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+        d <- Gen.option(Gen.chooseNum(-1e12, 1e12))
+        s <- Gen.option(Gen.oneOf(Gen.alphaNumStr.map(_.take(40)),
+          Gen.const(""), Gen.const("héllo wörld \n\ttab")))
+        b <- Gen.option(Gen.oneOf(true, false))
+      } yield (id, d, s, b)
+    val frameGen = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, cellGen))
+    (0 until 6).foreach { i =>
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(4000L + i))
+      val df = rows.toDF("id", "d", "s", "b")
+      val dir = java.nio.file.Files.createTempDirectory("featherprop")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"p$i.feather").toString
+      FeatherIo.write(df, path, batchSize = 1 + i * 7) // 1, 8, 15, ...
+      val back = FeatherIo.read(spark, path)
+      assert(back.schema == df.schema)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        s"sample $i mismatch")
+    }
+  }
 }
