@@ -283,7 +283,9 @@ object LlmQueries extends QueryModule {
           .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
-        clonePairs.join(lsh, Seq("id_a", "id_b"))
+        // clone pairs are duplicate-bounded (tiny vs the candidate set):
+        // broadcast so the LSH side never re-shuffles for this join
+        broadcast(clonePairs).join(lsh, Seq("id_a", "id_b"))
           .select(col("id_a"), col("id_b"),
             round(col("est_jaccard") * 1e6).cast("long").as("est_e6"))
       },
@@ -383,7 +385,7 @@ object LlmQueries extends QueryModule {
           .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
-        clonePairs
+        broadcast(clonePairs)
           .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
