@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.nio.channels.FileChannel
+import java.nio.ByteBuffer
+import java.nio.channels.{Channels, SeekableByteChannel}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Paths, StandardOpenOption}
 import java.time.{Instant, LocalDate}
 
 import scala.collection.mutable.ArrayBuffer
@@ -105,10 +105,49 @@ object FeatherIo {
           s"feather vector ${other.getClass.getSimpleName}")
     }
 
+  /** Paths resolve through the Hadoop FileSystem API — identical
+    * semantics to spark.read.parquet: bare paths go to the default
+    * filesystem, `file://`/`hdfs://`/object-store schemes all work, so
+    * a feather file on shared storage is readable from every executor.
+    * Arrow needs a SeekableByteChannel; FSDataInputStream provides the
+    * positioned reads. */
+  private class HadoopSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, sz: Long)
+      extends SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: ByteBuffer): Int = {
+      val want = dst.remaining()
+      if (want == 0) return 0
+      if (pos >= sz) return -1
+      val buf = new Array[Byte](math.min(want, 1 << 20))
+      val n = in.read(pos, buf, 0, buf.length)
+      if (n <= 0) return -1
+      dst.put(buf, 0, n)
+      pos += n
+      n
+    }
+    override def position(): Long = pos
+    override def position(p: Long): SeekableByteChannel = { pos = p; this }
+    override def size(): Long = sz
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+    override def write(src: ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(s: Long): SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+  }
+
+  private def openRead(path: String): SeekableByteChannel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen)
+  }
+
   /** Footer metadata only: (spark schema, record-batch blocks). */
   private def footer(path: String): (StructType, Seq[(Long, Int, Long)]) = {
     val alloc = new RootAllocator()
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = openRead(path)
     try {
       val reader = new ArrowFileReader(ch, alloc)
       try {
@@ -133,7 +172,7 @@ object FeatherIo {
       .parallelize(blocks, parallelism)
       .flatMap { case (off, metaLen, bodyLen) =>
         val alloc = new RootAllocator()
-        val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+        val ch = openRead(path)
         try {
           val reader = new ArrowFileReader(ch, alloc)
           try {
@@ -159,8 +198,9 @@ object FeatherIo {
     val fields = df.schema.fields
     val arrowSchema = new ArrowSchema(fields.map(arrowField).toSeq.asJava)
     val alloc = new RootAllocator()
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val ch = Channels.newChannel(fs.create(p, true))
     try {
       val root = VectorSchemaRoot.create(arrowSchema, alloc)
       try {
