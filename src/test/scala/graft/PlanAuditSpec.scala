@@ -129,12 +129,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("ewm_time_halflife: one grouped shuffle, partitioned window") {
-    val p = plan("ewm_time_halflife")
-    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(ex <= 1, s"shuffles $ex times:\n${p.take(3000)}")
-    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
-      assert(l.contains("user_id"), s"unpartitioned window: $l")
+  test("ewm_time_halflife (+long variant): one grouped shuffle, " +
+      "partitioned windows incl. the per-user day rebase") {
+    Seq("ewm_time_halflife", "ewm_time_halflife_long").foreach { q =>
+      val p = plan(q)
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(ex <= 1, s"$q shuffles $ex times:\n${p.take(3000)}")
+      p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+        assert(l.contains("user_id"), s"$q unpartitioned window: $l")
+      }
     }
   }
 
