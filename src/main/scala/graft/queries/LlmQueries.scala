@@ -398,6 +398,33 @@ object LlmQueries extends QueryModule {
               |  CAST(0 AS BIGINT) AS hamming
               |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
 
+    // The banded SimHash near-dup generator, gate-covered by the same
+    // clone-pair invariant: identical normalized text ⇒ identical
+    // simhash ⇒ every 16-bit chunk matches ⇒ the banded bucket join is
+    // GUARANTEED to emit the pair with Hamming 0 — so the intersection
+    // with the fingerprint pair set equals that set, which DuckDB
+    // computes independently. Exercises chunk explode, bucket join, and
+    // the exact-Hamming filter end-to-end.
+    QueryDef("simhash_band_pairs",
+      (s, d) => {
+        val aug = augmented(s, d)
+        val pairs = TextDedupOps.simHashNearDupPairs(aug, "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        val fp = aug.select(col("doc_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val clonePairs = fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        broadcast(clonePairs).join(pairs, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      },
+      Some(s"""WITH aug AS ($augmentedSql),
+              |f AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM aug)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(0 AS BIGINT) AS hamming
+              |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
+
     QueryDef("cosine_topk",
       (s, d) => {
         val emb = T.embeddings(s, d)
