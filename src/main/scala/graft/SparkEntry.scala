@@ -28,7 +28,8 @@ object SparkEntry {
     qmod.SetOpQueries,
     qmod.MissingQueries,
     qmod.ApplyQueries,
-    qmod.OffsetQueries
+    qmod.OffsetQueries,
+    qmod.IoQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

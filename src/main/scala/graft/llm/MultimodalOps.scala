@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` payloads + typed metadata, processed per-partition in
   * batches.
   *
-  * The decode kernels themselves (JPEG/audio codecs) are STUBBED with a
-  * deterministic fake — the codec libraries are not in this
-  * environment — but everything Spark-side is real: the schema
-  * convention, the batched mapPartitions shape (the Scala analog of
-  * mapInPandas: one iterator per partition, amortized per-batch setup),
-  * and the partitioning story (payloads never shuffle unless the caller
-  * repartitions on a grouping key first).
+  * IMAGE decode/resize are REAL (JDK `javax.imageio` — PNG/JPEG/GIF/BMP
+  * ship with the JRE, no external dependency): [[decodeImageMeta]] and
+  * [[resizeImages]] run actual codecs inside the batched mapPartitions
+  * path. Audio/video kernels remain STUBBED with a deterministic fake
+  * (no codec libraries for those in this environment), but everything
+  * Spark-side is real: the schema convention, the batched mapPartitions
+  * shape (the Scala analog of mapInPandas: one iterator per partition,
+  * amortized per-batch setup), and the partitioning story (payloads
+  * never shuffle unless the caller repartitions on a grouping key
+  * first).
   */
 object MultimodalOps {
 
@@ -93,6 +96,106 @@ object MultimodalOps {
         col("payload").substr((col("frame_no") * frameBytes + 1).cast("int"),
           lit(frameBytes)))
       .drop("payload")
+  }
+
+  // ---- REAL image kernels (JDK ImageIO; headless-safe — BufferedImage
+  // and the bundled PNG/JPEG readers need no display) ----
+
+  /** Decoded image facts: negative dims + format="undecodable" mark
+    * payloads no bundled reader accepts (corrupt bytes, unknown codec) —
+    * surfaced as data, never an executor throw, so one bad blob in a
+    * 100 TB corpus doesn't kill the stage. */
+  case class ImageMeta(
+      asset_id: Long, width: Int, height: Int, channels: Int,
+      format: String)
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** REAL image decode over a binary payload column: actual ImageIO
+    * codec per payload, batched mapPartitions (per-batch amortization
+    * slot for codec/reader reuse), no shuffle — decodes run wherever the
+    * payloads already live, the mapInPandas shape. */
+  def decodeImageMeta(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload", batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case Some(img) => ImageMeta(id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, "ok")
+            case None => ImageMeta(id, -1, -1, -1, "undecodable")
+          }
+        })
+      }.toDF()
+  }
+
+  /** REAL resize: decode → Graphics2D bilinear rescale → re-encode PNG,
+    * in the same batched no-shuffle mapPartitions shape. Undecodable
+    * payloads pass through null (left-typed: the caller filters or
+    * routes them; silently dropping rows would corrupt joins keyed on
+    * asset_id). */
+  def resizeImages(assets: DataFrame, targetWidth: Int, targetHeight: Int,
+      idCol: String = "asset_id", payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    require(targetWidth > 0 && targetHeight > 0,
+      s"target dims must be positive: ${targetWidth}x$targetHeight")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val out = readImage(bytes).map { img =>
+            val dst = new java.awt.image.BufferedImage(
+              targetWidth, targetHeight,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetWidth, targetHeight, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }.orNull
+          (id, out)
+        })
+      }.toDF("asset_id", "payload")
+  }
+
+  /** Deterministic RGB PNG fixture producer (test harness — a real
+    * pipeline ingests encoded media files): pixel (x,y) = a fixed affine
+    * function of (x, y, seed), encoded through the real PNG writer, so
+    * decode gates can state expected dimensions/channels in ANY engine
+    * from the seed alone while the bytes still exercise a genuine codec
+    * round trip. */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Resize stub: crop the payload to the target byte budget and update

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.llm.MultimodalOps
+import graft.sources.{FeatherIo, JdbcIo}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IO round-trip gate queries: the sources that previously had only
+  * ScalaTest coverage (read_sql/to_sql, read_feather/to_feather, image
+  * decode) pushed through the DuckDB differential oracle.
+  *
+  * The trick shared by all three: the ENGINE-SPECIFIC artifact (a Derby
+  * table, a feather file, PNG bytes) is produced and consumed entirely
+  * inside the Spark-side query, and the compared projection is data that
+  * a lossless round trip must preserve — which DuckDB states directly
+  * from the parquet tables without ever seeing the artifact. A write
+  * bug, a read bug, or a type-mapping bug on either leg hash-fails the
+  * gate.
+  *
+  * Artifacts live under java.io.tmpdir in a per-JVM (pid-suffixed)
+  * directory: concurrent `sbt test` and `Verify` JVMs never contend for
+  * the same Derby lock file, and re-runs inside one JVM overwrite
+  * cleanly ("replace" / overwrite semantics, themselves under test).
+  */
+object IoQueries extends QueryModule {
+
+  private val T = Tables
+
+  /** Per-JVM scratch root (tmpdir is executor-local on a real cluster;
+    * these round trips are driver-side gates, not data-lake layouts). */
+  private lazy val scratch: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-io-${ProcessHandle.current().pid()}")
+    dir.mkdirs()
+    // Derby writes its boot log to derby.log in CWD unless redirected —
+    // keep the repo clean.
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(dir, "derby.log").getPath)
+    dir.getPath
+  }
+
+  /** The slice every round trip carries: one key-bounded lineitem
+    * projection covering int/long/double/string/timestamp. */
+  private def slice(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+
+  private val sliceSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_shipdate
+      |FROM lineitem WHERE l_orderkey < 1000""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // read_sql/to_sql against a REAL database (reference: pandas/io/
+    // sql.py:397 to_sql, :315 read_sql; tests/io/test_sql.py round-trip
+    // suite): embedded Derby ships in /opt/spark/jars, so to_sql CREATEs
+    // and populates an actual SQL table (if_exists='replace' exercising
+    // drop-and-recreate on re-run) and read_sql scans it back through
+    // Spark's partitioned JDBC source — 4 concurrent range queries on
+    // l_orderkey, the 100 TB-shaped read path, not a single-connection
+    // pull. DuckDB computes the identical projection straight from
+    // parquet: any loss in the dialect type mapping (DOUBLE, VARCHAR,
+    // TIMESTAMP nanos) or the partition-range WHERE clauses hash-fails.
+    QueryDef("jdbc_roundtrip",
+      (s, d) => {
+        val url = s"jdbc:derby:$scratch/derbydb;create=true"
+        JdbcIo.toSql(slice(s, d), url, "GRAFT_LINEITEM",
+          ifExists = "replace")
+        JdbcIo.readSql(s, url, table = Some("GRAFT_LINEITEM"),
+          partitioning = Some(JdbcIo.Partitioning("l_orderkey", 0L, 1000L, 4)))
+      },
+      Some(sliceSql)),
+
+    // read_feather/to_feather (reference: pandas/io/feather_format.py:37
+    // to_feather, :87 read_feather): the same slice streamed into one
+    // Arrow IPC file and read back batch-parallel. Pins the full Arrow
+    // type round trip (int64/int32/float64/utf8/timestamp-µs) — a
+    // schema-mapping or cell-conversion bug on either leg hash-fails.
+    QueryDef("feather_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.feather"
+        FeatherIo.write(slice(s, d), path)
+        FeatherIo.read(s, path)
+      },
+      Some(sliceSql)),
+
+    // REAL image decode gate: per-document PNG payloads with dimensions
+    // derived from doc_id are produced by the real PNG encoder, decoded
+    // by the real ImageIO reader (width/height/channels), resized
+    // through the real Graphics2D kernel, and decoded AGAIN — so the
+    // compared dims cross two genuine codec passes. DuckDB states the
+    // expected dims from doc_id arithmetic alone; any decode, channel-
+    // model, or resize bug hash-fails.
+    QueryDef("image_meta",
+      (s, d) => {
+        import s.implicits._
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 8).toInt
+            (id, MultimodalOps.syntheticPng(w, h, seed = id))
+          }).toDF("asset_id", "payload")
+        val meta = MultimodalOps.decodeImageMeta(assets)
+          .select("asset_id", "width", "height", "channels")
+        val resized = MultimodalOps.decodeImageMeta(
+            MultimodalOps.resizeImages(assets, 4, 3))
+          .select(col("asset_id"), col("width").as("r_width"),
+            col("height").as("r_height"))
+        meta.join(resized, Seq("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+             |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+             |  CAST(3 AS INTEGER) AS channels,
+             |  CAST(4 AS INTEGER) AS r_width,
+             |  CAST(3 AS INTEGER) AS r_height
+             |FROM documents""".stripMargin))
+  )
+}

@@ -246,12 +246,42 @@ object SelectionQueries extends QueryModule {
              |CAST(l_linenumber AS VARCHAR) AS ln_str, CAST(l_shipdate AS DATE) AS ship_date
              |FROM lineitem""".stripMargin)),
 
-    // sample(frac, seed): engine-specific RNG — no cross-engine oracle;
-    // driver records rows-only. Determinism within Spark is seed-pinned.
+    // sample(frac, seed): engine-specific RNG, so the raw sample has no
+    // cross-engine twin — instead the gate compares ENGINE-INDEPENDENT
+    // INVARIANTS any correct seeded Bernoulli sampler must satisfy (the
+    // same trick that pinned minhash/simhash via clone pairs). Spark
+    // emits the measured booleans; DuckDB states the expected constants:
+    //   subset_ok        — anti-join of sample vs source is empty (a
+    //                      sampler that invents or mangles rows fails);
+    //   count_in_bounds  — |sample| within ±6σ of np for the seeded
+    //                      binomial (p=0.1; 6σ ≈ 1-in-10⁹ false alarm,
+    //                      scale-factor agnostic because n comes from
+    //                      the source aggregate, not a constant);
+    //   seed_stable      — two draws with the same seed agree exactly
+    //                      (id-sum + count of sampled ids equal): the
+    //                      reprocessing-reproducibility contract.
     QueryDef("sample_frac",
-      (s, d) => T.events(s, d).sample(withReplacement = false, 0.1, 42L)
-        .select("event_id"),
-      None),
+      (s, d) => {
+        val src = T.events(s, d).select("event_id")
+        def draw() = src.sample(withReplacement = false, 0.1, 42L)
+        val s1 = draw()
+        def digest(df: org.apache.spark.sql.DataFrame) = df.agg(
+          count(lit(1)).as("k"),
+          coalesce(sum(col("event_id")), lit(0L)).as("idsum"))
+        val viol = s1.join(src, Seq("event_id"), "left_anti")
+          .agg(count(lit(1)).as("v"))
+        val bounds = src.agg(count(lit(1)).cast("double").as("n"))
+        viol.crossJoin(digest(s1)).crossJoin(
+            digest(draw()).select(col("k").as("k2"), col("idsum").as("idsum2")))
+          .crossJoin(bounds)
+          .select(
+            (col("v") === 0).as("subset_ok"),
+            (abs(col("k") - col("n") * 0.1) <=
+              lit(6.0) * sqrt(col("n") * 0.09)).as("count_in_bounds"),
+            (col("k") === col("k2") && col("idsum") === col("idsum2"))
+              .as("seed_stable"))
+      },
+      Some("SELECT TRUE AS subset_ok, TRUE AS count_in_bounds, TRUE AS seed_stable")),
 
     // sample(n=500) deterministic: the n smallest hash-uniforms — an
     // order-by-hash top-k (TakeOrderedAndProject, no full sort), exact

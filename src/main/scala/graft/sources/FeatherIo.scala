@@ -36,11 +36,20 @@ import org.apache.spark.sql.types._
 object FeatherIo {
 
   private def sparkType(t: ArrowType): DataType = t match {
-    case i: ArrowType.Int => i.getBitWidth match {
-      case 64 => LongType
-      case 32 => IntegerType
-      case 16 => ShortType
-      case _ => ByteType
+    // Unsigned widths (a common pandas feather producer: uint8 category
+    // codes, uint32 ids) widen to the next larger SIGNED Spark type so
+    // values >= 2^(w-1) survive instead of wrapping negative; uint64 has
+    // no signed container and maps to DECIMAL(20,0) (same choice Spark's
+    // own JDBC source makes for BIGINT UNSIGNED).
+    case i: ArrowType.Int => (i.getBitWidth, i.getIsSigned) match {
+      case (64, true) => LongType
+      case (32, true) => IntegerType
+      case (16, true) => ShortType
+      case (_, true) => ByteType
+      case (64, false) => DecimalType(20, 0)
+      case (32, false) => LongType
+      case (16, false) => IntegerType
+      case (_, false) => ShortType
     }
     case f: ArrowType.FloatingPoint => f.getPrecision match {
       case FloatingPointPrecision.DOUBLE => DoubleType
@@ -48,6 +57,10 @@ object FeatherIo {
     }
     case _: ArrowType.Utf8 => StringType
     case _: ArrowType.Bool => BooleanType
+    // Arrow's timezone field distinguishes instant (tz set) from
+    // wall-clock (tz null) — pandas datetime64[ns] without tz lands
+    // here as NTZ, matching Spark's own parquet mapping.
+    case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
     case _: ArrowType.Timestamp => TimestampType
     case _: ArrowType.Date => DateType
     case _: ArrowType.Binary => BinaryType
@@ -66,6 +79,7 @@ object FeatherIo {
       case StringType => ArrowType.Utf8.INSTANCE
       case BooleanType => ArrowType.Bool.INSTANCE
       case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
       case DateType => new ArrowType.Date(DateUnit.DAY)
       case BinaryType => ArrowType.Binary.INSTANCE
       case other =>
@@ -83,21 +97,34 @@ object FeatherIo {
       case x: IntVector => x.get(i)
       case x: SmallIntVector => x.get(i)
       case x: TinyIntVector => x.get(i)
+      case x: UInt8Vector => // uint64 → DECIMAL(20,0), zero-extended
+        new java.math.BigDecimal(
+          new java.math.BigInteger(java.lang.Long.toUnsignedString(x.get(i))))
+      case x: UInt4Vector => x.get(i) & 0xffffffffL
+      case x: UInt2Vector => x.get(i).toInt // char: already zero-extended
+      case x: UInt1Vector => (x.get(i) & 0xff).toShort
       case x: Float8Vector => x.get(i)
       case x: Float4Vector => x.get(i)
       case x: VarCharVector => new String(x.get(i), UTF_8)
       case x: BitVector => x.get(i) == 1
       case x: TimeStampVector => // covers all timestamp unit/tz variants
-        val micros = x.getField.getType match {
-          case t: ArrowType.Timestamp => t.getUnit match {
-            case ATimeUnit.SECOND => x.get(i) * 1000000L
-            case ATimeUnit.MILLISECOND => x.get(i) * 1000L
-            case ATimeUnit.MICROSECOND => x.get(i)
-            case ATimeUnit.NANOSECOND => Math.floorDiv(x.get(i), 1000L)
-          }
+        val (micros, tz) = x.getField.getType match {
+          case t: ArrowType.Timestamp =>
+            val m = t.getUnit match {
+              case ATimeUnit.SECOND => x.get(i) * 1000000L
+              case ATimeUnit.MILLISECOND => x.get(i) * 1000L
+              case ATimeUnit.MICROSECOND => x.get(i)
+              case ATimeUnit.NANOSECOND => Math.floorDiv(x.get(i), 1000L)
+            }
+            (m, t.getTimezone)
         }
-        Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        val instant = Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
           Math.floorMod(micros, 1000000L) * 1000L)
+        // tz-less (NTZ) columns carry LocalDateTime, the external type
+        // Spark's Row converter expects for TimestampNTZType
+        if (tz == null)
+          java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)
+        else instant
       case x: DateDayVector => LocalDate.ofEpochDay(x.get(i).toLong)
       case x: VarBinaryVector => x.get(i)
       case other =>
@@ -138,16 +165,35 @@ object FeatherIo {
       throw new UnsupportedOperationException("read-only channel")
   }
 
-  private def openRead(path: String): SeekableByteChannel = {
+  /** Hadoop Configuration is not Serializable; this is the standard
+    * write/readFields envelope Spark's own datasources use to ship the
+    * SESSION config (spark.hadoop.* credentials, fs.defaultFS) to
+    * executor tasks — a bare `new Configuration()` there would drop
+    * object-store settings and break read on any non-local filesystem. */
+  private class SerializableConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def openRead(path: String,
+      conf: org.apache.hadoop.conf.Configuration): SeekableByteChannel = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen)
   }
 
   /** Footer metadata only: (spark schema, record-batch blocks). */
-  private def footer(path: String): (StructType, Seq[(Long, Int, Long)]) = {
+  private def footer(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (StructType, Seq[(Long, Int, Long)]) = {
     val alloc = new RootAllocator()
-    val ch = openRead(path)
+    val ch = openRead(path, conf)
     try {
       val reader = new ArrowFileReader(ch, alloc)
       try {
@@ -164,21 +210,31 @@ object FeatherIo {
   /** pandas `read_feather(path)`: the IPC file as a DataFrame, one
     * task per record batch. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (schema, blocks) = footer(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (schema, blocks) = footer(path, hconf)
     if (blocks.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    val parallelism = math.min(blocks.size, 32)
+    // Partition count scales with the cluster (defaultParallelism =
+    // total executor cores), not a hardcoded local-mode constant: a
+    // 10k-batch file on a 1000-core cluster gets 1000 slices of ~10
+    // sequential batch loads each, not 32 stragglers.
+    val parallelism = math.min(blocks.size,
+      math.max(spark.sparkContext.defaultParallelism, 1))
+    val bcConf = spark.sparkContext.broadcast(new SerializableConf(hconf))
     val rdd = spark.sparkContext
       .parallelize(blocks, parallelism)
       .flatMap { case (off, metaLen, bodyLen) =>
         val alloc = new RootAllocator()
-        val ch = openRead(path)
+        val ch = openRead(path, bcConf.value.value)
         try {
           val reader = new ArrowFileReader(ch, alloc)
           try {
             reader.loadRecordBatch(new ArrowBlock(off, metaLen, bodyLen))
             val root = reader.getVectorSchemaRoot
             val vecs = root.getFieldVectors.asScala.toArray
+            // Row-at-a-time external-Row conversion: acceptable for an
+            // interchange format (one pass per batch at ingest); columnar
+            // analytics belong in parquet (SURVEY §4), not feather.
             val out = new ArrayBuffer[Row](root.getRowCount)
             var i = 0
             while (i < root.getRowCount) {
@@ -242,6 +298,9 @@ object FeatherIo {
         x.setSafe(i, t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
       case (x: TimeStampVector, t: Instant) =>
         x.setSafe(i, t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (x: TimeStampVector, t: java.time.LocalDateTime) =>
+        val inst = t.toInstant(java.time.ZoneOffset.UTC)
+        x.setSafe(i, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
       case (x: DateDayVector, d: java.sql.Date) =>
         x.setSafe(i, d.toLocalDate.toEpochDay.toInt)
       case (x: DateDayVector, d: LocalDate) =>
