@@ -44,7 +44,22 @@ object WindowQueries extends QueryModule {
         .withColumn("dy",
           col("dy") - min(col("dy")).over(Window.partitionBy("user_id")))
         .withColumn("c", (dec2(col("value")) * 100).cast("long"))
-        .withColumn("wt", pow(lit(2.0), col("dy")).cast(d38))
+        // LOUD overflow guard (r9 verdict "wrong #1"): past ~100 rebased
+        // days the exact-integer weight products approach the
+        // DECIMAL(38,0) ceiling (2^100 × user-total-cents; 10^38 ≈
+        // 2^126), and Spark's non-ANSI decimal overflow NULLs SILENTLY
+        // where DuckDB errors. Fail like DuckDB instead: raise_error
+        // inside the weight expression (not a droppable side column —
+        // column pruning can never eliminate it because wt feeds every
+        // output). Spans past the bound belong to EwmMomentsAggregator's
+        // normalized back-to-front weights (EwmAggSpec), which trade the
+        // cross-engine bit-exactness this gate query requires.
+        .withColumn("wt",
+          when(col("dy") <= lit(100), pow(lit(2.0), col("dy")).cast(d38))
+            .otherwise(raise_error(format_string(
+              s"$name: per-user day span %d exceeds the DECIMAL(38,0)-" +
+                "exact bound (100); use EwmMomentsAggregator for long spans",
+              col("dy")))))
       val w = RollingOps.expanding(Seq("user_id"), evOrder)
       val num = sum(col("wt") * col("c").cast(d38)).over(w)
       val den = sum(col("wt")).over(w)

