@@ -3,10 +3,9 @@ package graft
 import graft.sources.JdbcIo
 import org.apache.spark.sql.SaveMode
 
-/** read_sql/to_sql plumbing — no database exists in this environment, so
-  * these validate the option construction rules and that a read reaches
-  * JDBC driver resolution (proving the plan is wired to the real source,
-  * not a stub). */
+/** read_sql/to_sql: option-construction rules, plus a REAL round trip
+  * against embedded Derby (ships in /opt/spark/jars) — the same engine
+  * the jdbc_roundtrip gate query pushes through the DuckDB oracle. */
 class JdbcIoSpec extends SparkSpec {
 
   test("read option map: table vs query, partitioned-scan options") {
@@ -51,5 +50,33 @@ class JdbcIoSpec extends SparkSpec {
     // reached the real source rather than silently no-opping
     assert(e.toString.toLowerCase.contains("driver")
       || e.toString.toLowerCase.contains("jdbc"), e.toString)
+  }
+
+  test("to_sql/read_sql round trip against embedded Derby, " +
+      "if_exists semantics, partitioned read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("derby-spec")
+    System.setProperty("derby.stream.error.file",
+      dir.resolve("derby.log").toString)
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, null, 0.0))
+      .toDF("k", "s", "v")
+
+    JdbcIo.toSql(df, url, "T1") // if_exists='fail' on a fresh table
+    assertFrameEqual(JdbcIo.readSql(spark, url, table = Some("T1")), df)
+
+    // fail on existing; replace drops and recreates; append accumulates
+    intercept[Exception] { JdbcIo.toSql(df, url, "T1", ifExists = "fail") }
+    JdbcIo.toSql(df.filter(col("k") < 3), url, "T1", ifExists = "replace")
+    assert(JdbcIo.readSql(spark, url, table = Some("T1")).count() == 2)
+    JdbcIo.toSql(df.filter(col("k") === 3), url, "T1", ifExists = "append")
+    assertFrameEqual(JdbcIo.readSql(spark, url, table = Some("T1")), df)
+
+    // partitioned read: 4 range slices on k cover all rows exactly once
+    val part = JdbcIo.readSql(spark, url, table = Some("T1"),
+      partitioning = Some(JdbcIo.Partitioning("k", 0L, 4L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assertFrameEqual(part, df)
   }
 }

@@ -165,6 +165,42 @@ class LlmSpec extends SparkSpec {
     assert(r0.forall(r => r.getInt(0) <= 32 && r.getInt(1) == 8 && r.getInt(2) == 4))
   }
 
+  test("real ImageIO decode: dims/channels from genuine PNG bytes, " +
+      "corrupt payloads surface as data") {
+    import graft.llm.MultimodalOps
+    import spark.implicits._
+    val assets = Seq(
+      (1L, MultimodalOps.syntheticPng(17, 9, seed = 1L)),
+      (2L, MultimodalOps.syntheticPng(8, 23, seed = 2L)),
+      (3L, "not an image".getBytes("UTF-8"))) // no reader accepts this
+      .toDF("asset_id", "payload")
+    val meta = MultimodalOps.decodeImageMeta(assets).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toMap
+    assert(meta(1L) == ((17, 9, 3, "ok")))
+    assert(meta(2L) == ((8, 23, 3, "ok")))
+    assert(meta(3L) == ((-1, -1, -1, "undecodable")), "corrupt blob must " +
+      "become a data row, never an executor throw")
+
+    // real resize: re-encoded PNG decodes to exactly the target dims;
+    // undecodable payloads pass through as null, keyed rows preserved
+    val rs = MultimodalOps.decodeImageMeta(
+      MultimodalOps.resizeImages(assets.filter(col("asset_id") < 3), 5, 4))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rs == Map(1L -> ((5, 4)), 2L -> ((5, 4))))
+    val passthrough = MultimodalOps.resizeImages(assets, 5, 4)
+      .filter(col("asset_id") === 3).collect()
+    assert(passthrough.length == 1 && passthrough.head.get(1) == null)
+
+    // decoded pixel content survives the codec round trip: PNG is
+    // lossless, so re-decoding the fixture reproduces the generator's
+    // affine pixel function exactly
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.syntheticPng(6, 5, 9L)))
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert((img.getRGB(x, y) & 0xffffff) == ((x * 31 + y * 17 + 9L) & 0xffffff).toInt)
+  }
+
   test("chunkWords: coverage, overlap, and short-doc degenerate cases") {
     import spark.implicits._
     val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
