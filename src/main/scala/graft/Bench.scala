@@ -66,6 +66,29 @@ object Bench {
         checkpointEvery = 4)
     }
 
+    /** Wall-clock witness for the custom AsofJoinExec under by-key skew
+      * (r9 verdict task #8): half of ALL events collapse onto one hot
+      * user_id before the two-pointer merge runs, so a single task owns
+      * ~50% of both join sides — the worst realistic key distribution.
+      * The exec is per-key linear (sort + one forward pass, no per-row
+      * window re-scan), so the hot task should cost ~n log n in its
+      * sort, not quadratic; this entry times exactly that every round. */
+    def asofStressHotKey(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.SelectionOps
+      val ev = Tables.events(spark, sfDir).withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
+          .otherwise(col("user_id")))
+      val trades = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = SelectionOps.dropDuplicates(
+        ev.filter(col("event_type") === "view"),
+        Seq("user_id", "ts"), "last", Seq(col("event_id")))
+        .select(col("user_id"), col("ts"), col("value").as("q_value"))
+      graft.plans.AsofJoinPlan.asof(trades, quotes, "ts", Seq("user_id"),
+        Seq("q_value"))
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -75,7 +98,8 @@ object Bench {
     val entries: Seq[(String, () => DataFrame)] =
       names.map(n => n -> (() => queries(n)(spark, sfDir)))
     val stressEntries: Seq[(String, () => DataFrame)] =
-      Seq("lsh_stress_capped" -> (() => lshStressCapped()))
+      Seq("lsh_stress_capped" -> (() => lshStressCapped()),
+        "asof_stress_hot_key" -> (() => asofStressHotKey()))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood

@@ -226,9 +226,15 @@ object TextDedupOps {
     * `localCheckpoint` every that-many rounds: each round otherwise
     * stacks two joins and an aggregate onto the label plan, and at
     * 100 TB the re-planning / task-serialization cost of a
-    * dozen-round-deep lineage (plus full recomputation on a lost
-    * partition) dominates — checkpointing bounds both. Labels are
-    * identical with or without the knob (spec'd in LlmSpec).
+    * dozen-round-deep lineage dominates — checkpointing bounds it.
+    * TRADE-OFF (not free): localCheckpoint DISCARDS lineage, so a lost
+    * executor makes its checkpointed partitions unrecoverable and FAILS
+    * the job — it buys planning/serialization speed at the cost of
+    * fault tolerance. On a long cluster run where executor loss is
+    * routine, prefer a reliable `sparkContext.setCheckpointDir` +
+    * `Dataset.checkpoint` variant (HDFS-backed, recoverable) and keep
+    * this knob for iteration-speed-bound jobs. Labels are identical
+    * with or without the knob (spec'd in LlmSpec).
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
@@ -260,7 +266,11 @@ object TextDedupOps {
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("__chg"))
       // An eager localCheckpoint both materializes and caches, so it
       // replaces the persist for checkpoint rounds; the truncated plan
-      // frees the two-joins-per-round lineage stack.
+      // frees the two-joins-per-round lineage stack. NOTE: unpersist()
+      // on a checkpointed generation is a no-op (checkpoint RDD blocks
+      // are not in the Dataset cache manager) — their blocks are freed
+      // when the RDD is GC'd via the ContextCleaner, so generations are
+      // not pinned forever, just released lazily rather than eagerly.
       val next =
         if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
           step.localCheckpoint(true)

@@ -130,9 +130,12 @@ object Formatter {
 
   /** from_records: driver-side records → DataFrame. Column order is
     * first-seen across records; per-column type comes from the first
-    * non-null value (Int/Long/Double/Boolean/String — mixed numeric
-    * widths in one column are the caller's error, as in pandas'
-    * object-dtype trap). Missing keys become nulls. */
+    * non-null value across the common scalar/temporal/decimal types
+    * (mixed numeric widths in one column are the caller's error, as in
+    * pandas' object-dtype trap). Missing keys become nulls. Values of a
+    * type with no Spark mapping, or inconsistent with the column's
+    * inferred type, fail HERE with a named column/position — not as a
+    * ClassCastException deep inside execution. */
   def fromRecords(spark: org.apache.spark.sql.SparkSession,
       records: Seq[Map[String, Any]]): DataFrame = {
     import org.apache.spark.sql.Row
@@ -140,18 +143,54 @@ object Formatter {
     val cols = records.foldLeft(Vector.empty[String]) { (acc, m) =>
       acc ++ m.keys.filterNot(acc.contains)
     }
-    def typeOf(v: Any): DataType = v match {
-      case _: Int => IntegerType
-      case _: Long => LongType
-      case _: Double => DoubleType
-      case _: Boolean => BooleanType
-      case _ => StringType
+    def typeOf(v: Any): Option[DataType] = v match {
+      case _: Int => Some(IntegerType)
+      case _: Long => Some(LongType)
+      case _: Double => Some(DoubleType)
+      case _: Float => Some(FloatType)
+      case _: Short => Some(ShortType)
+      case _: Byte => Some(ByteType)
+      case _: Boolean => Some(BooleanType)
+      case _: String => Some(StringType)
+      case _: java.math.BigDecimal => Some(DecimalType(38, 18))
+      case _: BigDecimal => Some(DecimalType(38, 18))
+      case _: Array[Byte] => Some(BinaryType)
+      case _: java.sql.Timestamp => Some(TimestampType)
+      case _: java.time.Instant => Some(TimestampType)
+      case _: java.time.LocalDateTime => Some(TimestampNTZType)
+      case _: java.sql.Date => Some(DateType)
+      case _: java.time.LocalDate => Some(DateType)
+      case _ => None
     }
     val schema = StructType(cols.map { c =>
       val first = records.iterator.map(_.getOrElse(c, null))
         .find(_ != null)
-      StructField(c, first.map(typeOf).getOrElse(StringType), nullable = true)
+      val dt = first match {
+        case None => StringType
+        case Some(v) => typeOf(v).getOrElse(throw new IllegalArgumentException(
+          s"from_records: column '$c' has unsupported value type " +
+            s"${v.getClass.getName} (value: $v)"))
+      }
+      StructField(c, dt, nullable = true)
     })
+    // validate every cell against the inferred column type up front:
+    // a clear construction-time error names the record and column
+    records.zipWithIndex.foreach { case (m, i) =>
+      schema.fields.foreach { f =>
+        m.getOrElse(f.name, null) match {
+          case null => ()
+          case v =>
+            val vt = typeOf(v).getOrElse(throw new IllegalArgumentException(
+              s"from_records: record $i column '${f.name}' has unsupported " +
+                s"value type ${v.getClass.getName} (value: $v)"))
+            if (vt != f.dataType) throw new IllegalArgumentException(
+              s"from_records: record $i column '${f.name}' is $vt but the " +
+                s"column inferred ${f.dataType} from the first non-null " +
+                "value — mixed types in one column (the pandas object-" +
+                "dtype trap); cast your records to one type")
+        }
+      }
+    }
     val rows = records.map(m => Row.fromSeq(cols.map(c => m.getOrElse(c, null))))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)

@@ -295,6 +295,39 @@ object LlmQueries extends QueryModule {
               |  CAST(1000000 AS BIGINT) AS est_e6
               |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
 
+    // The CAPPED candidate generator under the oracle (r9 verdict task
+    // #7): identical machinery to minhash_near_dup but with a finite
+    // maxBucketSize=64, the 100 TB production setting the gate never
+    // exercised before (Bench's lsh_stress_capped times it but nothing
+    // hash-checked it). The result is cap-INVARIANT on this fixture by
+    // construction: clone clusters are pairs/triples, far below the cap,
+    // and every band bucket above it holds only spurious collisions —
+    // so the compared projection still equals the fingerprint pair set.
+    // A cap bug that drops cool buckets (or the semi-join inverting its
+    // sense) removes clone pairs and hash-fails.
+    QueryDef("minhash_capped_pairs",
+      (s, d) => {
+        val aug = augmented(s, d)
+        val sigs = TextDedupOps.minHashSignatures(
+          aug, "doc_id", "text", shingleN = 3, k = 32)
+        val lsh = TextDedupOps.lshCandidatePairs(sigs, "doc_id",
+          bands = 8, threshold = 0.9, maxBucketSize = 64)
+        val fp = aug.select(col("doc_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val clonePairs = fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        broadcast(clonePairs).join(lsh, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard") * 1e6).cast("long").as("est_e6"))
+      },
+      Some(s"""WITH aug AS ($augmentedSql),
+              |f AS (SELECT doc_id, md5(${normSql("text")}) AS fp FROM aug)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(1000000 AS BIGINT) AS est_e6
+              |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
+
     // Benchmark decontamination: per-doc fraction of distinct 3-gram
     // shingles also present in the "eval" slice (doc_id < 20) — the
     // leakage check every training pipeline runs. Benchmark shingles

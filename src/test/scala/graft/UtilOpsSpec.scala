@@ -79,6 +79,33 @@ class UtilOpsSpec extends SparkSpec {
     assert(back.schema("v").dataType.typeName == "double")
     val rows = back.orderBy("id").collect().map(_.toSeq)
     assert(rows(0) == Seq(1L, "a", null) && rows(1) == Seq(2L, null, 2.5))
+
+    // extended types round-trip: float/short/byte/decimal/temporals
+    val ext = Formatter.fromRecords(spark, Seq(Map(
+      "f" -> 1.5f, "sh" -> 3.toShort, "by" -> 7.toByte,
+      "dec" -> new java.math.BigDecimal("2.500000000000000000"),
+      "d" -> java.sql.Date.valueOf("2024-01-15"),
+      "t" -> java.sql.Timestamp.valueOf("2024-01-15 10:30:00"),
+      "ld" -> java.time.LocalDate.of(2024, 2, 2))))
+    import org.apache.spark.sql.types._
+    assert(ext.schema.fields.map(f => f.name -> f.dataType).toMap == Map(
+      "f" -> FloatType, "sh" -> ShortType, "by" -> ByteType,
+      "dec" -> DecimalType(38, 18), "d" -> DateType,
+      "t" -> TimestampType, "ld" -> DateType))
+    val er = ext.collect().head
+    assert(er.getAs[Float]("f") == 1.5f && er.getAs[Short]("sh") == 3)
+    assert(er.getAs[java.sql.Date]("ld") == java.sql.Date.valueOf("2024-02-02"))
+
+    // unsupported and mixed-width types fail loudly AT CONSTRUCTION
+    // with the column named — not as a deep ClassCastException
+    val e1 = intercept[IllegalArgumentException] {
+      Formatter.fromRecords(spark, Seq(Map("x" -> new Object)))
+    }
+    assert(e1.getMessage.contains("'x'") && e1.getMessage.contains("unsupported"))
+    val e2 = intercept[IllegalArgumentException] {
+      Formatter.fromRecords(spark, Seq(Map("n" -> 1), Map("n" -> 2L)))
+    }
+    assert(e2.getMessage.contains("'n'") && e2.getMessage.contains("mixed"))
   }
 
   test("frame.dot via melt+join+agg equals direct fold dot") {
