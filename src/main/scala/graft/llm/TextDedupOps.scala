@@ -231,13 +231,23 @@ object TextDedupOps {
     * executor makes its checkpointed partitions unrecoverable and FAILS
     * the job — it buys planning/serialization speed at the cost of
     * fault tolerance. On a long cluster run where executor loss is
-    * routine, prefer a reliable `sparkContext.setCheckpointDir` +
-    * `Dataset.checkpoint` variant (HDFS-backed, recoverable) and keep
-    * this knob for iteration-speed-bound jobs. Labels are identical
-    * with or without the knob (spec'd in LlmSpec).
+    * routine, set `reliable = true` (requires
+    * `sparkContext.setCheckpointDir` on shared storage): generations
+    * then checkpoint through `Dataset.checkpoint` — HDFS/object-store
+    * backed, recoverable across executor loss — at the price of a
+    * write+read of the (small: id, cluster, flag) label frame per
+    * checkpoint round. Labels are identical under no/local/reliable
+    * checkpointing (spec'd in LlmSpec).
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
+      maxIter: Int = 20, checkpointEvery: Int = 0,
+      reliable: Boolean = false): DataFrame = {
+    require(!reliable || checkpointEvery > 0,
+      "reliable checkpointing needs checkpointEvery > 0")
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable = true requires sparkContext.setCheckpointDir on " +
+          "shared storage (HDFS/object store) reachable from every executor")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -273,7 +283,7 @@ object TextDedupOps {
       // not pinned forever, just released lazily rather than eagerly.
       val next =
         if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
-          step.localCheckpoint(true)
+          (if (reliable) step.checkpoint(true) else step.localCheckpoint(true))
         else step.persist(lvl)
       changed = next.filter(col("__chg")).count()
       cached.unpersist()

@@ -263,5 +263,23 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(plain == ckpt, s"$plain vs $ckpt")
     assert(ckpt.values.toSet == Set(0L))
+
+    // reliable (HDFS-shaped) checkpointing: same labels, and the
+    // missing-checkpoint-dir misconfiguration fails loudly up front
+    intercept[IllegalArgumentException] {
+      TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+        checkpointEvery = 2, reliable = true)
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val rel = TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+        checkpointEvery = 2, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(plain == rel, s"$plain vs $rel")
+    } finally {
+      // other suites share the session; don't leave a checkpoint dir set
+      spark.sparkContext.setCheckpointDir(null)
+    }
   }
 }
