@@ -586,6 +586,92 @@ object LlmQueries extends QueryModule {
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              |  md5(text) AS digest,
              |  to_base64(encode(substr(text, 1, 8))) AS head_b64
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // BM25 lexical top-k (TextSearchOps.bm25TopK): per-doc tf is
+    // row-local HOF arithmetic; corpus stats (N, avgdl, per-term df) are
+    // ONE scalar row broadcast back; top-k is TakeOrderedAndProject.
+    // The oracle interpolates the exact Scala doubles for k1/b so both
+    // engines evaluate bit-identical constants (then round(6)).
+    QueryDef("bm25_topk", {
+      val (k1, b) = (1.2, 0.75)
+      (s: SparkSession, d: String) =>
+        graft.llm.TextSearchOps.bm25TopK(T.documents(s, d), "doc_id", "text",
+          Seq("spark", "merge", "window"), 20, k1, b)
+    }, {
+      val (k1, b) = (1.2, 0.75)
+      def term(i: Int) =
+        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1} /
+           |    (tf$i + $k1 * (${1 - b} + $b * dl / avgdl))""".stripMargin
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |pd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+              |  CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+              |  CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf1,
+              |  CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+              |  FROM t),
+              |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+              |  sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+              |  sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+              |  sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+              |  FROM pd)
+              |SELECT doc_id, round(${term(0)} + ${term(1)} + ${term(2)}, 6) AS score
+              |FROM pd CROSS JOIN st
+              |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+    }),
+
+    // Per-doc TF-IDF keyword extraction (TextSearchOps.tfIdfTopTerms):
+    // one token explode → map-side-combined (doc, term) count; df
+    // aggregates from that count and joins back broadcast (vocabulary ≪
+    // corpus); per-doc top-n is a doc-partitioned rank.
+    QueryDef("tfidf_top_terms",
+      (s, d) => graft.llm.TextSearchOps.tfIdfTopTerms(
+        T.documents(s, d), "doc_id", "text", 3),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM documents),
+              |tok AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t),
+              |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              |  FROM tok GROUP BY 1, 2),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+              |sc AS (SELECT doc_id, term,
+              |    round(CAST(tf AS DOUBLE) / dl * ln(n / df), 6) AS tfidf
+              |  FROM tf JOIN df USING (term) CROSS JOIN n)
+              |SELECT doc_id, term, tfidf, rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+              |  FROM sc) WHERE rn <= 3""".stripMargin)),
+
+    // Cross-document boilerplate-line removal (CCNet/RefinedWeb step,
+    // TextSearchOps.removeBoilerplateLines). The fixture text has no
+    // line structure, so lines are planted deterministically (same
+    // construction in the oracle — the pii_redact pattern): a footer in
+    // every doc and a second one in every 7th; both cross the minDocs=50
+    // threshold and must vanish, the per-doc unique tail must survive.
+    QueryDef("boilerplate_lines",
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("subscribe to our newsletter"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit("all rights reserved footer"))
+              .otherwise(concat(lit("unique tail "), col("doc_id"))))
+            .as("text2"))
+        graft.llm.TextSearchOps.removeBoilerplateLines(
+          planted, "doc_id", "text2", "\n", minDocs = 50)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0 THEN 'all rights reserved footer'
+             |         ELSE 'unique tail ' || doc_id END AS text2
+             |  FROM documents),
+             |l AS (SELECT doc_id, unnest(string_split(text2, chr(10))) AS line,
+             |    generate_subscripts(string_split(text2, chr(10)), 1) AS pos
+             |  FROM p),
+             |f AS (SELECT line FROM l GROUP BY line
+             |  HAVING count(DISTINCT doc_id) >= 50),
+             |k AS (SELECT l.* FROM l ANTI JOIN f USING (line))
+             |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+             |FROM k GROUP BY doc_id""".stripMargin))
   )
 }

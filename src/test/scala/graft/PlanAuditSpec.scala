@@ -155,4 +155,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
   }
+
+  test("bm25_topk: scalar stats broadcast back; top-k is " +
+      "TakeOrderedAndProject; zero hash shuffles") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 should never hash-shuffle the corpus:\n${p.take(3000)}")
+  }
+
+  test("tfidf_top_terms: vocabulary df joins back broadcast; bounded " +
+      "shuffle count") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // 5 = (doc,term) count ×2 (the broadcast df branch recomputes it —
+    // at corpus scale recomputing one map-side-combined agg beats
+    // caching the token explosion), vocab df, two-phase distinct-N, and
+    // the doc-keyed regroup; the top-n rank itself is
+    // WindowGroupLimit-pruned before its shuffle
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 5, s"tfidf shuffles too much ($ex):\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"), s"top-n rank not pruned:\n${p.take(3000)}")
+  }
+
+  test("boilerplate_lines: frequent set applied as a broadcast anti-join") {
+    val p = plan("boilerplate_lines")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  /** Registry-wide guard: WindowExec with an empty partition spec moves
+    * ALL rows to one partition — fatal at 100 TB unless the input is
+    * provably bounded (top-k frames, O(groups) aggregates). The exact
+    * set of queries allowed to do it is pinned here; a new query that
+    * introduces one fails this test and must either partition (__pid
+    * range-bucket pattern) or justify itself onto this list. Every
+    * allowed entry's window input is bounded upstream: see the comment
+    * per name.
+    */
+  test("registry-wide: queries with an unpartitioned WindowExec are " +
+      "exactly the pinned bounded-input set") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (n, fn) =>
+        val sp =
+          try fn(spark, d).queryExecution.sparkPlan
+          catch { case e: Throwable => fail(s"$n failed to plan: $e") }
+        val bad = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (bad.nonEmpty) Some(n) else None
+    }.toSet
+    val allowed: Set[String] = Set(
+      "iloc_slice",             // window input is orderBy.limit(110)
+      "factorize_codes",        // window over one row per event_type
+      "mode_value",             // window over per-type group counts
+      "value_counts_normalize", // window over per-type group counts
+      "nlargest_keep_all")      // rank≤10: WindowGroupLimit partial prunes
+                                // to O(partitions·10) before the window
+    assert(offenders == allowed,
+      s"unpartitioned-WindowExec set drifted.\n  now: ${offenders.toSeq.sorted}\n" +
+        s"  pinned: ${allowed.toSeq.sorted}")
+    // the one full-input entry is only safe WITH its rank pushdown
+    assert(plan("nlargest_keep_all").contains("WindowGroupLimit"),
+      "nlargest_keep_all lost its WindowGroupLimit pruning")
+  }
 }
