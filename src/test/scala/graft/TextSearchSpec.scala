@@ -72,4 +72,105 @@ class TextSearchSpec extends SparkSpec {
       "\n", minDocs = 3).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(1L -> "dup\na", 2L -> "dup\nb"), r.toString)
   }
+
+  // --- property tests: random corpora vs exact driver-side references
+  // (FIXTURES.md §B style: fixed-seed ScalaCheck gens, no bridge).
+  // The references mirror the operators' IEEE operation ORDER, and the
+  // corpus stats are integral-valued doubles (exact under any partial-
+  // aggregation order), so every comparison is bit-exact — including
+  // through Math.log, which is the same JVM intrinsic on both sides.
+
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(2, 15).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 12).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf(vocab)).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  private def corpora(seedBase: Long, n: Int = 6): Seq[List[(Long, String)]] =
+    (0 until n).map(i =>
+      corpusGen.pureApply(Gen.Parameters.default, Seed(seedBase + i)))
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("property: bm25TopK equals the reference formula on random corpora") {
+    val terms = Seq("alpha", "gamma")
+    val (k1, b) = (1.2, 0.75)
+    corpora(600L).foreach { docs =>
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_._2.size.toDouble).sum / n
+      val dfs = terms.map(t => toks.count(_._2.contains(t)).toDouble)
+      val expected = toks.flatMap { case (id, w) =>
+        val dl = w.size.toDouble
+        val score = terms.zip(dfs).map { case (t, df) =>
+          val tf = w.count(_ == t).toDouble
+          val idf = math.log(1d + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+        }.reduce(_ + _)
+        if (w.exists(terms.contains)) Some(id -> round6(score)) else None
+      }.sortBy { case (id, s) => (-s, id) }.take(4)
+      val got = TextSearchOps.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", terms, 4, k1, b)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(got == expected, s"\ndocs=$docs\n got=$got\n exp=$expected")
+    }
+  }
+
+  test("property: tfIdfTopTerms equals the reference formula on random " +
+      "corpora") {
+    corpora(700L).foreach { docs =>
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val n = toks.size.toDouble
+      val df = toks.flatMap(_._2.distinct).groupBy(identity).view
+        .mapValues(_.size.toDouble).toMap
+      val expected = toks.flatMap { case (id, w) =>
+        val dl = w.size.toDouble
+        w.distinct.map { t =>
+          (id, t, round6(w.count(_ == t).toDouble / dl * math.log(n / df(t))))
+        }.sortBy { case (_, t, s) => (-s, t) }.take(2).zipWithIndex
+          .map { case ((i, t, s), r) => (i, t, s, r + 1) }
+      }.toSet
+      val got = TextSearchOps.tfIdfTopTerms(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      assert(got == expected, s"\ndocs=$docs\n got=$got\n exp=$expected")
+    }
+  }
+
+  test("property: removeBoilerplateLines equals the reference filter on " +
+      "random line corpora") {
+    val lineVocab = Vector("nav bar", "footer", "content a", "content b",
+      "content c", "subscribe")
+    val linesGen: Gen[List[(Long, String)]] =
+      Gen.chooseNum(2, 10).flatMap { n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 5).flatMap(m =>
+          Gen.listOfN(m, Gen.oneOf(lineVocab)).map(_.mkString("\n"))))
+          .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      }
+    (0 until 6).foreach { i =>
+      val docs = linesGen.pureApply(Gen.Parameters.default, Seed(800L + i))
+      val minDocs = 2 + (i % 2)
+      val split = docs.map { case (id, t) => id -> t.split("\n").toSeq }
+      val frequent = split.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.size >= minDocs).keySet
+      val expected = split.flatMap { case (id, ls) =>
+        val kept = ls.filterNot(frequent)
+        if (kept.nonEmpty) Some(id -> kept.mkString("\n")) else None
+      }.toMap
+      val got = TextSearchOps.removeBoilerplateLines(docs.toDF("doc_id", "text"),
+        "doc_id", "text", "\n", minDocs)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected,
+        s"\nminDocs=$minDocs docs=$docs\n got=$got\n exp=$expected")
+    }
+  }
 }
