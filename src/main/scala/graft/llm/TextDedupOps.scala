@@ -367,4 +367,57 @@ object TextDedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact substring-span deduplication: remove every token covered by
+    * a `w`-token window whose content occurs in ≥ `minDocs` DISTINCT
+    * documents (the "remove repeated 50-token substrings" tier of
+    * published training-data pipelines — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * approximated there with suffix arrays; here the fixed-window
+    * formulation distributes). Within-document repeats alone do NOT
+    * trigger removal (distinct-doc count), matching the cross-document
+    * semantics. Operates on the NORMALIZED token stream and returns
+    * (idCol, cleanCol) with the surviving tokens rejoined — the same
+    * convention as the reference pipelines, which dedup post-
+    * normalization.
+    *
+    * Scale shape: one window-hash explode (n_tokens rows per doc — the
+    * shingling cost, map-side-combined into the frequency agg); the
+    * duplicated-window set joins back doc-keyed, and coverage is
+    * row-local HOF arithmetic: token p survives iff no duplicated
+    * window start q ∈ [p−w+1, p] (O(dups·tokens) per doc — dup windows
+    * are rare by construction, like boilerplate lines). Documents
+    * shorter than `w` tokens pass through untouched; a document whose
+    * every token is covered yields an empty string (kept, unlike
+    * [[TextSearchOps.removeBoilerplateLines]] which drops all-boiler
+    * docs — span removal is token-level, not document-level).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Long = 2, cleanCol: String = "clean"): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token: $w")
+    val base = docs.select(col(idCol),
+      split(normalize(col(textCol)), " ").as("__toks"))
+    // one row per window position: (id, q, hash of tokens q..q+w-1)
+    val wins = base.filter(size(col("__toks")) >= w)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__toks")) - (w - 1)),
+          q => struct(q.as("q"),
+            xxhash64(array_join(slice(col("__toks"), q, lit(w)), " ")).as("h"))))
+        .as("__win"))
+      .select(col(idCol), col("__win.q").as("q"), col("__win.h").as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("h")
+    val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("q")).as("__dups"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), array_join(filter(
+        transform(sequence(lit(1), size(col("__toks"))),
+          p => when(exists(coalesce(col("__dups"),
+              array().cast("array<int>")),
+            q => q <= p && p <= q + (w - 1)), lit(null))
+            .otherwise(element_at(col("__toks"), p))),
+        x => x.isNotNull), " ").as(cleanCol))
+  }
 }

@@ -672,6 +672,56 @@ object LlmQueries extends QueryModule {
              |  HAVING count(DISTINCT doc_id) >= 50),
              |k AS (SELECT l.* FROM l ANTI JOIN f USING (line))
              |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean
-             |FROM k GROUP BY doc_id""".stripMargin))
+             |FROM k GROUP BY doc_id""".stripMargin)),
+
+    // Exact substring-span dedup (Lee et al. 2022 tier;
+    // TextDedupOps.removeDuplicateSpans): remove every token covered by
+    // a 30-token window occurring in ≥2 distinct docs. The fixture's
+    // documents table contains driver-planted NEAR-duplicates that
+    // genuinely share long spans (~120 docs affected at sf0.001, 20 of
+    // them fully covered), plus a 40-token passage planted here onto
+    // every 5th doc (windows straddling the splice contain each doc's
+    // unique tail — precision as well as recall is exercised). The
+    // oracle is a full INDEPENDENT DuckDB implementation of the same
+    // semantics — window content equality (not Spark's xxhash64),
+    // range-join coverage, ordered reassembly — so both over- and
+    // under-removal anywhere in the corpus break the match.
+    QueryDef("substring_dedup",
+      (s, d) => {
+        val passage = (1 to 40).map(i => s"boiler$i").mkString(" ")
+        val planted = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat_ws(" ", col("text"), lit(passage)))
+            .otherwise(col("text")).as("text2"))
+        TextDedupOps.removeDuplicateSpans(planted, "doc_id", "text2", w = 30)
+      },
+      Some {
+        val passageSql =
+          (1 to 40).map(i => s"boiler$i").mkString(" ")
+        s"""WITH p AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '$passageSql'
+           |         ELSE text END AS text2
+           |  FROM documents),
+           |t AS (SELECT doc_id, string_split(${normSql("text2")}, ' ') AS w FROM p),
+           |wins AS (SELECT doc_id, unnest(generate_series(1, len(w) - 29)) AS q, w
+           |  FROM t),
+           |wc AS (SELECT doc_id, q,
+           |    array_to_string(list_slice(w, q, q + 29), ' ') AS win FROM wins),
+           |dup AS (SELECT win FROM wc GROUP BY win
+           |  HAVING count(DISTINCT doc_id) >= 2),
+           |ds AS (SELECT wc.doc_id, wc.q FROM wc JOIN dup USING (win)),
+           |tok AS (SELECT doc_id, unnest(w) AS tokn,
+           |    generate_subscripts(w, 1) AS pos FROM t),
+           |rem AS (SELECT DISTINCT tok.doc_id, tok.pos FROM ds
+           |  JOIN tok ON tok.doc_id = ds.doc_id
+           |    AND tok.pos BETWEEN ds.q AND ds.q + 29),
+           |kept AS (SELECT tok.doc_id, tok.pos, tok.tokn
+           |  FROM tok ANTI JOIN rem USING (doc_id, pos)),
+           |re AS (SELECT doc_id,
+           |    array_to_string(list(tokn ORDER BY pos), ' ') AS clean
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(re.clean, '') AS clean
+           |FROM t LEFT JOIN re USING (doc_id)""".stripMargin
+      })
   )
 }

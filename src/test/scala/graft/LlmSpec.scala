@@ -282,4 +282,68 @@ class LlmSpec extends SparkSpec {
       spark.sparkContext.setCheckpointDir(null)
     }
   }
+
+  test("removeDuplicateSpans: shared span removed from both docs, " +
+      "unique context kept, spans merge, short docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb x y z cc dd"),     // shares "x y z" with doc 2
+      (2L, "ee x y z ff"),
+      (3L, "pp qq"),                 // shorter than w → untouched
+      (4L, "x y z")                  // exactly the span, fully covered
+    ).toDF("doc_id", "text")
+    val r = TextDedupOps.removeDuplicateSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "aa bb cc dd", 2L -> "ee ff", 3L -> "pp qq",
+      4L -> ""), r.toString)
+  }
+
+  test("removeDuplicateSpans: within-doc repeats alone do not trigger " +
+      "(distinct-doc semantics)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z m x y z"),         // repeats internally, unique globally
+      (2L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val r = TextDedupOps.removeDuplicateSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "x y z m x y z", r.toString)
+  }
+
+  test("property: removeDuplicateSpans equals the brute-force reference " +
+      "on random small-vocab corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 4-word vocab + short docs ⇒ real cross-doc window collisions
+    val vocab = Vector("a", "b", "c", "d")
+    val gen: Gen[List[(Long, String)]] = Gen.chooseNum(2, 8).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 9).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf(vocab)).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+    val w = 3
+    (0 until 8).foreach { i =>
+      val docs = gen.pureApply(Gen.Parameters.default, Seed(900L + i))
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val winDocs = toks.flatMap { case (id, ts) =>
+        ts.sliding(w).filter(_.size == w).map(_.mkString(" ") -> id)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = toks.map { case (id, ts) =>
+        val starts =
+          if (ts.size >= w)
+            (0 to ts.size - w).filter(q =>
+              winDocs(ts.slice(q, q + w).mkString(" ")) >= 2)
+          else Seq.empty
+        val kept = ts.indices
+          .filterNot(p => starts.exists(q => q <= p && p <= q + w - 1))
+          .map(ts)
+        id -> kept.mkString(" ")
+      }.toMap
+      val got = TextDedupOps
+        .removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(got == expected, s"\ndocs=$docs\n got=$got\n exp=$expected")
+    }
+  }
 }

@@ -185,6 +185,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("substring_dedup: window-hash agg + semi-join, never all-pairs") {
+    val p = plan("substring_dedup")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span dedup went all-pairs:\n${p.take(3000)}")
+    // window explode ×2 (dup-hash branch recomputes it, cheaper than
+    // caching the token explosion), dup-hash agg, semi-join re-shuffle,
+    // doc-keyed regroup + final doc join
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 6, s"substring_dedup shuffles too much ($ex):\n${p.take(3000)}")
+  }
+
   /** Registry-wide guard: WindowExec with an empty partition spec moves
     * ALL rows to one partition — fatal at 100 TB unless the input is
     * provably bounded (top-k frames, O(groups) aggregates). The exact
