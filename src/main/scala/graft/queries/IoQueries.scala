@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{FeatherIo, JdbcIo}
+import graft.sources.{ExcelIo, FeatherIo, JdbcIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,22 @@ object IoQueries extends QueryModule {
         val path = s"$scratch/roundtrip.feather"
         FeatherIo.write(slice(s, d), path)
         FeatherIo.read(s, path)
+      },
+      Some(sliceSql)),
+
+    // read_excel/to_excel (reference: pandas/io/excel.py:300 read_excel,
+    // pandas/core/generic.py:9977 to_excel): the same slice through a
+    // real .xlsx workbook — JDK zip + StAX, zero added dependencies.
+    // Pins the whole xlsx codec: XML cell encoding, sparse nulls,
+    // integral-inference back to int64, double round-trip text, and
+    // date-styled Excel serials for the ms timestamps. l_linenumber
+    // widens int32→int64 (all xlsx numbers are doubles; integral
+    // inference restores int64 — the read_excel dtype rule).
+    QueryDef("excel_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.xlsx"
+        ExcelIo.write(slice(s, d), path)
+        ExcelIo.read(s, path)
       },
       Some(sliceSql)),
 

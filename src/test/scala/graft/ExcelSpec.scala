@@ -1,0 +1,102 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.ExcelIo
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** read_excel/to_excel (reference: pandas/io/excel.py:300 read_excel,
+  * pandas/core/generic.py:9977 to_excel): round trips through our own
+  * writer, inference rules, and a hand-built workbook simulating an
+  * EXTERNAL producer (shared strings + rich text + sparse cells) that
+  * our writer never emits. */
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("excel-spec").toFile
+    d.deleteOnExit()
+    new java.io.File(d, name).getPath
+  }
+
+  test("round trip: long/double/string/boolean/date/timestamp + nulls") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("d", DateType), StructField("ts", TimestampType)))
+    val rows = Seq(
+      Row(1L, 1.5, "plain", true, Date.valueOf("2024-02-29"),
+        Timestamp.valueOf("2024-02-29 12:34:56.789")),
+      Row(2L, -0.25, "a & <b> \"q\" pre ", false, Date.valueOf("1999-01-01"),
+        Timestamp.valueOf("1969-12-31 23:59:59.5")), // pre-epoch serial
+      Row(3L, 1.0E7, "", null, null, null),
+      Row(null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val p = tmp("t.xlsx")
+    ExcelIo.write(df, p)
+    val back = ExcelIo.read(spark, p)
+    assert(back.schema == schema, back.schema.treeString)
+    assertFrameEqual(back, df)
+  }
+
+  test("inference: all-integral numerics are long, any fraction double, " +
+      "mixed kinds string") {
+    val df = Seq((1L, 10.0, "t"), (2L, 2.5, "u")).toDF("i", "f", "s")
+    val p = tmp("i.xlsx")
+    ExcelIo.write(df, p)
+    val back = ExcelIo.read(spark, p)
+    assert(back.schema.fields.map(_.dataType).toSeq ==
+      Seq(LongType, DoubleType, StringType), back.schema.treeString)
+  }
+
+  test("directory of workbooks reads as one frame, one task per file") {
+    val d = Files.createTempDirectory("excel-many").toFile
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val df2 = Seq((3L, "c")).toDF("k", "v")
+    ExcelIo.write(df1, new java.io.File(d, "p1.xlsx").getPath)
+    ExcelIo.write(df2, new java.io.File(d, "p2.xlsx").getPath)
+    val back = ExcelIo.read(spark, d.getPath)
+    assert(back.rdd.getNumPartitions == 2)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("external producer: shared strings, rich-text runs, sparse cells, " +
+      "explicit refs") {
+    // minimal foreign workbook our writer never produces: a shared-
+    // strings table (one entry in rich-text runs), row 2 skipping col B
+    val p = tmp("ext.xlsx")
+    val z = new ZipOutputStream(new FileOutputStream(p))
+    def part(n: String, c: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>name</t></si><si><t>qty</t></si>
+        |<si><r><t>rich</t></r><r><t> text</t></r></si></sst>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>plain</t></is></c><c r="B3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val back = ExcelIo.read(spark, p)
+    assert(back.schema.fieldNames.toSeq == Seq("name", "qty"))
+    assert(back.schema.fields(1).dataType == LongType)
+    val got = back.collect().map(r => (r.getString(0), r.get(1))).toSet
+    assert(got == Set(("rich text", null), ("plain", 7L)), got.toString)
+  }
+
+  test("oversized workbook and non-xlsx input fail loudly") {
+    val p = tmp("bad.xlsx")
+    Files.write(java.nio.file.Paths.get(p), "not a zip".getBytes)
+    val e = intercept[Exception](ExcelIo.read(spark, p))
+    assert(e.getMessage != null)
+  }
+}
