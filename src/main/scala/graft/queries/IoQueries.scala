@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{ExcelIo, FeatherIo, JdbcIo}
+import graft.sources.{ExcelIo, FeatherIo, JdbcIo, StataIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,22 @@ object IoQueries extends QueryModule {
         val path = s"$scratch/roundtrip.xlsx"
         ExcelIo.write(slice(s, d), path)
         ExcelIo.read(s, path)
+      },
+      Some(sliceSql)),
+
+    // read_stata/to_stata (reference: pandas/io/stata.py:172 read_stata,
+    // :506 _cast_to_stata_types): the same slice through a real dta-118
+    // file. Pins the whole codec: the tagged-binary header and offset
+    // map, fixed-width row encoding, %tc millisecond serials for the ms
+    // timestamps, strf widths from the pre-pass, and the reference's
+    // integral mapping (l_orderkey int64 → int32 since it fits — dta has
+    // no int64). Read back split-parallel at a small byte target so the
+    // gate exercises the multi-task seek path, not just one task.
+    QueryDef("stata_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.dta"
+        StataIo.write(slice(s, d), path)
+        StataIo.read(s, path, splitBytes = 1L << 20)
       },
       Some(sliceSql)),
 
