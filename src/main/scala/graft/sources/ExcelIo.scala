@@ -42,20 +42,6 @@ object ExcelIo {
 
   private val MaxBytes = 256L << 20
 
-  /** Hadoop Configuration is not Serializable; same write/readFields
-    * envelope as [[FeatherIo]] so the SESSION config (spark.hadoop.*
-    * credentials, fs.defaultFS) reaches executor tasks. */
-  private class SerializableConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit =
-      value.write(out)
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   /** numFmtIds that render as dates/datetimes (ECMA-376 builtin table;
     * 14 is the date-only format pandas emits for dates). */
   private val DateFmtIds = (14 to 22).toSet ++ (45 to 47).toSet
@@ -315,7 +301,7 @@ object ExcelIo {
     val schema = StructType(names.zip(types).map { case (n, t) =>
       StructField(n, t, nullable = true) })
 
-    val bConf = spark.sparkContext.broadcast(new SerializableConf(hconf))
+    val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val bTypes = spark.sparkContext.broadcast(types.toArray)
     val rdd = spark.sparkContext
       .parallelize(files, files.size)

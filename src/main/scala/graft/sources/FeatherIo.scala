@@ -165,22 +165,6 @@ object FeatherIo {
       throw new UnsupportedOperationException("read-only channel")
   }
 
-  /** Hadoop Configuration is not Serializable; this is the standard
-    * write/readFields envelope Spark's own datasources use to ship the
-    * SESSION config (spark.hadoop.* credentials, fs.defaultFS) to
-    * executor tasks — a bare `new Configuration()` there would drop
-    * object-store settings and break read on any non-local filesystem. */
-  private class SerializableConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit =
-      value.write(out)
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   private def openRead(path: String,
       conf: org.apache.hadoop.conf.Configuration): SeekableByteChannel = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -220,7 +204,7 @@ object FeatherIo {
     // sequential batch loads each, not 32 stragglers.
     val parallelism = math.min(blocks.size,
       math.max(spark.sparkContext.defaultParallelism, 1))
-    val bcConf = spark.sparkContext.broadcast(new SerializableConf(hconf))
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val rdd = spark.sparkContext
       .parallelize(blocks, parallelism)
       .flatMap { case (off, metaLen, bodyLen) =>
