@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{ExcelIo, FeatherIo, JdbcIo, StataIo}
+import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, StataIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,22 @@ object IoQueries extends QueryModule {
         val path = s"$scratch/roundtrip.dta"
         StataIo.write(slice(s, d), path)
         StataIo.read(s, path, splitBytes = 1L << 20)
+      },
+      Some(sliceSql)),
+
+    // read_html/to_html as a FILE round trip (reference: pandas/io/
+    // html.py:147 _HtmlFrameParser): the same slice streamed into one
+    // HTML table document and parsed back through the tolerant
+    // tokenizer. Pins entity escaping, the thead/tbody structure,
+    // empty-cell nulls, and whole-column textual re-inference
+    // (l_linenumber re-infers int64 from digit text — the same
+    // widening as the excel gate; doubles round-trip via
+    // Double.toString/parseDouble exactness).
+    QueryDef("html_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.html"
+        HtmlIo.write(slice(s, d), path)
+        HtmlIo.read(s, path)
       },
       Some(sliceSql)),
 
