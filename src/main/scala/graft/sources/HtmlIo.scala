@@ -79,6 +79,7 @@ object HtmlIo {
   private def tokenize(html: String): Iterator[Tok] = new Iterator[Tok] {
     private var i = 0
     private var pending: Tok = null
+    private lazy val lower = html.toLowerCase // for script/style end scans
     private def tagNameAt(j0: Int): (String, Int) = {
       var j = j0
       while (j < html.length && (html.charAt(j).isLetterOrDigit)) j += 1
@@ -121,7 +122,7 @@ object HtmlIo {
             i = if (k < html.length) k + 1 else html.length
             if (name == "script" || name == "style") {
               val endTag = s"</$name"
-              val e = html.toLowerCase.indexOf(endTag, i)
+              val e = lower.indexOf(endTag, i)
               if (e >= 0) {
                 val e2 = html.indexOf('>', e)
                 i = if (e2 < 0) html.length else e2 + 1
@@ -290,7 +291,10 @@ object HtmlIo {
         val fp = new Path(f)
         val fsx = fp.getFileSystem(bConf.value.value)
         val ts = bTypes.value
-        val tbl = parseTables(slurp(fsx, fp))(tableIndex)
+        val all = parseTables(slurp(fsx, fp))
+        require(tableIndex < all.size,
+          s"$f: has ${all.size} table(s), asked for #$tableIndex")
+        val tbl = all(tableIndex)
         tbl.rows.map { cells =>
           Row.fromSeq((0 until ts.length).map(i =>
             convert(if (i < cells.size) cells(i) else null, ts(i))))

@@ -224,8 +224,9 @@ object StataIo {
     val schema = StructType((0 until meta.nvar).map(i =>
       StructField(meta.names(i), sparkTypeOf(meta, i), nullable = true)))
 
-    // row ranges: ~splitBytes per task, capped only by having >= 1 row each
-    val targetBytes = math.max(1L, splitBytes)
+    // row ranges: ~splitBytes per task, >= 1 row each; clamped to 1 GB so
+    // the per-task chunk allocation stays within a JVM byte array
+    val targetBytes = math.min(math.max(1L, splitBytes), 1L << 30)
     val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
       val m = if (f == files.head) meta else parseMeta(fs, new Path(f))
       require(m.typeCodes.sameElements(meta.typeCodes) &&
