@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.expr.QueryExpr
-import graft.operators.RollingOps
+import graft.operators.{JsonNormalize, RollingOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType, DoubleType, StringType}
@@ -70,6 +70,26 @@ object ExtrasQueries extends QueryModule {
           .select(col("r.id").as("id"), col("r.t").as("t"), col("r.v").as("v"))
       },
       Some("SELECT event_id AS id, event_type AS t, value AS v FROM events")),
+
+    // json_normalize (reference: pandas/io/json/normalize.py:96):
+    // lineitems are rolled up into per-order record lists (the one
+    // shuffle, inherent to BUILDING nested data), then normalize
+    // explodes them back flat with a dotted meta path — a pure
+    // scan-local generator + projection, zero added shuffle. The gate
+    // pins that build→normalize is the identity on the original rows.
+    QueryDef("json_normalize_items",
+      (s, d) => {
+        val nested = T.lineitem(s, d).filter(col("l_orderkey") < 500)
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"))).as("items"))
+          .select(struct(col("l_orderkey").as("id")).as("ord"), col("items"))
+        JsonNormalize.normalize(nested, Seq("items"),
+          meta = Seq(Seq("ord", "id")))
+      },
+      Some("""SELECT l_linenumber AS ln, l_quantity AS qty,
+             |  l_orderkey AS "ord.id"
+             |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
     // cumprod via exp∘sum∘ln (positive inputs; reference cum_func
     // generic.py:10712). round(6) absorbs libm ulp differences.
