@@ -234,4 +234,75 @@ class PropertySpec extends SparkSpec {
         s"sample $i mismatch")
     }
   }
+
+  test("stata round-trip preserves random frames across split sizes, " +
+      "modulo the format's own transforms (int width, \"\" missing)") {
+    import graft.sources.StataIo
+    // doubles stay below the missing sentinel (8.988e307); timestamps are
+    // ms-aligned (%tc is a millisecond serial — sub-ms needs |year|≲2038
+    // for exact µs, the same envelope pandas has)
+    val cellGen: Gen[(Long, Option[Double], Option[String], Option[Long],
+        Option[Boolean])] =
+      for {
+        id <- Gen.chooseNum(-2147483647L, 2147483620L)
+        d <- Gen.option(Gen.chooseNum(-1e300, 1e300))
+        s <- Gen.option(Gen.oneOf(Gen.alphaNumStr.map(_.take(40)),
+          Gen.const(""), Gen.const("héllo wörld…")))
+        ms <- Gen.option(Gen.chooseNum(-1000000000000L, 2000000000000L))
+        b <- Gen.option(Gen.oneOf(true, false))
+      } yield (id, d, s, ms, b)
+    val frameGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, cellGen))
+    (0 until 6).foreach { i =>
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(5000L + i))
+      val df = rows.toDF("id", "d", "s", "ms", "b")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val dir = java.nio.file.Files.createTempDirectory("stataprop")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"p$i.dta").toString
+      StataIo.write(df, path)
+      val back = StataIo.read(spark, path, splitBytes = 1L + i * 97)
+      // dta transforms: int64-in-range → int32, missing string → "",
+      // boolean → byte 0/1
+      val expected = df.select(col("id").cast("int"), col("d"),
+        coalesce(col("s"), lit("")).as("s"), col("b").cast("byte").as("b"),
+        col("ts"))
+      val got = back.select("id", "d", "s", "b", "ts")
+      assert(got.schema.map(f => (f.name, f.dataType)) ==
+        expected.schema.map(f => (f.name, f.dataType)), got.schema.treeString)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"sample $i mismatch")
+    }
+  }
+
+  test("html round-trip preserves random frames (empty string and null " +
+      "both read as null — the format's empty-cell encoding)") {
+    import graft.sources.HtmlIo
+    val cellGen: Gen[(Long, Option[Double], Option[String], Option[Boolean])] =
+      for {
+        id <- Gen.chooseNum(-100000000000000000L, 100000000000000000L)
+        d <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e12, 1e12),
+          Gen.const(Double.NaN), Gen.const(4.0)))
+        s <- Gen.option(Gen.oneOf(Gen.alphaNumStr.map("x" + _.take(30)),
+          Gen.const("a & <b> \"q\" …"), Gen.const("in  ner\tkept")))
+        b <- Gen.option(Gen.oneOf(true, false))
+      } yield (id, d, s, b)
+    val frameGen = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, cellGen))
+    (0 until 6).foreach { i =>
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(6000L + i))
+      // textual inference needs one non-null witness per column
+      val df = (((1L, Some(0.5), Some("xseed"), Some(true))) +: rows)
+        .toDF("id", "d", "s", "b")
+      val dir = java.nio.file.Files.createTempDirectory("htmlprop")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"p$i.html").toString
+      HtmlIo.write(df, path)
+      val back = HtmlIo.read(spark, path)
+      // generated strings carry no OUTER whitespace (parse trims it);
+      // inner runs and tabs must survive verbatim
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)), back.schema.treeString)
+      assert(back.exceptAll(df).isEmpty &&
+        df.exceptAll(back).isEmpty, s"sample $i mismatch")
+    }
+  }
 }
