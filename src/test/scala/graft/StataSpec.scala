@@ -10,9 +10,9 @@ import org.apache.spark.sql.types._
 /** read_stata/to_stata (reference: pandas/io/stata.py:172 read_stata,
   * :465 version note, :506 _cast_to_stata_types, :738 missing
   * sentinels). External-producer ground truth: the two fixture_11?.dta
-  * resources were written by pandas' own StataWriter (fixture
-  * generation pinned in the scaladoc of [[graft.sources.StataIo]]) and
-  * every cell below was cross-read with pandas.read_stata. */
+  * resources were written by pandas' own StataWriter (generation
+  * recipe: src/test/resources/README.md) and every cell below was
+  * cross-read with pandas.read_stata. */
 class StataSpec extends SparkSpec {
 
   private def res(name: String): String =
