@@ -53,12 +53,20 @@ object ExcelIo {
   // kind: 's' string, 'n' number, 'b' bool, 'd' datetime serial,
   //       'D' date serial
 
-  /** One workbook → (header row, data rows) of raw typed cells. */
-  private def parseWorkbook(bytes: Array[Byte]): Seq[Seq[RawCell]] = {
+  /** One workbook → (header row, data rows) of raw typed cells for the
+    * selected sheet (`sheetName` wins over `sheetIndex` when non-null —
+    * the reference's read_excel sheet_name accepting str or int). Sheet
+    * order and names come from xl/workbook.xml with r:id→part resolution
+    * through the rels part, the way real producers lay workbooks out
+    * (part file names are NOT guaranteed to follow sheet order); a
+    * workbook without those parts falls back to part-name order. */
+  private def parseWorkbook(bytes: Array[Byte], sheetIndex: Int,
+      sheetName: String): Seq[Seq[RawCell]] = {
     var shared: Array[String] = Array.empty
     var styleFmt: Array[Int] = Array.empty
-    var sheetBytes: Array[Byte] = null
-    var sheetName: String = null
+    var workbookXml: Array[Byte] = null
+    var relsXml: Array[Byte] = null
+    val sheetParts = scala.collection.mutable.Map[String, Array[Byte]]()
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e: ZipEntry = zin.getNextEntry
@@ -73,17 +81,81 @@ object ExcelIo {
         }
         if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(slurp())
         else if (name == "xl/styles.xml") styleFmt = parseStyles(slurp())
-        else if (name.matches("xl/worksheets/sheet[0-9]+\\.xml")) {
-          // first worksheet by part name (sheet1.xml unless absent)
-          if (sheetName == null || name < sheetName) {
-            sheetName = name; sheetBytes = slurp()
-          }
-        }
+        else if (name == "xl/workbook.xml") workbookXml = slurp()
+        else if (name == "xl/_rels/workbook.xml.rels") relsXml = slurp()
+        else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml"))
+          sheetParts(name) = slurp()
         zin.closeEntry(); e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetBytes != null, "not an .xlsx workbook: no xl/worksheets/sheet*.xml part")
+    require(sheetParts.nonEmpty,
+      "not an .xlsx workbook: no xl/worksheets/*.xml part")
+
+    // workbook-declared order: Seq of (sheet name, part path)
+    val declared: Seq[(String, String)] =
+      if (workbookXml == null || relsXml == null) Nil
+      else {
+        val targets = parseRels(relsXml) // rId -> part path under xl/
+        parseSheetList(workbookXml).flatMap { case (nm, rId) =>
+          targets.get(rId).map(nm -> _)
+        }
+      }
+    val ordered: Seq[(String, String)] =
+      if (declared.nonEmpty) declared
+      else sheetParts.keys.toSeq.sorted.map(p => p -> p)
+
+    val chosen: String =
+      if (sheetName != null) {
+        ordered.find(_._1 == sheetName).map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"no sheet named '$sheetName' (has: ${ordered.map(_._1).mkString(", ")})"))
+      } else {
+        require(sheetIndex >= 0 && sheetIndex < ordered.size,
+          s"sheet index $sheetIndex out of range (${ordered.size} sheets)")
+        ordered(sheetIndex)._2
+      }
+    val sheetBytes = sheetParts.getOrElse(chosen,
+      throw new IllegalArgumentException(
+        s"workbook.xml points at missing part $chosen"))
     parseSheet(sheetBytes, shared, styleFmt)
+  }
+
+  /** xl/workbook.xml → (sheet name, r:id) in declared order. */
+  private def parseSheetList(bytes: Array[Byte]): Seq[(String, String)] = {
+    val r = newReader(bytes)
+    val out = Seq.newBuilder[(String, String)]
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+        val nm = Option(r.getAttributeValue(null, "name")).getOrElse("")
+        var rid: String = null
+        var i = 0
+        while (i < r.getAttributeCount) {
+          if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+          i += 1
+        }
+        if (rid != null) out += nm -> rid
+      }
+    }
+    r.close(); out.result()
+  }
+
+  /** xl/_rels/workbook.xml.rels → rId → absolute part path. */
+  private def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val r = newReader(bytes)
+    val out = Map.newBuilder[String, String]
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+        val id = Option(r.getAttributeValue(null, "Id"))
+        val target = Option(r.getAttributeValue(null, "Target"))
+        for (i <- id; t <- target) {
+          val abs = if (t.startsWith("/")) t.drop(1) else s"xl/$t"
+          out += i -> abs
+        }
+      }
+    }
+    r.close(); out.result()
   }
 
   private def newReader(bytes: Array[Byte]) = {
@@ -276,8 +348,11 @@ object ExcelIo {
   /** read_excel: one workbook, or a directory of them (one Spark task
     * per workbook — the distributed shape for many-file drops). Schema
     * comes from the FIRST workbook: header row for names, whole-column
-    * inference for types; sibling workbooks must match it. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * inference for types; sibling workbooks must match it.
+    * `sheetName` (str) wins over `sheetIndex` (int) — the reference's
+    * read_excel sheet_name parameter (`pandas/io/excel.py:300`). */
+  def read(spark: SparkSession, path: String, sheetIndex: Int = 0,
+      sheetName: String = null): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
@@ -289,7 +364,8 @@ object ExcelIo {
     require(files.nonEmpty, s"no .xlsx files under $path")
 
     // schema from the first workbook, on the driver
-    val first = parseWorkbook(slurpFile(fs, new Path(files.head)))
+    val first = parseWorkbook(slurpFile(fs, new Path(files.head)),
+      sheetIndex, sheetName)
     require(first.nonEmpty, s"${files.head}: empty worksheet (no header row)")
     val header = first.head.map(c => c.col -> c.value).toMap
     val nCols = (first.map(_.map(_.col).maxOption.getOrElse(-1)).max + 1)
@@ -309,7 +385,8 @@ object ExcelIo {
         val path = new Path(f)
         val fsx = path.getFileSystem(bConf.value.value)
         val ts = bTypes.value
-        parseWorkbook(slurpFile(fsx, path)).drop(1).map { cells =>
+        parseWorkbook(slurpFile(fsx, path), sheetIndex, sheetName)
+          .drop(1).map { cells =>
           val arr = new Array[Any](ts.length)
           cells.foreach(c =>
             if (c.col < ts.length) arr(c.col) = convert(c, ts(c.col)))

@@ -93,6 +93,45 @@ class ExcelSpec extends SparkSpec {
     assert(got == Set(("rich text", null), ("plain", 7L)), got.toString)
   }
 
+  test("sheet selection: workbook.xml order + rels resolution win over " +
+      "part file names; name lookup; out-of-range is loud") {
+    // sheet order declared alpha, beta — but alpha LIVES IN sheet2.xml
+    // (real producers reorder sheets without renaming parts)
+    val p = tmp("multi.xlsx")
+    val z = new ZipOutputStream(new FileOutputStream(p))
+    def part(n: String, c: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="alpha" sheetId="1" r:id="rId2"/>
+        |<sheet name="beta" sheetId="2" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    def sheet(k: Long, v: String) =
+      s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>
+         |<row r="2"><c r="A2"><v>$k</v></c><c r="B2" t="inlineStr"><is><t>$v</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    part("xl/worksheets/sheet1.xml", sheet(2L, "b")) // beta
+    part("xl/worksheets/sheet2.xml", sheet(1L, "a")) // alpha
+    z.close()
+
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(one(ExcelIo.read(spark, p)) == Seq((1L, "a"))) // index 0 = alpha
+    assert(one(ExcelIo.read(spark, p, sheetIndex = 1)) == Seq((2L, "b")))
+    assert(one(ExcelIo.read(spark, p, sheetName = "beta")) == Seq((2L, "b")))
+    val e1 = intercept[IllegalArgumentException](
+      ExcelIo.read(spark, p, sheetName = "gamma"))
+    assert(e1.getMessage.contains("no sheet named"), e1.getMessage)
+    val e2 = intercept[Exception](ExcelIo.read(spark, p, sheetIndex = 2))
+    assert(e2.getMessage.contains("out of range"), e2.getMessage)
+  }
+
   test("oversized workbook and non-xlsx input fail loudly") {
     val p = tmp("bad.xlsx")
     Files.write(java.nio.file.Paths.get(p), "not a zip".getBytes)
