@@ -421,20 +421,34 @@ object ExcelIo {
   private def microsOf(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** to_excel: stream the frame into one workbook. Strings go inline
-    * (no shared-strings table to buffer), dates/datetimes as serials
-    * with the pandas-matching numFmtIds (14 / 22), nulls sparse.
-    * Row order follows the frame's partition order, as to_csv does. */
-  def write(df: DataFrame, path: String): Unit = {
-    val schema = df.schema
+  /** to_excel: stream the frame into one single-sheet workbook. */
+  def write(df: DataFrame, path: String): Unit =
+    writeSheets(Seq("Sheet1" -> df), path)
+
+  /** The reference's multi-sheet ExcelWriter shape
+    * (`pandas/io/excel.py` ExcelWriter): each (name, frame) becomes one
+    * worksheet, streamed in order. Strings go inline (no shared-strings
+    * table to buffer), dates/datetimes as serials with the
+    * pandas-matching numFmtIds (14 / 22), nulls sparse. Row order
+    * follows each frame's partition order, as to_csv does. */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "to_excel: at least one sheet")
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      s"to_excel: duplicate sheet names in ${sheets.map(_._1).mkString(", ")}")
+    sheets.foreach { case (n, _) =>
+      require(n.nonEmpty && n.length <= 31 && !n.exists("[]:*?/\\".contains(_)),
+        s"to_excel: invalid sheet name '$n' (Excel: 1-31 chars, no []:*?/\\)")
+    }
     val p = new Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(
+      sheets.head._2.sparkSession.sparkContext.hadoopConfiguration)
     val out = new ZipOutputStream(fs.create(p, true))
     def part(name: String, content: String): Unit = {
       out.putNextEntry(new ZipEntry(name))
       out.write(content.getBytes("UTF-8"))
       out.closeEntry()
     }
+    val n = sheets.size
     try {
       part("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -442,7 +456,11 @@ object ExcelIo {
           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
           |<Default Extension="xml" ContentType="application/xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |""".stripMargin +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+        ).mkString("\n") +
+        """
           |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
           |</Types>""".stripMargin)
       part("_rels/.rels",
@@ -453,13 +471,20 @@ object ExcelIo {
       part("xl/workbook.xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-          |</workbook>""".stripMargin)
+          |<sheets>""".stripMargin +
+        sheets.zipWithIndex.map { case ((nm, _), i) =>
+          s"""<sheet name="${esc(nm)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString +
+        "</sheets></workbook>")
       part("xl/_rels/workbook.xml.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+          |""".stripMargin +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>"""
+        ).mkString("\n") +
+        s"""
+          |<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
           |</Relationships>""".stripMargin)
       // style indices: s="1" date (numFmtId 14), s="2" datetime (22)
       part("xl/styles.xml",
@@ -471,58 +496,65 @@ object ExcelIo {
           |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
           |</styleSheet>""".stripMargin)
 
-      out.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-      def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
-      w("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      w("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-      def inlineStr(ref: String, v: String) =
-        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
-      w("<row r=\"1\">" + schema.fieldNames.zipWithIndex.map { case (n, i) =>
-        inlineStr(s"${colName(i)}1", n) }.mkString + "</row>")
-      var rn = 1
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next(); rn += 1
-        val sb = new StringBuilder(s"""<row r="$rn">""")
-        var i = 0
-        while (i < schema.length) {
-          if (!row.isNullAt(i)) {
-            val ref = s"${colName(i)}$rn"
-            schema(i).dataType match {
-              case StringType => sb.append(inlineStr(ref, row.getString(i)))
-              case BooleanType => sb.append(
-                s"""<c r="$ref" t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>""")
-              case ByteType | ShortType | IntegerType | LongType =>
-                sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
-              case FloatType | DoubleType =>
-                sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
-              case _: DecimalType =>
-                sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
-              case DateType =>
-                val days = row.getDate(i).toLocalDate.toEpochDay - Epoch.toEpochDay
-                sb.append(s"""<c r="$ref" s="1"><v>$days</v></c>""")
-              case TimestampType =>
-                val serial = microsOf(row.getTimestamp(i)) / 86400e6 + 25569d
-                sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
-              case TimestampNTZType => // session-less wall clock: same
-                // serial arithmetic with the UTC epoch (Excel serials
-                // are themselves timezone-naive)
-                val ldt = row.getAs[java.time.LocalDateTime](i)
-                val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) *
-                  1000000L + ldt.getNano / 1000L
-                val serial = micros / 86400e6 + 25569d
-                sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
-              case other => throw new IllegalArgumentException(
-                s"to_excel: unsupported column type $other (${schema(i).name})")
-            }
-          }
-          i += 1
-        }
-        sb.append("</row>")
-        w(sb.toString)
+      sheets.zipWithIndex.foreach { case ((_, df), si) =>
+        out.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+        writeSheetData(out, df)
+        out.closeEntry()
       }
-      w("</sheetData></worksheet>")
-      out.closeEntry()
     } finally out.close()
+  }
+
+  private def writeSheetData(out: ZipOutputStream, df: DataFrame): Unit = {
+    val schema = df.schema
+    def w(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    w("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def inlineStr(ref: String, v: String) =
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+    w("<row r=\"1\">" + schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      inlineStr(s"${colName(i)}1", n) }.mkString + "</row>")
+    var rn = 1
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next(); rn += 1
+      val sb = new StringBuilder(s"""<row r="$rn">""")
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) {
+          val ref = s"${colName(i)}$rn"
+          schema(i).dataType match {
+            case StringType => sb.append(inlineStr(ref, row.getString(i)))
+            case BooleanType => sb.append(
+              s"""<c r="$ref" t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>""")
+            case ByteType | ShortType | IntegerType | LongType =>
+              sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
+            case FloatType | DoubleType =>
+              sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
+            case _: DecimalType =>
+              sb.append(s"""<c r="$ref"><v>${row.get(i)}</v></c>""")
+            case DateType =>
+              val days = row.getDate(i).toLocalDate.toEpochDay - Epoch.toEpochDay
+              sb.append(s"""<c r="$ref" s="1"><v>$days</v></c>""")
+            case TimestampType =>
+              val serial = microsOf(row.getTimestamp(i)) / 86400e6 + 25569d
+              sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
+            case TimestampNTZType => // session-less wall clock: same
+              // serial arithmetic with the UTC epoch (Excel serials
+              // are themselves timezone-naive)
+              val ldt = row.getAs[java.time.LocalDateTime](i)
+              val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) *
+                1000000L + ldt.getNano / 1000L
+              val serial = micros / 86400e6 + 25569d
+              sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
+            case other => throw new IllegalArgumentException(
+              s"to_excel: unsupported column type $other (${schema(i).name})")
+          }
+        }
+        i += 1
+      }
+      sb.append("</row>")
+      w(sb.toString)
+    }
+    w("</sheetData></worksheet>")
   }
 }

@@ -132,6 +132,22 @@ class ExcelSpec extends SparkSpec {
     assert(e2.getMessage.contains("out of range"), e2.getMessage)
   }
 
+  test("multi-sheet write: each frame lands on its named sheet, " +
+      "readable by name or index; bad sheet names are loud") {
+    val p = tmp("book.xlsx")
+    val sales = Seq((1L, 10.5), (2L, 20.0)).toDF("k", "amt")
+    val refs = Seq(("a", 1L)).toDF("code", "k")
+    ExcelIo.writeSheets(Seq("sales" -> sales, "refs 2024" -> refs), p)
+    assert(ExcelIo.read(spark, p).schema.fieldNames.toSeq == Seq("k", "amt"))
+    val r = ExcelIo.read(spark, p, sheetName = "refs 2024")
+    assert(r.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("a", 1L)))
+    assertFrameEqual(ExcelIo.read(spark, p, sheetIndex = 0), sales)
+    val e = intercept[IllegalArgumentException](
+      ExcelIo.writeSheets(Seq("bad[name]" -> sales), tmp("x.xlsx")))
+    assert(e.getMessage.contains("sheet name"), e.getMessage)
+  }
+
   test("oversized workbook and non-xlsx input fail loudly") {
     val p = tmp("bad.xlsx")
     Files.write(java.nio.file.Paths.get(p), "not a zip".getBytes)
