@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, StataIo}
+import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, JsonOrientIo, StataIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,22 @@ object IoQueries extends QueryModule {
         val path = s"$scratch/roundtrip.html"
         HtmlIo.write(slice(s, d), path)
         HtmlIo.read(s, path)
+      },
+      Some(sliceSql)),
+
+    // to_json/read_json orient='table' (reference: pandas/io/json/
+    // json.py:33, table_schema.py:183): the same slice through one
+    // JSON-Table-Schema document — the one orient that carries explicit
+    // types, so ints, doubles, strings, and the ms timestamps
+    // round-trip typed (l_linenumber widens int32→int64: the schema
+    // says 'integer', the read maps it to long — same widening as the
+    // excel/html gates). Pins the streaming generator, the schema
+    // block, ISO datetime encoding, and null cells.
+    QueryDef("json_table_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip_table.json"
+        JsonOrientIo.write(slice(s, d), path, orient = "table")
+        JsonOrientIo.read(s, path, orient = "table")
       },
       Some(sliceSql)),
 
