@@ -282,7 +282,8 @@ object JsonOrientIo {
   private def inferJson(cells: Seq[JsonNode]): DataType = {
     val present = cells.filter(c => c != null && !c.isNull)
     if (present.isEmpty) StringType
-    else if (present.forall(_.isIntegralNumber)) LongType
+    else if (present.forall(c => c.isIntegralNumber && c.canConvertToLong))
+      LongType // ints beyond int64 fall to double, the reference's lossy path
     else if (present.forall(_.isNumber)) DoubleType
     else if (present.forall(_.isBoolean)) BooleanType
     else if (present.forall(_.isTextual)) StringType
