@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, JsonOrientIo, StataIo}
+import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, JsonOrientIo,
+  SasXportIo, StataIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -151,6 +152,35 @@ object IoQueries extends QueryModule {
         JsonOrientIo.read(s, path, orient = "table")
       },
       Some(sliceSql)),
+
+    // read_sas(format='xport') + our writer (reference: pandas/io/sas/
+    // sas_xport.py:24-30,170,365,419): the slice through a real SAS V5
+    // transport file. Column names rename to the format's 8-byte limit
+    // (a loud writer fence, exercised here the way a SAS user would).
+    // Pins the 80-byte card framing, the namestr block, IBM hex-float
+    // encoding both directions (IEEE→IBM→IEEE exact), DATETIME seconds
+    // serials for the ms timestamps, and the trailing-blank record
+    // count. Split-parallel read at a small byte target.
+    QueryDef("sas_xport_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.xpt"
+        val renamed = slice(s, d)
+          .withColumnRenamed("l_orderkey", "okey")
+          .withColumnRenamed("l_linenumber", "lnum")
+          .withColumnRenamed("l_quantity", "qty")
+          .withColumnRenamed("l_extendedprice", "price")
+          .withColumnRenamed("l_returnflag", "flag")
+          .withColumnRenamed("l_shipdate", "sdate")
+        SasXportIo.write(renamed, path)
+        SasXportIo.read(s, path, splitBytes = 1L << 20)
+      },
+      // integers ride XPORT's single numeric type: the oracle states
+      // them as DOUBLE to match (values are exact — within 2^53)
+      Some("""SELECT CAST(l_orderkey AS DOUBLE) AS okey,
+             |  CAST(l_linenumber AS DOUBLE) AS lnum,
+             |  l_quantity AS qty, l_extendedprice AS price,
+             |  l_returnflag AS flag, l_shipdate AS sdate
+             |FROM lineitem WHERE l_orderkey < 1000""".stripMargin)),
 
     // REAL image decode gate: per-document PNG payloads with dimensions
     // derived from doc_id are produced by the real PNG encoder, decoded
