@@ -327,8 +327,16 @@ object ExcelIo {
     } else StringType
   }
 
-  private def serialToMicros(serial: Double): Long =
-    math.round((serial - 25569d) * 86400e6) // 25569 = unix epoch serial
+  private def serialToMicros(serial: Double): Long = {
+    val r = math.round((serial - 25569d) * 86400e6) // 25569 = unix epoch
+    // a DAY-serial double carries ~1 µs of representation error at
+    // 2030+ epochs, so an ms-aligned value can land 1-2 µs off the
+    // boundary; snap within ±2 µs (values genuinely off an ms boundary
+    // by more than that are preserved — and beyond Excel's de facto
+    // precision anyway). Keeps ms-aligned data exact through ~2130.
+    val mod = Math.floorMod(r, 1000L)
+    if (mod <= 2) r - mod else if (mod >= 998) r + (1000L - mod) else r
+  }
 
   private def convert(c: RawCell, dt: DataType): Any = (dt, c.kind) match {
     case (StringType, 's') => c.value

@@ -147,21 +147,29 @@ object SasXportIo {
       val recordLength = fields.map(_.length).sum
       require(recordLength > 0, s"$p: zero-length records")
 
-      // record count via the reference's trailing-blank heuristic
+      // Record count: the data region is rows + <80 bytes of blank card
+      // padding, and a row whose own text fields END in blanks is
+      // byte-indistinguishable from that padding. The reference's
+      // heuristic (count 8-aligned blank words in the last card,
+      // sas_xport.py:365) DROPS a real final row in that case; instead
+      // we take floor(total/rowLen) and walk BACK over rows that are
+      // entirely blank — a phantom padding row is all blanks, while any
+      // real row with a numeric column contains '.' or IBM bytes, so
+      // only an all-string all-empty trailing row (ambiguous in the
+      // format itself) can ever be mistaken.
       val total = fs.getFileStatus(p).getLen - recordStart
-      val nobs =
-        if (recordLength > 80) total / recordLength
-        else {
-          in.seek(recordStart + total - 80)
-          val last = new Array[Byte](80); in.readFully(last)
-          var blanks8 = 0
-          var i = 0
-          while (i < 80) {
-            if ((0 until 8).forall(j => last(i + j) == ' '.toByte)) blanks8 += 1
-            i += 8
-          }
-          (total - 8L * blanks8) / recordLength
+      var nobs = total / recordLength
+      if (nobs > 0) {
+        val tailLen = math.min(total, 65536L).toInt
+        in.seek(recordStart + total - tailLen)
+        val tail = new Array[Byte](tailLen); in.readFully(tail)
+        def rowBlank(n: Long): Boolean = {
+          val off = (n * recordLength) - (total - tailLen)
+          off >= 0 && (0 until recordLength).forall(j =>
+            tail((off + j).toInt) == ' '.toByte)
         }
+        while (nobs > 0 && rowBlank(nobs - 1)) nobs -= 1
+      }
       XMeta(fields, recordLength, recordStart, nobs)
     } finally in.close()
   }
@@ -246,7 +254,15 @@ object SasXportIo {
                     val v = ibmToIeee(ByteBuffer.wrap(b8)
                       .order(ByteOrder.BIG_ENDIAN).getLong)
                     if (fld.format.startsWith("DATETIME")) {
-                      val micros = math.round(v * 1e6) + SasEpochMs * 1000L
+                      // a SECONDS-serial double carries ~0.5-1 µs of
+                      // representation error at 2030+ epochs; snap to
+                      // the ms boundary within ±2 µs (same rationale as
+                      // ExcelIo.serialToMicros — genuine off-boundary
+                      // values are preserved)
+                      val raw = math.round(v * 1e6) + SasEpochMs * 1000L
+                      val mod = Math.floorMod(raw, 1000L)
+                      val micros = if (mod <= 2) raw - mod
+                        else if (mod >= 998) raw + (1000L - mod) else raw
                       val t = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
                       t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
                       t

@@ -274,6 +274,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("excel round-trip preserves random frames (nulls sparse, ms " +
+      "timestamps on Excel serials)") {
+    import graft.sources.ExcelIo
+    val cellGen: Gen[(Long, Option[Double], Option[String], Option[Long],
+        Option[Boolean])] =
+      for {
+        id <- Gen.chooseNum(-1000000000L, 1000000000L)
+        d <- Gen.option(Gen.chooseNum(-1e12, 1e12))
+        s <- Gen.option(Gen.oneOf(Gen.alphaNumStr.map("x" + _.take(30)),
+          Gen.const("é & <t> …")))
+        ms <- Gen.option(Gen.chooseNum(-1000000000000L, 2000000000000L))
+        b <- Gen.option(Gen.oneOf(true, false))
+      } yield (id, d, s, ms, b)
+    val frameGen = Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, cellGen))
+    (0 until 6).foreach { i =>
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(8000L + i))
+      // one full witness row so every column has a non-null for inference
+      val df = (((1L, Some(0.5), Some("xseed"), Some(0L), Some(true))) +: rows)
+        .toDF("id", "d", "s", "ms", "b")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val dir = java.nio.file.Files.createTempDirectory("excelprop")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"p$i.xlsx").toString
+      ExcelIo.write(df, path)
+      val back = ExcelIo.read(spark, path)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)), back.schema.treeString)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        s"sample $i mismatch")
+    }
+  }
+
+  test("xport round-trip preserves random frames across split sizes, " +
+      "modulo the format's single numeric type") {
+    import graft.sources.SasXportIo
+    val cellGen: Gen[(Long, Option[Double], Option[String], Option[Long])] =
+      for {
+        id <- Gen.chooseNum(-1000000000L, 1000000000L)
+        d <- Gen.option(Gen.chooseNum(-1e70, 1e70))
+        s <- Gen.option(Gen.oneOf(Gen.alphaNumStr.map(_.take(20)),
+          Gen.const(""), Gen.const("café")))
+        ms <- Gen.option(Gen.chooseNum(-1000000000000L, 2000000000000L))
+      } yield (id, d, s, ms)
+    val frameGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, cellGen))
+    (0 until 6).foreach { i =>
+      val rows = frameGen.pureApply(Gen.Parameters.default, Seed(9000L + i))
+      val df = rows.toDF("ID", "D", "S", "MS")
+        .withColumn("TS", timestamp_millis(col("MS"))).drop("MS")
+      val dir = java.nio.file.Files.createTempDirectory("xportprop")
+      dir.toFile.deleteOnExit()
+      val path = dir.resolve(s"p$i.xpt").toString
+      SasXportIo.write(df, path)
+      val back = SasXportIo.read(spark, path, splitBytes = 1L + i * 131)
+      // xport transforms: int64 → exact double, missing string → ""
+      val expected = df.select(col("ID").cast("double"), col("D"),
+        coalesce(col("S"), lit("")).as("S"), col("TS"))
+      val got = back.select("ID", "D", "S", "TS")
+      assert(got.schema.map(f => (f.name, f.dataType)) ==
+        expected.schema.map(f => (f.name, f.dataType)), got.schema.treeString)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"sample $i mismatch")
+    }
+  }
+
   test("html round-trip preserves random frames (empty string and null " +
       "both read as null — the format's empty-cell encoding)") {
     import graft.sources.HtmlIo
