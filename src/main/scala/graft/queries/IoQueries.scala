@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
-import graft.sources.{ExcelIo, FeatherIo, HtmlIo, JdbcIo, JsonOrientIo,
-  SasXportIo, StataIo}
+import graft.sources.{ExcelIo, FeatherIo, FwfReader, HtmlIo, JdbcIo,
+  JsonOrientIo, SasXportIo, StataIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,23 @@ object IoQueries extends QueryModule {
         val path = s"$scratch/roundtrip.dta"
         StataIo.write(slice(s, d), path)
         StataIo.read(s, path, splitBytes = 1L << 20)
+      },
+      Some(sliceSql)),
+
+    // read_fwf (reference: pandas/io/parsers.py:721 read_fwf,
+    // FixedWidthReader :3440; tests pandas/tests/io/parser/
+    // test_read_fwf.py): the same slice through a real fixed-width text
+    // file. The writer measures widths in one bounded pre-pass and
+    // writes pure-projection text; the read is a parallel line scan
+    // where every column is a codegen'd substring+trim+cast. Pins the
+    // full text round trip — canonical double text, µs timestamps,
+    // blank-field nulls — and the colspec offset arithmetic (an
+    // off-by-one in any start/end corrupts every value and hash-fails).
+    QueryDef("fwf_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip.fwf"
+        val specs = FwfReader.write(slice(s, d), path)
+        FwfReader.read(s, path, specs)
       },
       Some(sliceSql)),
 

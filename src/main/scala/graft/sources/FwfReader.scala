@@ -25,8 +25,47 @@ object FwfReader {
       .csv(path)
     val line = col(lines.columns.head)
     lines.select(colspecs.map { case (name, lo, hi, tpe) =>
-      trim(substring(line, lo + 1, hi - lo)).cast(tpe).as(name)
+      // blank field = missing (pandas reads it as NaN); the explicit
+      // null keeps ANSI casts from rejecting '' for numeric types
+      val cell = trim(substring(line, lo + 1, hi - lo))
+      when(cell === "", lit(null)).otherwise(cell).cast(tpe).as(name)
     }: _*)
+  }
+
+  /** Fixed-width writer. The reference has no to_fwf — this exists so
+    * read_fwf faces the differential oracle through a real file (the
+    * excel/stata/html round-trip pattern). Each column renders with the
+    * engine's canonical string cast, right-padded to its measured max
+    * width plus one separator blank; the measurement is a single-row
+    * bounded aggregate pre-pass (the StataIo width pattern), and the
+    * write itself is a pure projection through `spark.write.text` —
+    * fully parallel, one output file per task. Returns the colspecs
+    * `read` needs to restore the original schema.
+    *
+    * Nulls render as all-blank fields; `read`'s trim+cast turns a blank
+    * field back into null for every non-string type. Limits (documented,
+    * not silently corrupting): string cells must not carry leading or
+    * trailing blanks — the fixed-width format itself cannot represent
+    * them — and a blank string cell reads back as null.
+    */
+  def write(df: DataFrame, path: String): Seq[(String, Int, Int, String)] = {
+    val fields = df.schema.fields.toSeq
+    val text = df.select(fields.map(f =>
+      coalesce(col(f.name).cast("string"), lit("")).as(f.name)): _*)
+    val measured = text
+      .select(fields.map(f => max(length(col(f.name))).as(f.name)): _*)
+      .head()
+    val widths = fields.indices.map { i =>
+      (if (measured.isNullAt(i)) 1 else math.max(1, measured.getInt(i))) + 1
+    }
+    text.select(concat(fields.zip(widths).map { case (f, w) =>
+        rpad(col(f.name), w, " ")
+      }: _*).as("line"))
+      .write.mode("overwrite").text(path)
+    val starts = widths.scanLeft(0)(_ + _)
+    fields.zipWithIndex.map { case (f, i) =>
+      (f.name, starts(i), starts(i + 1), f.dataType.catalogString)
+    }
   }
 
   /** Infer colspecs pandas-style from a driver-side sample: column

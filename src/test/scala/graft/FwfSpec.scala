@@ -26,6 +26,32 @@ class FwfSpec extends SparkSpec {
     assert(rows == Set((1, "alpha", 10), (22, "beta r", 7), (333, "gamma", 123)))
   }
 
+  test("write round-trips types and renders nulls as blank fields") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("s", StringType),
+      StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 12:34:56.123")
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1.5, "alpha", ts),
+        Row(22L, null, "b", null),
+        Row(333L, -0.25, "gamma", ts))),
+      schema)
+    val dir = Files.createTempDirectory("graft-fwf-rt").toString + "/out"
+    val specs = FwfReader.write(in, dir)
+    assert(specs.map(_._1) == Seq("k", "v", "s", "ts"))
+    val back = FwfReader.read(spark, dir, specs)
+    assert(back.schema.map(_.dataType) == in.schema.map(_.dataType))
+    val rows = back.collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(rows == Set(
+      (1L, 1.5, "alpha", ts),
+      (22L, null, "b", null),
+      (333L, -0.25, "gamma", ts)))
+  }
+
   test("inferColspecs finds blank-separated columns") {
     val path = writeFwf(Seq(
       "1    alpha     10",
