@@ -28,10 +28,11 @@ import org.apache.spark.sql.types._
   * Scale shape: identical to [[ExcelIo]] — an HTML table is a
   * driver-bounded interchange artifact (one parse per document), so
   * `read` parallelizes one task per FILE with a loud size guard and
-  * `write` streams partition-at-a-time. Loud fences: colspan/rowspan
-  * expansion and nested tables are unsupported (reference expands
-  * spans; data tables that need them belong in parquet long before
-  * 100 TB).
+  * `write` streams partition-at-a-time. colspan/rowspan expand the way
+  * the reference expands them (`pandas/io/html.py:427`
+  * _expand_colspan_rowspan): spanned cell text is copied into every
+  * covered grid position. Loud fence: nested tables are unsupported
+  * (data tables that need them belong in parquet long before 100 TB).
   */
 object HtmlIo {
 
@@ -62,11 +63,18 @@ object HtmlIo {
           case "quot" => b.append('"'); i = semi + 1
           case "apos" => b.append('\''); i = semi + 1
           case "nbsp" => b.append(' '); i = semi + 1
-          case e if e.startsWith("#x") || e.startsWith("#X") =>
-            b.appendAll(Character.toChars(Integer.parseInt(e.drop(2), 16)))
-            i = semi + 1
           case e if e.startsWith("#") =>
-            b.appendAll(Character.toChars(e.drop(1).toInt)); i = semi + 1
+            // malformed or out-of-range numeric reference ('&#xZZ;',
+            // '&#x110000;'): keep the literal '&', like unknown entities
+            // — a tolerant tokenizer must not die on bad scraped HTML
+            try {
+              val cp = if (e.length > 1 && (e.charAt(1) == 'x' || e.charAt(1) == 'X'))
+                Integer.parseInt(e.drop(2), 16)
+              else e.drop(1).toInt
+              b.appendAll(Character.toChars(cp)); i = semi + 1
+            } catch {
+              case _: IllegalArgumentException => b.append(c); i += 1
+            }
           case _ => b.append(c); i += 1 // unknown entity: keep literal
         }
       } else { b.append(c); i += 1 }
@@ -153,52 +161,117 @@ object HtmlIo {
   private case class HtmlTable(header: Option[Seq[String]],
       rows: Seq[Seq[String]]) // null cell = absent/empty
 
-  /** All tables in one document, rows as decoded cell text. */
+  private case class RawCell(text: String, isTh: Boolean,
+      colspan: Int, rowspan: Int)
+
+  // tolerant span parse: absent/blank/malformed/non-positive → 1
+  private def spanOf(attrs: Map[String, String], name: String): Int =
+    attrs.get(name).map(_.trim).filter(_.forall(_.isDigit))
+      .filter(_.nonEmpty).flatMap(v => scala.util.Try(v.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(1)
+
+  /** Span expansion, the reference's grid semantics
+    * (`pandas/io/html.py:427` _expand_colspan_rowspan): walking each row
+    * left to right with a grid cursor, text carried down from an earlier
+    * rowspan is emitted whenever its column position is reached, each
+    * cell's text is emitted colspan times, carry-downs that fall past the
+    * row's last cell append at the end, and carries that outlive the last
+    * parsed row generate trailing synthetic rows until exhausted.
+    */
+  private def expandSpans(rawRows: Seq[Seq[RawCell]]): Seq[Seq[String]] = {
+    val out = Vector.newBuilder[Seq[String]]
+    var carry: List[(Int, String, Int)] = Nil // (colIndex, text, rowsLeft)
+    rawRows.foreach { cells =>
+      val texts = Vector.newBuilder[String]
+      val nextCarry = List.newBuilder[(Int, String, Int)]
+      var rem = carry
+      var index = 0
+      cells.foreach { cell =>
+        while (rem.nonEmpty && rem.head._1 <= index) {
+          val (pi, pt, n) = rem.head; rem = rem.tail
+          texts += pt
+          if (n > 1) nextCarry += ((pi, pt, n - 1))
+          index += 1
+        }
+        var c = 0
+        while (c < cell.colspan) {
+          texts += cell.text
+          if (cell.rowspan > 1) nextCarry += ((index, cell.text, cell.rowspan - 1))
+          index += 1
+          c += 1
+        }
+      }
+      rem.foreach { case (pi, pt, n) =>
+        texts += pt
+        if (n > 1) nextCarry += ((pi, pt, n - 1))
+      }
+      out += texts.result()
+      carry = nextCarry.result()
+    }
+    while (carry.nonEmpty) {
+      val texts = Vector.newBuilder[String]
+      val nextCarry = List.newBuilder[(Int, String, Int)]
+      carry.foreach { case (pi, pt, n) =>
+        texts += pt
+        if (n > 1) nextCarry += ((pi, pt, n - 1))
+      }
+      out += texts.result()
+      carry = nextCarry.result()
+    }
+    out.result()
+  }
+
+  /** All tables in one document, rows as decoded cell text with
+    * colspan/rowspan expanded. */
   private def parseTables(html: String): Seq[HtmlTable] = {
     val tables = Seq.newBuilder[HtmlTable]
     var inTable = false
     var inHead = false
-    var sawHeader: Seq[String] = null
-    var rows: Seq[Seq[String]] = Vector.empty
-    var row: Seq[(String, Boolean)] = null // (text, isTh)
+    var rawRows: Vector[(Seq[RawCell], Boolean)] = Vector.empty // (cells, inThead)
+    var row: Vector[RawCell] = null
     var cell: StringBuilder = null
     var cellTh = false
+    var cellCol = 1
+    var cellRow = 1
     def flushCell(): Unit = if (cell != null) {
-      row = row :+ ((decodeEntities(cell.toString).trim, cellTh))
+      row = row :+ RawCell(decodeEntities(cell.toString).trim, cellTh,
+        cellCol, cellRow)
       cell = null
     }
     def flushRow(): Unit = if (row != null) {
       flushCell()
-      val cells = row
+      if (row.nonEmpty) rawRows = rawRows :+ ((row, inHead))
       row = null
-      if (cells.nonEmpty) {
-        if (sawHeader == null && rows.isEmpty && (inHead || cells.forall(_._2)))
-          sawHeader = cells.map(_._1)
-        else rows = rows :+ cells.map(_._1)
-      }
     }
     val it = tokenize(html)
     while (it.hasNext) {
       it.next() match {
         case Open("table", _, _) =>
           require(!inTable, "nested <table> elements are unsupported")
-          inTable = true; inHead = false; sawHeader = null; rows = Vector.empty
+          inTable = true; inHead = false; rawRows = Vector.empty
         case Close("table") if inTable =>
           flushRow()
           inTable = false
-          tables += HtmlTable(Option(sawHeader), rows)
+          // header = the first row when it sat in thead or is all-<th>;
+          // span expansion runs over the whole grid so a header rowspan
+          // carries into the body exactly like the reference
+          val headerFirst = rawRows.headOption.exists { case (cells, head) =>
+            head || cells.forall(_.isTh) }
+          val expanded = expandSpans(rawRows.map(_._1))
+          if (headerFirst && expanded.nonEmpty)
+            tables += HtmlTable(Some(expanded.head), expanded.tail)
+          else
+            tables += HtmlTable(None, expanded)
         case Open("thead", _, _) if inTable => inHead = true
         case Close("thead") if inTable => flushRow(); inHead = false
         case Open("tr", _, _) if inTable => flushRow(); row = Vector.empty
         case Close("tr") if inTable => flushRow()
         case Open(n @ ("td" | "th"), attrs, selfClosed) if row != null =>
           flushCell() // HTML allows unclosed <td>: a new cell closes it
-          Seq("colspan", "rowspan").foreach { a =>
-            require(!attrs.get(a).exists(v => v.trim != "" && v.trim != "1"),
-              s"$a > 1 is unsupported — span-expanded tables belong in parquet")
-          }
-          if (selfClosed) row = row :+ (("", n == "th"))
-          else { cell = new StringBuilder; cellTh = n == "th" }
+          val cs = spanOf(attrs, "colspan")
+          val rs = spanOf(attrs, "rowspan")
+          if (selfClosed) row = row :+ RawCell("", n == "th", cs, rs)
+          else { cell = new StringBuilder; cellTh = n == "th"; cellCol = cs; cellRow = rs }
         case Close("td") | Close("th") => flushCell()
         case Text(t) if cell != null => cell.append(t)
         case _ =>

@@ -85,12 +85,37 @@ class HtmlSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("span expansion and nested tables fail loudly") {
-    val p1 = tmp("span.html")
+  test("colspan/rowspan expand like the reference (io/html.py:427)") {
+    val p = tmp("span.html")
+    Files.write(java.nio.file.Paths.get(p),
+      """<table>
+        |<thead><tr><th>a</th><th>b</th><th>c</th></tr></thead>
+        |<tbody>
+        |<tr><td rowspan="2">1</td><td>2</td><td>3</td></tr>
+        |<tr><td colspan="2">4</td></tr>
+        |<tr><td>5</td><td>6</td><td>7</td></tr>
+        |</tbody></table>""".stripMargin.getBytes("UTF-8"))
+    val df = HtmlIo.read(spark, p)
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    // row 2: carried-down "1" fills col 0, then "4" copies across cols 1-2
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 4L, 4L), (5L, 6L, 7L)), got.toString)
+  }
+
+  test("rowspan outliving the last row generates trailing rows") {
+    val p = tmp("tail.html")
+    Files.write(java.nio.file.Paths.get(p),
+      "<table><tr><th>x</th></tr><tr><td rowspan=\"3\">9</td></tr></table>".getBytes)
+    val df = HtmlIo.read(spark, p)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L, 9L, 9L))
+  }
+
+  test("malformed numeric entities stay literal; nested tables fail loudly") {
+    val p1 = tmp("badent.html")
     Files.write(java.nio.file.Paths.get(p1),
-      "<table><tr><td colspan=\"2\">x</td></tr></table>".getBytes)
-    val e1 = intercept[Exception](HtmlIo.read(spark, p1))
-    assert(e1.getMessage.contains("colspan"), e1.getMessage)
+      "<table><tr><th>s</th></tr><tr><td>&#xZZ; and &#9999999999;</td></tr></table>".getBytes)
+    val s = HtmlIo.read(spark, p1).collect().map(_.getString(0)).head
+    assert(s == "&#xZZ; and &#9999999999;", s)
 
     val p2 = tmp("nest.html")
     Files.write(java.nio.file.Paths.get(p2),
