@@ -371,6 +371,39 @@ object ExtrasQueries extends QueryModule {
              |  CASE WHEN count(m) = count(*) THEN CAST(sum(m) AS DOUBLE) END AS strict_sum
              |FROM (SELECT event_type,
              |    CASE WHEN value < 5 THEN NULL ELSE CAST(value AS DECIMAL(12,2)) END AS m
-             |  FROM events) GROUP BY event_type""".stripMargin))
+             |  FROM events) GROUP BY event_type""".stripMargin)),
+
+    // frame.dot matmul (reference: core/frame.py:1193 DataFrame.dot —
+    // np.dot on the whole matrix in RAM) at the scale shape: melt each
+    // operand to (id, pos, value) triplets, join on pos, sum-aggregate.
+    // Neither matrix ever sits on one node and Catalyst broadcasts the
+    // small side of the pos join. Values quantize to a 2^-10 grid and
+    // the dot runs in INTEGER units (max |sum| = dims·2^20 ≪ 2^53), so
+    // every partial sum is exact and distributed summation order cannot
+    // perturb the hash — no cross-engine rounding games.
+    QueryDef("frame_dot",
+      (s, d) => {
+        val m = T.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"),
+            round(col("col").cast("double") * 1024).cast("long").as("v"))
+        val a = m.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("id_a"), col("pos"), col("v").as("va"))
+        val b = m.filter(col("vec_id").between(3, 6))
+          .select(col("vec_id").as("id_b"), col("pos"), col("v").as("vb"))
+        a.join(b, "pos").groupBy("id_a", "id_b")
+          .agg(sum(col("va") * col("vb")).as("dot_u"))
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, u.pos,
+             |    CAST(round(CAST(u.v AS DOUBLE) * 1024) AS BIGINT) AS v
+             |  FROM (SELECT vec_id, unnest(embedding) AS v,
+             |          generate_subscripts(embedding, 1) AS pos
+             |        FROM embeddings) u(vec_id, v, pos)),
+             |a AS (SELECT vec_id AS id_a, pos, v AS va FROM m WHERE vec_id < 3),
+             |b AS (SELECT vec_id AS id_b, pos, v AS vb FROM m
+             |      WHERE vec_id BETWEEN 3 AND 6)
+             |SELECT id_a, id_b, CAST(sum(va * vb) AS BIGINT) AS dot_u
+             |FROM a JOIN b USING (pos) GROUP BY id_a, id_b""".stripMargin))
   )
 }

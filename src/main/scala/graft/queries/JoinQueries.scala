@@ -211,6 +211,30 @@ object JoinQueries extends QueryModule {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_f,
              |  last_value(n_p IGNORE NULLS) OVER (ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_p
-             |FROM f FULL OUTER JOIN p USING (day)""".stripMargin))
+             |FROM f FULL OUTER JOIN p USING (day)""".stripMargin)),
+
+    // merge(validate='1:m') (reference: merge.py:1554 _validate —
+    // uniqueness asserted on the '1' side before joining, ValueError if
+    // violated). The gate emits both side checks — orders IS unique on
+    // o_orderkey, lineitem is NOT on l_orderkey (so '1:m' holds and
+    // 'm:m' is what the right side really is) — plus the validated
+    // join's row count, so the assertion AND the join it guards are
+    // both pinned. Each validateKeys is one map-side-combined count
+    // aggregate with an early-out emptiness check, never a collect.
+    QueryDef("merge_validate_1m",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val l = T.lineitem(s, d)
+        val leftUnique = JoinOps.validateKeys(o, Seq("o_orderkey"), unique = true)
+        val rightUnique = JoinOps.validateKeys(l, Seq("l_orderkey"), unique = true)
+        require(leftUnique, "merge validate='1:m': left keys are not unique")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n_join"))
+          .select(lit(leftUnique).as("left_unique"),
+            lit(rightUnique).as("right_unique"), col("n_join"))
+      },
+      Some("""SELECT TRUE AS left_unique, FALSE AS right_unique,
+             |  CAST((SELECT count(*) FROM orders JOIN lineitem
+             |        ON o_orderkey = l_orderkey) AS BIGINT) AS n_join""".stripMargin))
   )
 }

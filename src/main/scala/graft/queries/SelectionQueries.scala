@@ -283,6 +283,48 @@ object SelectionQueries extends QueryModule {
       },
       Some("SELECT TRUE AS subset_ok, TRUE AS count_in_bounds, TRUE AS seed_stable")),
 
+    // sample(n, weights=) (reference: generic.py:4383): distributed
+    // Efraimidis–Spirakis A-Res — every row keyed by u^(1/w), keep the
+    // n best via TakeOrderedAndProject (one pass, no global sort, no
+    // driver-side cdf). Like sample_frac the draw has no cross-engine
+    // twin, so the gate pins ENGINE-INDEPENDENT invariants a correct
+    // weighted sampler must satisfy:
+    //   subset_ok   — sampled rows all exist in the source;
+    //   count_exact — exactly n rows come back;
+    //   seed_stable — same seed ⇒ identical draw (id-sum + count);
+    //   excl_ok     — zero-weight rows are never drawn (pandas excludes
+    //                 weight<=0; w = event_id mod 100 plants real zeros);
+    //   bias_ok     — the sample's mean weight exceeds the population's
+    //                 (E[w|drawn] = E[w²]/E[w] ≈ 66 vs E[w] ≈ 49.5 for
+    //                 uniform 0..99 — a wide margin; deterministic
+    //                 because the draw is hash-seeded). An unweighted
+    //                 sampler passes the first four and fails this one.
+    QueryDef("sample_weights",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val src = T.events(s, d).select(col("event_id"),
+          pmod(col("event_id"), lit(100)).cast("double").as("w"))
+        def draw() = SampleOps.weightedSample(src, 500, "w", "event_id")
+        val s1 = draw()
+        val agg1 = s1.agg(count(lit(1)).as("k"),
+          sum(col("event_id")).as("idsum"),
+          min(col("w")).as("minw"), avg(col("w")).as("avgw"))
+        val agg2 = draw().agg(count(lit(1)).as("k2"),
+          sum(col("event_id")).as("idsum2"))
+        val pop = src.agg(avg(col("w")).as("popw"))
+        val viol = s1.join(src, Seq("event_id"), "left_anti")
+          .agg(count(lit(1)).as("v"))
+        viol.crossJoin(agg1).crossJoin(agg2).crossJoin(pop).select(
+          (col("v") === 0).as("subset_ok"),
+          (col("k") === 500).as("count_exact"),
+          (col("k") === col("k2") && col("idsum") === col("idsum2"))
+            .as("seed_stable"),
+          (col("minw") > 0.0).as("excl_ok"),
+          (col("avgw") > col("popw")).as("bias_ok"))
+      },
+      Some("""SELECT TRUE AS subset_ok, TRUE AS count_exact,
+             |  TRUE AS seed_stable, TRUE AS excl_ok, TRUE AS bias_ok""".stripMargin)),
+
     // sample(n=500) deterministic: the n smallest hash-uniforms — an
     // order-by-hash top-k (TakeOrderedAndProject, no full sort), exact
     // row count, reproducible, and oracle-checkable unlike rand().

@@ -90,6 +90,25 @@ object SetOpQueries extends QueryModule {
         T.events(s, d).filter(col("event_type") === "purchase").select(col("user_id"))),
       Some("""SELECT user_id FROM events WHERE event_type = 'click'
              |UNION
-             |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin))
+             |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // equals (reference: generic.py:1383): exact multiset equality as a
+    // distributed action (two exceptAll emptiness checks — no collect).
+    // Pinned by emitting the decision for a pair that MUST be equal
+    // (same rows, shuffled order and partitioning: equals is order-
+    // insensitive) and a pair that must NOT be (one row dropped);
+    // DuckDB states the expected constants. A frameEquals that compared
+    // by position, ignored duplicates, or degenerated to schema-only
+    // fails one of the two booleans.
+    QueryDef("frame_equals",
+      (s, d) => {
+        import s.implicits._
+        val n = T.nation(s, d)
+        val same = n.orderBy(col("n_name").desc).repartition(7)
+        val diff = n.filter(col("n_nationkey") =!= 0)
+        Seq((SetOps.frameEquals(n, same), SetOps.frameEquals(n, diff)))
+          .toDF("eq_same", "eq_diff")
+      },
+      Some("SELECT TRUE AS eq_same, FALSE AS eq_diff"))
   )
 }
