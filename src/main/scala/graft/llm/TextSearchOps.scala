@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *    map-side-combined (doc, term) count; df derives from THAT
   *    aggregate (already term-clustered), and the per-doc top-n runs on
   *    the same (doc)-clustered layout. Vocabulary is sublinear in corpus
-  *    size, so the df side stays broadcastable.
+  *    size, so the df side is normally broadcastable — but the broadcast
+  *    is guarded by a vocabulary pre-count with a loud AQE-shuffle
+  *    fallback past the threshold.
   *  - Boilerplate removal: line frequencies aggregate map-side-combined;
   *    only lines ABOVE the document-frequency threshold (a tiny set by
   *    construction — that is what "boilerplate" means) are collected
@@ -86,7 +88,7 @@ object TextSearchOps {
     * corpus); top-n is a doc-partitioned rank — no unpartitioned window.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, maxBroadcastTerms: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tokenized = docs
       .withColumn("__toks", TextStatsOps.tokens(col(textCol)))
@@ -96,7 +98,22 @@ object TextSearchOps {
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
     val nRow = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nRow))
+    // Guarded broadcast: for natural text the vocabulary is sublinear in
+    // corpus size and the forced broadcast is right; a typo/ngram-heavy
+    // web corpus can blow past the driver's broadcast ceiling, so count
+    // the vocabulary first and past the threshold drop the hint — AQE
+    // sizes the join from the real aggregate instead of OOMing the
+    // driver (the contaminationScore fallback shape). The pre-count
+    // re-evaluates the tf lineage once; corpus-scale callers who know
+    // their vocabulary fits pass a higher threshold, or persist upstream.
+    val vocab = df.count()
+    val dfSide = if (vocab <= maxBroadcastTerms) broadcast(df) else {
+      System.err.println(s"graft.TextSearchOps: vocabulary has $vocab terms " +
+        s"(> maxBroadcastTerms=$maxBroadcastTerms) — df join falls back " +
+        "from broadcast to an AQE-sized shuffle join")
+      df
+    }
+    val scored = tf.join(dfSide, "term").crossJoin(broadcast(nRow))
       .withColumn("tfidf", round(
         col("__tf").cast("double") / col("__dl") * log(col("__n") / col("__df")),
         6))

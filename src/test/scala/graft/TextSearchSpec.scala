@@ -50,6 +50,29 @@ class TextSearchSpec extends SparkSpec {
     assert(r.nonEmpty && r.forall(_.getDouble(2) == 0.0))
   }
 
+  test("tfidf: over-threshold vocabulary falls back from broadcast to a " +
+      "shuffle join and still answers identically") {
+    val hinted = TextSearchOps.tfIdfTopTerms(corpus, "doc_id", "text", n = 2)
+    // threshold of 1 term forces the fallback for any real vocabulary
+    val guarded = TextSearchOps.tfIdfTopTerms(corpus, "doc_id", "text",
+      n = 2, maxBroadcastTerms = 1L)
+    assertFrameEqual(guarded, hinted)
+    // plan assertion, run with auto-broadcast disabled: a FORCED
+    // broadcast() hint ignores the threshold and would still broadcast;
+    // the fallback path has no hint, so the df join must go shuffle-side
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val cold = TextSearchOps.tfIdfTopTerms(corpus, "doc_id", "text",
+        n = 2, maxBroadcastTerms = 1L)
+      cold.collect()
+      val plan = cold.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("boilerplate: frequent lines vanish, order survives, all-boiler " +
       "docs drop out") {
     val docs = Seq(
