@@ -384,9 +384,13 @@ object TextDedupOps {
     * Scale shape: one window-hash explode (n_tokens rows per doc — the
     * shingling cost, map-side-combined into the frequency agg); the
     * duplicated-window set joins back doc-keyed, and coverage is
-    * row-local HOF arithmetic: token p survives iff no duplicated
-    * window start q ∈ [p−w+1, p] (O(dups·tokens) per doc — dup windows
-    * are rare by construction, like boilerplate lines). Documents
+    * row-local HOF arithmetic: sort the duplicated window starts, merge
+    * them into covered runs with a shifted-neighbor zip (runs break
+    * where consecutive starts are > w apart), and reassemble the
+    * surviving text by slicing the gaps BETWEEN runs — O(tokens +
+    * dups·log dups) per doc with no per-position membership scan, so a
+    * pathological fully-duplicated mega-doc (dups ≈ tokens, one merged
+    * run) costs the same as a clean one. Documents
     * shorter than `w` tokens pass through untouched; a document whose
     * every token is covered yields an empty string (kept, unlike
     * [[TextSearchOps.removeBoilerplateLines]] which drops all-boiler
@@ -411,13 +415,34 @@ object TextDedupOps {
       .select("h")
     val dupStarts = wins.join(dupHashes, Seq("h"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("q")).as("__dups"))
+    // Linear-sweep reassembly. Window starts are distinct per doc, so
+    // after sorting, covered runs [q, q+w-1] merge exactly where
+    // consecutive starts are <= w apart; run boundaries fall out of a
+    // zip against the left/right-shifted sorted array (no aggregate
+    // accumulator, no per-position exists). Surviving text is the
+    // concatenation of the gaps between runs, each a single slice.
+    val toks = col("__toks")
+    val sorted = array_sort(coalesce(col("__dups"), array().cast("array<int>")))
+    val k = size(sorted)
+    val shiftLen = greatest(k - 1, lit(0))
+    val nullInt = array(lit(null).cast("int"))
+    val prevS = concat(nullInt, slice(sorted, lit(1), shiftLen))
+    val nextS = concat(slice(sorted, lit(2), shiftLen), nullInt)
+    // run starts: no predecessor within w; run ends: no successor within w
+    val runStarts = filter(
+      zip_with(sorted, prevS, (cur, prev) =>
+        when(prev.isNull || cur - prev > w, cur)),
+      x => x.isNotNull)
+    val runEnds = filter(
+      zip_with(sorted, nextS, (cur, nxt) =>
+        when(nxt.isNull || nxt - cur > w, cur + (w - 1))),
+      x => x.isNotNull)
+    // gaps: (0-sentinel → first run) ... (last run → len+1-sentinel)
+    val gapFrom = concat(array(lit(0)), runEnds)
+    val gapTo = concat(runStarts, array(size(toks) + 1))
+    val kept = flatten(zip_with(gapFrom, gapTo, (pe, na) =>
+      slice(toks, pe + 1, greatest(na - pe - 1, lit(0)))))
     base.join(dupStarts, Seq(idCol), "left")
-      .select(col(idCol), array_join(filter(
-        transform(sequence(lit(1), size(col("__toks"))),
-          p => when(exists(coalesce(col("__dups"),
-              array().cast("array<int>")),
-            q => q <= p && p <= q + (w - 1)), lit(null))
-            .otherwise(element_at(col("__toks"), p))),
-        x => x.isNotNull), " ").as(cleanCol))
+      .select(col(idCol), array_join(kept, " ").as(cleanCol))
   }
 }

@@ -310,6 +310,21 @@ class LlmSpec extends SparkSpec {
     assert(r(1L) == "x y z m x y z", r.toString)
   }
 
+  test("removeDuplicateSpans: fully-duplicated mega-doc collapses to one " +
+      "merged run (linear reassembly, not per-position scans)") {
+    import spark.implicits._
+    // 20k tokens, every window duplicated across both docs: the old
+    // per-position exists was O(tokens·dups) ≈ 4e8 comparisons per doc;
+    // the run-merge sweep sees ONE covered run and finishes instantly
+    val mega = (1 to 20000).map(i => s"t${i % 7}").mkString(" ")
+    val docs = Seq((1L, mega), (2L, mega), (3L, "unique little doc here"))
+      .toDF("doc_id", "text")
+    val r = TextDedupOps.removeDuplicateSpans(docs, "doc_id", "text", w = 50)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "", 2L -> "", 3L -> "unique little doc here"),
+      r.view.mapValues(_.take(50)).toMap.toString)
+  }
+
   test("property: removeDuplicateSpans equals the brute-force reference " +
       "on random small-vocab corpora") {
     import spark.implicits._
