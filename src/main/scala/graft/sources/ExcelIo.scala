@@ -285,7 +285,13 @@ object ExcelIo {
               }
               cur += kind
             }
-          case "row" if inRow => inRow = false; rows += cur.result()
+          case "row" if inRow =>
+            inRow = false
+            // skip cell-less rows: a leading blank row must not become
+            // an empty header that shifts real headers into the data
+            // (HtmlIo.flushRow applies the same guard)
+            val cells = cur.result()
+            if (cells.nonEmpty) rows += cells
           case _ =>
         }
         case _ =>
@@ -387,14 +393,26 @@ object ExcelIo {
 
     val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val bTypes = spark.sparkContext.broadcast(types.toArray)
+    val bNames = spark.sparkContext.broadcast(names.toArray)
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { f =>
         val path = new Path(f)
         val fsx = path.getFileSystem(bConf.value.value)
         val ts = bTypes.value
-        parseWorkbook(slurpFile(fsx, path), sheetIndex, sheetName)
-          .drop(1).map { cells =>
+        val wb = parseWorkbook(slurpFile(fsx, path), sheetIndex, sheetName)
+        require(wb.nonEmpty, s"$f: empty worksheet (no header row)")
+        // sibling workbooks must carry the first workbook's header —
+        // names and arity — or columns would silently misassign (the
+        // dta/xpt directory readers apply the same per-file check)
+        val hdr = wb.head.map(c => c.col -> c.value).toMap
+        val got = (0 until math.max(ts.length,
+          hdr.keys.maxOption.map(_ + 1).getOrElse(0)))
+          .map(i => hdr.getOrElse(i, s"_c$i"))
+        require(got == bNames.value.toSeq,
+          s"$f: header (${got.mkString(", ")}) does not match the first " +
+            s"workbook's (${bNames.value.mkString(", ")})")
+        wb.drop(1).map { cells =>
           val arr = new Array[Any](ts.length)
           cells.foreach(c =>
             if (c.col < ts.length) arr(c.col) = convert(c, ts(c.col)))

@@ -40,6 +40,15 @@ object JsonOrientIo {
   private val MaxBytes = 256L << 20
   private val Orients = Set("split", "records", "index", "columns", "values", "table")
   private val IsoTs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+  private val IsoTsMicro =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  // ms-aligned values keep the reference's 3-digit ISO form; sub-ms
+  // precision emits all 6 digits instead of silently truncating (the
+  // reader parses either via Timestamp.valueOf's variable fraction)
+  private def fmtTs(ldt: java.time.LocalDateTime): String =
+    if (ldt.getNano % 1000000 != 0) ldt.format(IsoTsMicro)
+    else ldt.format(IsoTs)
 
   // --------------------------------------------------------------- write
 
@@ -72,9 +81,9 @@ object JsonOrientIo {
         case _: DecimalType => gen.writeNumber(row.getDecimal(i))
         case DateType => gen.writeString(row.getDate(i).toString)
         case TimestampType => gen.writeString(
-          row.getTimestamp(i).toLocalDateTime.format(IsoTs))
+          fmtTs(row.getTimestamp(i).toLocalDateTime))
         case TimestampNTZType => gen.writeString(
-          row.getAs[java.time.LocalDateTime](i).format(IsoTs))
+          fmtTs(row.getAs[java.time.LocalDateTime](i)))
         case other => throw new IllegalArgumentException(
           s"to_json orient=$orient: unsupported type $other (${schema(i).name})")
       }

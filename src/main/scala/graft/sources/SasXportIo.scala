@@ -317,6 +317,12 @@ object SasXportIo {
           val idx = stats.fieldIndex(s"__w_${f.name}")
           val w = math.max(1L, if (stats.isNullAt(idx)) 1L
             else stats.getLong(idx)).toInt
+          // V5 transport caps char variables at 200 bytes; past that the
+          // namestr width would be nonportable (and past 32767 it would
+          // silently wrap negative). Loud fence, like StataIo's 2045.
+          require(w <= 200,
+            s"XPORT V5 char variables cap at 200 bytes; '${f.name}' needs " +
+              s"$w — wide text belongs in parquet (or truncate first)")
           Plan(numeric = false, w, "", (r, i) => {
             val out = new Array[Byte](w)
             java.util.Arrays.fill(out, ' '.toByte)

@@ -45,6 +45,25 @@ class JsonOrientSpec extends SparkSpec {
     assertFrameEqual(back, expected)
   }
 
+  test("sub-millisecond timestamps emit 6 fractional digits and " +
+      "round-trip through orient='table'") {
+    import org.apache.spark.sql.types._
+    val micro = Timestamp.valueOf("2024-02-29 12:34:56.123456")
+    val milli = Timestamp.valueOf("2024-02-29 12:34:56.789")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, micro), Row(2L, milli))),
+      StructType(Seq(StructField("k", LongType),
+        StructField("ts", TimestampType))))
+    val p = tmp("micro.json")
+    JsonOrientIo.write(df, p, orient = "table")
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    // µs value keeps all 6 digits; ms-aligned value keeps the 3-digit form
+    assert(text.contains("12:34:56.123456") && text.contains("12:34:56.789\""),
+      text.take(400))
+    val back = JsonOrientIo.read(spark, p, orient = "table")
+    assertFrameEqual(back, df)
+  }
+
   test("schemaless orients round-trip values with JSON-native type " +
       "inference (temporals come back as ISO strings)") {
     for (orient <- Seq("records", "values", "split", "index", "columns")) {

@@ -109,5 +109,10 @@ class SasXportSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(p), ("x" * 160).getBytes)
     val e5 = intercept[Exception](SasXportIo.read(spark, p))
     assert(e5.getMessage.contains("XPORT"), e5.getMessage)
+    // V5 char width fence: >200-byte text must fail loudly, not wrap
+    // into a corrupt namestr
+    val e6 = intercept[Exception](
+      SasXportIo.write(Seq("y" * 201).toDF("S"), tmp("wide_s.xpt")))
+    assert(e6.getMessage.contains("200"), e6.getMessage)
   }
 }
