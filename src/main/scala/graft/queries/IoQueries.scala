@@ -105,6 +105,26 @@ object IoQueries extends QueryModule {
       },
       Some(sliceSql)),
 
+    // Directory-of-workbooks path: the same slice split across three
+    // .xlsx files by key residue, read back as ONE frame (one Spark
+    // task per workbook — the many-file-drop shape ExcelIo.read
+    // parallelizes; stata pins the split-parallel-within-one-file path,
+    // this pins the file-parallel one). Also exercises the per-sibling
+    // header validation on every read. DuckDB states the whole slice —
+    // a lost file, a dropped row, or misassigned columns hash-fail.
+    QueryDef("excel_dir_roundtrip",
+      (s, d) => {
+        val dir = new java.io.File(s"$scratch/xlsx_dir")
+        dir.mkdirs()
+        val sl = slice(s, d)
+        (0 until 3).foreach { i =>
+          ExcelIo.write(sl.filter(pmod(col("l_orderkey"), lit(3)) === i),
+            s"$scratch/xlsx_dir/part$i.xlsx")
+        }
+        ExcelIo.read(s, s"$scratch/xlsx_dir")
+      },
+      Some(sliceSql)),
+
     // read_stata/to_stata (reference: pandas/io/stata.py:172 read_stata,
     // :506 _cast_to_stata_types): the same slice through a real dta-118
     // file. Pins the whole codec: the tagged-binary header and offset
