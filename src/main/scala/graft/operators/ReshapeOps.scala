@@ -65,6 +65,40 @@ object ReshapeOps {
     unstack(df, index, column, valueCol, pivotValues)
   }
 
+  /** transpose / df.T (reference: pandas/core/frame.py:2244 — numpy
+    * .T over the whole block in RAM). The distributed re-expression:
+    * melt every value column to (key, column, value) and unstack on the
+    * key, so the result carries one output COLUMN per source ROW.
+    * That is only meaningful when the row count is column-shaped —
+    * stats blocks, describe() outputs, small aggregates — exactly the
+    * frames pandas users actually transpose; the loud `maxCols` fence
+    * (driver-side count before the pivot) keeps a fat fact table from
+    * ever becoming a million-column plan. Values coerce to a common
+    * type first (all-numeric → double, else string) — the reference's
+    * object-dtype upcast under mixed columns.
+    */
+  def transpose(df: DataFrame, keyCol: String, maxCols: Int = 1000,
+      columnName: String = "column"): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val valueCols = df.columns.toSeq.filterNot(_ == keyCol)
+    require(valueCols.nonEmpty, "transpose needs at least one value column")
+    val allNumeric = df.schema.fields.filter(f => valueCols.contains(f.name))
+      .forall(_.dataType.isInstanceOf[NumericType])
+    val target = if (allNumeric) "double" else "string"
+    // key values become column names: bounded, collected sorted for a
+    // deterministic schema (one small job; the require is the fence)
+    val keys = df.select(col(keyCol).cast(StringType)).distinct()
+      .limit(maxCols + 1).collect().map(_.getString(0)).sorted.toSeq
+    require(keys.size <= maxCols,
+      s"transpose: > $maxCols distinct '$keyCol' values — a transposed " +
+        "frame carries one column per source row; aggregate first")
+    val melted = df.select(col(keyCol).cast(StringType).as("__k"),
+      explode(array(valueCols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(target).as("v"))): _*)).as("__m"))
+      .select(col("__k"), col("__m.c").as(columnName), col("__m.v").as("__v"))
+    unstack(melted, Seq(columnName), "__k", "__v", keys)
+  }
+
   /** unstack(level): pivot ONE index level of a multi-index long frame
     * into columns (reference reshape.py:31 _Unstacker), with fill_value.
     * `pivotValues` bounds the output schema; when empty Spark collects

@@ -227,6 +227,44 @@ object ReshapeQueries extends QueryModule {
       Some("""SELECT event_type, cnt FROM (
              |  SELECT event_type, count(*) AS cnt,
              |    row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
-             |  FROM events GROUP BY event_type) WHERE rn = 1""".stripMargin))
+             |  FROM events GROUP BY event_type) WHERE rn = 1""".stripMargin)),
+
+    // transpose / df.T (reference: frame.py:2244) on the shape it is
+    // actually used for — a column-bounded stats block. Region-level
+    // aggregates (5 rows) transpose into one column per region with the
+    // stat names in 'column'; DuckDB states the transposed frame
+    // directly with conditional aggregation. Pins the melt→unstack
+    // composition, the numeric→double coercion, the deterministic
+    // sorted column order, and the 'MIDDLE EAST' column (names with
+    // spaces must survive both engines).
+    QueryDef("transpose_region_stats",
+      (s, d) => {
+        import graft.operators.ReshapeOps
+        val stats = T.nation(s, d).join(T.region(s, d),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).cast("double").as("n_nations"),
+            sum(col("n_nationkey")).cast("double").as("key_sum"))
+        ReshapeOps.transpose(stats, "r_name")
+      },
+      Some("""WITH s AS (SELECT r_name, CAST(count(*) AS DOUBLE) AS n_nations,
+             |    CAST(sum(n_nationkey) AS DOUBLE) AS key_sum
+             |  FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY r_name)
+             |SELECT 'n_nations' AS "column",
+             |  max(CASE WHEN r_name='AFRICA' THEN n_nations END) AS "AFRICA",
+             |  max(CASE WHEN r_name='AMERICA' THEN n_nations END) AS "AMERICA",
+             |  max(CASE WHEN r_name='ASIA' THEN n_nations END) AS "ASIA",
+             |  max(CASE WHEN r_name='EUROPE' THEN n_nations END) AS "EUROPE",
+             |  max(CASE WHEN r_name='MIDDLE EAST' THEN n_nations END) AS "MIDDLE EAST"
+             |FROM s
+             |UNION ALL
+             |SELECT 'key_sum',
+             |  max(CASE WHEN r_name='AFRICA' THEN key_sum END),
+             |  max(CASE WHEN r_name='AMERICA' THEN key_sum END),
+             |  max(CASE WHEN r_name='ASIA' THEN key_sum END),
+             |  max(CASE WHEN r_name='EUROPE' THEN key_sum END),
+             |  max(CASE WHEN r_name='MIDDLE EAST' THEN key_sum END)
+             |FROM s""".stripMargin))
   )
 }

@@ -135,6 +135,28 @@ class UtilOpsSpec extends SparkSpec {
     m1.foreach { case (k, v) => assert(math.abs(v - m2(k)) < 1e-9, s"$k") }
   }
 
+  test("transpose: stats block flips rows/columns, double-transpose " +
+      "round-trips, mixed types coerce to string, cap is loud") {
+    import graft.operators.ReshapeOps
+    import org.apache.spark.sql.types.StringType
+    val df = Seq(("a", 1L, 10.5), ("b", 2L, 20.0)).toDF("k", "n", "x")
+    val t = ReshapeOps.transpose(df, "k")
+    assert(t.columns.toSeq == Seq("column", "a", "b"))
+    val m = t.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m == Map("n" -> ((1.0, 2.0)), "x" -> ((10.5, 20.0))), m.toString)
+    // T.T: key values become columns and back — the pandas identity
+    val tt = ReshapeOps.transpose(t, "column")
+    assert(tt.columns.toSeq == Seq("column", "n", "x"))
+    assert(tt.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet == Set(("a", 1.0, 10.5), ("b", 2.0, 20.0)))
+    val s = ReshapeOps.transpose(Seq(("a", 1L, "z")).toDF("k", "n", "s"), "k")
+    assert(s.schema.fields(1).dataType == StringType)
+    val e = intercept[IllegalArgumentException](
+      ReshapeOps.transpose(Seq.tabulate(5)(i => (s"k$i", i)).toDF("k", "v"),
+        "k", maxCols = 3))
+    assert(e.getMessage.contains("transpose"), e.getMessage)
+  }
+
   test("pivotStrict raises on duplicate (index, column) pairs") {
     import graft.operators.ReshapeOps
     val ok = Seq((1, "a", 10L), (1, "b", 20L), (2, "a", 30L))
