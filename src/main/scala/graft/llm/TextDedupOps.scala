@@ -35,6 +35,40 @@ object TextDedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact cross-document PARAGRAPH dedup with reassembly — the
+    * RefinedWeb/CCNet curation tier between whole-document exact dedup
+    * (above) and fixed-window substring dedup (`removeDuplicateSpans`):
+    * split every document on `sep`, keep only the globally FIRST
+    * occurrence of each distinct paragraph (first = lowest (id, pos)),
+    * and rebuild each document from its surviving paragraphs in
+    * original order. Documents whose every paragraph appeared earlier
+    * elsewhere vanish entirely.
+    *
+    * Scale shape (100 TB): two shuffles, both necessary — one
+    * repartition by paragraph text for the global first-occurrence
+    * window (paragraph rows travel once; partitioning by the full text
+    * keeps the claim EXACT rather than fingerprint-probabilistic), one
+    * regroup by document id for reassembly. Never all-pairs, no
+    * driver-side state; hot paragraphs (boilerplate repeated millions
+    * of times) each land on one partition but carry only one row out
+    * of the window filter.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos"), col("col").as("__para"))
+    val w = Window.partitionBy(col("__para"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("__para")))),
+          s => s.getField("__para")), sep).as(textCol))
+  }
+
   /** Distinct word n-gram shingles from a PRE-MATERIALIZED token array
     * column. The tokens must be a real column (attribute), not an
     * inline split(...) expression: higher-order-function lambdas

@@ -64,6 +64,75 @@ object TextStatsOps {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1L)))
 
+  /** Raw whitespace words (no lowercasing/punct-stripping): the Gopher
+    * rules are defined over surface words, unlike `tokens` which rides
+    * the dedup normalizer. Empty fragments from leading/trailing/double
+    * whitespace are dropped so word counts match a human count. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Gopher stop-word list (Rae et al. 2021 appendix A1.1: a document
+    * must contain ≥2 of these to pass the stop-word rule). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter rules (Rae et al. 2021, appendix A1.1 —
+    * the de-facto standard pretraining quality gate, also the base of
+    * FineWeb/Dolma filter stacks). Each rule is its own boolean column
+    * so downstream curation can audit WHICH rule dropped a document,
+    * plus the conjunction as `keep`:
+    *   - ok_words:        50 ≤ word count ≤ 100 000
+    *   - ok_word_len:     3 ≤ mean word length ≤ 10
+    *   - ok_symbol_ratio: (# of '#' + '...') / words < 0.1
+    *   - ok_bullets:      < 90 % of lines start with a bullet
+    *   - ok_ellipsis:     < 30 % of lines end with an ellipsis
+    *   - ok_alpha:        ≥ 80 % of words contain an alphabetic char
+    *   - ok_stopwords:    ≥ 2 hits from the 8-word Gopher stop list
+    * All rules are row-local codegen'd expressions — zero shuffle; the
+    * whole filter runs at scan throughput on 100 TB. Ratio comparisons
+    * are int/int IEEE divisions, bit-identical across engines, so the
+    * booleans face the DuckDB oracle directly (gopher_quality gate).
+    * Returns (name, column) pairs ready to `.select` after the id. */
+  def gopherQualityFlags(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val wc = size(ws)
+    val meanLen = aggregate(ws, lit(0L), (a, t) => a + length(t))
+      .cast("double") / wc
+    // leftmost non-overlapping replace in both engines, so '....'
+    // counts one ellipsis — same arithmetic on both sides of the gate
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCount =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val lines = split(text, "\n")
+    val bulletFrac = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+      size(lines)
+    val ellipsisFrac = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double") /
+      size(lines)
+    val alphaFrac = size(filter(ws, t => t.rlike("[A-Za-z]")))
+      .cast("double") / wc
+    val stopHits = size(filter(ws,
+      t => lower(t).isin(GopherStopwords.map(lit): _*)))
+    Seq(
+      "word_count" -> wc.cast("long"),
+      "ok_words" -> (wc >= 50 && wc <= 100000),
+      "ok_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_symbol_ratio" ->
+        ((hashCount + ellipsisCount).cast("double") / wc < 0.1),
+      "ok_bullets" -> (bulletFrac < 0.9),
+      "ok_ellipsis" -> (ellipsisFrac < 0.3),
+      "ok_alpha" -> (alphaFrac >= 0.8),
+      "ok_stopwords" -> (stopHits >= 2))
+  }
+
+  /** Conjunction of every Gopher rule — the document survives the
+    * quality gate. */
+  def gopherKeep(text: Column): Column =
+    gopherQualityFlags(text).collect {
+      case (n, c) if n.startsWith("ok_") => c
+    }.reduce(_ && _)
+
   /** Word n-gram shingles of a MATERIALIZED token-array column (HOF
     * re-evaluation rule: pass `tokens(text)` through a column first). */
   def shingles(toks: Column, n: Int): Column =

@@ -89,6 +89,23 @@ object IoQueries extends QueryModule {
       },
       Some(sliceSql)),
 
+    // read_orc/to_orc — beyond the reference fork (which predates
+    // pandas' orc support; modern pandas added read_orc/to_orc over
+    // pyarrow). ORC is the OTHER first-class 100 TB lake format next to
+    // parquet, and Spark's native ORC source gives the full
+    // data-lake-shaped path — splittable stripes, predicate pushdown,
+    // column pruning — with zero added dependencies. The gate pins the
+    // complete type round trip (int64/int32/double/string/timestamp-µs)
+    // through a real write-then-scan; a mapping bug on either leg
+    // hash-fails against the parquet-stated oracle.
+    QueryDef("orc_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip_orc"
+        slice(s, d).write.mode("overwrite").orc(path)
+        s.read.orc(path)
+      },
+      Some(sliceSql)),
+
     // read_excel/to_excel (reference: pandas/io/excel.py:300 read_excel,
     // pandas/core/generic.py:9977 to_excel): the same slice through a
     // real .xlsx workbook — JDK zip + StAX, zero added dependencies.

@@ -148,6 +148,89 @@ object LlmQueries extends QueryModule {
               |  AS score
               |FROM t""".stripMargin)),
 
+    // Gopher quality-filter rules (Rae et al. 2021 appendix A1.1) as
+    // per-rule audit booleans + the conjunction. Every rule is int/int
+    // IEEE arithmetic, bit-identical across engines, so the booleans
+    // face the oracle directly. Zero-shuffle scan-local plan; the spec
+    // additionally plants one violator per rule and checks each flag
+    // flips independently (this corpus exercises ok_words/ok_word_len/
+    // ok_alpha/ok_stopwords both ways; bullet/ellipsis/symbol docs
+    // don't occur naturally here, hence the planted cases).
+    QueryDef("gopher_quality",
+      (s, d) => {
+        val flags = TextStatsOps.gopherQualityFlags(col("text"))
+        val base = T.documents(s, d).select(
+          col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+        base.withColumn("keep",
+          flags.collect { case (n, _) if n.startsWith("ok_") => col(n) }
+            .reduce(_ && _))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM documents),
+             |m AS (SELECT doc_id, text, ws, ls, len(ws) AS wc,
+             |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+             |    length(text) - length(replace(text, '#', '')) AS hashes,
+             |    (length(text) - length(replace(text, '...', ''))) / 3 AS ells
+             |  FROM t),
+             |f AS (SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+             |    wc >= 50 AND wc <= 100000 AS ok_words,
+             |    mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+             |    CAST(hashes + ells AS DOUBLE) / wc < 0.1 AS ok_symbol_ratio,
+             |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+             |      OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS DOUBLE)
+             |      / len(ls) < 0.9 AS ok_bullets,
+             |    CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+             |      OR rtrim(l) LIKE '%…')) AS DOUBLE)
+             |      / len(ls) < 0.3 AS ok_ellipsis,
+             |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+             |      / wc >= 0.8 AS ok_alpha,
+             |    len(list_filter(ws, w -> list_contains(
+             |      ['the','be','to','of','and','that','have','with'], lower(w)))) >= 2
+             |      AS ok_stopwords
+             |  FROM m)
+             |SELECT *, ok_words AND ok_word_len AND ok_symbol_ratio
+             |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
+             |FROM f""".stripMargin)),
+
+    // Exact cross-document paragraph dedup with reassembly (the
+    // RefinedWeb tier between doc-level exact dedup and substring-span
+    // dedup). The corpus plants shared paragraphs: every document gets
+    // a second paragraph copied from document (doc_id % 100), so each
+    // planted paragraph recurs ~n/100 times corpus-wide and docs 0-99
+    // carry their own text twice (exercising WITHIN-doc dedup too).
+    // Only the globally-first (doc_id, pos) copy survives; documents
+    // rebuild from surviving paragraphs in order. The oracle recomputes
+    // the whole pipeline independently in DuckDB and compares the FULL
+    // reassembled text — over- and under-removal both hash-fail.
+    QueryDef("paragraph_dedup",
+      (s, d) => {
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+        val corpus = docs
+          .join(broadcast(planted), pmod(col("doc_id"), lit(100)) === col("p_id"))
+          .select(col("doc_id"),
+            concat(col("text"), lit("\n\n"), col("p_text")).as("text"))
+        TextDedupOps.paragraphDedup(corpus, "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT d.doc_id, d.text || chr(10) || chr(10) || p.text AS text
+             |  FROM documents d JOIN documents p ON p.doc_id = d.doc_id % 100),
+             |paras AS (
+             |  SELECT doc_id, unnest(arr) AS para,
+             |         unnest(range(1, len(arr) + 1)) AS pos
+             |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr
+             |        FROM corpus)),
+             |kept AS (
+             |  SELECT doc_id, pos, para, row_number() OVER (
+             |    PARTITION BY para ORDER BY doc_id, pos) AS rn
+             |  FROM paras)
+             |SELECT doc_id,
+             |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+             |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
+
     QueryDef("bpe_token_count",
       (s, d) => T.documents(s, d).select(col("doc_id"),
         TextStatsOps.approxBpeTokenCount(col("text")).as("n_bpe")),

@@ -361,4 +361,59 @@ class LlmSpec extends SparkSpec {
       assert(got == expected, s"\ndocs=$docs\n got=$got\n exp=$expected")
     }
   }
+
+  test("gopherQualityFlags: each rule flips independently on a planted " +
+      "violator; a clean document passes all") {
+    import spark.implicits._
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and")).mkString(" ")     // 63 words, stopwords, alpha
+    val cases = Seq(
+      (0L, good, None),
+      (1L, "too short with the and of", Some("ok_words")),
+      (2L, ((1 to 60).map(_ => "ab") ++ Seq("the", "of")).mkString(" "),
+        Some("ok_word_len")),                    // mean word length 2 < 3
+      (3L, good + " " + (1 to 20).map(_ => "x#").mkString(" "),
+        Some("ok_symbol_ratio")),                // 20 hashes / 83 words > 0.1
+      (4L, (1 to 10).map(i => s"- bullet the of item$i point$i more$i words$i here$i now$i")
+        .mkString("\n"), Some("ok_bullets")),    // every line bullet-led
+      (5L, (1 to 10).map(i => s"line the of item$i extra$i point$i more$i words$i here$i now$i ...")
+        .mkString("\n"), Some("ok_ellipsis")),   // every line ellipsis-ended
+      (6L, ((1000 to 1054).map(_.toString) ++ Seq("the", "of", "and")).mkString(" "),
+        Some("ok_alpha")),                       // 55/58 words digit-only
+      (7L, (1 to 60).map(i => s"word$i").mkString(" "),
+        Some("ok_stopwords")))                   // zero Gopher stopwords
+    val flags = TextStatsOps.gopherQualityFlags(col("text"))
+    val out = cases.map { case (id, t, v) => (id, t) }.toDF("doc_id", "text")
+      .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        flags.collect { case (n, _) if n.startsWith("ok_") =>
+          n -> r.getAs[Boolean](n) }.toMap).toMap
+    cases.foreach { case (id, _, violated) =>
+      val f = out(id)
+      violated match {
+        case None => assert(f.values.forall(identity), s"doc $id: $f")
+        case Some(rule) =>
+          assert(!f(rule), s"doc $id should fail $rule: $f")
+          assert((f - rule).values.forall(identity),
+            s"doc $id should fail ONLY $rule: $f")
+      }
+    }
+  }
+
+  test("paragraphDedup: global first occurrence survives, later copies " +
+      "drop, within-doc repeats dedup, empty docs vanish, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared para\n\ngamma"),
+      (2L, "shared para\n\ndelta"),            // shared para first seen in doc 1
+      (3L, "own text\n\nown text\n\nepsilon"), // within-doc repeat
+      (4L, "shared para")                      // nothing left → vanishes
+    ).toDF("doc_id", "text")
+    val r = TextDedupOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(
+      1L -> "alpha beta\n\nshared para\n\ngamma",
+      2L -> "delta",
+      3L -> "own text\n\nepsilon"), r.toString)
+  }
 }
