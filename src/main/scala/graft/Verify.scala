@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Timezone-less parquet timestamps (isAdjustedToUTC=false) read as
+      // instants under the UTC session, not TIMESTAMP_NTZ: the engine's
+      // temporal algebra (unix_micros offsets, resample grids, asof) is
+      // defined over instants, and the DuckDB oracle reads the same
+      // micros as naive-UTC — identical wall-clock values on both sides.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
