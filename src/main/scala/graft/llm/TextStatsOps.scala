@@ -133,6 +133,140 @@ object TextStatsOps {
       case (n, c) if n.startsWith("ok_") => c
     }.reduce(_ && _)
 
+  /** Gopher repetition-filter thresholds (Rae et al. 2021 Table A1):
+    * a document is dropped when the fraction EXCEEDS the threshold. */
+  val GopherTopNgramRules: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupNgramRules: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Gopher repetition filters (Rae et al. 2021, appendix A1.2 — the
+    * other half of the Gopher gate next to `gopherQualityFlags`):
+    * per-document fractions + audit booleans + the conjunction `keep`.
+    *   - dup_line_frac / dup_para_frac: fraction of lines (split on \n,
+    *     empties kept) / paragraphs (split on \n{2,}) that are repeat
+    *     occurrences of an earlier identical element (count-based:
+    *     occurrences beyond the first, the convention of the public
+    *     reimplementations); thresholds 0.30 / 0.30.
+    *   - dup_line_cfrac / dup_para_cfrac: characters of those repeat
+    *     occurrences over length(text); thresholds 0.20 / 0.20.
+    *   - top_{2,3,4}gram_cfrac: chars of the most frequent word n-gram
+    *     (count × length, space-joined) over length(text); count ties
+    *     break by larger char mass — deterministic where the paper's
+    *     "most frequently-occurring n-gram" is underspecified, and
+    *     identical whenever the top count is unique (the typical case).
+    *   - dup_{5..10}gram_cfrac: word-character mass COVERED by any
+    *     occurrence of an n-gram appearing ≥2 times, over length(text).
+    *     Coverage reads the paper's "fraction of characters contained
+    *     within all duplicate n-grams" positionally; it is order-free
+    *     and engine-exact, unlike the greedy skip-ahead loop some
+    *     public implementations use (which counts a position twice when
+    *     overlapping duplicates straddle it and depends on scan order).
+    *
+    * Every metric is an int/int IEEE division of exactly-summed integer
+    * masses, so the doubles AND booleans face the DuckDB oracle
+    * bit-exactly (gopher_repetition gate). Empty documents are the one
+    * fence: length(text)=0 makes the char fractions 0/0=NaN.
+    *
+    * Scale shape (100 TB): zero shuffle — every metric is row-local, so
+    * the filter runs at scan throughput and parallelizes per-split. Per
+    * row the cost is O(Σn m·n) array work + O(m²) worst-case equality
+    * scans on the sorted n-gram arrays (m = word count; real web docs
+    * are  ≲1e3 words — pathological mega-docs should be length-capped
+    * upstream by the A1.1 word-count rule). Intermediates are staged as
+    * real columns because HOF lambdas re-evaluate captured non-attribute
+    * trees per element (the `shingles` materialization rule below).
+    */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val emptyS = array().cast("array<string>")
+    def ngramsOf(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          j => array_join(slice(ws, j, lit(n)), " "))).otherwise(emptyS)
+
+    val dupNs = GopherDupNgramRules.map(_._1)
+    // stage the arrays the later lambdas capture: __ws, then per n the
+    // n-grams, their sorted twin, and the per-start duplicated? flags
+    val staged = dupNs.foldLeft(df.withColumn("__ws", words(text))) {
+      case (acc, n) => acc.withColumn(s"__g$n", ngramsOf(col("__ws"), n))
+    }
+    val sortedStage = dupNs.foldLeft(staged) { case (acc, n) =>
+      acc.withColumn(s"__s$n", array_sort(col(s"__g$n")))
+    }
+    // duplicated iff the sorted array holds an equal neighbor right of
+    // the FIRST occurrence (array_position) — short-circuit keeps
+    // element_at in bounds under ANSI
+    val dsStage = dupNs.foldLeft(sortedStage) { case (acc, n) =>
+      val s = col(s"__s$n")
+      acc.withColumn(s"__ds$n", transform(col(s"__g$n"), x => {
+        val p = array_position(s, x)
+        (p < size(s)) && (element_at(s, (p + 1).cast("int")) === x)
+      }))
+    }
+    val covStage = dupNs.foldLeft(dsStage) { case (acc, n) =>
+      val ds = col(s"__ds$n")
+      acc.withColumn(s"__cov$n",
+        when(size(col("__ws")) >= n,
+          aggregate(sequence(lit(1), size(col("__ws"))), lit(0L), (a, i) => {
+            val lo = greatest(i - (n - 1), lit(1))
+            val hi = least(i, size(ds))
+            a + when(exists(slice(ds, lo, hi - lo + lit(1)), b => b),
+              length(element_at(col("__ws"), i)).cast("long")).otherwise(lit(0L))
+          })).otherwise(lit(0L)))
+    }
+
+    // most-frequent-n-gram char mass: one pass over the sorted array
+    // tracking (run length, run char mass), best by (count, mass)
+    def topMass(n: Int): Column = {
+      val sorted = array_sort(ngramsOf(col("__ws"), n))
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0).as("run"),
+          lit(0).as("bc"), lit(0L).as("bm")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"),
+            st.getField("run") + 1).otherwise(lit(1))
+          val mass = run.cast("long") * length(x)
+          val better = (run > st.getField("bc")) ||
+            (run === st.getField("bc") && mass > st.getField("bm"))
+          struct(x.as("prev"), run.as("run"),
+            when(better, run).otherwise(st.getField("bc")).as("bc"),
+            when(better, mass).otherwise(st.getField("bm")).as("bm"))
+        },
+        st => st.getField("bm"))
+    }
+
+    val tlen = length(text)
+    val lines = split(text, "\n")
+    val paras = split(text, "\n{2,}")
+    def sumLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x))
+    def dupFrac(arr: Column): Column =
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr)
+    def dupCharFrac(arr: Column): Column =
+      (sumLen(arr) - sumLen(array_distinct(arr))).cast("double") / tlen
+
+    val metrics: Seq[(String, Column, String, Double)] =
+      Seq(("dup_line_frac", dupFrac(lines), "ok_dup_line", 0.30),
+        ("dup_line_cfrac", dupCharFrac(lines), "ok_dup_line_chars", 0.20),
+        ("dup_para_frac", dupFrac(paras), "ok_dup_para", 0.30),
+        ("dup_para_cfrac", dupCharFrac(paras), "ok_dup_para_chars", 0.20)) ++
+      GopherTopNgramRules.map { case (n, th) =>
+        (s"top_${n}gram_cfrac", topMass(n).cast("double") / tlen,
+          s"ok_top_${n}gram", th)
+      } ++
+      GopherDupNgramRules.map { case (n, th) =>
+        (s"dup_${n}gram_cfrac", col(s"__cov$n").cast("double") / tlen,
+          s"ok_dup_${n}gram", th)
+      }
+    covStage.select(col(idCol) +:
+      (metrics.map { case (fn, c, _, _) => c.as(fn) } ++
+        metrics.map { case (_, c, on, th) => (c <= th).as(on) } :+
+        metrics.map { case (_, c, _, th) => c <= th }
+          .reduce(_ && _).as("keep")): _*)
+  }
+
   /** Word n-gram shingles of a MATERIALIZED token-array column (HOF
     * re-evaluation rule: pass `tokens(text)` through a column first). */
   def shingles(toks: Column, n: Int): Column =

@@ -34,6 +34,100 @@ object LlmQueries extends QueryModule {
       |UNION ALL
       |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50""".stripMargin
 
+  /** DuckDB twin of `TextStatsOps.gopherRepetition` over the planted
+    * corpus (see the gopher_repetition QueryDef). Recomputes every
+    * metric by a DIFFERENT algorithm — explode + window counts + a
+    * range cross-join for positional coverage — against Spark's
+    * row-local sorted-run and coverage HOFs; agreement is therefore a
+    * real differential check, not a shared-code echo. Generated from
+    * the same threshold tables so the two sides cannot drift. */
+  private def gopherRepOracle: String = {
+    val tops = TextStatsOps.GopherTopNgramRules.map(_._1)
+    val dups = TextStatsOps.GopherDupNgramRules.map(_._1)
+    val topCtes = tops.map { n =>
+      s"""top$n AS (
+         |  SELECT doc_id, c * length(g) AS mass, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, c * length(g) DESC) AS rn
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM (
+         |      SELECT doc_id, array_to_string(list_slice(ws, j, j + ${n - 1}), ' ') AS g
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - $n + 2)) AS j
+         |            FROM t WHERE len(ws) >= $n))
+         |    GROUP BY doc_id, g))""".stripMargin
+    }
+    val covCtes = dups.map { n =>
+      s"""cov$n AS (
+         |  SELECT cv.doc_id, sum(length(w.word)) AS cc
+         |  FROM (SELECT DISTINCT d.doc_id, d.j + k.k AS wi
+         |        FROM (SELECT doc_id, j FROM (
+         |            SELECT doc_id, j, count(*) OVER (PARTITION BY doc_id, g) AS c
+         |            FROM (SELECT doc_id, j,
+         |                array_to_string(list_slice(ws, j, j + ${n - 1}), ' ') AS g
+         |              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - $n + 2)) AS j
+         |                    FROM t WHERE len(ws) >= $n)))
+         |          WHERE c >= 2) d
+         |        CROSS JOIN (SELECT unnest(range(0, $n)) AS k) k) cv
+         |  JOIN w ON w.doc_id = cv.doc_id AND w.wi = cv.wi
+         |  GROUP BY cv.doc_id)""".stripMargin
+    }
+    val okPairs: Seq[(String, String, Double)] = Seq(
+      ("dup_line_frac", "ok_dup_line", 0.30),
+      ("dup_line_cfrac", "ok_dup_line_chars", 0.20),
+      ("dup_para_frac", "ok_dup_para", 0.30),
+      ("dup_para_cfrac", "ok_dup_para_chars", 0.20)) ++
+      TextStatsOps.GopherTopNgramRules.map { case (n, th) =>
+        (s"top_${n}gram_cfrac", s"ok_top_${n}gram", th) } ++
+      TextStatsOps.GopherDupNgramRules.map { case (n, th) =>
+        (s"dup_${n}gram_cfrac", s"ok_dup_${n}gram", th) }
+    val topSel = tops.map(n =>
+      s"    CAST(coalesce(t$n.mass, 0) AS DOUBLE) / tlen AS top_${n}gram_cfrac,")
+      .mkString("\n")
+    val covSel = dups.map(n =>
+      s"    CAST(coalesce(c$n.cc, 0) AS DOUBLE) / tlen AS dup_${n}gram_cfrac")
+      .mkString(",\n")
+    val topJoin = tops.map(n =>
+      s"  LEFT JOIN (SELECT doc_id, mass FROM top$n WHERE rn = 1) t$n ON t$n.doc_id = t.doc_id")
+      .mkString("\n")
+    val covJoin = dups.map(n =>
+      s"  LEFT JOIN cov$n c$n ON c$n.doc_id = t.doc_id").mkString("\n")
+    val okSel = okPairs.map { case (f, o, th) => s"  $f <= $th AS $o," }
+      .mkString("\n")
+    val keep = okPairs.map { case (f, _, th) => s"$f <= $th" }.mkString(" AND ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN text || chr(10) || text
+       |    WHEN 1 THEN text || chr(10) || chr(10) || text
+       |    WHEN 2 THEN text || ' ' || repeat(array_to_string(list_slice(
+       |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1, 5), ' ') || ' ', 8)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, length(text) AS tlen,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+       |    string_split(text, chr(10)) AS ls,
+       |    regexp_split_to_array(text, '\\n{2,}') AS ps
+       |  FROM corpus),
+       |w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wi FROM t),
+       |${(topCtes ++ covCtes).mkString(",\n")},
+       |m AS (
+       |  SELECT t.doc_id,
+       |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dup_line_frac,
+       |    CAST(list_sum(list_transform(ls, x -> length(x))) -
+       |         list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+       |      / tlen AS dup_line_cfrac,
+       |    CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps) AS dup_para_frac,
+       |    CAST(list_sum(list_transform(ps, x -> length(x))) -
+       |         list_sum(list_transform(list_distinct(ps), x -> length(x))) AS DOUBLE)
+       |      / tlen AS dup_para_cfrac,
+       |$topSel
+       |$covSel
+       |  FROM t
+       |$topJoin
+       |$covJoin)
+       |SELECT doc_id, ${okPairs.map(_._1).mkString(", ")},
+       |$okSel
+       |  $keep AS keep
+       |FROM m""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact_text",
@@ -193,6 +287,35 @@ object LlmQueries extends QueryModule {
              |SELECT *, ok_words AND ok_word_len AND ok_symbol_ratio
              |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
              |FROM f""".stripMargin)),
+
+    // Gopher repetition filters (Rae et al. 2021 appendix A1.2 — the
+    // companion gate to gopher_quality's A1.1): duplicate line/paragraph
+    // fractions, top-{2,3,4}-gram char fraction, duplicated-{5..10}-gram
+    // coverage fraction, each as an exact double plus its audit boolean.
+    // The natural corpus has little repetition, so the query PLANTS it
+    // with engine-parallel string ops: doc_id%5==0 duplicates every line
+    // (text+\n+text), ==1 duplicates every paragraph (text+\n\n+text),
+    // ==2 appends the document's first 5-gram eight times (top/dup
+    // n-gram mass); the rest stay raw, pinning the all-zeros path. Every
+    // fraction is an int/int IEEE division of exactly-summed character
+    // masses, so doubles AND booleans hash-compare bit-exactly. The
+    // DuckDB oracle recomputes all twelve metrics independently
+    // (explode+window, vs Spark's row-local sorted-run/coverage HOFs).
+    QueryDef("gopher_repetition",
+      (s, d) => {
+        val g5 = array_join(
+          slice(TextStatsOps.words(col("text")), 1, 5), " ")
+        val planted = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit("\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(col("text"), lit("\n\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(col("text"), lit(" "), repeat(concat(g5, lit(" ")), 8)))
+          .otherwise(col("text")).as("text"))
+        TextStatsOps.gopherRepetition(planted, "doc_id", "text")
+      },
+      Some(gopherRepOracle)),
 
     // Exact cross-document paragraph dedup with reassembly (the
     // RefinedWeb tier between doc-level exact dedup and substring-span

@@ -400,6 +400,57 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("gopherRepetition: line/para duplicate masses, top-n-gram mass " +
+      "with deterministic ties, dup-n-gram coverage, short-doc guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),                    // repeated line
+      (2L, "pp qq\n\npp qq\n\nrr ss"),          // repeated paragraph
+      (3L, "v w x y z q1 q2 v w x y z q3"),     // repeated 5-gram, far apart
+      (4L, (1 to 60).map(i => s"word$i").mkString(" ")), // clean
+      (5L, "tiny doc")                          // fewer words than most n
+    ).toDF("doc_id", "text")
+    val out = TextStatsOps.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L) // lines [a b, a b, c d]; tlen 11; words [a b a b c d]
+    assert(d1.getAs[Double]("dup_line_frac") == 1.0 / 3)
+    assert(d1.getAs[Double]("dup_line_cfrac") == 3.0 / 11)
+    assert(d1.getAs[Double]("dup_para_frac") == 0.0)
+    assert(d1.getAs[Double]("top_2gram_cfrac") == 6.0 / 11)  // "a b" ×2
+    assert(d1.getAs[Double]("top_3gram_cfrac") == 5.0 / 11)  // unique, max mass
+    assert(d1.getAs[Double]("dup_5gram_cfrac") == 0.0)
+    assert(!d1.getAs[Boolean]("ok_dup_line") &&
+      !d1.getAs[Boolean]("ok_dup_line_chars") &&
+      !d1.getAs[Boolean]("ok_top_2gram") && !d1.getAs[Boolean]("keep"))
+
+    val d2 = out(2L) // paras ×2; lines [pp qq, "", pp qq, "", rr ss]; tlen 19
+    assert(d2.getAs[Double]("dup_para_frac") == 1.0 / 3)
+    assert(d2.getAs[Double]("dup_para_cfrac") == 5.0 / 19)
+    assert(d2.getAs[Double]("dup_line_frac") == 2.0 / 5)
+    assert(d2.getAs[Double]("dup_line_cfrac") == 5.0 / 19)
+    assert(!d2.getAs[Boolean]("ok_dup_para") && !d2.getAs[Boolean]("keep"))
+
+    val d3 = out(3L) // "v w x y z" at words 1-5 and 8-12; tlen 28
+    assert(d3.getAs[Double]("dup_5gram_cfrac") == 10.0 / 28) // 10 covered 1-char words
+    assert(d3.getAs[Double]("dup_6gram_cfrac") == 0.0)       // no repeated 6-gram
+    assert(d3.getAs[Double]("top_4gram_cfrac") == 14.0 / 28) // "v w x y" ×2
+    assert(d3.getAs[Double]("dup_line_frac") == 0.0)
+    assert(!d3.getAs[Boolean]("ok_dup_5gram") && !d3.getAs[Boolean]("keep"))
+
+    val d4 = out(4L)
+    val okCols = TextStatsOps.gopherRepetition(docs, "doc_id", "text")
+      .columns.filter(c => c.startsWith("ok_") || c == "keep")
+    assert(okCols.length == 14)
+    okCols.foreach(c => assert(d4.getAs[Boolean](c), s"doc 4 fails $c"))
+
+    val d5 = out(5L) // 2 words: top2 covers the whole text; n>2 all zero
+    assert(d5.getAs[Double]("top_2gram_cfrac") == 1.0)
+    assert(d5.getAs[Double]("top_3gram_cfrac") == 0.0)
+    assert(d5.getAs[Double]("dup_10gram_cfrac") == 0.0)
+    assert(!d5.getAs[Boolean]("ok_top_2gram"))
+  }
+
   test("paragraphDedup: global first occurrence survives, later copies " +
       "drop, within-doc repeats dedup, empty docs vanish, order kept") {
     import spark.implicits._
