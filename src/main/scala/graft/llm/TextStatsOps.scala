@@ -267,6 +267,59 @@ object TextStatsOps {
           .reduce(_ && _).as("keep")): _*)
   }
 
+  /** C4 boilerplate line phrases (Raffel et al. 2020 §2.2: policy
+    * notices removed at line level). */
+  val C4PolicyPhrases: Seq[String] = Seq("terms of use", "privacy policy",
+    "cookie policy", "uses cookies", "use of cookies", "cookie notice")
+
+  /** One line survives C4 cleaning (Raffel et al. 2020 §2.2): ends in a
+    * terminal punctuation mark, has ≥5 words, and mentions neither
+    * "javascript" nor a policy-notice phrase. */
+  def c4KeepLine(l: Column): Column = {
+    val t = rtrim(l)
+    val low = lower(l)
+    Seq(".", "!", "?", "\"").map(p => t.endsWith(p)).reduce(_ || _) &&
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+      !low.contains("javascript") &&
+      !C4PolicyPhrases.map(p => low.contains(p)).reduce(_ || _)
+  }
+
+  /** C4 page cleaning (Raffel et al. 2020 §2.2 — the other canonical
+    * curation recipe next to the Gopher rules): line-level retention
+    * (`c4KeepLine`) with document reassembly, plus the page-level
+    * drops as audit booleans:
+    *   - ok_lorem:     page does not contain "lorem ipsum"
+    *   - ok_brace:     page does not contain "{" (code leakage)
+    *   - ok_sentences: ≥3 sentences AFTER line cleaning, counting
+    *     terminal marks (./!/?) in the retained text — a deterministic
+    *     proxy for the reference pipeline's sentence splitter (an
+    *     English-trained model we neither ship nor want engine-split
+    *     ambiguity from). The paper's bad-words list is out of scope
+    *     (we ship no word list); compose with `gopherQualityFlags`.
+    * Returns (id, text_clean, n_lines_kept, n_sentences, flags, keep).
+    * Row-local codegen'd expressions — zero shuffle, scan throughput
+    * at 100 TB; empty documents yield text_clean = "" (no NaN paths:
+    * every metric here is a count, not a ratio). */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val kept = filter(split(text, "\n"), l => c4KeepLine(l))
+    val clean = array_join(kept, "\n")
+    def marks(c: Column, m: String): Column =
+      length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(m), ""))
+    val low = lower(text)
+    val okLorem = !low.contains("lorem ipsum")
+    val okBrace = !text.contains("{")
+    val nSent = (marks(clean, ".") + marks(clean, "!") + marks(clean, "?"))
+      .cast("long")
+    df.select(col(idCol), clean.as("text_clean"),
+        size(kept).cast("long").as("n_lines_kept"), nSent.as("n_sentences"),
+        okLorem.as("ok_lorem"), okBrace.as("ok_brace"))
+      .withColumn("ok_sentences", col("n_sentences") >= 3)
+      .withColumn("keep",
+        col("ok_lorem") && col("ok_brace") && col("ok_sentences"))
+  }
+
   /** Word n-gram shingles of a MATERIALIZED token-array column (HOF
     * re-evaluation rule: pass `tokens(text)` through a column first). */
   def shingles(toks: Column, n: Int): Column =

@@ -288,6 +288,84 @@ object LlmQueries extends QueryModule {
              |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
              |FROM f""".stripMargin)),
 
+    // C4 page cleaning (Raffel et al. 2020 §2.2): line-level retention
+    // (terminal punctuation, ≥5 words, no javascript/policy phrases)
+    // with document reassembly, plus the page-level lorem-ipsum /
+    // curly-brace / ≥3-sentences drops as audit booleans. The natural
+    // corpus is one unpunctuated line per document, so the query builds
+    // a multi-line page per doc from its own words with engine-parallel
+    // string ops: a kept two-sentence line, a third sentence that every
+    // doc_id%3==1 page truncates below the 5-word floor (flipping
+    // ok_sentences), a javascript line, an unterminated line, a policy
+    // line on %3==2, and lorem-ipsum / brace tails on %7==0 / %11==0.
+    // The oracle recomputes retention + reassembly + counts in DuckDB;
+    // a drift in ANY line rule changes text_clean and hash-fails.
+    QueryDef("c4_line_clean",
+      (s, d) => {
+        val ws = TextStatsOps.words(col("text"))
+        def j(a: Int, len: Int) = array_join(slice(ws, a, len), " ")
+        def m(k: Int) = pmod(col("doc_id"), lit(k))
+        val lineB = when(m(3) === 1, concat(j(15, 3), lit("?")))
+          .otherwise(concat(j(15, 6), lit("?")))
+        val page = concat(
+          j(1, 8), lit(". "), j(9, 6), lit("!"), lit("\n"),
+          lineB, lit("\n"),
+          lit("javascript "), j(2, 6), lit("."), lit("\n"),
+          j(3, 7),
+          when(m(3) === 2,
+            lit("\nour privacy policy in full detail today.")).otherwise(lit("")),
+          when(m(7) === 0, lit("\nlorem ipsum")).otherwise(lit("")),
+          when(m(11) === 0, lit("\n{")).otherwise(lit("")))
+        TextStatsOps.c4Clean(
+          T.documents(s, d).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+             |  FROM documents),
+             |corpus AS (SELECT doc_id,
+             |    coalesce(array_to_string(list_slice(ws, 1, 8), ' '), '') || '. ' ||
+             |    coalesce(array_to_string(list_slice(ws, 9, 14), ' '), '') || '!' || chr(10) ||
+             |    CASE WHEN doc_id % 3 = 1
+             |      THEN coalesce(array_to_string(list_slice(ws, 15, 17), ' '), '') || '?'
+             |      ELSE coalesce(array_to_string(list_slice(ws, 15, 20), ' '), '') || '?' END || chr(10) ||
+             |    'javascript ' || coalesce(array_to_string(list_slice(ws, 2, 7), ' '), '') || '.' || chr(10) ||
+             |    coalesce(array_to_string(list_slice(ws, 3, 9), ' '), '') ||
+             |    CASE WHEN doc_id % 3 = 2
+             |      THEN chr(10) || 'our privacy policy in full detail today.' ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END ||
+             |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{' ELSE '' END AS text
+             |  FROM src),
+             |c AS (SELECT doc_id, text,
+             |    list_filter(string_split(text, chr(10)), l ->
+             |      (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+             |        OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+             |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 5
+             |      AND NOT contains(lower(l), 'javascript')
+             |      AND NOT (contains(lower(l), 'terms of use')
+             |        OR contains(lower(l), 'privacy policy')
+             |        OR contains(lower(l), 'cookie policy')
+             |        OR contains(lower(l), 'uses cookies')
+             |        OR contains(lower(l), 'use of cookies')
+             |        OR contains(lower(l), 'cookie notice'))) AS kept
+             |  FROM corpus),
+             |k AS (SELECT doc_id, text,
+             |    array_to_string(kept, chr(10)) AS text_clean,
+             |    CAST(len(kept) AS BIGINT) AS n_lines_kept
+             |  FROM c),
+             |m AS (SELECT doc_id, text_clean, n_lines_kept,
+             |    CAST(length(text_clean) - length(replace(text_clean, '.', ''))
+             |      + length(text_clean) - length(replace(text_clean, '!', ''))
+             |      + length(text_clean) - length(replace(text_clean, '?', ''))
+             |      AS BIGINT) AS n_sentences,
+             |    NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+             |    NOT contains(text, '{') AS ok_brace
+             |  FROM k)
+             |SELECT doc_id, text_clean, n_lines_kept, n_sentences,
+             |  ok_lorem, ok_brace, n_sentences >= 3 AS ok_sentences,
+             |  ok_lorem AND ok_brace AND n_sentences >= 3 AS keep
+             |FROM m""".stripMargin)),
+
     // Gopher repetition filters (Rae et al. 2021 appendix A1.2 — the
     // companion gate to gopher_quality's A1.1): duplicate line/paragraph
     // fractions, top-{2,3,4}-gram char fraction, duplicated-{5..10}-gram

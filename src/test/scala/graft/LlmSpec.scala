@@ -451,6 +451,47 @@ class LlmSpec extends SparkSpec {
     assert(!d5.getAs[Boolean]("ok_top_2gram"))
   }
 
+  test("c4Clean: line retention rules, reassembly, sentence proxy, and " +
+      "page-level flags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Keep this line with five words.\nshort one.\n" +
+        "This javascript line has enough words here.\n" +
+        "no terminal punctuation on this line\n" +
+        "Read our privacy policy for more details.\n" +
+        "Another kept sentence ends with a bang!\n" +
+        "A third kept sentence asks a question?"),
+      (2L, "Only two kept sentences survive here.\nAnd this is the second one!"),
+      (3L, "Lorem Ipsum dolor sit amet rides along.\n" +
+        "Second sentence is fine and long.\nThird sentence closes it out."),
+      (4L, "A code block { appears on this page.\n" +
+        "Second sentence is fine and long.\nThird sentence closes it out.")
+    ).toDF("doc_id", "text")
+    val out = TextStatsOps.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getAs[String]("text_clean") ==
+      "Keep this line with five words.\n" +
+      "Another kept sentence ends with a bang!\n" +
+      "A third kept sentence asks a question?")
+    assert(d1.getAs[Long]("n_lines_kept") == 3L)
+    assert(d1.getAs[Long]("n_sentences") == 3L)
+    assert(d1.getAs[Boolean]("keep"))
+
+    val d2 = out(2L) // only 2 sentences after cleaning
+    assert(d2.getAs[Long]("n_sentences") == 2L)
+    assert(!d2.getAs[Boolean]("ok_sentences") && !d2.getAs[Boolean]("keep"))
+
+    val d3 = out(3L) // lorem ipsum page-level drop, case-insensitive
+    assert(!d3.getAs[Boolean]("ok_lorem") && !d3.getAs[Boolean]("keep"))
+    assert(d3.getAs[Boolean]("ok_sentences"))
+
+    val d4 = out(4L) // curly brace page-level drop; brace line also
+    assert(!d4.getAs[Boolean]("ok_brace") && !d4.getAs[Boolean]("keep"))
+    assert(d4.getAs[Long]("n_lines_kept") == 3L) // brace line ends in '.'
+  }
+
   test("paragraphDedup: global first occurrence survives, later copies " +
       "drop, within-doc repeats dedup, empty docs vanish, order kept") {
     import spark.implicits._

@@ -129,6 +129,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r11 Gopher gates stay scan-local; paragraph dedup shuffles " +
+      "exactly twice") {
+    // both Gopher filter families are pure per-row expressions over the
+    // planted corpus — any Exchange is a scale regression
+    for (name <- Seq("gopher_quality", "gopher_repetition", "c4_line_clean")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
+    }
+    // paragraph_dedup: one shuffle for the global first-occurrence
+    // window (by paragraph text), one to regroup by document — never more
+    val p = plan("paragraph_dedup")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"paragraph_dedup should shuffle exactly twice, " +
+      s"got $ex:\n${p.take(3000)}")
+  }
+
   test("ewm_time_halflife (+long variant): one grouped shuffle, " +
       "partitioned windows incl. the per-user day rebase") {
     Seq("ewm_time_halflife", "ewm_time_halflife_long").foreach { q =>
