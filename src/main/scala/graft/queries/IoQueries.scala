@@ -106,6 +106,29 @@ object IoQueries extends QueryModule {
       },
       Some(sliceSql)),
 
+    // to_parquet(partition_cols=) — hive-style partitioned dataset
+    // layout (reference: pandas/io/parquet.py to_parquet's
+    // partition_cols, which delegates to pyarrow write_to_dataset).
+    // THE 100 TB lake primitive: the write fans rows into
+    // l_returnflag=<v>/ directories, and the read back with an equality
+    // filter must prune to ONE directory at PLANNING time — pinned in
+    // PlanAuditSpec via the scan's PartitionFilters (the data files of
+    // the other partitions are never opened, let alone scanned). The
+    // oracle states the same filtered projection from the flat parquet;
+    // value loss in the dir-name encode/decode or a type change on the
+    // partition column (read back via partition discovery, not file
+    // schema) hash-fails.
+    QueryDef("parquet_partitioned_pruned",
+      (s, d) => {
+        val path = s"$scratch/roundtrip_parquet_part"
+        slice(s, d).write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(path)
+        s.read.parquet(path).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate")
+      },
+      Some(sliceSql + " AND l_returnflag = 'R'")),
+
     // read_excel/to_excel (reference: pandas/io/excel.py:300 read_excel,
     // pandas/core/generic.py:9977 to_excel): the same slice through a
     // real .xlsx workbook — JDK zip + StAX, zero added dependencies.

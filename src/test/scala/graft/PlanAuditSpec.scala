@@ -145,6 +145,15 @@ class PlanAuditSpec extends SparkSpec {
       s"got $ex:\n${p.take(3000)}")
   }
 
+  test("parquet_partitioned_pruned: the equality filter prunes at " +
+      "planning time via PartitionFilters") {
+    val p = plan("parquet_partitioned_pruned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no PartitionFilters in plan:\n${p.take(3000)}"))
+    assert(pf.contains("l_returnflag"),
+      s"partition filter not pushed to the directory scan: $pf")
+  }
+
   test("ewm_time_halflife (+long variant): one grouped shuffle, " +
       "partitioned windows incl. the per-user day rebase") {
     Seq("ewm_time_halflife", "ewm_time_halflife_long").foreach { q =>
