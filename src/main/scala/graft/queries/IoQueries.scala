@@ -129,6 +129,38 @@ object IoQueries extends QueryModule {
       },
       Some(sliceSql + " AND l_returnflag = 'R'")),
 
+    // read_csv/to_csv FILE round trip through the hostile dialect
+    // corner (reference: pandas/io/parsers.py read_csv quoting/
+    // doublequote, pandas/core/generic.py to_csv QUOTE_MINIMAL
+    // default): a crafted column embeds the separator, doubled quotes,
+    // AND a newline in every row. Written with escape='"' (the
+    // csv.QUOTE_MINIMAL doublequote dialect pandas speaks), read back
+    // with an explicit schema (read_csv dtype=) and multiLine=true.
+    // The oracle recomputes the crafted column from parquet — a
+    // quoting/escaping bug on either leg corrupts l_note (or shifts
+    // whole rows) and hash-fails. Scale note, stated honestly:
+    // multiLine CSV is NOT splittable (one task per file — embedded
+    // newlines make row starts ambiguous mid-file); the splittable
+    // lake path is the default newline-free CSV of csv_roundtrip's
+    // family. This gate pins the dialect corner, not a lake layout.
+    QueryDef("csv_dialect_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/roundtrip_csv_dialect"
+        val crafted = slice(s, d).withColumn("l_note",
+          concat(lit("a,\"q\" "), col("l_returnflag"), lit("\nL2 "),
+            col("l_orderkey").cast("string")))
+        crafted.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").csv(path)
+        s.read.schema(crafted.schema)
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").csv(path)
+      },
+      Some(sliceSql.replace("FROM lineitem",
+        """,
+          |  'a,"q" ' || l_returnflag || chr(10) || 'L2 ' ||
+          |    CAST(l_orderkey AS VARCHAR) AS l_note
+          |FROM lineitem""".stripMargin))),
+
     // read_excel/to_excel (reference: pandas/io/excel.py:300 read_excel,
     // pandas/core/generic.py:9977 to_excel): the same slice through a
     // real .xlsx workbook — JDK zip + StAX, zero added dependencies.
