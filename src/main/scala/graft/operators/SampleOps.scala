@@ -54,6 +54,30 @@ object SampleOps {
       hashSample(df, df(keyCol), frac, s"$salt:$i")
     }.reduce(_ unionByName _)
 
+  /** Deterministic token-budget corpus draw — the pretraining "fill N
+    * tokens" step: documents are taken in hash-uniform order (hashU32 of
+    * the id, ties broken by id) and the kept set is the maximal prefix
+    * whose inclusive token total stays ≤ `budget`. Hash order makes the
+    * draw uniform over the corpus AND reproducible under reprocessing,
+    * file relayout, or corpus growth (a document already inside the
+    * budget only leaves if new documents hash ahead of it — never
+    * because partitioning changed). md5-derived hash + exact integer
+    * cumsum keep it engine-checkable (sample_token_budget gate).
+    *
+    * Scale shape (100 TB): DistScan.withRunningSums range-buckets by the
+    * hash, runs per-bucket windows, and closes with a ≤buckets-row
+    * prefix-offset pass — one range shuffle, no single-partition window,
+    * no driver-side data loop. */
+  def sampleTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, salt: String = "budget", buckets: Int = 32): DataFrame = {
+    val withH = df.withColumn("__h", hashU32(col(idCol), salt))
+    DistScan.withRunningSums(withH, col("__h"),
+        Seq(col("__h").asc, col(idCol).asc),
+        Seq("__cum" -> col(tokensCol).cast("long")), buckets)
+      .filter(col("__cum") <= budget)
+      .drop("__h", "__cum", DistScan.PidCol)
+  }
+
   /** Weighted sample WITHOUT replacement of n rows. `idCol` must be
     * unique and non-null; rows with weight <= 0 or null are excluded
     * (pandas semantics). */

@@ -432,6 +432,28 @@ object LlmQueries extends QueryModule {
              |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
              |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin)),
 
+    // Deterministic token-budget draw (SampleOps.sampleTokenBudget):
+    // docs in md5-hash order accumulate whitespace-word counts until the
+    // 10k budget fills; the oracle replays the identical hash order and
+    // inclusive window cumsum in DuckDB. Over- OR under-selection by a
+    // single document hash-fails (the cut document's id is part of the
+    // compared set). The registry-wide WindowExec audit covers the
+    // distributed cumsum (per-__pid windows, no single-partition sort).
+    QueryDef("sample_token_budget",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.sampleTokenBudget(docs, "doc_id", "n_tok", budget = 10000L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+             |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
+
     QueryDef("bpe_token_count",
       (s, d) => T.documents(s, d).select(col("doc_id"),
         TextStatsOps.approxBpeTokenCount(col("text")).as("n_bpe")),

@@ -492,6 +492,26 @@ class LlmSpec extends SparkSpec {
     assert(d4.getAs[Long]("n_lines_kept") == 3L) // brace line ends in '.'
   }
 
+  test("sampleTokenBudget: maximal hash-prefix within budget, " +
+      "deterministic, and monotone under corpus growth") {
+    import spark.implicits._
+    import graft.operators.SampleOps
+    val small = (1L to 50L).map(i => (i, 10L)).toDF("doc_id", "n_tok")
+    val kept = SampleOps.sampleTokenBudget(small, "doc_id", "n_tok", 200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 20) // 20 × 10 tokens fill the budget exactly
+    val again = SampleOps.sampleTokenBudget(small, "doc_id", "n_tok", 200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept) // layout/retry determinism
+    // growth: new docs can only push old ones OUT (hash ahead of them),
+    // never pull previously-excluded old docs IN
+    val grown = (1L to 75L).map(i => (i, 10L)).toDF("doc_id", "n_tok")
+    val keptGrown = SampleOps.sampleTokenBudget(grown, "doc_id", "n_tok", 200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptGrown.filter(_ <= 50L).subsetOf(kept),
+      s"growth pulled in previously-excluded docs: ${keptGrown.filter(_ <= 50L) -- kept}")
+  }
+
   test("paragraphDedup: global first occurrence survives, later copies " +
       "drop, within-doc repeats dedup, empty docs vanish, order kept") {
     import spark.implicits._
