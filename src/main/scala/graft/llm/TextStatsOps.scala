@@ -326,17 +326,21 @@ object TextStatsOps {
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
 
-  /** PII scrubbing for training corpora: redact emails and phone-shaped
-    * digit runs (the two patterns every curation pipeline starts with).
-    * Pure regexp_replace — codegen'd, scan-local; patterns deliberately
-    * use only syntax common to Java regex and RE2 so the same strings
-    * drive any engine. */
+  /** PII scrubbing for training corpora: redact emails, phone-shaped
+    * digit runs, and IPv4 addresses (the three patterns every curation
+    * pipeline starts with). Pure regexp_replace — codegen'd, scan-local;
+    * patterns deliberately use only syntax common to Java regex and RE2
+    * so the same strings drive any engine. Phone runs first: its final
+    * group needs 4 digits where an IPv4 octet has at most 3, so the two
+    * patterns cannot claim the same span in either order, but the fixed
+    * order keeps outputs byte-identical across versions. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}|[0-9]{3}[-. ][0-9]{4}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
-      PhoneRe, "<PHONE>")
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
 
   /** Repetition ratio: 1 − distinct/total word n-grams — the standard
     * boilerplate/templating signal in training-data quality filters

@@ -162,23 +162,29 @@ object LlmQueries extends QueryModule {
              |UNION ALL
              |SELECT doc_id, source FROM documents WHERE source <> 'src0'""".stripMargin)),
 
-    // PII redaction: emails + phone-shaped digit runs → placeholders.
-    // The fixture text is synthetic-clean, so PII is injected
-    // deterministically first (same construction in the oracle) — the
-    // redaction is then verified to remove exactly what was planted.
+    // PII redaction: emails + phone-shaped digit runs + IPv4 addresses
+    // → placeholders. The fixture text is synthetic-clean, so PII is
+    // injected deterministically first (same construction in the
+    // oracle) — the redaction is then verified to remove exactly what
+    // was planted.
     QueryDef("pii_redact",
       (s, d) => {
         val planted = concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"))
         T.documents(s, d).select(col("doc_id"),
           TextStatsOps.redactPii(planted).as("clean"))
       },
-      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
              |    text || ' contact user' || doc_id || '@example.com or 555-' ||
-             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |      ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             |      '.0.' || CAST(doc_id % 100 AS VARCHAR),
              |    '${TextStatsOps.EmailRe}', '<EMAIL>', 'g'),
-             |  '${TextStatsOps.PhoneRe}', '<PHONE>', 'g') AS clean
+             |  '${TextStatsOps.PhoneRe}', '<PHONE>', 'g'),
+             |  '${TextStatsOps.IpRe}', '<IP>', 'g') AS clean
              |FROM documents""".stripMargin)),
 
     // Repetition ratio (1 − distinct/total word 3-grams): the standard
