@@ -43,6 +43,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation filters (c4Clean, gopherRepetition) lift to " +
+      "streams unchanged") {
+    import graft.llm.TextStatsOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "Keep this line with five words.\nno punct here\n" +
+        "Another kept sentence lands here fine!\n" +
+        "A third kept sentence asks why?"),
+      (2L, "a b\na b\nc d"),
+      (3L, "v w x y z q1 q2 v w x y z q3"))
+    def c4Key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("text_clean"),
+        r.getAs[Boolean]("keep"))).toSet
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = TextStatsOps.c4Clean(s1.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("c4stream")
+      .outputMode("append").start()
+    try {
+      s1.addData(docs)
+      q1.processAllAvailable()
+      val streamed = c4Key(spark.table("c4stream"))
+      assert(streamed.size == 3)
+      assert(streamed ==
+        c4Key(TextStatsOps.c4Clean(docs.toDF("doc_id", "text"),
+          "doc_id", "text")))
+    } finally q1.stop()
+
+    def repKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("dup_line_frac"),
+        r.getAs[Double]("dup_5gram_cfrac"), r.getAs[Boolean]("keep"))).toSet
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = TextStatsOps.gopherRepetition(s2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("gopherstream")
+      .outputMode("append").start()
+    try {
+      s2.addData(docs)
+      q2.processAllAvailable()
+      assert(repKey(spark.table("gopherstream")) ==
+        repKey(TextStatsOps.gopherRepetition(docs.toDF("doc_id", "text"),
+          "doc_id", "text")))
+    } finally q2.stop()
+  }
+
   test("streaming anchored weekly agg (complete mode) equals batch") {
     implicit val sqlCtx = spark.sqlContext
     // 12-hour steps over 600 events ≈ 43 W-SUN buckets
