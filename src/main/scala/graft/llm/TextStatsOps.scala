@@ -143,11 +143,13 @@ object TextStatsOps {
   /** Gopher repetition filters (Rae et al. 2021, appendix A1.2 — the
     * other half of the Gopher gate next to `gopherQualityFlags`):
     * per-document fractions + audit booleans + the conjunction `keep`.
-    *   - dup_line_frac / dup_para_frac: fraction of lines (split on \n,
-    *     empties kept) / paragraphs (split on \n{2,}) that are repeat
-    *     occurrences of an earlier identical element (count-based:
-    *     occurrences beyond the first, the convention of the public
-    *     reimplementations); thresholds 0.30 / 0.30.
+    *   - dup_line_frac / dup_para_frac: fraction of lines (split on \n)
+    *     / paragraphs (split on \n{2,}) that are repeat occurrences of
+    *     an earlier identical element (count-based: occurrences beyond
+    *     the first); thresholds 0.30 / 0.30. BLANK elements are dropped
+    *     before counting — a clean five-paragraph document would
+    *     otherwise count its four blank separator lines as duplicates
+    *     (4/9 > 0.30) and be rejected for having structure.
     *   - dup_line_cfrac / dup_para_cfrac: characters of those repeat
     *     occurrences over length(text); thresholds 0.20 / 0.20.
     *   - top_{2,3,4}gram_cfrac: chars of the most frequent word n-gram
@@ -170,12 +172,16 @@ object TextStatsOps {
     *
     * Scale shape (100 TB): zero shuffle — every metric is row-local, so
     * the filter runs at scan throughput and parallelizes per-split. Per
-    * row the cost is O(Σn m·n) array work + O(m²) worst-case equality
-    * scans on the sorted n-gram arrays (m = word count; real web docs
-    * are  ≲1e3 words — pathological mega-docs should be length-capped
-    * upstream by the A1.1 word-count rule). Intermediates are staged as
-    * real columns because HOF lambdas re-evaluate captured non-attribute
-    * trees per element (the `shingles` materialization rule below).
+    * row the cost is O(Σn m·(n + log m)): duplicate n-gram detection
+    * sorts (value, position) pairs and marks adjacent equals — no
+    * per-element array scans, so even an A1.1-cap-sized 100k-word
+    * document stays in the tens of millions of comparisons, not 10¹⁰.
+    * Intermediates are staged as real columns because HOF lambdas
+    * re-evaluate captured non-attribute trees per element (the
+    * `shingles` materialization rule below), and every fraction is
+    * projected ONCE before the ok_/keep booleans derive from it
+    * (HOF trees are exempt from Spark's subexpression elimination —
+    * re-stating them per boolean would triple the row cost).
     */
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
@@ -188,22 +194,35 @@ object TextStatsOps {
 
     val dupNs = GopherDupNgramRules.map(_._1)
     // stage the arrays the later lambdas capture: __ws, then per n the
-    // n-grams, their sorted twin, and the per-start duplicated? flags
+    // n-grams, their (value, position)-sorted twin, and per-start flags
     val staged = dupNs.foldLeft(df.withColumn("__ws", words(text))) {
       case (acc, n) => acc.withColumn(s"__g$n", ngramsOf(col("__ws"), n))
     }
-    val sortedStage = dupNs.foldLeft(staged) { case (acc, n) =>
-      acc.withColumn(s"__s$n", array_sort(col(s"__g$n")))
+    val pairStage = dupNs.foldLeft(staged) { case (acc, n) =>
+      val g = col(s"__g$n")
+      acc.withColumn(s"__sp$n",
+        when(size(g) >= 1, array_sort(
+          transform(sequence(lit(1), size(g)),
+            k => struct(element_at(g, k).as("v"), k.as("i")))))
+        .otherwise(array().cast("array<struct<v:string,i:int>>")))
     }
-    // duplicated iff the sorted array holds an equal neighbor right of
-    // the FIRST occurrence (array_position) — short-circuit keeps
-    // element_at in bounds under ANSI
-    val dsStage = dupNs.foldLeft(sortedStage) { case (acc, n) =>
-      val s = col(s"__s$n")
-      acc.withColumn(s"__ds$n", transform(col(s"__g$n"), x => {
-        val p = array_position(s, x)
-        (p < size(s)) && (element_at(s, (p + 1).cast("int")) === x)
-      }))
+    // a start is duplicated iff its sorted neighbor holds the same
+    // value; flags computed in sorted order (O(m) adjacent compares),
+    // then scattered back to original positions by re-sorting on the
+    // index field — O(m log m) total, never a per-element array scan
+    val dsStage = dupNs.foldLeft(pairStage) { case (acc, n) =>
+      val sp = col(s"__sp$n")
+      val m = size(sp)
+      acc.withColumn(s"__ds$n",
+        when(m >= 1, transform(
+          array_sort(transform(sequence(lit(1), m), k => {
+            val v = element_at(sp, k).getField("v")
+            val dup = ((k > 1) && (element_at(sp, k - 1).getField("v") === v)) ||
+              ((k < m) && (element_at(sp, k + 1).getField("v") === v))
+            struct(element_at(sp, k).getField("i").as("i"), dup.as("d"))
+          })),
+          p => p.getField("d")))
+        .otherwise(array().cast("array<boolean>")))
     }
     val covStage = dupNs.foldLeft(dsStage) { case (acc, n) =>
       val ds = col(s"__ds$n")
@@ -238,12 +257,15 @@ object TextStatsOps {
     }
 
     val tlen = length(text)
-    val lines = split(text, "\n")
-    val paras = split(text, "\n{2,}")
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val paras = filter(split(text, "\n{2,}"), p => p =!= "")
     def sumLen(arr: Column): Column =
       aggregate(arr, lit(0L), (a, x) => a + length(x))
+    // all-blank input leaves zero elements: define the fraction as 0
+    // (ANSI would otherwise throw on the 0-denominator divide)
     def dupFrac(arr: Column): Column =
-      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr)
+      when(size(arr) === 0, lit(0.0)).otherwise(
+        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
     def dupCharFrac(arr: Column): Column =
       (sumLen(arr) - sumLen(array_distinct(arr))).cast("double") / tlen
 
@@ -260,11 +282,16 @@ object TextStatsOps {
         (s"dup_${n}gram_cfrac", col(s"__cov$n").cast("double") / tlen,
           s"ok_dup_${n}gram", th)
       }
+    // project each fraction exactly once, then derive the booleans from
+    // the projected attribute (cheap multi-reference; the HOF trees
+    // behind the fractions never re-evaluate)
     covStage.select(col(idCol) +:
-      (metrics.map { case (fn, c, _, _) => c.as(fn) } ++
-        metrics.map { case (_, c, on, th) => (c <= th).as(on) } :+
-        metrics.map { case (_, c, _, th) => c <= th }
-          .reduce(_ && _).as("keep")): _*)
+        metrics.map { case (fn, c, _, _) => c.as(fn) }: _*)
+      .select(col(idCol) +:
+        (metrics.map { case (fn, _, _, _) => col(fn) } ++
+          metrics.map { case (fn, _, on, th) => (col(fn) <= th).as(on) } :+
+          metrics.map { case (fn, _, _, th) => col(fn) <= th }
+            .reduce(_ && _).as("keep")): _*)
   }
 
   /** C4 boilerplate line phrases (Raffel et al. 2020 §2.2: policy
@@ -279,7 +306,7 @@ object TextStatsOps {
     val t = rtrim(l)
     val low = lower(l)
     Seq(".", "!", "?", "\"").map(p => t.endsWith(p)).reduce(_ || _) &&
-      size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+      size(words(l)) >= 5 &&
       !low.contains("javascript") &&
       !C4PolicyPhrases.map(p => low.contains(p)).reduce(_ || _)
   }

@@ -102,18 +102,20 @@ object LlmQueries extends QueryModule {
        |  FROM documents),
        |t AS (SELECT doc_id, length(text) AS tlen,
        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
-       |    string_split(text, chr(10)) AS ls,
-       |    regexp_split_to_array(text, '\\n{2,}') AS ps
+       |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+       |    list_filter(regexp_split_to_array(text, '\\n{2,}'), x -> x <> '') AS ps
        |  FROM corpus),
        |w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wi FROM t),
        |${(topCtes ++ covCtes).mkString(",\n")},
        |m AS (
        |  SELECT t.doc_id,
-       |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dup_line_frac,
+       |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+       |      CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dup_line_frac,
        |    CAST(list_sum(list_transform(ls, x -> length(x))) -
        |         list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
        |      / tlen AS dup_line_cfrac,
-       |    CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps) AS dup_para_frac,
+       |    CASE WHEN len(ps) = 0 THEN 0.0 ELSE
+       |      CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps) END AS dup_para_frac,
        |    CAST(list_sum(list_transform(ps, x -> length(x))) -
        |         list_sum(list_transform(list_distinct(ps), x -> length(x))) AS DOUBLE)
        |      / tlen AS dup_para_cfrac,

@@ -408,7 +408,10 @@ class LlmSpec extends SparkSpec {
       (2L, "pp qq\n\npp qq\n\nrr ss"),          // repeated paragraph
       (3L, "v w x y z q1 q2 v w x y z q3"),     // repeated 5-gram, far apart
       (4L, (1 to 60).map(i => s"word$i").mkString(" ")), // clean
-      (5L, "tiny doc")                          // fewer words than most n
+      (5L, "tiny doc"),                         // fewer words than most n
+      // 5 distinct paragraphs: the 4 blank separator lines must NOT
+      // count as duplicate lines (the structure-rejection regression)
+      (6L, "alpha one\n\nbeta two\n\ngamma three\n\ndelta four\n\nepsilon five")
     ).toDF("doc_id", "text")
     val out = TextStatsOps.gopherRepetition(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -424,10 +427,10 @@ class LlmSpec extends SparkSpec {
       !d1.getAs[Boolean]("ok_dup_line_chars") &&
       !d1.getAs[Boolean]("ok_top_2gram") && !d1.getAs[Boolean]("keep"))
 
-    val d2 = out(2L) // paras ×2; lines [pp qq, "", pp qq, "", rr ss]; tlen 19
+    val d2 = out(2L) // paras ×2; nonblank lines [pp qq, pp qq, rr ss]; tlen 19
     assert(d2.getAs[Double]("dup_para_frac") == 1.0 / 3)
     assert(d2.getAs[Double]("dup_para_cfrac") == 5.0 / 19)
-    assert(d2.getAs[Double]("dup_line_frac") == 2.0 / 5)
+    assert(d2.getAs[Double]("dup_line_frac") == 1.0 / 3) // blanks dropped
     assert(d2.getAs[Double]("dup_line_cfrac") == 5.0 / 19)
     assert(!d2.getAs[Boolean]("ok_dup_para") && !d2.getAs[Boolean]("keep"))
 
@@ -449,6 +452,12 @@ class LlmSpec extends SparkSpec {
     assert(d5.getAs[Double]("top_3gram_cfrac") == 0.0)
     assert(d5.getAs[Double]("dup_10gram_cfrac") == 0.0)
     assert(!d5.getAs[Boolean]("ok_top_2gram"))
+
+    val d6 = out(6L) // clean multi-paragraph structure survives
+    assert(d6.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d6.getAs[Double]("dup_para_frac") == 0.0)
+    assert(d6.getAs[Boolean]("ok_dup_line") &&
+      d6.getAs[Boolean]("ok_dup_line_chars"))
   }
 
   test("c4Clean: line retention rules, reassembly, sentence proxy, and " +
