@@ -143,6 +143,15 @@ class PlanAuditSpec extends SparkSpec {
     val ex = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(ex == 2, s"paragraph_dedup should shuffle exactly twice, " +
       s"got $ex:\n${p.take(3000)}")
+    // sample_token_budget: the distributed cumsum is ONE shuffle — the
+    // DistScan bucket exchange on the deterministic __pid (boundaries
+    // precomputed, so it hash-partitions the bucket id rather than
+    // range-sampling again); the per-bucket window rides it, and a
+    // second exchange means the prefix-offset design regressed
+    val tb = plan("sample_token_budget")
+    assert("Exchange ".r.findAllIn(tb).size == 1 &&
+      tb.contains("Exchange hashpartitioning(__pid"),
+      s"sample_token_budget shuffle shape regressed:\n${tb.take(3000)}")
   }
 
   test("parquet_partitioned_pruned: the equality filter prunes at " +
