@@ -91,6 +91,47 @@ object Bench {
         Seq("q_value"))
     }
 
+    /** Wall-clock witness for the skew-safe paragraph dedup (r11 verdict
+      * task #1): every 10th document is rewritten to one SHARED
+      * boilerplate paragraph plus a unique tail paragraph, so a single
+      * paragraph text recurs in 10% of the corpus — the hot-key shape
+      * that made the r11 window plan ship every copy to one unsplittable
+      * task. The r12 groupBy(min(struct)) plan partial-aggregates the
+      * hot key map-side; this entry times exactly that path. */
+    def paraDedupStressHot(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextDedupOps
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val boiler = "subscribe to our newsletter for updates about new " +
+        "articles terms of use and privacy policy apply to all visitors"
+      val skewed = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit(boiler), lit("\n\n"), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      TextDedupOps.paragraphDedup(skewed, "doc_id", "text")
+    }
+
+    /** Wall-clock witness for the combined curation pipeline (r11
+      * verdict task #6 — the r11 flagship had no standing bench entry):
+      * Gopher quality gate (row-local) → Gopher repetition gate (the
+      * most expensive filter, composed by id semi-join the way a real
+      * pipeline chains frame-level filters) → cross-document paragraph
+      * dedup with reassembly. Filters-then-dedup is the canonical
+      * curation order; everything before the dedup's two shuffles runs
+      * at scan throughput. */
+    def curationStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.{TextDedupOps, TextStatsOps}
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val quality = docs.filter(TextStatsOps.gopherKeep(col("text")))
+      // gopherRepetitionKept, NOT .filter(col("keep")): a raw filter
+      // pushes below the staged metric projections and re-expands the
+      // HOF trees per element (see the gopherRepetition scaladoc — this
+      // exact entry caught it at >800 s CPU per sf0.001 partition)
+      val kept = TextStatsOps.gopherRepetitionKept(quality, "doc_id", "text")
+      TextDedupOps.paragraphDedup(kept, "doc_id", "text")
+    }
+
     /** Wall-clock witness that the stream≡batch claim holds END TO END
       * at bench scale (r10 verdict task #6 — it was spec-only): events
       * are staged into 16 files, replayed through the parquet FILE
@@ -130,6 +171,66 @@ object Bench {
       } else secs
     }
 
+    /** Wall-clock witness for STREAMING dedup (r11 verdict task #8 —
+      * the watermarked-dedup claim was spec-only): every 5th event is
+      * planted as a duplicate copy 30 s later (same event_id and
+      * payload), the corpus is staged time-ordered into 16 range files
+      * and replayed 2 files per trigger (8 genuine micro-batches, so
+      * boundary-straddling duplicate pairs exercise cross-batch state),
+      * then `dropDuplicatesWithinWatermark("event_id")` under a
+      * 10-minute watermark dedups in append mode. The surviving
+      * (event_id, user_id, value) set is diffed against batch
+      * `dropDuplicates` over the same staged data — the copies carry
+      * identical payloads, so ANY row diff is a real streaming-state
+      * bug and reports as -1. ts is excluded from the diff (the batch
+      * pick between two otherwise-identical copies is arbitrary). */
+    def streamDedupWitness(): Double = {
+      import org.apache.spark.sql.functions._
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sdedup-" +
+        ProcessHandle.current().pid()
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "value")
+      val dupes = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 SECONDS"))
+      ev.unionAll(dupes)
+        .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      // FileStreamSource replays in MODIFICATION-TIME order, and the 16
+      // parallel part writers finish in arbitrary ms order — left alone
+      // the ts ranges replay scrambled, the watermark leaps ahead on the
+      // first out-of-order file, and genuinely-early rows get dropped as
+      // late. Stamp mtimes in part order (= range order) so the replay
+      // is what it models: an event-time-ordered historical backfill.
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val dedup = stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val t0 = System.nanoTime()
+      val q = dedup.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_dedup").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cols = Seq(col("event_id"), col("user_id"), col("value"))
+      val streamed = spark.table("graft_stream_dedup").select(cols: _*)
+      // batch twin: the planted copies are payload-identical on the
+      // compared columns, so distinct == dropDuplicates(event_id) here
+      // (and plans as a plain Aggregate — Deduplicate + exceptAll trips
+      // an INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1's planner)
+      val batch = spark.read.parquet(staged).select(cols: _*).distinct()
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_dedup_watermark: $diff rows " +
+          "differ between streaming and batch dedup — reporting -1")
+        -1.0
+      } else secs
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -140,7 +241,9 @@ object Bench {
       names.map(n => n -> (() => queries(n)(spark, sfDir)))
     val stressEntries: Seq[(String, () => DataFrame)] =
       Seq("lsh_stress_capped" -> (() => lshStressCapped()),
-        "asof_stress_hot_key" -> (() => asofStressHotKey()))
+        "asof_stress_hot_key" -> (() => asofStressHotKey()),
+        "para_dedup_stress_hot" -> (() => paraDedupStressHot()),
+        "curation_stress" -> (() => curationStress()))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood
@@ -165,7 +268,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $secs%.2f s")
+      secs
     }
 
     // Warmup: pay one-time session/codegen/JIT/parquet-footer costs
@@ -237,7 +342,8 @@ object Bench {
     // Stress witnesses: single rep each (wall-clock evidence, not a
     // median-quality timing; headline warmup already paid JIT costs).
     val stress = stressEntries.map { case (n, f) => (n, runOnce(n, f)) } :+
-      ("stream_resample_5min" -> streamResampleWitness())
+      ("stream_resample_5min" -> streamResampleWitness()) :+
+      ("stream_dedup_watermark" -> streamDedupWitness())
     val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()

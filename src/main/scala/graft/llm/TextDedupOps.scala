@@ -44,14 +44,21 @@ object TextDedupOps {
     * original order. Documents whose every paragraph appeared earlier
     * elsewhere vanish entirely.
     *
-    * Scale shape (100 TB): two shuffles, both necessary — one
-    * repartition by paragraph text for the global first-occurrence
-    * window (paragraph rows travel once; partitioning by the full text
-    * keeps the claim EXACT rather than fingerprint-probabilistic), one
-    * regroup by document id for reassembly. Never all-pairs, no
-    * driver-side state; hot paragraphs (boilerplate repeated millions
-    * of times) each land on one partition but carry only one row out
-    * of the window filter.
+    * Scale shape (100 TB): two shuffles, both necessary — one hash
+    * aggregation keyed by paragraph text for the global
+    * first-occurrence pick (grouping by the full text keeps the claim
+    * EXACT rather than fingerprint-probabilistic), one regroup by
+    * document id for reassembly. The first-occurrence pick is
+    * `groupBy(para).agg(min(struct(id, pos)))` — NOT a window over a
+    * paragraph-text partition: `min` partial-aggregates, so a hot
+    * boilerplate paragraph repeated 10⁸ times corpus-wide collapses
+    * map-side to one row per map partition before the shuffle
+    * (≤ #map-tasks rows reach the reduce task), where a window would
+    * ship every copy to ONE task that AQE cannot split. The aggregate
+    * output rows ARE the surviving (id, pos, para) occurrences —
+    * struct min orders lexicographically by (id, pos), matching the
+    * window's orderBy — so no join-back is needed. Never all-pairs, no
+    * driver-side state, no unsplittable skew.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
@@ -59,10 +66,11 @@ object TextDedupOps {
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), col("pos"), col("col").as("__para"))
-    val w = Window.partitionBy(col("__para"))
-      .orderBy(col(idCol).asc, col("pos").asc)
-    paras.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    paras
+      .groupBy(col("__para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol),
+        col("__first.pos").as("pos"), col("__para"))
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("__para")))),
@@ -338,6 +346,26 @@ object TextDedupOps {
     }
     graft.operators.DistScan.registerCache(cached)
     cached.drop("__chg")
+  }
+
+  /** Apply near-dup clusters to a corpus — the FINAL step of the dedup
+    * pipeline (candidate pairs → [[connectedComponents]] → this): keep
+    * each cluster's representative (the min-id member — exactly the
+    * `cluster` label connectedComponents assigns), drop every other
+    * member, and pass documents that are in no cluster through
+    * untouched. `clusters` is the (id, cluster) frame from
+    * connectedComponents.
+    *
+    * Scale shape: one anti-join keyed by unique ids (no skew). The
+    * loser side is the corpus's dedup savings — typically a small
+    * fraction — so AQE broadcasts it when it fits and falls back to a
+    * shuffle join when a heavily-duplicated corpus makes it large;
+    * both plans are correct, neither is all-pairs. */
+  def applyClusters(corpus: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over word tokens: per bit, the sign of the sum of

@@ -39,15 +39,102 @@ object TextStatsOps {
     stopwordCount(text, stopwords).cast("double") / tokenCount(text)
 
   val EN_STOPWORDS: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
-  val DE_STOPWORDS: Seq[String] = Seq("der", "die", "und", "das", "ist", "ein")
 
-  /** Stopword-list language ID: argmax of per-language hit counts
-    * (ties → English). The n-gram-profile refinement rides the same
-    * shape: per-language score expressions + greatest(). */
-  def langIdGuess(text: Column): Column = {
-    val en = stopwordCount(text, EN_STOPWORDS)
-    val de = stopwordCount(text, DE_STOPWORDS)
-    when(en >= de, lit("en")).otherwise(lit("de"))
+  /** Character-trigram language-ID class profiles (Cavnar & Trenkle
+    * 1994 "N-Gram-Based Text Categorization" — the textcat/CLD family):
+    * per language, characteristic trigrams over space-padded lowercase
+    * text (spaces carry word-boundary signal: " de" ≠ "de " ≠ "der"),
+    * with descending rank weights. Twelve Latin-script languages,
+    * ALPHABETICAL by code — the order is load-bearing: argmax ties
+    * break toward the earliest profile on both engine sides of the
+    * lang_id gate. Trigram lists are assembled from the well-known
+    * highest-frequency trigrams of each language; they are a compact
+    * class model, not a corpus dump. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "da" -> Seq(" og", "og ", "det", "der", " de", "er ", "en ", "ikk",
+      "kke", " ik", "til", " ti", "ede", "nde", "and", " at", "ret"),
+    "de" -> Seq("der", "die", " di", "und", " un", "ein", " ei", "ich",
+      "sch", "cht", "en ", "ung", "das", "ver", "gen", "nde", " ge"),
+    "en" -> Seq("the", " th", "he ", "ing", "ng ", "and", " an", "ion",
+      " of", "of ", "tio", "ent", " to", "to ", "ed ", "er ", "is "),
+    "es" -> Seq(" de", "de ", " la", "la ", "que", " qu", "ue ", "os ",
+      "ión", "ció", " en", "el ", " el", "es ", "ado", "ent", "los"),
+    "fi" -> Seq("en ", "in ", "ist", "än ", "tä ", "ssa", "ssä", "sta",
+      "lla", "aan", "een", "nen", "itt", "ksi", "uks", " on", "on "),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "que", " qu",
+      "ue ", "ion", "les", " la", "re ", "ons", "ant", "eur", "our"),
+    "it" -> Seq(" di", "di ", "che", " ch", "he ", "la ", "to ", "no ",
+      "re ", "ell", "nte", "one", "zio", "per", " pe", "del", " co"),
+    "nl" -> Seq("en ", "de ", " de", "et ", "an ", "van", " va", "een",
+      " ee", "der", "ijk", "aar", "oor", " he", "het", "ver", "en,"),
+    "pl" -> Seq("ie ", "nie", " ni", "rze", "ego", "ych", " po", "owa",
+      " pr", "prz", "ani", "ch ", "na ", " na", "wie", "ści", "ać "),
+    "pt" -> Seq(" de", "de ", "ão ", "os ", "as ", "que", " qu", "da ",
+      " da", "ent", "com", " co", "ção", "açã", "do ", " do", "ara"),
+    "sv" -> Seq("en ", "et ", "ar ", "för", " fö", "och", " oc", "ch ",
+      "att", " at", "tt ", "det", " de", "som", " so", "ing", "and"),
+    "tr" -> Seq("lar", "ler", "bir", " bi", "ir ", "in ", "an ", "da ",
+      "de ", "ın ", "arı", "eri", "ini", " ka", "yor", "or ", "ası"))
+
+  /** Language codes in profile (tiebreak) order. */
+  val LangCodes: Seq[String] = LangProfiles.map(_._1)
+
+  /** (lang, trigram, weight) rows — weight = rank from the back, so the
+    * most characteristic trigram of an n-trigram profile weighs n. Both
+    * the Spark scorer and the DuckDB oracle derive from THIS list. */
+  val LangProfileRows: Seq[(String, String, Long)] = LangProfiles.flatMap {
+    case (lang, tris) =>
+      val n = tris.size
+      tris.zipWithIndex.map { case (t, i) => (lang, t, (n - i).toLong) }
+  }
+
+  /** trigram → per-language weight vector (LangCodes order): ONE map
+    * lookup per trigram instead of one per (trigram, language). */
+  private lazy val triWeightVec: Map[String, Seq[Long]] = {
+    val byLang = LangProfiles.map { case (l, ts) =>
+      l -> ts.zipWithIndex.map { case (t, i) =>
+        t -> (ts.size - i).toLong }.toMap
+    }.toMap
+    LangProfileRows.map(_._2).distinct.map { t =>
+      t -> LangCodes.map(l => byLang(l).getOrElse(t, 0L))
+    }.toMap
+  }
+
+  /** N-gram-profile language ID over ≥10 languages (replaces the r11
+    * en/de stopword toy): space-pad and lowercase the text, take every
+    * character trigram, sum each language's profile weights over the
+    * trigram stream (occurrences count with multiplicity — a class
+    * model, the CLD shape), and take the argmax; all-zero scores
+    * classify as "und". Ties break toward the alphabetically first
+    * language on BOTH engines (array_position returns the FIRST max;
+    * the oracle orders by score DESC, lang ASC).
+    *
+    * Scale shape: zero shuffle — the profiles ride the plan as map
+    * literals (broadcast with the tasks) and scoring is row-local HOF
+    * arithmetic inside the scan stage. The trigram array and normalized
+    * text are staged as real columns first (HOF lambdas re-evaluate
+    * captured non-attribute subtrees per element).
+    * Returns (idCol, lang, lang_score). */
+  def langId(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val zeros = array(LangCodes.map(_ => lit(0L)): _*)
+    val wmap = typedLit(triWeightVec)
+    val staged = df
+      .withColumn("__lnorm", concat(lit(" "),
+        regexp_replace(lower(col(textCol)), "\\s+", " "), lit(" ")))
+      .withColumn("__ltris", transform(
+        sequence(lit(1), greatest(length(col("__lnorm")) - 2, lit(1))),
+        i => col("__lnorm").substr(i, lit(3))))
+      .withColumn("__lscores", aggregate(col("__ltris"), zeros,
+        (acc, g) => zip_with(acc, coalesce(element_at(wmap, g), zeros),
+          (a, b) => a + b)))
+      .withColumn("__lbest", array_max(col("__lscores")))
+    staged.select(col(idCol),
+      when(col("__lbest") <= 0, lit("und"))
+        .otherwise(element_at(typedLit(LangCodes),
+          array_position(col("__lscores"), col("__lbest")).cast("int")))
+        .as("lang"),
+      greatest(col("__lbest"), lit(0L)).as("lang_score"))
   }
 
   /** Composite quality score in [0,1]: vocabulary richness + length
@@ -181,7 +268,23 @@ object TextStatsOps {
     * `shingles` materialization rule below), and every fraction is
     * projected ONCE before the ok_/keep booleans derive from it
     * (HOF trees are exempt from Spark's subexpression elimination —
-    * re-stating them per boolean would triple the row cost).
+    * re-stating them per boolean would triple the row cost). Memory
+    * shape: each dup-n's staging arrays (~15× text size transiently)
+    * are dropped before the next n's are built, so peak per-row
+    * amplification is one n's staging plus six longs — not six n's
+    * staging at once (an r11 ADVICE finding).
+    *
+    * WARNING — do NOT `.filter` directly on this output's columns:
+    * Catalyst pushes a deterministic predicate below every staging
+    * Project, substituting the full HOF trees into the filter — and
+    * once `__cov` inlines `__ds` inlines `__sp` inlines `__g`, each
+    * aggregate/transform lambda re-evaluates its captured tree PER
+    * ELEMENT, turning the staged O(m log m) row cost into O(m³)-ish
+    * (measured: a single sf0.001 partition burned >800 s CPU). Use
+    * [[gopherRepetitionKept]] to filter a corpus, or funnel your own
+    * predicate through an aggregation barrier first
+    * (`.groupBy(id).agg(max(keep))` — a filter on an aggregate result
+    * cannot be pushed below the Aggregate).
     */
   def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
@@ -193,47 +296,50 @@ object TextStatsOps {
           j => array_join(slice(ws, j, lit(n)), " "))).otherwise(emptyS)
 
     val dupNs = GopherDupNgramRules.map(_._1)
-    // stage the arrays the later lambdas capture: __ws, then per n the
-    // n-grams, their (value, position)-sorted twin, and per-start flags
-    val staged = dupNs.foldLeft(df.withColumn("__ws", words(text))) {
-      case (acc, n) => acc.withColumn(s"__g$n", ngramsOf(col("__ws"), n))
-    }
-    val pairStage = dupNs.foldLeft(staged) { case (acc, n) =>
-      val g = col(s"__g$n")
-      acc.withColumn(s"__sp$n",
-        when(size(g) >= 1, array_sort(
-          transform(sequence(lit(1), size(g)),
-            k => struct(element_at(g, k).as("v"), k.as("i")))))
-        .otherwise(array().cast("array<struct<v:string,i:int>>")))
-    }
-    // a start is duplicated iff its sorted neighbor holds the same
-    // value; flags computed in sorted order (O(m) adjacent compares),
-    // then scattered back to original positions by re-sorting on the
-    // index field — O(m log m) total, never a per-element array scan
-    val dsStage = dupNs.foldLeft(pairStage) { case (acc, n) =>
-      val sp = col(s"__sp$n")
-      val m = size(sp)
-      acc.withColumn(s"__ds$n",
-        when(m >= 1, transform(
-          array_sort(transform(sequence(lit(1), m), k => {
-            val v = element_at(sp, k).getField("v")
-            val dup = ((k > 1) && (element_at(sp, k - 1).getField("v") === v)) ||
-              ((k < m) && (element_at(sp, k + 1).getField("v") === v))
-            struct(element_at(sp, k).getField("i").as("i"), dup.as("d"))
-          })),
-          p => p.getField("d")))
-        .otherwise(array().cast("array<boolean>")))
-    }
-    val covStage = dupNs.foldLeft(dsStage) { case (acc, n) =>
-      val ds = col(s"__ds$n")
-      acc.withColumn(s"__cov$n",
-        when(size(col("__ws")) >= n,
-          aggregate(sequence(lit(1), size(col("__ws"))), lit(0L), (a, i) => {
-            val lo = greatest(i - (n - 1), lit(1))
-            val hi = least(i, size(ds))
-            a + when(exists(slice(ds, lo, hi - lo + lit(1)), b => b),
-              length(element_at(col("__ws"), i)).cast("long")).otherwise(lit(0L))
-          })).otherwise(lit(0L)))
+    // Stage the arrays the later lambdas capture — __ws, then PER n the
+    // n-grams, their (value, position)-sorted twin, and per-start dup
+    // flags — and DROP each n's staging before the next n starts, so
+    // only one n's intermediates are ever live in a row at once: peak
+    // transient row memory is ~3 arrays ≈ 15× text size, not the ~90×
+    // that staging all six n simultaneously would pin at the A1.1
+    // 100k-word cap. (The __cov columns that survive are one long
+    // each.) Dup-flag algorithm: a start is duplicated iff its sorted
+    // neighbor holds the same value; flags computed in sorted order
+    // (O(m) adjacent compares), then scattered back to original
+    // positions by re-sorting on the index field — O(m log m) total,
+    // never a per-element array scan.
+    val covStage = dupNs.foldLeft(df.withColumn("__ws", words(text))) {
+      case (acc, n) =>
+        val g = col("__g")
+        val sp = col("__sp")
+        val m = size(sp)
+        val ds = col("__ds")
+        acc
+          .withColumn("__g", ngramsOf(col("__ws"), n))
+          .withColumn("__sp",
+            when(size(g) >= 1, array_sort(
+              transform(sequence(lit(1), size(g)),
+                k => struct(element_at(g, k).as("v"), k.as("i")))))
+            .otherwise(array().cast("array<struct<v:string,i:int>>")))
+          .withColumn("__ds",
+            when(m >= 1, transform(
+              array_sort(transform(sequence(lit(1), m), k => {
+                val v = element_at(sp, k).getField("v")
+                val dup = ((k > 1) && (element_at(sp, k - 1).getField("v") === v)) ||
+                  ((k < m) && (element_at(sp, k + 1).getField("v") === v))
+                struct(element_at(sp, k).getField("i").as("i"), dup.as("d"))
+              })),
+              p => p.getField("d")))
+            .otherwise(array().cast("array<boolean>")))
+          .withColumn(s"__cov$n",
+            when(size(col("__ws")) >= n,
+              aggregate(sequence(lit(1), size(col("__ws"))), lit(0L), (a, i) => {
+                val lo = greatest(i - (n - 1), lit(1))
+                val hi = least(i, size(ds))
+                a + when(exists(slice(ds, lo, hi - lo + lit(1)), b => b),
+                  length(element_at(col("__ws"), i)).cast("long")).otherwise(lit(0L))
+              })).otherwise(lit(0L)))
+          .drop("__g", "__sp", "__ds")
     }
 
     // most-frequent-n-gram char mass: one pass over the sorted array
@@ -294,6 +400,28 @@ object TextStatsOps {
             .reduce(_ && _).as("keep")): _*)
   }
 
+  /** The corpus rows that SURVIVE the Gopher repetition gate — the
+    * filter companion to [[gopherRepetition]] (which this calls), safe
+    * against the predicate-pushdown blowup documented there: `keep` is
+    * funneled through a `groupBy(id).agg(max(keep))` barrier (a filter
+    * on an aggregate result stays ABOVE the Aggregate, so the staged
+    * metric projections below keep their one-evaluation-per-row shape),
+    * then the kept ids left-semi-join back to the corpus.
+    *
+    * Scale shape: the barrier adds one hash shuffle of (id, boolean)
+    * pairs — partial-aggregated map-side, trivially skew-free since ids
+    * are unique — plus the semi-join's shuffle of the corpus by id (or
+    * a broadcast when the kept-id set is small). At 100 TB that is the
+    * honest price of composing a frame-level filter; row-local callers
+    * that only PROJECT the metrics pay no shuffle at all. */
+  def gopherRepetitionKept(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val keptIds = gopherRepetition(df, idCol, textCol)
+      .groupBy(col(idCol)).agg(max(col("keep")).as("__keep"))
+      .filter(col("__keep")).select(idCol)
+    df.join(keptIds, Seq(idCol), "left_semi")
+  }
+
   /** C4 boilerplate line phrases (Raffel et al. 2020 §2.2: policy
     * notices removed at line level). */
   val C4PolicyPhrases: Seq[String] = Seq("terms of use", "privacy policy",
@@ -321,7 +449,12 @@ object TextStatsOps {
     *     terminal marks (./!/?) in the retained text — a deterministic
     *     proxy for the reference pipeline's sentence splitter (an
     *     English-trained model we neither ship nor want engine-split
-    *     ambiguity from). The paper's bad-words list is out of scope
+    *     ambiguity from). The proxy OVER-counts — decimals ("3.5") and
+    *     abbreviations ("e.g.") each add a mark — so near the 3-mark
+    *     floor it biases toward KEEPING pages: the conservative
+    *     direction for a removal filter (drops stay certain; some
+    *     borderline pages survive to the later gates). The paper's
+    *     bad-words list is out of scope
     *     (we ship no word list); compose with `gopherQualityFlags`.
     * Returns (id, text_clean, n_lines_kept, n_sentences, flags, keep).
     * Row-local codegen'd expressions — zero shuffle, scan throughput
@@ -357,17 +490,50 @@ object TextStatsOps {
     * digit runs, and IPv4 addresses (the three patterns every curation
     * pipeline starts with). Pure regexp_replace — codegen'd, scan-local;
     * patterns deliberately use only syntax common to Java regex and RE2
-    * so the same strings drive any engine. Phone runs first: its final
-    * group needs 4 digits where an IPv4 octet has at most 3, so the two
-    * patterns cannot claim the same span in either order, but the fixed
-    * order keeps outputs byte-identical across versions. */
+    * (DuckDB) so the same pattern strings drive the oracle. RE2 has no
+    * lookarounds, so the boundary guards are CONSUMING capture groups
+    * re-inserted via replacement refs — the one engine divergence is the
+    * replacement syntax ($1 in Java, \1 in RE2), parameterized below.
+    *
+    * r11→r12 tightening (the ADVICE over-match findings):
+    *   - IPv4 octets are range-bounded (0-255) and the quad must sit
+    *     between non-[0-9.] boundaries, so version strings survive
+    *     whole: "1.2.3.4.5" and "10.2.3.400" are no longer partially
+    *     redacted (no dotted-digit run containing them parses as a
+    *     bounded quad from any start).
+    *   - Phone spans must sit between non-digit boundaries, so the
+    *     trailing 8 digits of "1234.5678" no longer match ("." stays a
+    *     legal SEPARATOR: "555.0123" still redacts; a bare decimal like
+    *     "123.4567" is syntactically a phone and still matches — that
+    *     ambiguity is unresolvable by regex and documented here).
+    *   - Because a leading guard CONSUMES one character, back-to-back
+    *     matches ("10.0.0.1 10.0.0.2") leave the even-numbered ones
+    *     unredacted in a single pass; redactPii therefore applies each
+    *     guarded pattern TWICE — survivors of pass one are flanked by
+    *     replaced text, so two passes clear runs of any length.
+    * Phone runs before IP: a valid quad's octets are ≤3 digits while a
+    * phone needs a 4-digit tail, so neither can claim the other's span;
+    * the fixed order keeps outputs byte-identical across versions. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}|[0-9]{3}[-. ][0-9]{4}"
-  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val IpOctet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val IpRe =
+    s"(^|[^0-9.])((?:$IpOctet\\.){3}$IpOctet)([^0-9.]|$$)"
+  val PhoneRe =
+    "(^|[^0-9])([0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}|[0-9]{3}[-. ][0-9]{4})([^0-9]|$)"
 
-  def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
-      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+  /** Replacement strings for a (leading-guard, body, trailing-guard)
+    * triple; `ref` is the engine's group-reference prefix — "$" for
+    * Java/Spark, "\\" for RE2/DuckDB. */
+  def piiReplacement(tag: String, ref: String): String =
+    s"${ref}1<$tag>${ref}3"
+
+  def redactPii(text: Column): Column = {
+    val phone = piiReplacement("PHONE", "$")
+    val ip = piiReplacement("IP", "$")
+    val r1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val r2 = regexp_replace(regexp_replace(r1, PhoneRe, phone), PhoneRe, phone)
+    regexp_replace(regexp_replace(r2, IpRe, ip), IpRe, ip)
+  }
 
   /** Repetition ratio: 1 − distinct/total word n-grams — the standard
     * boilerplate/templating signal in training-data quality filters

@@ -129,6 +129,24 @@ object IoQueries extends QueryModule {
       },
       Some(sliceSql + " AND l_returnflag = 'R'")),
 
+    // Partitioned-ORC twin of the gate above (r11 verdict task 7:
+    // parquet had the pruning pin, ORC read back flat). Same hive
+    // layout, same planning-time contract: the equality filter must
+    // reach the directory scan as a PartitionFilter — pinned in
+    // PlanAuditSpec — so the other partitions' stripes are never
+    // opened. Together with orc_roundtrip this makes ORC a first-class
+    // lake format: type round trip AND pruned partitioned layout.
+    QueryDef("orc_partitioned_pruned",
+      (s, d) => {
+        val path = s"$scratch/roundtrip_orc_part"
+        slice(s, d).write.mode("overwrite")
+          .partitionBy("l_returnflag").orc(path)
+        s.read.orc(path).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate")
+      },
+      Some(sliceSql + " AND l_returnflag = 'R'")),
+
     // read_csv/to_csv FILE round trip through the hostile dialect
     // corner (reference: pandas/io/parsers.py read_csv quoting/
     // doublequote, pandas/core/generic.py to_csv QUOTE_MINIMAL

@@ -23,6 +23,36 @@ object LlmQueries extends QueryModule {
   private def normSql(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** Planted lang_id gate corpus: one natural LOWERCASE sentence per
+    * profiled language, in LangCodes (alphabetical) order — lowercase
+    * keeps `lower()` an identity on both engines (sidestepping any
+    * Unicode case-mapping divergence, e.g. Turkish dotted I). */
+  private[graft] val LangSamples: Seq[(String, String)] = Seq(
+    "da" -> ("det er ikke til at vide hvad der kommer til at ske i morgen " +
+      "og om det bliver godt"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
+      "die katze schaut einfach zu"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and the cat of " +
+      "the house is watching"),
+    "es" -> ("la casa de mi familia que está en el pueblo es muy grande y " +
+      "los árboles dan sombra"),
+    "fi" -> ("tämä on suomenkielinen lause jossa on useita sanoja ja jossa " +
+      "kirjaimet ovat tärkeitä"),
+    "fr" -> ("le chat de la maison que nous avons est très gentil et il " +
+      "mange les souris du jardin"),
+    "it" -> ("la casa di mia madre che si trova in città è molto grande " +
+      "per le persone della zona"),
+    "nl" -> ("de kat van de buren is een heel mooi dier en hij komt vaak " +
+      "naar het huis van ons"),
+    "pl" -> ("nie wiem czy przyjdzie do nas jutro ale mam nadzieję że " +
+      "wszystko będzie dobrze"),
+    "pt" -> ("a casa da minha família que fica no campo é muito grande e " +
+      "a comida de lá é boa"),
+    "sv" -> ("det är en vacker dag och solen skiner över staden för alla " +
+      "människor som är ute"),
+    "tr" -> ("bugün hava çok güzel ve ben parka gitmek istiyorum ama " +
+      "yarın belki olmaz diyorlar"))
+
   /** documents ∪ clones of docs 0-49 (planted exact duplicates). */
   private def augmented(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d).select("doc_id", "text")
@@ -111,13 +141,13 @@ object LlmQueries extends QueryModule {
        |  SELECT t.doc_id,
        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE
        |      CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dup_line_frac,
-       |    CAST(list_sum(list_transform(ls, x -> length(x))) -
-       |         list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+       |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) -
+       |         coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS DOUBLE)
        |      / tlen AS dup_line_cfrac,
        |    CASE WHEN len(ps) = 0 THEN 0.0 ELSE
        |      CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps) END AS dup_para_frac,
-       |    CAST(list_sum(list_transform(ps, x -> length(x))) -
-       |         list_sum(list_transform(list_distinct(ps), x -> length(x))) AS DOUBLE)
+       |    CAST(coalesce(list_sum(list_transform(ps, x -> length(x))), 0) -
+       |         coalesce(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS DOUBLE)
        |      / tlen AS dup_para_cfrac,
        |$topSel
        |$covSel
@@ -168,26 +198,50 @@ object LlmQueries extends QueryModule {
     // → placeholders. The fixture text is synthetic-clean, so PII is
     // injected deterministically first (same construction in the
     // oracle) — the redaction is then verified to remove exactly what
-    // was planted.
+    // was planted. r12 additions (ADVICE/verdict task 4): planted
+    // FALSE-POSITIVE rows that must SURVIVE unredacted — a 5-part
+    // version string and an out-of-range quad (mod 0), a decimal that a
+    // digit-boundary-less phone pattern would eat (mod 1) — and a
+    // back-to-back IP pair (mod 2) that only redacts fully because
+    // redactPii applies the consuming-boundary pattern twice.
     QueryDef("pii_redact",
       (s, d) => {
+        val extra = when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" ver 1.2.3.4.5 build 10.2.3.400"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(" pi is 1234.5678 exactly"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" peers 10.0.0.1 10.0.0.2 up"))
+          .otherwise(lit(""))
         val planted = concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
           lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
-          lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"))
+          lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"), extra)
         T.documents(s, d).select(col("doc_id"),
           TextStatsOps.redactPii(planted).as("clean"))
       },
-      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-             |    text || ' contact user' || doc_id || '@example.com or 555-' ||
-             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-             |      ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
-             |      '.0.' || CAST(doc_id % 100 AS VARCHAR),
-             |    '${TextStatsOps.EmailRe}', '<EMAIL>', 'g'),
-             |  '${TextStatsOps.PhoneRe}', '<PHONE>', 'g'),
-             |  '${TextStatsOps.IpRe}', '<IP>', 'g') AS clean
-             |FROM documents""".stripMargin)),
+      Some {
+        val phoneRepl = TextStatsOps.piiReplacement("PHONE", "\\")
+        val ipRepl = TextStatsOps.piiReplacement("IP", "\\")
+        s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+           |    regexp_replace(regexp_replace(
+           |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+           |      '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+           |      CASE CAST(doc_id % 4 AS INT)
+           |        WHEN 0 THEN ' ver 1.2.3.4.5 build 10.2.3.400'
+           |        WHEN 1 THEN ' pi is 1234.5678 exactly'
+           |        WHEN 2 THEN ' peers 10.0.0.1 10.0.0.2 up'
+           |        ELSE '' END,
+           |    '${TextStatsOps.EmailRe}', '<EMAIL>', 'g'),
+           |  '${TextStatsOps.PhoneRe}', '$phoneRepl', 'g'),
+           |  '${TextStatsOps.PhoneRe}', '$phoneRepl', 'g'),
+           |  '${TextStatsOps.IpRe}', '$ipRepl', 'g'),
+           |  '${TextStatsOps.IpRe}', '$ipRepl', 'g') AS clean
+           |FROM documents""".stripMargin
+      }),
 
     // Repetition ratio (1 − distinct/total word 3-grams): the standard
     // boilerplate signal in pretraining quality filters. Row-local HOF
@@ -222,20 +276,56 @@ object LlmQueries extends QueryModule {
               |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS stop_cnt
               |FROM t""".stripMargin)),
 
+    // Character-trigram language ID over 12 languages (r11 verdict task
+    // 2 — retires the en/de stopword toy). The gate replaces every
+    // document's text with one of 12 planted lowercase sentences (one
+    // per language, by doc_id mod), then classifies with the broadcast
+    // n-gram class profiles. The oracle rebuilds the SAME profile table
+    // from TextStatsOps.LangProfileRows as a VALUES CTE and replays the
+    // scoring by unnest + join + sum + argmax — integer arithmetic on
+    // both sides, so scores AND labels hash-compare exactly. LlmSpec
+    // separately asserts each planted sentence classifies to its TRUE
+    // language (the quality check the oracle replay cannot provide).
     QueryDef("lang_id",
-      (s, d) => T.documents(s, d).select(col("doc_id"),
-        TextStatsOps.stopwordCount(col("text"), TextStatsOps.EN_STOPWORDS).as("en_score"),
-        TextStatsOps.stopwordCount(col("text"), TextStatsOps.DE_STOPWORDS).as("de_score"),
-        TextStatsOps.langIdGuess(col("text")).as("guess")),
-      Some(s"""WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
-              |  FROM documents)
-              |SELECT doc_id,
-              |  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
-              |  len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein'))) AS de_score,
-              |  CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
-              |         >= len(list_filter(w, x -> x IN ('der','die','und','das','ist','ein')))
-              |       THEN 'en' ELSE 'de' END AS guess
-              |FROM t""".stripMargin)),
+      (s, d) => {
+        val planted = T.documents(s, d).select(col("doc_id"),
+          element_at(typedLit(LangSamples.map(_._2)),
+            pmod(col("doc_id"), lit(LangSamples.size)).cast("int") + 1)
+            .as("text"))
+        TextStatsOps.langId(planted, "doc_id", "text")
+      },
+      Some {
+        val profileRows = TextStatsOps.LangProfileRows.map {
+          case (l, t, w) => s"('$l', '${t.replace("'", "''")}', $w)"
+        }.mkString(",\n    ")
+        val sampleCases = LangSamples.zipWithIndex.map {
+          case ((_, s), i) => s"    WHEN $i THEN '${s.replace("'", "''")}'"
+        }.mkString("\n")
+        s"""WITH profiles(lang, tri, w) AS (VALUES
+           |    $profileRows),
+           |docs AS (SELECT doc_id,
+           |    CASE CAST(doc_id % ${LangSamples.size} AS INT)
+           |$sampleCases
+           |    END AS text
+           |  FROM documents),
+           |norm AS (SELECT doc_id,
+           |    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS n
+           |  FROM docs),
+           |tris AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(length(n) - 2, 1) + 1),
+           |    i -> substr(n, CAST(i AS INT), 3))) AS tri
+           |  FROM norm),
+           |sc AS (SELECT t.doc_id, p.lang, sum(p.w) AS score
+           |  FROM tris t JOIN profiles p ON p.tri = t.tri
+           |  GROUP BY t.doc_id, p.lang),
+           |best AS (SELECT doc_id, lang, score, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+           |  FROM sc)
+           |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
+           |  CAST(coalesce(b.score, 0) AS BIGINT) AS lang_score
+           |FROM docs d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           |  ON b.doc_id = d.doc_id""".stripMargin
+      }),
 
     QueryDef("quality_score",
       (s, d) => T.documents(s, d).select(col("doc_id"),
@@ -537,10 +627,8 @@ object LlmQueries extends QueryModule {
         val pairs = TextDedupOps.jaccardPairs(
           T.documents(s, d), "doc_id", "text", 3)
           .filter(col("jaccard") >= 0.8)
-        val losers = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("cluster"))
-          .select(col("id").as("doc_id"))
-        T.documents(s, d).join(losers, Seq("doc_id"), "left_anti")
+        val clusters = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+        TextDedupOps.applyClusters(T.documents(s, d), clusters, "doc_id")
           .select("doc_id", "source")
       },
       Some(s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
@@ -562,6 +650,46 @@ object LlmQueries extends QueryModule {
               |losers AS (SELECT a AS doc_id FROM reach
               |  GROUP BY a HAVING least(a, min(b)) <> a)
               |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
+    // applyClusters as a first-class operator gate (r11 verdict task
+    // 5): pairs → connectedComponents → keep each cluster's min-id
+    // representative, anti-join the rest — over the CLONE-AUGMENTED
+    // corpus, so 50 planted exact-duplicate clusters are guaranteed
+    // present and every +10000 clone must vanish while its original
+    // survives. The oracle replays the whole pipeline with its
+    // recursive-CTE components. (dedup_near_text pins the same shape
+    // inline over the natural corpus; this pins the reusable
+    // TextDedupOps.applyClusters step itself under planted clusters.)
+    QueryDef("dedup_apply_clusters",
+      (s, d) => {
+        val corpus = augmented(s, d)
+        val pairs = TextDedupOps.jaccardPairs(corpus, "doc_id", "text", 3)
+          .filter(col("jaccard") >= 0.8)
+        val clusters = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+        TextDedupOps.applyClusters(corpus, clusters, "doc_id")
+          .select("doc_id")
+      },
+      Some(s"""WITH RECURSIVE corpus AS ($augmentedSql),
+              |docs AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+              |  FROM corpus),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM docs),
+              |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+              |p AS (SELECT id_a, id_b FROM common
+              |  JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+              |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |losers AS (SELECT a AS doc_id FROM reach
+              |  GROUP BY a HAVING least(a, min(b)) <> a)
+              |SELECT doc_id FROM corpus
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
     // MinHash + LSH banding over planted duplicates, PINNED against the

@@ -130,14 +130,97 @@ class LlmSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-12))
   }
 
-  test("quality score stays in [0,1] and language id picks en for en text") {
+  test("quality score stays in [0,1]") {
     val d = Seq((1L, "the quick brown fox and the lazy dog of the hill", 49L))
       .toDF("doc_id", "text", "n_chars")
     val r = d.select(
-      TextStatsOps.qualityScore(col("text"), col("n_chars")).as("q"),
-      TextStatsOps.langIdGuess(col("text")).as("lang")).collect().head
+      TextStatsOps.qualityScore(col("text"), col("n_chars")).as("q"))
+      .collect().head
     assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
-    assert(r.getString(1) == "en")
+  }
+
+  test("gopherRepetitionKept: filters through the aggregation barrier — " +
+      "keep semantics right, no HOF re-expansion into the filter") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda omicron sigma upsilon omega nu xi rho tau phi chi psi " +
+        "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (2L, "same line\nsame line\nsame line\nsame line\nsame line"))
+      .toDF("doc_id", "text")
+    val kept = TextStatsOps.gopherRepetitionKept(docs, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // the keep predicate must sit on the aggregated barrier column;
+    // if it ever inlines into the metric staging projections the
+    // filter line would carry the dup_/cov HOF trees (the >800s CPU
+    // pushdown pathology documented on gopherRepetition)
+    val plan = kept.queryExecution.executedPlan.toString
+    val filterLines = plan.linesIterator
+      .filter(_.trim.startsWith("+- Filter") ).toSeq ++
+      plan.linesIterator.filter(_.trim.startsWith("Filter")).toSeq
+    assert(filterLines.exists(_.contains("__keep")), plan.take(3000))
+    assert(!filterLines.exists(_.contains("dup_")), plan.take(3000))
+  }
+
+  test("langId: profiles are well-formed (alphabetical, 12+ languages, " +
+      "trigram-clean)") {
+    val codes = TextStatsOps.LangCodes
+    assert(codes.size >= 10, s"need >=10 languages, got ${codes.size}")
+    assert(codes == codes.sorted, "profiles must be alphabetical (the " +
+      "argmax tiebreak order on both engine sides)")
+    assert(codes.distinct == codes)
+    TextStatsOps.LangProfiles.foreach { case (l, tris) =>
+      assert(tris.forall(_.length == 3), s"$l has a non-trigram entry")
+      assert(tris.distinct == tris, s"$l has duplicate trigrams (the " +
+        "oracle VALUES join would double-count what the map lookup sees once)")
+    }
+  }
+
+  test("langId: every planted sample sentence classifies to its true " +
+      "language; gibberish is und") {
+    val samples = graft.queries.LlmQueries.LangSamples
+    assert(samples.map(_._1) == TextStatsOps.LangCodes)
+    val df = samples.zipWithIndex
+      .map { case ((lang, s), i) => (i.toLong, lang, s) }
+      .toDF("doc_id", "expect", "text")
+    val got = TextStatsOps.langId(df, "doc_id", "text")
+      .join(df.select("doc_id", "expect"), Seq("doc_id"))
+      .select("expect", "lang", "lang_score").collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"sample for ${r.getString(0)} classified as ${r.getString(1)} " +
+          s"(score ${r.getLong(2)})")
+    }
+    val und = TextStatsOps.langId(
+      Seq((1L, "zzqx vvkw jjpy xxbb")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(und.getString(1) == "und" && und.getLong(2) == 0L)
+  }
+
+  test("redactPii: true PII redacts; version strings, decimals and " +
+      "out-of-range quads survive; adjacent IPs both redact") {
+    val cases = Seq(
+      ("mail me at jo.doe+x@site-a.org now", "mail me at <EMAIL> now"),
+      ("call 555-0123 or 555.123.4567 today",
+        "call <PHONE> or <PHONE> today"),
+      ("host 192.168.0.1 responded", "host <IP> responded"),
+      ("edge 0.0.0.0 and 255.255.255.255 ok", "edge <IP> and <IP> ok"),
+      // boundary-consuming guard + double pass: back-to-back IPs
+      ("peers 10.0.0.1 10.0.0.2 10.0.0.3 10.0.0.4 up",
+        "peers <IP> <IP> <IP> <IP> up"),
+      ("ip at end 8.8.8.8", "ip at end <IP>"),
+      // planted FALSE POSITIVES — must survive byte-identical
+      ("ver 1.2.3.4.5 shipped", "ver 1.2.3.4.5 shipped"),
+      ("build 10.2.3.400 is out", "build 10.2.3.400 is out"),
+      ("pi is 1234.5678 exactly", "pi is 1234.5678 exactly"),
+      ("sum 123456789 unchanged", "sum 123456789 unchanged"))
+    val df = cases.zipWithIndex.map { case ((in, want), i) =>
+      (i.toLong, in, want) }.toDF("id", "in", "want")
+    df.select(TextStatsOps.redactPii(col("in")).as("got"), col("want"),
+        col("in")).collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(2)}' -> '${r.getString(0)}', want '${r.getString(1)}'")
+    }
   }
 
   test("multimodal frame sampling and resize keep plumbing exact") {

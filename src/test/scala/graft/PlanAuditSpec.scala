@@ -138,11 +138,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
     }
     // paragraph_dedup: one shuffle for the global first-occurrence
-    // window (by paragraph text), one to regroup by document — never more
+    // hash agg (keyed by paragraph text, partial-aggregated map-side so
+    // hot boilerplate keys collapse before the wire), one to regroup by
+    // document — never more, and NEVER a window over a raw-text
+    // partition (r11's skew hazard: WindowExec can't partial-aggregate,
+    // so a 10⁸-copy paragraph lands whole on one unsplittable task)
     val p = plan("paragraph_dedup")
     val ex = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(ex == 2, s"paragraph_dedup should shuffle exactly twice, " +
       s"got $ex:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"paragraph_dedup regressed to a window plan:\n${p.take(3000)}")
+    // the skew guard is the map-side partial min (SortAggregate — struct
+    // buffers aren't hash-agg mutable; partial_min is what matters)
+    assert(p.contains("partial_min"),
+      s"paragraph_dedup lost partial aggregation (skew guard):\n${p.take(3000)}")
     // sample_token_budget: the distributed cumsum is ONE shuffle — the
     // DistScan bucket exchange on the deterministic __pid (boundaries
     // precomputed, so it hash-partitions the bucket id rather than
@@ -154,13 +164,15 @@ class PlanAuditSpec extends SparkSpec {
       s"sample_token_budget shuffle shape regressed:\n${tb.take(3000)}")
   }
 
-  test("parquet_partitioned_pruned: the equality filter prunes at " +
-      "planning time via PartitionFilters") {
-    val p = plan("parquet_partitioned_pruned")
-    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
-      fail(s"no PartitionFilters in plan:\n${p.take(3000)}"))
-    assert(pf.contains("l_returnflag"),
-      s"partition filter not pushed to the directory scan: $pf")
+  test("parquet_partitioned_pruned + orc_partitioned_pruned: the " +
+      "equality filter prunes at planning time via PartitionFilters") {
+    for (name <- Seq("parquet_partitioned_pruned", "orc_partitioned_pruned")) {
+      val p = plan(name)
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+        fail(s"$name: no PartitionFilters in plan:\n${p.take(3000)}"))
+      assert(pf.contains("l_returnflag"),
+        s"$name: partition filter not pushed to the directory scan: $pf")
+    }
   }
 
   test("ewm_time_halflife (+long variant): one grouped shuffle, " +
