@@ -146,10 +146,77 @@ object TextStatsOps {
 
   /** BPE-ish sub-token count: whitespace tokens + an extra unit per 4
     * chars of long tokens (a cheap deterministic proxy for tokenizer
-    * budget accounting). */
+    * budget accounting; see [[bpeTokenCount]] for the real
+    * merge-table algorithm). */
   def approxBpeTokenCount(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(ceil(length(t) / 4.0), lit(1L)))
+
+  /** Demo BPE merge table in RANK order (highest priority first) — in
+    * production the caller supplies their tokenizer's learned merges;
+    * this compact table exercises the algorithm's essential behaviors
+    * (multi-level merges like t+h→th→the, merges whose RESULT feeds an
+    * EARLIER-rank rule) and drives the bpe_token_count gate on both
+    * engine sides. The (th,e) rule deliberately OUTRANKS (t,h): "the"
+    * only reaches 1 token by re-scanning for lower-rank pairs after
+    * every merge — a rank-order-once implementation stops at 2 tokens,
+    * so the gate distinguishes the real fixpoint loop from the
+    * shortcut. */
+  val BpeDemoMerges: Seq[(String, String)] = Seq(
+    "th" -> "e", "t" -> "h", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n",
+    "o" -> "r", "e" -> "s", "s" -> "t", "in" -> "g", "o" -> "u",
+    "a" -> "r", "o" -> "f", "i" -> "s", "i" -> "t", "a" -> "l",
+    "e" -> "d", "c" -> "o", "t" -> "o", "l" -> "e")
+
+  /** (search, replacement) strings for a merge list: the tokenizer
+    * state is the word's symbols space-joined with a leading/trailing
+    * space (symbols come from whitespace-split words, so they can never
+    * contain the space delimiter), and merging pair (a,b) is the exact
+    * non-overlapping left-to-right string replace " a b " → " ab " —
+    * semantics both Java's String.replace and DuckDB's replace()
+    * implement identically. */
+  def bpeMergePatterns(merges: Seq[(String, String)]): Seq[(String, String)] =
+    merges.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+
+  /** REAL byte-pair-encoding token count (replaces the length/4 proxy
+    * as the gate algorithm): per word, start from characters and
+    * repeatedly apply the LOWEST-RANK merge whose pair is adjacent
+    * somewhere in the word (merging every non-overlapping occurrence
+    * left-to-right), until no rule applies — the standard GPT-2-family
+    * tokenizer loop, which rank-order-once application does NOT equal
+    * (a later merge can create an earlier rule's pair). Token count =
+    * surviving symbols, summed over the document's words.
+    *
+    * Scale shape: row-local HOF arithmetic, zero shuffle — the merge
+    * table rides the plan as an array literal (broadcast with tasks).
+    * Per word the step count is bounded by len−1 (every applied merge
+    * removes ≥1 symbol), each step scanning the M rules with a
+    * contains() — O(M·len²) worst case on short word strings. The
+    * budget sampler takes any count column, so feeding
+    * `sampleTokenBudget` real-BPE counts instead of the proxy is just
+    * passing this column. */
+  def bpeTokenCount(text: Column,
+      merges: Seq[(String, String)] = BpeDemoMerges): Column = {
+    val rules = typedLit(bpeMergePatterns(merges))
+    val perWord = (w: Column) => {
+      val init = concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), " "), lit(" "))
+      aggregate(
+        sequence(lit(1), greatest(length(w) - 1, lit(1))),
+        init,
+        (st, _) => {
+          val applicable = filter(rules, r => contains(st, r.getField("_1")))
+          when(size(applicable) > 0,
+            replace(st, element_at(applicable, 1).getField("_1"),
+              element_at(applicable, 1).getField("_2")))
+            .otherwise(st)
+        },
+        st => size(split(trim(st), " ")).cast("long"))
+    }
+    aggregate(transform(words(text), perWord), lit(0L), (a, b) => a + b)
+  }
 
   /** Raw whitespace words (no lowercasing/punct-stripping): the Gopher
     * rules are defined over surface words, unlike `tokens` which rides

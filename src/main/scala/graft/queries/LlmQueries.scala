@@ -552,16 +552,56 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
 
+    // REAL merge-table BPE (r11 verdict task 3 — retires the length/4
+    // proxy as the gate algorithm): per word, iteratively apply the
+    // lowest-rank adjacent-pair merge until fixpoint (the GPT-2-family
+    // loop; TextStatsOps.bpeTokenCount), demo merge table shared from
+    // TextStatsOps.BpeDemoMerges. The oracle replays the SAME loop in a
+    // recursive CTE over the DISTINCT word set: state = space-joined
+    // symbols, one step = replace() of the best-rank pattern (both
+    // engines' replace is exact-string, non-overlapping, left-to-right),
+    // finished words are those where no pattern applies; per-doc counts
+    // re-join word multiplicities. LlmSpec pins known word→count
+    // vectors including a merge whose result feeds an earlier rule.
     QueryDef("bpe_token_count",
       (s, d) => T.documents(s, d).select(col("doc_id"),
-        TextStatsOps.approxBpeTokenCount(col("text")).as("n_bpe")),
-      // CAST the sum itself: DuckDB sum(BIGINT) returns HUGEINT (int128),
-      // which the driver's hasher renders differently from Spark's int64
-      // even when values are equal — the r2 hash mismatch on this query.
-      Some(s"""SELECT doc_id, CAST(sum(CAST(greatest(ceil(length(t) / 4.0), 1) AS BIGINT)) AS BIGINT) AS n_bpe
-              |FROM (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS t
-              |      FROM documents)
-              |GROUP BY doc_id""".stripMargin)),
+        TextStatsOps.bpeTokenCount(col("text")).as("n_bpe")),
+      Some {
+        val mergeRows = TextStatsOps
+          .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+          .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+          .mkString(",\n    ")
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+           |    $mergeRows),
+           |wl AS (SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |uw AS (SELECT DISTINCT word FROM wl),
+           |init AS (SELECT word, ' ' || array_to_string(
+           |    list_transform(range(1, length(word) + 1),
+           |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+           |  FROM uw),
+           |rec AS (
+           |  SELECT word, state FROM init
+           |  UNION ALL
+           |  SELECT x.word, replace(x.state, m.pat, m.rep)
+           |  FROM (SELECT r.word, r.state,
+           |      (SELECT min(m2.rank) FROM merges m2
+           |       WHERE contains(r.state, m2.pat)) AS br
+           |    FROM rec r) x
+           |  JOIN merges m ON m.rank = x.br),
+           |fin AS (SELECT word, state FROM rec r
+           |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+           |                    WHERE contains(r.state, m.pat))),
+           |cnt AS (SELECT word,
+           |    CAST(len(string_split(trim(state), ' ')) AS BIGINT) AS n
+           |  FROM fin)
+           |SELECT d.doc_id, CAST(coalesce(s.n_bpe, 0) AS BIGINT) AS n_bpe
+           |FROM documents d
+           |LEFT JOIN (SELECT wl.doc_id, CAST(sum(c.n) AS BIGINT) AS n_bpe
+           |           FROM wl JOIN cnt c USING (word)
+           |           GROUP BY wl.doc_id) s ON s.doc_id = d.doc_id""".stripMargin
+      }),
 
     // Scalable n-gram Jaccard: explode + join on shingle — never an
     // all-pairs cross join.

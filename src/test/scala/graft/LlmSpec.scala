@@ -162,6 +162,30 @@ class LlmSpec extends SparkSpec {
     assert(!filterLines.exists(_.contains("dup_")), plan.take(3000))
   }
 
+  test("bpeTokenCount: known word→count vectors; backward-feeding merge " +
+      "pins the fixpoint loop against rank-order-once") {
+    val cases = Seq(
+      // (th,e) outranks (t,h): only a re-scan after t+h finds it —
+      // rank-order-once would leave "the" at 2 tokens, the loop gets 1
+      ("the", 1L),
+      ("thing", 2L),   // th | ing (t+h, i+n, in+g)
+      ("and", 1L),     // a+n then an+d
+      ("another", 4L), // an | o | th | er
+      ("xthe", 2L),    // x | the
+      ("zzz", 3L),     // no rule applies
+      ("a", 1L),
+      ("the thing and another", 8L), // per-word counts sum
+      ("", 0L))        // no words at all
+    val df = cases.zipWithIndex.map { case ((w, want), i) =>
+      (i.toLong, w, want) }.toDF("id", "text", "want")
+    df.select(col("text"), col("want"),
+        TextStatsOps.bpeTokenCount(col("text")).as("got"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) == r.getLong(1),
+          s"'${r.getString(0)}' -> ${r.getLong(2)}, want ${r.getLong(1)}")
+      }
+  }
+
   test("langId: profiles are well-formed (alphabetical, 12+ languages, " +
       "trigram-clean)") {
     val codes = TextStatsOps.LangCodes
