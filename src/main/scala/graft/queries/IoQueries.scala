@@ -309,6 +309,49 @@ object IoQueries extends QueryModule {
              |  l_returnflag AS flag, l_shipdate AS sdate
              |FROM lineitem WHERE l_orderkey < 1000""".stripMargin)),
 
+    // read_sas(format='sas7bdat') — the native SAS dataset format, the
+    // one §2.1 source a real SAS shop hits that r11 still lacked
+    // (read-only, uncompressed pages; SasBdatIo). The input is a REAL
+    // SAS-written file (the reference's own productsales fixture:
+    // 1440 rows of strings + truncated-width numerics + a MONNAME date
+    // column), so this is an interop gate, not a self-roundtrip. The
+    // compared row is a panel of aggregates whose constants were stated
+    // ONCE from the independent reader of record — any offset, width,
+    // truncated-double, trimming, or 1960-epoch bug moves a sum, a
+    // distinct count, a char mass, or a date bound and hash-fails.
+    // Cell-level fidelity across 4 fixtures (incl. the 100-column
+    // missing-values one and the epoch-extremes datetime one) is pinned
+    // in SasBdatSpec against committed golden dumps.
+    QueryDef("sas7bdat_read",
+      (s, d) => {
+        val df = graft.sources.SasBdatIo.read(s,
+          "/root/reference/pandas/tests/io/sas/data/productsales.sas7bdat",
+          splitBytes = 32768)
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("ACTUAL")).cast("long").as("actual_sum"),
+          sum(col("PREDICT")).cast("long").as("predict_sum"),
+          countDistinct(col("COUNTRY")).as("n_countries"),
+          countDistinct(col("REGION")).as("n_regions"),
+          countDistinct(col("PRODUCT")).as("n_products"),
+          sum(length(col("PRODUCT"))).cast("long").as("prod_chars"),
+          sum(col("QUARTER")).cast("long").as("quarter_sum"),
+          sum(col("YEAR")).cast("long").as("year_sum"),
+          min(col("MONTH")).as("month_min"),
+          max(col("MONTH")).as("month_max"))
+      },
+      Some("""SELECT CAST(1440 AS BIGINT) AS n_rows,
+             |  CAST(730337 AS BIGINT) AS actual_sum,
+             |  CAST(706295 AS BIGINT) AS predict_sum,
+             |  CAST(3 AS BIGINT) AS n_countries,
+             |  CAST(2 AS BIGINT) AS n_regions,
+             |  CAST(5 AS BIGINT) AS n_products,
+             |  CAST(6048 AS BIGINT) AS prod_chars,
+             |  CAST(3600 AS BIGINT) AS quarter_sum,
+             |  CAST(2870640 AS BIGINT) AS year_sum,
+             |  CAST('1993-01-01' AS DATE) AS month_min,
+             |  CAST('1994-12-01' AS DATE) AS month_max""".stripMargin)),
+
     // REAL image decode gate: per-document PNG payloads with dimensions
     // derived from doc_id are produced by the real PNG encoder, decoded
     // by the real ImageIO reader (width/height/channels), resized
