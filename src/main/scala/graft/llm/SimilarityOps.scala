@@ -253,4 +253,27 @@ object SimilarityOps {
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")
   }
+
+  /** Semantic deduplication over an embedding column (the SemDeDup
+    * recipe — Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication": drop documents whose
+    * EMBEDDINGS nearly coincide, keeping one representative per
+    * near-duplicate group — the tier that catches paraphrases and
+    * re-renderings that text-level MinHash misses). Composition of the
+    * primitives this module and TextDedupOps already ship:
+    * sign-sketch-bucketed cosine pairs at ≥ minCosine (never
+    * all-pairs), connected components (min-label propagation), then
+    * [[graft.llm.TextDedupOps.applyClusters]] keeps each cluster's
+    * min-id member. Returns the SURVIVING corpus rows unchanged.
+    *
+    * Scale shape: inherits the bucket-bounded pair join (hot buckets
+    * are the caller's bits-tuning concern; at 100 TB prefer more bits
+    * or the IVF cells as buckets), the O(diameter) label rounds, and
+    * one anti-join — no stage is quadratic in the corpus. */
+  def semanticDedup(corpus: DataFrame, cId: String, bits: Int,
+      minCosine: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(corpus, cId, bits, minCosine)
+    val clusters = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+    TextDedupOps.applyClusters(corpus, clusters, cId)
+  }
 }

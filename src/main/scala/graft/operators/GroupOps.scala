@@ -72,4 +72,57 @@ object GroupOps {
       .agg(max(col("__o")).as("open"), max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"), max(col("__c")).as("close"))
   }
+
+  /** groupby(...).head(n) by explicit order (reference:
+    * pandas/core/groupby/groupby.py GroupBy.head — positional there;
+    * a distributed frame has no ambient row order, so the caller names
+    * the LONG order column, which must be unique within each key for
+    * exact semantics — ids are). Keeps each key's n smallest
+    * `orderCol` rows, all columns intact.
+    *
+    * Scale shape — the skew-safe top-N: one hash aggregation with the
+    * bounded [[graft.functions.BoundedMinList]] buffer (state capped at
+    * n, so map-side partial aggregation collapses hot keys exactly like
+    * min() — NOT a row_number window, which would ship every row of a
+    * hot key to one unsplittable task; this is the per-domain document
+    * cap of a 100 TB curation pipeline), then one left-semi join of the
+    * corpus against the exploded winners on (keys, orderCol). */
+  def headPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      n: Int): DataFrame = {
+    val topAgg = udaf(new graft.functions.BoundedMinList(n))
+    val fresh = keys.map(k => s"__w_$k")
+    val winners = df
+      .groupBy(keys.map(col): _*)
+      .agg(topAgg(col(orderCol).cast("long")).as("__top"))
+      .select(keys.map(col) :+ explode(col("__top")).as("__ord"): _*)
+      .toDF(fresh :+ "__ord": _*)
+    df.join(winners,
+      keys.zip(fresh).map { case (k, f) => col(k) <=> col(f) }
+        .reduce(_ && _) &&
+        col(orderCol).cast("long") === col("__ord"),
+      "left_semi")
+  }
+
+  /** groupby(...).nth(k) by explicit order (reference: GroupBy.nth):
+    * each key's k-th row, 0-indexed — keys with fewer than k+1 rows
+    * drop, matching the reference. Same bounded-buffer aggregation as
+    * [[headPerKey]], with the k-th element read straight out of the
+    * aggregate before the semi-join back for the full rows. */
+  def nthPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      k: Int): DataFrame = {
+    val topAgg = udaf(new graft.functions.BoundedMinList(k + 1))
+    val fresh = keys.map(kc => s"__w_$kc")
+    val winners = df
+      .groupBy(keys.map(col): _*)
+      .agg(topAgg(col(orderCol).cast("long")).as("__top"))
+      .filter(size(col("__top")) === k + 1)
+      .select(keys.map(col) :+
+        element_at(col("__top"), k + 1).as("__ord"): _*)
+      .toDF(fresh :+ "__ord": _*)
+    df.join(winners,
+      keys.zip(fresh).map { case (kc, f) => col(kc) <=> col(f) }
+        .reduce(_ && _) &&
+        col(orderCol).cast("long") === col("__ord"),
+      "left_semi")
+  }
 }

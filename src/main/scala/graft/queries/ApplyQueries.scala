@@ -291,6 +291,54 @@ object ApplyQueries extends QueryModule {
              |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS score
              |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, round(score, 6) AS score
-             |FROM s WHERE score >= 0.4""".stripMargin))
+             |FROM s WHERE score >= 0.4""".stripMargin)),
+
+    // SemDeDup end-to-end (Abbas et al. 2023; SimilarityOps
+    // .semanticDedup): sign-bucketed cosine pairs → connected
+    // components → keep min-id per cluster. Vectors 0-49 get planted
+    // clones at vec_id+10000 scaled by 1.5 — scaling changes NEITHER
+    // the sign bucket NOR the cosine (still 1.0), so every clone is
+    // guaranteed to cluster with its original and must vanish while
+    // the original survives; the natural ≥0.4 in-bucket pairs dedup
+    // too. The oracle replays the whole pipeline: same axis-aligned
+    // sign sketch, same double cosine (sequential dot product on both
+    // engines — the embedding_near_dup gate pins that equality), and
+    // the recursive-CTE components.
+    QueryDef("semantic_dedup",
+      (s, d) => {
+        val base = T.embeddings(s, d).select(col("vec_id"),
+          SimilarityOps.toDoubleArr(col("embedding")).as("embedding"))
+        val planted = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
+        SimilarityOps.semanticDedup(base.unionByName(planted), "vec_id",
+          bits = 6, minCosine = 0.4).select("vec_id")
+      },
+      Some {
+        val bucketSql = (0 until 6).map(i =>
+          s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH RECURSIVE c AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000,
+           |    list_transform(embedding::DOUBLE[], x -> x * 1.5)
+           |  FROM embeddings WHERE vec_id < 50),
+           |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM c),
+           |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+           |  FROM b a JOIN b b2
+           |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           |  WHERE list_dot_product(a.e, b2.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) *
+           |     sqrt(list_dot_product(b2.e, b2.e))) >= 0.4),
+           |e AS (SELECT id_a AS a, id_b AS b FROM p
+           |      UNION SELECT id_b, id_a FROM p),
+           |reach(a, b) AS (SELECT a, b FROM e
+           |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+           |losers AS (SELECT a AS vec_id FROM reach
+           |  GROUP BY a HAVING least(a, min(b)) <> a)
+           |SELECT vec_id FROM c
+           |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
+      })
   )
 }

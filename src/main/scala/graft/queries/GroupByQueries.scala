@@ -19,6 +19,33 @@ object GroupByQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // groupby.head(n) by explicit order (GroupOps.headPerKey): each
+    // user's 5 smallest event_ids, ALL rows kept intact. The engine
+    // side is the skew-safe bounded-buffer aggregate (state capped at
+    // n, partial-aggregated map-side — never a per-key window); the
+    // oracle recomputes with the window row_number a single-node engine
+    // can afford. PlanAuditSpec pins the no-window plan shape.
+    QueryDef("group_head_n",
+      (s, d) => GroupOps.headPerKey(
+        T.events(s, d), Seq("user_id"), "event_id", 5)
+        .select("user_id", "event_id"),
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn <= 5""".stripMargin)),
+
+    // groupby.nth(k) by explicit order (GroupOps.nthPerKey): each
+    // user's 3rd-smallest event (0-indexed k=2); users with fewer than
+    // 3 events drop, matching the reference's nth semantics.
+    QueryDef("group_nth",
+      (s, d) => GroupOps.nthPerKey(
+        T.events(s, d), Seq("user_id"), "event_id", 2)
+        .select("user_id", "event_id"),
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn = 3""".stripMargin)),
+
     // groupby str.cat / string_agg: order pinned by sorting the
     // collected values (equal elements interchangeable → deterministic).
     QueryDef("groupby_str_cat",

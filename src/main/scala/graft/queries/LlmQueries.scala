@@ -692,6 +692,42 @@ object LlmQueries extends QueryModule {
               |SELECT doc_id, source FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // Per-DOMAIN document cap — the Common-Crawl-style curation step
+    // between URL parsing and content filters: planted URLs give every
+    // 10th document one HOT host (10% of the corpus — the
+    // boilerplate-site shape) and the rest spread over 37 site hosts;
+    // Spark's parse_url extracts the host and GroupOps.headPerKey keeps
+    // each host's 3 lowest doc_ids via the bounded-buffer aggregate
+    // (the hot host partial-aggregates map-side — a row_number window
+    // here would be the r11 paragraph-dedup skew hazard all over
+    // again). The oracle re-derives the host with regexp and replays
+    // the cap with its window.
+    QueryDef("domain_cap_url",
+      (s, d) => {
+        import graft.operators.GroupOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(10)) === 0, lit("hot.example.com"))
+              .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(37)),
+                lit(".example.com"))),
+            lit("/p/"), col("doc_id"), lit("?utm=x")).as("url"))
+        val withHost = docs.withColumn("host",
+          parse_url(col("url"), lit("HOST")))
+        GroupOps.headPerKey(withHost, Seq("host"), "doc_id", 3)
+          .select("doc_id", "host")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    'https://' || CASE WHEN doc_id % 10 = 0 THEN 'hot.example.com'
+             |      ELSE 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' END ||
+             |      '/p/' || doc_id || '?utm=x' AS url
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    regexp_extract(url, 'https://([^/]+)/', 1) AS host FROM u)
+             |SELECT doc_id, host FROM (
+             |  SELECT doc_id, host, row_number() OVER (
+             |    PARTITION BY host ORDER BY doc_id) AS rn
+             |  FROM h) WHERE rn <= 3""".stripMargin)),
+
     // applyClusters as a first-class operator gate (r11 verdict task
     // 5): pairs → connectedComponents → keep each cluster's min-id
     // representative, anti-join the rest — over the CLONE-AUGMENTED

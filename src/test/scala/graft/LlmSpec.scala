@@ -162,6 +162,56 @@ class LlmSpec extends SparkSpec {
     assert(!filterLines.exists(_.contains("dup_")), plan.take(3000))
   }
 
+  test("BoundedMinList: buffer caps at n through reduce and merge, " +
+      "stays sorted, rejects above-max fast") {
+    val agg = new graft.functions.BoundedMinList(3)
+    val b = Seq(5L, 1L, 9L, 1L, 7L, 0L).foldLeft(agg.zero)(agg.reduce)
+    assert(b.toSeq == Seq(0L, 1L, 1L))
+    val m = agg.merge(
+      Seq(2L, 4L, 8L).toArray, Seq(1L, 3L, 9L).toArray)
+    assert(m.toSeq == Seq(1L, 2L, 3L))
+    assert(agg.merge(agg.zero, Seq(7L).toArray).toSeq == Seq(7L))
+    assert(agg.reduce(Seq(1L, 2L, 3L).toArray, 99L).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("headPerKey/nthPerKey: equal to the window definition on a " +
+      "hot-key frame; no Window in the plan") {
+    import graft.operators.GroupOps
+    import org.apache.spark.sql.expressions.Window
+    // 50% of rows on one hot key, ids unique
+    val df = (0L until 2000L).map(i =>
+      (if (i % 2 == 0) 0L else i % 7, i, s"p$i"))
+      .toDF("key", "id", "payload")
+    val head = GroupOps.headPerKey(df, Seq("key"), "id", 4)
+    val w = Window.partitionBy(col("key")).orderBy(col("id"))
+    val expect = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 4).drop("__rn")
+    assert(head.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(head).count() == 0)
+    val nth = GroupOps.nthPerKey(df, Seq("key"), "id", 2)
+    val expectNth = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 3).drop("__rn")
+    assert(nth.exceptAll(expectNth).count() == 0 &&
+      expectNth.exceptAll(nth).count() == 0)
+    // the scale claim: the operator's own plan must not contain a
+    // window — the bounded aggregate partial-aggregates hot keys
+    assert(!head.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("semanticDedup: scaled clone drops, orthogonal same-bucket and " +
+      "other-bucket vectors survive") {
+    import graft.llm.SimilarityOps
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),   // representative
+      (1L, Array(2.0, 0.0)),   // scaled clone: same bucket, cosine 1 → drops
+      (2L, Array(0.0, 1.0)),   // same sign bucket, cosine 0 → survives
+      (3L, Array(-1.0, 0.1))). // different bucket → survives
+      toDF("vec_id", "embedding")
+    val kept = SimilarityOps.semanticDedup(vecs, "vec_id",
+      bits = 2, minCosine = 0.9)
+    assert(kept.select("vec_id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+  }
+
   test("bpeTokenCount: known word→count vectors; backward-feeding merge " +
       "pins the fixpoint loop against rank-order-once") {
     val cases = Seq(

@@ -164,6 +164,20 @@ class PlanAuditSpec extends SparkSpec {
       s"sample_token_budget shuffle shape regressed:\n${tb.take(3000)}")
   }
 
+  test("r12 skew-safe top-N (group_head_n / group_nth / domain_cap_url): " +
+      "bounded-buffer aggregate, never a per-key window") {
+    for (name <- Seq("group_head_n", "group_nth", "domain_cap_url")) {
+      val p = plan(name)
+      // a row_number window here would ship every row of a hot key
+      // (10% of domain_cap_url's corpus shares one host) to one task
+      assert(!p.contains("Window"),
+        s"$name regressed to a window plan:\n${p.take(2500)}")
+      // partial + final aggregate pair = map-side combine is in place
+      assert("Aggregate".r.findAllIn(p).size >= 2 && p.contains("partial"),
+        s"$name lost partial aggregation:\n${p.take(2500)}")
+    }
+  }
+
   test("parquet_partitioned_pruned + orc_partitioned_pruned: the " +
       "equality filter prunes at planning time via PartitionFilters") {
     for (name <- Seq("parquet_partitioned_pruned", "orc_partitioned_pruned")) {
