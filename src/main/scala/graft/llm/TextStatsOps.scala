@@ -218,6 +218,43 @@ object TextStatsOps {
     aggregate(transform(words(text), perWord), lit(0L), (a, b) => a + b)
   }
 
+  /** Demo weight table for [[hashedClassifierLogit]] — in production
+    * the caller supplies their TRAINED weights (fastText-style quality
+    * classifiers are the CCNet/FineWeb gate between heuristic filters
+    * and dedup); this procedurally-generated table exercises the
+    * scoring machinery and drives the quality_classifier gate, with
+    * the SAME integer formula replayed in the oracle's CTE. */
+  def demoClassifierWeights(buckets: Int = 64): Seq[Long] =
+    (0 until buckets).map(i => (i * 2654435761L) % 1000 - 500)
+
+  /** Linear text classifier over HASHED bag-of-words features (the
+    * fastText shape — Joulin et al. 2016, "Bag of Tricks for Efficient
+    * Text Classification" — as used for pretraining quality filtering
+    * in CCNet and FineWeb): each word hashes to one of
+    * `weights.size` buckets, and the document logit is the SUM of its
+    * words' bucket weights. Weights are integer MILLI-units and the
+    * logit stays a BIGINT, so the score is exact and summation-order-
+    * free — no float accumulation, no engine-divergent exp(); callers
+    * wanting a probability apply sigmoid downstream, and `keep` is
+    * just logit > 0 (sigmoid > 0.5), which never needs the sigmoid.
+    *
+    * The word→bucket hash is md5-prefix arithmetic (the deterministic-
+    * sampling idiom, engine-portable) rather than xxhash64, so any SQL
+    * engine can replay the features. Scale shape: zero shuffle —
+    * weights ride the plan as an array literal, scoring is row-local
+    * HOF arithmetic at scan throughput. */
+  def hashedClassifierLogit(text: Column, weights: Seq[Long]): Column = {
+    val wlit = typedLit(weights)
+    val n = weights.size
+    aggregate(
+      transform(words(text), w => {
+        val bucket = pmod(conv(substring(md5(w), 1, 8), 16, 10)
+          .cast("long"), lit(n))
+        element_at(wlit, bucket.cast("int") + 1)
+      }),
+      lit(0L), (a, b) => a + b)
+  }
+
   /** Raw whitespace words (no lowercasing/punct-stripping): the Gopher
     * rules are defined over surface words, unlike `tokens` which rides
     * the dedup normalizer. Empty fragments from leading/trailing/double

@@ -692,6 +692,38 @@ object LlmQueries extends QueryModule {
               |SELECT doc_id, source FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // fastText-shape hashed linear quality classifier (Joulin et al.
+    // 2016; the CCNet/FineWeb model-based quality gate next to the
+    // heuristic Gopher/C4 filters). Integer milli-weights keep the
+    // logit a BIGINT — exact, summation-order-free, no engine-divergent
+    // exp — and keep = logit > 0 is sigmoid > 0.5 without the sigmoid.
+    // The oracle rebuilds the same weight table from the same integer
+    // formula and replays the md5-prefix feature hash per word.
+    QueryDef("quality_classifier",
+      (s, d) => {
+        val w = TextStatsOps.demoClassifierWeights(64)
+        T.documents(s, d).select(col("doc_id"),
+            size(TextStatsOps.words(col("text"))).cast("long").as("n_words"),
+            TextStatsOps.hashedClassifierLogit(col("text"), w)
+              .as("logit_milli"))
+          .withColumn("keep", col("logit_milli") > 0)
+      },
+      Some("""WITH wt AS (SELECT i, (i * 2654435761) % 1000 - 500 AS w
+             |  FROM range(0, 64) t(i)),
+             |wl AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM wl),
+             |sc AS (SELECT f.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_milli
+             |  FROM f JOIN wt ON wt.i = f.b GROUP BY f.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             |  CAST(coalesce(sc.logit_milli, 0) AS BIGINT) AS logit_milli,
+             |  coalesce(sc.logit_milli, 0) > 0 AS keep
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin)),
+
     // Per-DOMAIN document cap — the Common-Crawl-style curation step
     // between URL parsing and content filters: planted URLs give every
     // 10th document one HOT host (10% of the corpus — the

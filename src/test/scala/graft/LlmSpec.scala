@@ -198,6 +198,28 @@ class LlmSpec extends SparkSpec {
     assert(!head.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("hashedClassifierLogit: matches an independent JDK-MD5 replay " +
+      "of the feature hash and weight formula") {
+    val w = TextStatsOps.demoClassifierWeights(64)
+    def expectedLogit(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.split("\\s+").filter(_.nonEmpty).map { word =>
+        val hex = md.digest(word.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        w((java.lang.Long.parseLong(hex, 16) % 64).toInt)
+      }.sum
+    }
+    val texts = Seq("the quick brown fox", "a", "", "der große Bär läuft")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextStatsOps.hashedClassifierLogit(col("text"), w).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expectedLogit(t), s"'$t'")
+    }
+  }
+
   test("semanticDedup: scaled clone drops, orthogonal same-bucket and " +
       "other-bucket vectors survive") {
     import graft.llm.SimilarityOps

@@ -98,7 +98,8 @@ class PlanAuditSpec extends SparkSpec {
     // appearing in any of them is a regression at any scale.
     for (name <- Seq("repetition_ratio", "pii_redact", "lang_id",
         "quality_score", "bpe_token_count", "doc_fingerprint",
-        "hash_sample_split", "str_wrap", "wide_to_long")) {
+        "hash_sample_split", "str_wrap", "wide_to_long",
+        "quality_classifier")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
     }
