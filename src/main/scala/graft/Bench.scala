@@ -231,6 +231,61 @@ object Bench {
       } else secs
     }
 
+    /** Wall-clock witness for STATEFUL SESSION WINDOWS under a
+      * watermark — the third streaming claim next to the aggregation
+      * (stream_resample_5min) and dedup (stream_dedup_watermark)
+      * witnesses: per-user 30-minute-gap sessions over the events
+      * table, streamed in APPEND mode through 8 micro-batches of the
+      * mtime-ordered file replay. Append emits a session only once the
+      * watermark passes its end (last event + gap), so the comparable
+      * set is sessions closed by the FINAL watermark — the batch twin
+      * computes the same session_window aggregate and filters to
+      * session end ≤ max(ts) − delay. Any row diff is a real
+      * session-state bug and reports as -1. */
+    def streamSessionWitness(): Double = {
+      import org.apache.spark.sql.functions._
+      import graft.queries.Q
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-ssess-" +
+        ProcessHandle.current().pid()
+      val ev = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val sess = stream.withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"), col("sum_value"))
+      val t0 = System.nanoTime()
+      val q = sess.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_session").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.table("graft_stream_session")
+      val batchSrc = spark.read.parquet(staged)
+      val hi = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(hi.getTime - 10 * 60 * 1000L)
+      val batch = batchSrc
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"), col("sum_value"))
+        .filter(col("e") <= lit(cutoff))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_session_window: $diff rows " +
+          "differ between streaming and batch sessions — reporting -1")
+        -1.0
+      } else secs
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -343,7 +398,8 @@ object Bench {
     // median-quality timing; headline warmup already paid JIT costs).
     val stress = stressEntries.map { case (n, f) => (n, runOnce(n, f)) } :+
       ("stream_resample_5min" -> streamResampleWitness()) :+
-      ("stream_dedup_watermark" -> streamDedupWitness())
+      ("stream_dedup_watermark" -> streamDedupWitness()) :+
+      ("stream_session_window" -> streamSessionWitness())
     val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
