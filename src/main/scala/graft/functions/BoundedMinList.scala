@@ -12,11 +12,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * WindowExec cannot partial-aggregate). This Aggregator's reduce and
   * merge both cap the state at n, so map-side partial aggregation
   * collapses a 10⁸-row domain to n values per map partition before the
-  * shuffle — the same plan shape that makes min() skew-immune, paid at
-  * O(log n) per row (binary-search insert into a sorted buffer).
+  * shuffle — the same plan shape that makes min() skew-immune.
   *
-  * The buffer is a sorted ascending Array[Long]; inputs beyond the
-  * current maximum of a full buffer are rejected in O(1).
+  * The buffer is a sorted ascending Array[Long]. Cost shape: once the
+  * buffer holds n values, any input ≥ its maximum is rejected in O(1)
+  * — on random input order only O(n·(1 + ln(rows/n))) rows are ever
+  * accepted, so the steady-state per-row cost is the rejection check.
+  * An ACCEPTED insert pays a binary search plus an O(n) copy into a
+  * fresh array (Aggregator buffers round-trip through the encoder, so
+  * in-place mutation buys nothing); worst case (descending input)
+  * that is O(n) per row — fine at head-cap sizes, but don't use this
+  * as a full per-key sort.
   */
 class BoundedMinList(n: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {

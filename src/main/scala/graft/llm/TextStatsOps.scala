@@ -120,8 +120,11 @@ object TextStatsOps {
     val zeros = array(LangCodes.map(_ => lit(0L)): _*)
     val wmap = typedLit(triWeightVec)
     val staged = df
+      // coalesce: NULL text must classify as 'und' like empty text, not
+      // propagate NULL through the scorer into a NULL lang
       .withColumn("__lnorm", concat(lit(" "),
-        regexp_replace(lower(col(textCol)), "\\s+", " "), lit(" ")))
+        regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " "),
+        lit(" ")))
       .withColumn("__ltris", transform(
         sequence(lit(1), greatest(length(col("__lnorm")) - 2, lit(1))),
         i => col("__lnorm").substr(i, lit(3))))

@@ -87,11 +87,25 @@ object GroupOps {
     * hot key to one unsplittable task; this is the per-domain document
     * cap of a 100 TB curation pipeline), then one left-semi join of the
     * corpus against the exploded winners on (keys, orderCol). */
+  /** Fail-fast preconditions shared by headPerKey/nthPerKey: the order
+    * column must be an integral type (a double would collapse distinct
+    * values under the long cast and silently over-return through the
+    * semi-join), and NULL order values cannot rank — they are excluded
+    * from the winner computation, so null-ordered rows never return. */
+  private def integralOrder(df: DataFrame, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"headPerKey/nthPerKey need an integral order column; " +
+        s"'$orderCol' is $dt (rank doubles/strings via a derived id)")
+    df.filter(col(orderCol).isNotNull)
+  }
+
   def headPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       n: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(n))
     val fresh = keys.map(k => s"__w_$k")
-    val winners = df
+    val winners = integralOrder(df, orderCol)
       .groupBy(keys.map(col): _*)
       .agg(topAgg(col(orderCol).cast("long")).as("__top"))
       .select(keys.map(col) :+ explode(col("__top")).as("__ord"): _*)
@@ -112,7 +126,7 @@ object GroupOps {
       k: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(k + 1))
     val fresh = keys.map(kc => s"__w_$kc")
-    val winners = df
+    val winners = integralOrder(df, orderCol)
       .groupBy(keys.map(col): _*)
       .agg(topAgg(col(orderCol).cast("long")).as("__top"))
       .filter(size(col("__top")) === k + 1)

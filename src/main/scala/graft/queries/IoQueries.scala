@@ -324,8 +324,15 @@ object IoQueries extends QueryModule {
     // in SasBdatSpec against committed golden dumps.
     QueryDef("sas7bdat_read",
       (s, d) => {
-        val df = graft.sources.SasBdatIo.read(s,
-          "/root/reference/pandas/tests/io/sas/data/productsales.sas7bdat",
+        // environment-coupled input (the one gate that reads a REAL
+        // SAS-written file rather than generated tables): fail with a
+        // clear message if the fixture tree isn't mounted — Verify's
+        // per-query catch keeps that from poisoning the rest of the run
+        val fixture =
+          "/root/reference/pandas/tests/io/sas/data/productsales.sas7bdat"
+        require(new java.io.File(fixture).isFile,
+          s"sas7bdat interop fixture not found: $fixture")
+        val df = graft.sources.SasBdatIo.read(s, fixture,
           splitBytes = 32768)
         df.agg(
           count(lit(1)).as("n_rows"),

@@ -172,7 +172,10 @@ object SasBdatIo {
             require(comp == 0 || comp == 1,
               s"page $pi subheader $si is compressed (comp=$comp): " +
                 "only uncompressed sas7bdat is supported")
-            if (sLen > 0) {
+            // comp==1 marks a TRUNCATED pointer (the reference parser
+            // skips them): its stale offset bytes can alias a real
+            // signature, so parsing it would corrupt the metadata
+            if (comp != 1 && sLen > 0) {
               val o = sOff.toInt
               val sig = i32(page, o).toLong & 0xffffffffL
               sig match {
@@ -346,12 +349,21 @@ object SasBdatIo {
       StructField(c.name, sparkTypeOf(c), nullable = true)))
 
     val targetBytes = math.min(math.max(1L, splitBytes), 1L << 30)
-    val pagesPer = math.max(1L, targetBytes / math.max(1, meta.pageSize))
-    val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
+    // Per-FILE metadata: only the column layout must agree across a
+    // directory — page size, header length, row counts, and the
+    // 32/64-bit layout legitimately differ file to file (BUFSIZE is a
+    // per-dataset SAS option), so every file decodes with ITS OWN meta,
+    // broadcast as a map keyed by path.
+    val metas: Map[String, BdatMeta] = files.map { f =>
       val m = if (f == files.head) meta
         else parseMeta(() => fs.open(new Path(f)))
       require(m.columns == meta.columns,
         s"$f: schema differs from ${files.head}")
+      f -> m
+    }.toMap
+    val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
+      val m = metas(f)
+      val pagesPer = math.max(1L, targetBytes / math.max(1, m.pageSize))
       (0L until m.pageCount by pagesPer).map(s =>
         (f, s, math.min(pagesPer, m.pageCount - s)))
     }
@@ -359,11 +371,11 @@ object SasBdatIo {
       spark.sparkContext.emptyRDD[Row], schema)
 
     val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
-    val bMeta = spark.sparkContext.broadcast(meta)
+    val bMetas = spark.sparkContext.broadcast(metas)
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
       .flatMap { case (f, pageStart, nPages) =>
-        val m = bMeta.value
+        val m = bMetas.value(f)
         val fp = new Path(f)
         val fsx = fp.getFileSystem(bConf.value.value)
         val in = fsx.open(fp)

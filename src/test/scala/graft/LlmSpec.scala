@@ -196,6 +196,18 @@ class LlmSpec extends SparkSpec {
     // the scale claim: the operator's own plan must not contain a
     // window — the bounded aggregate partial-aggregates hot keys
     assert(!head.queryExecution.executedPlan.toString.contains("Window"))
+    // null order values cannot rank: the row is excluded, not crashed on
+    val withNull = df.unionAll(Seq((0L, null.asInstanceOf[java.lang.Long],
+      "pnull")).toDF("key", "id", "payload"))
+    val headN = GroupOps.headPerKey(withNull, Seq("key"), "id", 4)
+    assert(headN.filter(col("payload") === "pnull").count() == 0)
+    assert(headN.exceptAll(expect).count() == 0)
+    // non-integral order columns fail fast, not silently over-return
+    val e = intercept[IllegalArgumentException] {
+      GroupOps.headPerKey(df.withColumn("d", col("id") / 2.0),
+        Seq("key"), "d", 4)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("hashedClassifierLogit: matches an independent JDK-MD5 replay " +
@@ -291,6 +303,11 @@ class LlmSpec extends SparkSpec {
       Seq((1L, "zzqx vvkw jjpy xxbb")).toDF("doc_id", "text"),
       "doc_id", "text").collect().head
     assert(und.getString(1) == "und" && und.getLong(2) == 0L)
+    // NULL text classifies 'und' like empty text — never a NULL lang
+    val nul = TextStatsOps.langId(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(nul.getString(1) == "und" && nul.getLong(2) == 0L)
   }
 
   test("redactPii: true PII redacts; version strings, decimals and " +

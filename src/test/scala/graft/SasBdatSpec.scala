@@ -37,6 +37,20 @@ class SasBdatSpec extends SparkSpec {
     }
   }
 
+  test("sas7bdat: directory read decodes each file with ITS OWN " +
+      "metadata and unions rows") {
+    assume(haveFixtures)
+    val dir = java.nio.file.Files.createTempDirectory("sasdir")
+    for (n <- Seq("a", "b")) java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$fixtureDir/cars.sas7bdat"),
+      dir.resolve(s"$n.sas7bdat"))
+    val df = SasBdatIo.read(spark, dir.toString, splitBytes = 8192)
+    assert(df.count() == 2 * 392)
+    // the union is two exact copies of the single-file read
+    val one = SasBdatIo.read(spark, s"$fixtureDir/cars.sas7bdat")
+    assert(df.exceptAll(one.unionAll(one)).count() == 0)
+  }
+
   test("sas7bdat: metadata — names, widths, types, formats, labels") {
     assume(haveFixtures)
     val m = SasBdatIo.parseMeta(() => {
