@@ -359,6 +359,52 @@ object IoQueries extends QueryModule {
              |  CAST('1993-01-01' AS DATE) AS month_min,
              |  CAST('1994-12-01' AS DATE) AS month_max""".stripMargin)),
 
+    // sas7bdat codec matrix gate: the SAME aggregates computed from one
+    // RLE (SASYZCRL), one RDC (SASYZCR2), and one big-endian 64-bit RLE
+    // file — three REAL SAS-written fixtures that all encode the same
+    // 10×100 frame, so the oracle states one constant panel per file
+    // tag (from the golden frame, independently). Any decompressor,
+    // endianness, or truncated-double bug moves a sum and hash-fails.
+    // Cell-level fidelity across the FULL 16-file matrix is pinned in
+    // SasBdatSpec.
+    QueryDef("sas7bdat_codec_read",
+      (s, d) => {
+        val dir = "/root/reference/pandas/tests/io/sas/data"
+        require(new java.io.File(dir).isDirectory,
+          s"sas7bdat interop fixtures not found under $dir")
+        Seq("test2" -> "rle_le32", "test3" -> "rdc_le32",
+          "test15" -> "rle_be64").map { case (f, tag) =>
+          graft.sources.SasBdatIo.read(s, s"$dir/$f.sas7bdat",
+            splitBytes = 32768)
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(round(col("Column1") * 1000)).cast("long")
+                .as("c1_milli"),
+              sum(length(col("Column2"))).cast("long").as("c2_chars"),
+              countDistinct(col("Column2")).as("c2_distinct"),
+              sum(col("Column3")).cast("long").as("c3_sum"),
+              min(col("Column4")).as("d_min"),
+              max(col("Column4")).as("d_max"))
+            .withColumn("codec", lit(tag))
+        }.reduce(_ unionByName _).orderBy("codec")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(10 AS BIGINT), CAST(3987 AS BIGINT),
+             |   CAST(43 AS BIGINT), CAST(3 AS BIGINT),
+             |   CAST(354 AS BIGINT), CAST('1964-10-06' AS DATE),
+             |   CAST('1984-07-15' AS DATE), 'rdc_le32'),
+             |  (CAST(10 AS BIGINT), CAST(3987 AS BIGINT),
+             |   CAST(43 AS BIGINT), CAST(3 AS BIGINT),
+             |   CAST(354 AS BIGINT), CAST('1964-10-06' AS DATE),
+             |   CAST('1984-07-15' AS DATE), 'rle_be64'),
+             |  (CAST(10 AS BIGINT), CAST(3987 AS BIGINT),
+             |   CAST(43 AS BIGINT), CAST(3 AS BIGINT),
+             |   CAST(354 AS BIGINT), CAST('1964-10-06' AS DATE),
+             |   CAST('1984-07-15' AS DATE), 'rle_le32'))
+             |  AS t(n_rows, c1_milli, c2_chars, c2_distinct, c3_sum,
+             |       d_min, d_max, codec)
+             |ORDER BY codec""".stripMargin)),
+
     // REAL image decode gate: per-document PNG payloads with dimensions
     // derived from doc_id are produced by the real PNG encoder, decoded
     // by the real ImageIO reader (width/height/channels), resized

@@ -65,15 +65,55 @@ class SasBdatSpec extends SparkSpec {
     assert(m.columns.head.label == "miles per gallon")
   }
 
-  test("sas7bdat: compressed files are rejected loudly, not misread") {
+  test("sas7bdat: FULL layout matrix — {u32,u64} × {LE,BE} × " +
+      "{raw,RLE,RDC} (test1-15) decodes cell-exact to one golden") {
     assume(haveFixtures)
-    for (name <- Seq("test2", "test3")) { // SASYZCRL / SASYZCR2
-      val e = intercept[Exception] {
-        SasBdatIo.read(spark, s"$fixtureDir/$name.sas7bdat").count()
-      }
-      assert(e.getMessage.contains("compress"),
-        s"$name: wrong error: ${e.getMessage}")
+    val golden0 = {
+      val df0 = SasBdatIo.read(spark, s"$fixtureDir/test1.sas7bdat")
+      spark.read.schema(df0.schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(getClass.getResource("/sas7bdat/test1.csv").toString)
+        .cache()
     }
+    for (k <- 1 to 15) {
+      // splitBytes below one page forces multiple page-range tasks
+      val df = SasBdatIo.read(spark, s"$fixtureDir/test$k.sas7bdat",
+        splitBytes = 8192)
+      assert(df.count() == golden0.count(), s"test$k row count")
+      val diff = df.exceptAll(golden0).count() +
+        golden0.exceptAll(df).count()
+      assert(diff == 0, s"test$k: $diff differing rows")
+    }
+  }
+
+  test("sas7bdat: UTF-8 encoded file (test16) decodes cell-exact") {
+    assume(haveFixtures)
+    // the file header declares latin1 but the payload is UTF-8; the
+    // reference test passes the same explicit override
+    val df = SasBdatIo.read(spark, s"$fixtureDir/test16.sas7bdat",
+      splitBytes = 8192, encoding = "utf-8")
+    val golden = spark.read.schema(df.schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(getClass.getResource("/sas7bdat/test16.csv").toString)
+    assert(df.count() == golden.count())
+    val diff = df.exceptAll(golden).count() + golden.exceptAll(df).count()
+    assert(diff == 0, s"test16: $diff differing rows")
+  }
+
+  test("sas7bdat: compression + endianness metadata detected per file") {
+    assume(haveFixtures)
+    def metaOf(name: String) = SasBdatIo.parseMeta(() => {
+      val p = new org.apache.hadoop.fs.Path(s"$fixtureDir/$name.sas7bdat")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    })
+    assert(metaOf("test1").compression == SasBdatIo.CompNone)
+    assert(metaOf("test2").compression == SasBdatIo.CompRle)
+    assert(metaOf("test3").compression == SasBdatIo.CompRdc)
+    assert(metaOf("test10").le == false && !metaOf("test10").u64)
+    assert(metaOf("test15").le == false && metaOf("test15").u64 &&
+      metaOf("test15").compression == SasBdatIo.CompRle)
   }
 
   test("sas7bdat: non-sas input fails on magic, not downstream") {
