@@ -78,6 +78,54 @@ object SampleOps {
       .drop("__h", "__cum", DistScan.PidCol)
   }
 
+  /** Sequence packing — the pretraining step after the corpus draw:
+    * concatenate every document's tokens into one global stream
+    * (deterministic hash order, same convention as sampleTokenBudget)
+    * and cut it into fixed `seqLen`-token training windows. Emits one
+    * row per (document × window it overlaps):
+    *   seq_id     window index in the global stream
+    *   frag_start first token of the document inside this window
+    *   frag_len   number of its tokens in this window
+    *   seq_off    where the fragment lands inside the window
+    * so a downstream tokenizer pass can materialize window seq_id by
+    * concatenating its fragments ordered by seq_off — documents cross
+    * window boundaries (GPT-style packing), nothing is padded except
+    * the final partial window. Zero-token documents occupy no span and
+    * are dropped.
+    *
+    * Determinism/reproducibility: hash order makes the packing a pure
+    * function of (corpus, salt, seqLen) — independent of partitioning
+    * or file layout, so a re-run resumes training on identical batches.
+    *
+    * Scale shape (100 TB): DistScan.withRunningSums range-buckets by
+    * the hash — ONE range shuffle, per-bucket windows, ≤buckets-row
+    * offset pass; the window arithmetic is a row-local explode whose
+    * fan-out is ⌈n_tok/seqLen⌉+1 per document. Exact long arithmetic
+    * throughout (`div`, not double floor). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, salt: String = "pack", buckets: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val toks = col(tokensCol).cast("long")
+    val withH = df.filter(toks > 0L)
+      .withColumn("__n", toks)
+      .withColumn("__h", hashU32(col(idCol), salt))
+    val cum = DistScan.withRunningSums(withH, col("__h"),
+      Seq(col("__h").asc, col(idCol).asc), Seq("__cum" -> col("__n")),
+      buckets)
+    cum.withColumn("__st", col("__cum") - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__st div ${seqLen}L"), expr(s"(__cum - 1) div ${seqLen}L"))))
+      .withColumn("frag_start",
+        greatest(lit(0L), col("seq_id") * seqLen - col("__st")))
+      .withColumn("frag_len",
+        least(col("__n"), (col("seq_id") + 1) * seqLen - col("__st")) -
+          col("frag_start"))
+      .withColumn("seq_off",
+        greatest(lit(0L), col("__st") - col("seq_id") * seqLen))
+      .select(col(idCol), col("seq_id").cast("long").as("seq_id"),
+        col("frag_start"), col("frag_len"), col("seq_off"))
+  }
+
   /** Weighted sample WITHOUT replacement of n rows. `idCol` must be
     * unique and non-null; rows with weight <= 0 or null are excluded
     * (pandas semantics). */

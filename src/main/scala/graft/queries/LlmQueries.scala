@@ -552,6 +552,40 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
 
+    // Sequence packing (the step AFTER the corpus draw: concatenate
+    // docs in deterministic hash order, cut into fixed 128-token
+    // training windows; SampleOps.packSequences). The oracle replays
+    // the whole pipeline — hash order, window cumsum, per-doc window
+    // range via generate_series, and the fragment arithmetic — in
+    // DuckDB; any cumsum, rounding, or boundary bug (off-by-one at a
+    // window edge, a lost final partial window, a duplicated fragment)
+    // changes a row and hash-fails. All-integer output, no tolerance.
+    QueryDef("pack_sequences",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.packSequences(docs, "doc_id", "n_tok", seqLen = 128L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+             |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t WHERE n_tok > 0),
+             |s AS (SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS st,
+             |    CAST(cum AS BIGINT) AS en FROM c),
+             |e AS (SELECT doc_id, n_tok, st,
+             |    unnest(generate_series(st // 128, (en - 1) // 128)) AS seq_id
+             |  FROM s)
+             |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+             |  CAST(GREATEST(0, seq_id * 128 - st) AS BIGINT) AS frag_start,
+             |  CAST(LEAST(n_tok, (seq_id + 1) * 128 - st)
+             |       - GREATEST(0, seq_id * 128 - st) AS BIGINT) AS frag_len,
+             |  CAST(GREATEST(0, st - seq_id * 128) AS BIGINT) AS seq_off
+             |FROM e""".stripMargin)),
+
     // REAL merge-table BPE (r11 verdict task 3 — retires the length/4
     // proxy as the gate algorithm): per word, iteratively apply the
     // lowest-rank adjacent-pair merge until fixpoint (the GPT-2-family

@@ -717,6 +717,58 @@ class LlmSpec extends SparkSpec {
       s"growth pulled in previously-excluded docs: ${keptGrown.filter(_ <= 50L) -- kept}")
   }
 
+  test("packSequences: exact window tiling — coverage, no overlap, " +
+      "full windows, zero-token drop, determinism") {
+    import spark.implicits._
+    import graft.operators.SampleOps
+    val docs = Seq((1L, 5L), (2L, 300L), (3L, 0L), (4L, 128L), (5L, 7L),
+      (6L, 129L)).toDF("doc_id", "n_tok")
+    val packed = SampleOps.packSequences(docs, "doc_id", "n_tok",
+      seqLen = 128L).cache()
+    val rows = packed.collect()
+    val total = 5L + 300L + 128L + 7L + 129L
+    // every token of every non-empty doc lands in exactly one fragment
+    assert(rows.map(_.getAs[Long]("frag_len")).sum == total)
+    assert(!rows.exists(_.getLong(0) == 3L)) // zero-token doc dropped
+    // per-doc fragments tile [0, n_tok) contiguously in seq_id order
+    val byDoc = rows.groupBy(_.getLong(0))
+    for ((id, frs) <- byDoc) {
+      val sorted = frs.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.head.getAs[Long]("frag_start") == 0L, s"doc $id")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("frag_start") + a.getAs[Long]("frag_len") ==
+            b.getAs[Long]("frag_start"), s"doc $id gap")
+          assert(b.getAs[Long]("seq_id") == a.getAs[Long]("seq_id") + 1)
+        case _ =>
+      }
+    }
+    // every window except the last is exactly full; fragments inside a
+    // window tile [0, 128) without overlap
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+    val lastSeq = bySeq.keys.max
+    assert(lastSeq == (total - 1) / 128L) // window count matches stream
+    for ((sid, frs) <- bySeq) {
+      val spans = frs.map(r =>
+        (r.getAs[Long]("seq_off"),
+          r.getAs[Long]("seq_off") + r.getAs[Long]("frag_len")))
+        .sortBy(_._1)
+      assert(spans.head._1 == 0L, s"seq $sid starts at ${spans.head._1}")
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 == b._1, s"seq $sid overlap/gap")
+        case _ =>
+      }
+      val fill = spans.last._2
+      if (sid != lastSeq) assert(fill == 128L, s"seq $sid fill $fill")
+      else assert(fill == total - lastSeq * 128L)
+    }
+    // deterministic under relayout
+    val again = SampleOps.packSequences(docs.repartition(7), "doc_id",
+      "n_tok", seqLen = 128L).collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+    packed.unpersist()
+  }
+
   test("paragraphDedup: global first occurrence survives, later copies " +
       "drop, within-doc repeats dedup, empty docs vanish, order kept") {
     import spark.implicits._

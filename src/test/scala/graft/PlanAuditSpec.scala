@@ -163,6 +163,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange ".r.findAllIn(tb).size == 1 &&
       tb.contains("Exchange hashpartitioning(__pid"),
       s"sample_token_budget shuffle shape regressed:\n${tb.take(3000)}")
+    // pack_sequences rides the same DistScan cumsum: one bucket
+    // exchange, then the window-tiling explode is row-local — a second
+    // exchange (or any Sort/Window beyond the bucket-local cumsum)
+    // means the packing stopped being a single-shuffle pipeline
+    val ps = plan("pack_sequences")
+    assert("Exchange ".r.findAllIn(ps).size == 1 &&
+      ps.contains("Exchange hashpartitioning(__pid") &&
+      ps.contains("Generate explode"),
+      s"pack_sequences shuffle shape regressed:\n${ps.take(3000)}")
   }
 
   test("r12 skew-safe top-N (group_head_n / group_nth / domain_cap_url): " +
