@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * IMAGE decode/resize are REAL (JDK `javax.imageio` — PNG/JPEG/GIF/BMP
   * ship with the JRE, no external dependency): [[decodeImageMeta]] and
   * [[resizeImages]] run actual codecs inside the batched mapPartitions
-  * path. Audio/video kernels remain STUBBED with a deterministic fake
-  * (no codec libraries for those in this environment), but everything
-  * Spark-side is real: the schema convention, the batched mapPartitions
-  * shape (the Scala analog of mapInPandas: one iterator per partition,
-  * amortized per-batch setup), and the partitioning story (payloads
-  * never shuffle unless the caller repartitions on a grouping key
-  * first).
+  * path. AUDIO decode/decimate are REAL too (JDK `javax.sound.sampled`
+  * — the WAV/PCM container codec ships with the JRE):
+  * [[decodeAudioMeta]] and [[decimateAudio]]. Only VIDEO kernels remain
+  * STUBBED with a deterministic fake (no video codec exists in the JRE
+  * or this container), but everything Spark-side is real throughout:
+  * the schema convention, the batched mapPartitions shape (the Scala
+  * analog of mapInPandas: one iterator per partition, amortized
+  * per-batch setup), and the partitioning story (payloads never shuffle
+  * unless the caller repartitions on a grouping key first).
   */
 object MultimodalOps {
 
@@ -208,4 +210,174 @@ object MultimodalOps {
         col("payload").substr(lit(1), lit(targetWidth * targetHeight)))
       .withColumn("meta_width", lit(targetWidth))
       .withColumn("meta_height", lit(targetHeight))
+
+  // ---- REAL audio kernels (JDK `javax.sound.sampled`; the WAV/PCM
+  // container codec ships with the JRE — no external dependency, no
+  // display needed). Same batched no-shuffle mapPartitions shape as the
+  // image kernels: payloads decode wherever they already live. ----
+
+  /** Decoded audio facts. All-integer by design: `duration_us` is exact
+    * micros (frames·10⁶/rate in Long arithmetic), and the sample
+    * statistics are `peak_abs` = max |s| and `sum_sq` = Σ s² over the
+    * raw 16-bit PCM values — integers, so they survive any engine's
+    * hash-compare bit-exactly (an RMS double would not). Payloads no
+    * installed provider accepts (corrupt bytes, unknown container) or
+    * outside the supported PCM shape surface as
+    * format="undecodable"/"unsupported" rows with -1 fields — data,
+    * never an executor throw, so one bad blob in a 100 TB corpus
+    * doesn't kill the stage. */
+  case class AudioMeta(
+      asset_id: Long, sample_rate: Long, channels: Long, bits: Long,
+      n_frames: Long, duration_us: Long, peak_abs: Long, sum_sq: Long,
+      format: String)
+
+  /** Little-endian PCM16 frames → a real WAV container via
+    * `AudioSystem.write` (the JRE's WAVE file writer — a genuine codec
+    * pass, not a hand-rolled header). Interleaved samples: length must
+    * be a multiple of `channels`. Test-harness producer, like
+    * [[syntheticPng]]: a real pipeline ingests encoded media files. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples not a frame multiple of $channels channels")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PCM16 fixture: sample i of a given seed is the fixed
+    * affine-mod value ((seed·7919 + i·104729) mod 65536) − 32768 — a
+    * closed form any engine can restate from the seed alone, while the
+    * bytes still cross the genuine WAVE writer/reader. */
+  def syntheticWavSample(seed: Long, i: Long): Short =
+    (java.lang.Math.floorMod(seed * 7919L + i * 104729L, 65536L) - 32768L).toShort
+
+  def syntheticWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] =
+    encodeWavPcm16(
+      Array.tabulate(nFrames)(i => syntheticWavSample(seed, i)), sampleRate)
+
+  /** Parse a WAV payload through the real `AudioSystem` reader into
+    * (format, interleaved PCM16 samples). None when no installed
+    * provider accepts the bytes or the stream is not 16-bit signed
+    * PCM (the decode surface this kernel supports; compressed encodings
+    * would need a converting provider this container doesn't ship). */
+  private def readPcm16(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) {
+              out(i) = (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          Some((f, out))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** REAL audio decode over a binary payload column: the JRE's WAVE
+    * reader parses each payload, and the kernel emits exact-integer
+    * facts (see [[AudioMeta]]). Batched mapPartitions, no shuffle. */
+  def decodeAudioMeta(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload", batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          readPcm16(bytes) match {
+            case Some((f, s)) =>
+              val ch = f.getChannels
+              val rate = f.getSampleRate.toLong
+              val frames = s.length / ch
+              var peak = 0L; var sumSq = 0L; var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumSq += v * v
+                i += 1
+              }
+              AudioMeta(id, rate, ch, 16, frames,
+                frames * 1000000L / rate, peak, sumSq, "ok")
+            case None =>
+              AudioMeta(id, -1, -1, -1, -1, -1, -1, -1, "undecodable")
+          }
+        })
+      }
+  }
+
+  /** REAL audio decimation: decode → keep every `everyNth` frame (all
+    * channels of it) → re-encode through the real WAVE writer at the
+    * correspondingly reduced sample rate. The crude-but-deterministic
+    * resampler of curation pipelines (no interpolation — an anti-alias
+    * filter is a modeling choice this engine leaves to the caller);
+    * undecodable payloads pass through null, left-typed like
+    * [[resizeImages]]. Batched mapPartitions, no shuffle. */
+  def decimateAudio(assets: DataFrame, everyNth: Int,
+      idCol: String = "asset_id", payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive: $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val out = readPcm16(bytes).map { case (f, s) =>
+            val ch = f.getChannels
+            val frames = s.length / ch
+            val kept = Array.newBuilder[Short]
+            var fr = 0
+            while (fr < frames) {
+              if (fr % everyNth == 0) {
+                var c = 0
+                while (c < ch) { kept += s(fr * ch + c); c += 1 }
+              }
+              fr += 1
+            }
+            encodeWavPcm16(kept.result(),
+              math.max(1, f.getSampleRate.toInt / everyNth), ch)
+          }.orNull
+          (id, out)
+        })
+      }.toDF("asset_id", "payload")
+  }
 }

@@ -435,6 +435,52 @@ object IoQueries extends QueryModule {
              |  CAST(3 AS INTEGER) AS channels,
              |  CAST(4 AS INTEGER) AS r_width,
              |  CAST(3 AS INTEGER) AS r_height
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // REAL audio decode gate: per-document PCM16 waveforms whose sample
+    // values are a closed-form function of doc_id are pushed through the
+    // JRE's genuine WAVE writer (AudioSystem.write), decoded back by the
+    // genuine WAVE reader (format + exact-integer sample statistics),
+    // decimated 4:1 through the real re-encode kernel, and decoded
+    // AGAIN — two full codec passes, like image_meta. DuckDB restates
+    // every compared value (frame counts, exact micros, peak, Σs², and
+    // the decimated tier's) from the doc_id closed form alone; any
+    // header, byte-order, sign, or frame-boundary bug hash-fails.
+    QueryDef("audio_meta",
+      (s, d) => {
+        import s.implicits._
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 50 + (id % 40).toInt
+            (id, MultimodalOps.syntheticWav(n, sampleRate = 8000, seed = id))
+          }).toDF("asset_id", "payload")
+        val meta = MultimodalOps.decodeAudioMeta(assets).toDF()
+          .select("asset_id", "sample_rate", "channels", "bits",
+            "n_frames", "duration_us", "peak_abs", "sum_sq")
+        val dec = MultimodalOps.decodeAudioMeta(
+            MultimodalOps.decimateAudio(assets, everyNth = 4)).toDF()
+          .select(col("asset_id"), col("sample_rate").as("d_rate"),
+            col("n_frames").as("d_frames"), col("sum_sq").as("d_sum_sq"))
+        meta.join(dec, Seq("asset_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id, 50 + doc_id % 40 AS n
+             |  FROM documents),
+             |si AS (SELECT doc_id, n,
+             |    unnest(range(0, CAST(n AS BIGINT))) AS i FROM base),
+             |s AS (SELECT doc_id, n, i,
+             |    (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v FROM si)
+             |SELECT doc_id AS asset_id,
+             |  CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(16 AS BIGINT) AS bits,
+             |  CAST(max(n) AS BIGINT) AS n_frames,
+             |  CAST(max(n) * 125 AS BIGINT) AS duration_us,
+             |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+             |  CAST(2000 AS BIGINT) AS d_rate,
+             |  CAST((max(n) + 3) // 4 AS BIGINT) AS d_frames,
+             |  CAST(sum(CASE WHEN i % 4 = 0 THEN v * v ELSE 0 END)
+             |       AS BIGINT) AS d_sum_sq
+             |FROM s GROUP BY doc_id""".stripMargin))
   )
 }

@@ -397,6 +397,52 @@ class LlmSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xffffff) == ((x * 31 + y * 17 + 9L) & 0xffffff).toInt)
   }
 
+  test("real WAV decode: format/stats from genuine AudioSystem bytes, " +
+      "stereo, decimation, and corrupt payloads as data") {
+    import graft.llm.MultimodalOps
+    import spark.implicits._
+    // mono fixture: closed-form samples cross the real WAVE writer+reader
+    val mono = MultimodalOps.syntheticWav(nFrames = 60, sampleRate = 8000,
+      seed = 7L)
+    // stereo: interleaved L/R frames, explicit samples
+    val st = MultimodalOps.encodeWavPcm16(
+      Array[Short](100, -200, 300, -400, 500, -600), 16000, channels = 2)
+    val assets = Seq(
+      (1L, mono), (2L, st),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val meta = MultimodalOps.decodeAudioMeta(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    val m1 = meta(1L)
+    assert((m1.sample_rate, m1.channels, m1.bits, m1.n_frames,
+      m1.duration_us, m1.format) == ((8000L, 1L, 16L, 60L, 7500L, "ok")))
+    val ref = (0 until 60).map(i => MultimodalOps.syntheticWavSample(7L, i).toLong)
+    assert(m1.peak_abs == ref.map(math.abs).max)
+    assert(m1.sum_sq == ref.map(v => v * v).sum)
+    val m2 = meta(2L)
+    assert((m2.sample_rate, m2.channels, m2.n_frames) == ((16000L, 2L, 3L)))
+    assert(m2.peak_abs == 600L)
+    assert(m2.sum_sq == Seq(100L, 200, 300, 400, 500, 600).map(v => v * v).sum)
+    assert(meta(3L).format == "undecodable" && meta(3L).n_frames == -1L,
+      "corrupt blob must become a data row, never an executor throw")
+
+    // decimation: every 3rd frame survives (BOTH channels of it), rate
+    // divides, and the re-encoded bytes decode through the real reader
+    val dec = MultimodalOps.decodeAudioMeta(
+        MultimodalOps.decimateAudio(assets.filter(col("asset_id") < 3), 3))
+      .collect().map(m => m.asset_id -> m).toMap
+    val d1 = dec(1L)
+    assert((d1.sample_rate, d1.n_frames) == ((2666L, 20L)))
+    val keptRef = (0 until 60).filter(_ % 3 == 0)
+      .map(i => MultimodalOps.syntheticWavSample(7L, i).toLong)
+    assert(d1.sum_sq == keptRef.map(v => v * v).sum)
+    val d2 = dec(2L)
+    assert((d2.channels, d2.n_frames) == ((2L, 1L)))
+    assert(d2.sum_sq == 100L * 100 + 200L * 200, "frame 0 = both channels")
+    val pass = MultimodalOps.decimateAudio(assets, 3)
+      .filter(col("asset_id") === 3).collect()
+    assert(pass.length == 1 && pass.head.get(1) == null)
+  }
+
   test("chunkWords: coverage, overlap, and short-doc degenerate cases") {
     import spark.implicits._
     val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
