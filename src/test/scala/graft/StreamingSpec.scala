@@ -153,6 +153,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window end-filter needs a merge barrier: naive pushdown " +
+      "splits mergeable sessions (the bench witness hazard)") {
+    import spark.implicits._
+    // two events 20 min apart with a 30-min gap: ONE merged session
+    // [t0, t1+30m). A cutoff between the events' individual window ends
+    // (t0+30m < cutoff < t1+30m) should exclude the whole merged
+    // session — but Catalyst pushes the end-filter below the session
+    // merge, evaluates it per-event, drops only the later event, and
+    // resurrects an unmerged [t0, t0+30m) phantom that passes.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:20:00")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-01 10:40:00")
+    val df = Seq((1L, t0), (1L, t1)).toDF("user_id", "ts")
+    def sessions(src: org.apache.spark.sql.DataFrame) = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.end").as("e"), col("n"))
+    // unfiltered truth: one merged session of 2 events ending 10:50
+    val all = sessions(df).collect()
+    assert(all.length == 1 && all.head.getLong(2) == 2L)
+    assert(all.head.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:50:00"))
+    // the hazard, pinned: the naive filter yields a phantom n=1 session
+    // (if a Spark upgrade fixes the pushdown this expectation flips —
+    // then the bench barrier can be retired)
+    val naive = sessions(df).filter(col("e") <= lit(cutoff)).collect()
+    assert(naive.length == 1 && naive.head.getLong(2) == 1L,
+      s"pushdown hazard gone? got ${naive.mkString(";")}")
+    // the barrier formulation used by the bench witness is sound:
+    // the merged session ends past the cutoff, so NOTHING qualifies
+    val sound = sessions(df).localCheckpoint(true)
+      .filter(col("e") <= lit(cutoff)).collect()
+    assert(sound.isEmpty, s"got ${sound.mkString(";")}")
+  }
+
   test("stateful running sum/ewm across micro-batches matches batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
     val pts = (0 until 100).map(i => Point(i % 3L, i.toLong, (i % 11) * 2.0))
