@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.llm.{SimilarityOps, TextDedupOps, TextStatsOps}
+import graft.llm.{SimilarityOps, TextDedupOps, TextStatsOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -793,6 +793,60 @@ object LlmQueries extends QueryModule {
              |  SELECT doc_id, host, row_number() OVER (
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
+
+    // URL canonicalization (UrlOps.normalizeUrl) — the step before
+    // domain_cap_url's host extraction and any URL-keyed dedup. Six
+    // planted shapes per doc_id: case-mangled scheme/host + default
+    // port + tracking param + fragment, lowercase-host https default
+    // port, empty path on a custom port, mid-list tracking param,
+    // userinfo + fbclid, fragment containing a '?'. The oracle states
+    // BOTH the messy input and the expected normalized form closed-form
+    // from doc_id, so every rule (case, ports, userinfo, fragment,
+    // param filtering, path default) is pinned independently of the
+    // engine's URL parser.
+    QueryDef("url_normalize",
+      (s, d) => {
+        val id = col("doc_id")
+        val m = pmod(id, lit(6))
+        val url = when(m === 0, concat(lit("HTTP://WWW.Example.COM:80/a/"),
+            id, lit("?utm_source=x&id="), id, lit("#frag")))
+          .when(m === 1, concat(lit("https://Site"), pmod(id, lit(7)),
+            lit(".Example.com:443/p/"), id, lit("?gclid=abc")))
+          .when(m === 2, lit("https://EXAMPLE.com:8443"))
+          .when(m === 3, concat(lit("http://example.com/path/"), id,
+            lit("/?q="), id, lit("&utm_medium=email&r=2")))
+          .when(m === 4, concat(lit("HTTPS://user:pw@Host"),
+            pmod(id, lit(5)), lit(".COM/x?fbclid=9&a=1")))
+          .otherwise(concat(lit("http://example.com/p"), id,
+            lit("#sec?not")))
+        T.documents(s, d).select(id, url.as("url"),
+          UrlOps.normalizeUrl(url).as("norm"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || doc_id ||
+             |      '?utm_source=x&id=' || doc_id || '#frag'
+             |    WHEN 1 THEN 'https://Site' || (doc_id % 7) ||
+             |      '.Example.com:443/p/' || doc_id || '?gclid=abc'
+             |    WHEN 2 THEN 'https://EXAMPLE.com:8443'
+             |    WHEN 3 THEN 'http://example.com/path/' || doc_id ||
+             |      '/?q=' || doc_id || '&utm_medium=email&r=2'
+             |    WHEN 4 THEN 'HTTPS://user:pw@Host' || (doc_id % 5) ||
+             |      '.COM/x?fbclid=9&a=1'
+             |    ELSE 'http://example.com/p' || doc_id || '#sec?not'
+             |  END AS url,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN 'http://www.example.com/a/' || doc_id ||
+             |      '?id=' || doc_id
+             |    WHEN 1 THEN 'https://site' || (doc_id % 7) ||
+             |      '.example.com/p/' || doc_id
+             |    WHEN 2 THEN 'https://example.com:8443/'
+             |    WHEN 3 THEN 'http://example.com/path/' || doc_id ||
+             |      '/?q=' || doc_id || '&r=2'
+             |    WHEN 4 THEN 'https://host' || (doc_id % 5) || '.com/x?a=1'
+             |    ELSE 'http://example.com/p' || doc_id
+             |  END AS norm
+             |FROM documents""".stripMargin)),
 
     // applyClusters as a first-class operator gate (r11 verdict task
     // 5): pairs → connectedComponents → keep each cluster's min-id

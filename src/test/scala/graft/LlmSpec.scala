@@ -443,6 +443,49 @@ class LlmSpec extends SparkSpec {
     assert(pass.length == 1 && pass.head.get(1) == null)
   }
 
+  test("normalizeUrl: scheme/host case, ports, userinfo, fragments, " +
+      "tracking params, and unparseable inputs") {
+    import graft.llm.UrlOps
+    import spark.implicits._
+    val cases = Seq(
+      // lowercase scheme+host, default port dropped, fragment dropped,
+      // utm stripped, real param kept
+      ("HTTP://Example.COM:80/a/b?utm_source=x&id=7#frag",
+       "http://example.com/a/b?id=7"),
+      // https default port; gclid-only query empties; path kept
+      ("https://Site.Example.com:443/p?gclid=abc",
+       "https://site.example.com/p"),
+      // custom port survives
+      ("https://example.com:8443/p?x=1", "https://example.com:8443/p?x=1"),
+      // empty path -> "/"
+      ("https://EXAMPLE.com", "https://example.com/"),
+      // param order preserved; utm_medium dropped mid-list
+      ("http://example.com/path/?q=1&utm_medium=email&r=2",
+       "http://example.com/path/?q=1&r=2"),
+      // fbclid dropped, bare-key param kept, valueless tracking dropped
+      ("http://example.com/x?fbclid=9&flag&utm_campaign",
+       "http://example.com/x?flag"),
+      // fragment before query-looking text: all fragment
+      ("http://example.com/p#sec?notquery", "http://example.com/p"),
+      // userinfo dropped
+      ("http://user:pw@Example.com/private", "http://example.com/private"),
+      // a param whose key merely CONTAINS utm stays
+      ("http://example.com/?autm_x=1&myutm=2",
+       "http://example.com/?autm_x=1&myutm=2"),
+      // whitespace trimmed
+      ("  https://example.com/ok  ", "https://example.com/ok"),
+      // unparseable: no scheme
+      ("example.com/no-scheme", null),
+      ("not a url at all", null))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "url")
+      .select(col("i"), UrlOps.normalizeUrl(col("url")).as("norm"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"'$in' -> '${got(i)}', want '$want'")
+    }
+  }
+
   test("chunkWords: coverage, overlap, and short-doc degenerate cases") {
     import spark.implicits._
     val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
