@@ -221,6 +221,64 @@ object TextStatsOps {
     aggregate(transform(words(text), perWord), lit(0L), (a, b) => a + b)
   }
 
+  /** Final BPE symbol array of ONE word — the same fixpoint loop as
+    * [[bpeTokenCount]], finishing with the surviving symbols instead of
+    * their count. `rules` is the `typedLit(bpeMergePatterns(...))`
+    * array (hoisted by the caller so one literal serves every row). */
+  def bpeWordSymbols(w: Column, rules: Column): Column = {
+    val init = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), " "), lit(" "))
+    aggregate(
+      sequence(lit(1), greatest(length(w) - 1, lit(1))),
+      init,
+      (st, _) => {
+        val applicable = filter(rules, r => contains(st, r.getField("_1")))
+        when(size(applicable) > 0,
+          replace(st, element_at(applicable, 1).getField("_1"),
+            element_at(applicable, 1).getField("_2")))
+          .otherwise(st)
+      },
+      st => split(trim(st), " "))
+  }
+
+  /** Deterministic vocabulary for a merge table: a single-character
+    * symbol's id is its CODEPOINT (the byte-alphabet convention), and
+    * the i-th merge rule's RESULT gets id 256+i. Merges only ever
+    * create their own results, so the vocabulary is closed by
+    * construction — no unk id exists to hide a bug behind. */
+  def bpeVocab(merges: Seq[(String, String)] = BpeDemoMerges): Map[String, Int] =
+    merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }.toMap
+
+  /** REAL BPE token-ID ENCODING — the artifact a training pipeline
+    * actually materializes (bpeTokenCount only budgets it). One output
+    * row per surviving symbol: (id, word_idx, sym_idx, token,
+    * token_id), 0-based positions, ids per [[bpeVocab]].
+    *
+    * Scale shape: two scan-local generators (words, then per-word
+    * symbols) with the merge fixpoint as row-local HOF arithmetic —
+    * zero shuffle; the merge table and vocabulary ride the plan as
+    * literals. A repeated word re-runs its fixpoint per occurrence:
+    * that trade keeps the op shuffle-free, where a distinct-word
+    * pre-pass would buy cached merges with a corpus-wide shuffle —
+    * the wrong default for the scan-throughput tier (callers with
+    * pathological word skew can still compose words→distinct→encode→
+    * join themselves). */
+  def bpeEncodeTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)] = BpeDemoMerges)
+      : org.apache.spark.sql.DataFrame = {
+    val rules = typedLit(bpeMergePatterns(merges))
+    val vocab = typedLit(bpeVocab(merges))
+    df.select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("word_idx", "__w")))
+      .select(col(idCol), col("word_idx"),
+        posexplode(bpeWordSymbols(col("__w"), rules))
+          .as(Seq("sym_idx", "token")))
+      .withColumn("token_id",
+        when(length(col("token")) === 1, ascii(col("token")))
+          .otherwise(element_at(vocab, col("token"))).cast("int"))
+  }
+
   /** Demo weight table for [[hashedClassifierLogit]] — in production
     * the caller supplies their TRAINED weights (fastText-style quality
     * classifiers are the CCNet/FineWeb gate between heuristic filters

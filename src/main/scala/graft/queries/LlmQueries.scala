@@ -637,6 +637,65 @@ object LlmQueries extends QueryModule {
            |           GROUP BY wl.doc_id) s ON s.doc_id = d.doc_id""".stripMargin
       }),
 
+    // REAL BPE token-ID ENCODING (extends bpe_token_count from budget
+    // to artifact): one row per surviving symbol with 0-based word and
+    // symbol positions and the deterministic vocabulary id (codepoint
+    // for single chars, 256+rank for merge results — closed by
+    // construction, no unk to hide behind). The oracle reuses the
+    // recursive-CTE fixpoint over the distinct word set, unnests the
+    // final symbol lists with positions, and re-joins per-document word
+    // occurrences — so a wrong merge order, a lost symbol, a shifted
+    // position, or a vocabulary drift each change rows and hash-fail.
+    QueryDef("bpe_encode",
+      (s, d) => TextStatsOps.bpeEncodeTokens(
+        T.documents(s, d), "doc_id", "text"),
+      Some {
+        val mergeRows = TextStatsOps
+          .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+          .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+          .mkString(",\n    ")
+        val vocabRows = TextStatsOps.bpeVocab().toSeq.sortBy(_._2)
+          .map { case (tok, tid) => s"('$tok', $tid)" }.mkString(",\n    ")
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+           |    $mergeRows),
+           |vocab(tok, tid) AS (VALUES
+           |    $vocabRows),
+           |t AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           |  FROM documents),
+           |wi AS (SELECT doc_id, ws,
+           |    unnest(generate_series(0, len(ws) - 1)) AS word_idx FROM t),
+           |wr AS (SELECT doc_id, CAST(word_idx AS INTEGER) AS word_idx,
+           |    ws[word_idx + 1] AS word FROM wi),
+           |uw AS (SELECT DISTINCT word FROM wr),
+           |init AS (SELECT word, ' ' || array_to_string(
+           |    list_transform(range(1, length(word) + 1),
+           |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+           |  FROM uw),
+           |rec AS (
+           |  SELECT word, state FROM init
+           |  UNION ALL
+           |  SELECT x.word, replace(x.state, m.pat, m.rep)
+           |  FROM (SELECT r.word, r.state,
+           |      (SELECT min(m2.rank) FROM merges m2
+           |       WHERE contains(r.state, m2.pat)) AS br
+           |    FROM rec r) x
+           |  JOIN merges m ON m.rank = x.br),
+           |fin AS (SELECT word, string_split(trim(state), ' ') AS syms
+           |  FROM rec r
+           |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+           |                    WHERE contains(r.state, m.pat))),
+           |fe AS (SELECT word, syms,
+           |    unnest(generate_series(0, len(syms) - 1)) AS sym_idx FROM fin),
+           |ft AS (SELECT word, CAST(sym_idx AS INTEGER) AS sym_idx,
+           |    syms[sym_idx + 1] AS token FROM fe)
+           |SELECT w.doc_id, w.word_idx, f.sym_idx, f.token,
+           |  CAST(CASE WHEN length(f.token) = 1 THEN ascii(f.token)
+           |       ELSE v.tid END AS INTEGER) AS token_id
+           |FROM wr w JOIN ft f USING (word)
+           |LEFT JOIN vocab v ON v.tok = f.token""".stripMargin
+      }),
+
     // Scalable n-gram Jaccard: explode + join on shingle — never an
     // all-pairs cross join.
     QueryDef("ngram_jaccard_pairs",

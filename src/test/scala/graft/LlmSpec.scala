@@ -270,6 +270,38 @@ class LlmSpec extends SparkSpec {
       }
   }
 
+  test("bpeEncodeTokens: known token-id sequences, positions, and " +
+      "vocabulary closure") {
+    import spark.implicits._
+    // "the thing zzz": the→[256]; thing→[th=257, ing=269]; zzz→[z,z,z]
+    val df = Seq((1L, "the thing zzz"), (2L, "")).toDF("id", "text")
+    val got = TextStatsOps.bpeEncodeTokens(df, "id", "text")
+      .orderBy("id", "word_idx", "sym_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getInt(4)))
+    val z = 'z'.toInt
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, "the", 256),
+      (1L, 1, 0, "th", 257), (1L, 1, 1, "ing", 269),
+      (1L, 2, 0, "z", z), (1L, 2, 1, "z", z), (1L, 2, 2, "z", z)),
+      got.mkString(";"))
+    // vocabulary closure: every multi-char symbol the encoder can emit
+    // is a merge result, so no null token_id is reachable
+    val vocab = TextStatsOps.bpeVocab()
+    assert(vocab.values.toSeq.distinct.size == vocab.size)
+    assert(vocab.keys.forall(_.length > 1))
+    // count and encode agree: size of the encoding == bpeTokenCount
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    val enc = TextStatsOps.bpeEncodeTokens(docs, "doc_id", "text")
+      .groupBy("doc_id").count()
+    val cnt = docs.select(col("doc_id"),
+      TextStatsOps.bpeTokenCount(col("text")).as("n"))
+    assert(enc.join(cnt, "doc_id")
+      .filter(col("count") =!= col("n")).count() == 0)
+  }
+
   test("langId: profiles are well-formed (alphabetical, 12+ languages, " +
       "trigram-clean)") {
     val codes = TextStatsOps.LangCodes
