@@ -28,11 +28,41 @@ object TextDedupOps {
   /** Stable 128-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Exact dedup: keep the lowest-id row per content hash. One shuffle. */
+  /** Exact dedup: keep the lowest-id row per content hash. One shuffle.
+    * (The row_number window here is NOT the paragraph-dedup skew hazard:
+    * rank-limit pushdown plants a partial WindowGroupLimit before the
+    * exchange, so each mapper forwards at most one row per hash.) */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** INCREMENTAL exact dedup — the steady-state shape of a production
+    * corpus: a new batch arrives, and a document survives iff its
+    * normalized content is new BOTH within the batch (lowest id wins,
+    * like [[exactDedup]]) and against everything already ingested.
+    * `existing` is the prior corpus (or any frame exposing the same
+    * text column — in practice the persisted fingerprint INDEX of the
+    * corpus, which is what a 100 TB pipeline keeps between runs;
+    * recomputing fingerprints from raw text is then a projection the
+    * caller skips).
+    *
+    * Scale shape: the existing side reduces to distinct fingerprints
+    * (map-side-combined aggregate — the index is |unique docs| rows,
+    * never the corpus), the batch self-dedup is the WindowGroupLimit
+    * plan above, and the cross-check is one LEFT ANTI join on the
+    * fingerprint — broadcastable while the index is small, hash-shuffle
+    * on md5 (uniform by construction, no skew) once it isn't. */
+  def dedupIncremental(newBatch: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val oldIdx = existing
+      .select(fingerprint(col(textCol)).as("__fp")).distinct()
+    val withFp = newBatch.withColumn("__fp", fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    withFp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(oldIdx, Seq("__fp"), "left_anti").drop("__fp")
   }
 
   /** Exact cross-document PARAGRAPH dedup with reassembly — the

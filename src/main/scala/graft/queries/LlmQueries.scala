@@ -175,6 +175,42 @@ object LlmQueries extends QueryModule {
         TextDedupOps.fingerprint(col("text")).as("fp")),
       Some(s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents")),
 
+    // Incremental dedup (TextDedupOps.dedupIncremental) — the
+    // steady-state ingest shape: old corpus = doc_id < 250; the new
+    // batch is the rest PLUS planted cross-batch clones (+10000: texts
+    // already in the old corpus — must vanish against the index) and
+    // within-batch clones (+20000: texts of new docs 250-299 — the
+    // lower-id original survives, the clone vanishes). The oracle
+    // replays first-per-normalized-text + NOT EXISTS against the old
+    // side, so an index miss, a wrong keep choice, or normalization
+    // drift each change the surviving id set.
+    QueryDef("dedup_incremental",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") < 250)
+        val newBatch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(250, 299))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        TextDedupOps.dedupIncremental(newBatch, old, "doc_id", "text")
+          .select("doc_id")
+      },
+      Some(s"""WITH old AS (SELECT ${normSql("text")} AS nt
+              |  FROM documents WHERE doc_id < 250),
+              |newb AS (
+              |  SELECT doc_id, ${normSql("text")} AS nt FROM documents
+              |  WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 10000, ${normSql("text")}
+              |  FROM documents WHERE doc_id < 50
+              |  UNION ALL SELECT doc_id + 20000, ${normSql("text")}
+              |  FROM documents WHERE doc_id BETWEEN 250 AND 299),
+              |first AS (SELECT min(doc_id) AS doc_id, nt
+              |  FROM newb GROUP BY nt)
+              |SELECT doc_id FROM first f
+              |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.nt = f.nt)"""
+        .stripMargin)),
+
     // Dataset mixture: per-source deterministic hash sampling at target
     // keep-fractions (downsample src0 to 30%, keep the rest whole) —
     // the pretraining-mix step, reproducible across reprocessing.

@@ -302,6 +302,28 @@ class LlmSpec extends SparkSpec {
       .filter(col("count") =!= col("n")).count() == 0)
   }
 
+  test("dedupIncremental: batch-internal keep-first plus index anti-join") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "Alpha  BETA!"), // normalizes to an old text -> vanishes
+      (11L, "delta"),        // genuinely new -> survives
+      (13L, "delta"),        // within-batch clone, higher id -> vanishes
+      (12L, "epsilon"),      // new -> survives
+      (14L, "GAMMA"),        // old after casefold -> vanishes
+      (15L, "")).toDF("id", "text") // empty: new (old has no empty)
+    val got = graft.llm.TextDedupOps
+      .dedupIncremental(batch, old, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 12L, 15L), got.mkString(","))
+    // idempotence: re-ingesting the surviving batch against old+batch
+    // yields nothing
+    val merged = old.unionByName(
+      batch.filter(col("id").isin(11L, 12L, 15L)))
+    assert(graft.llm.TextDedupOps
+      .dedupIncremental(batch, merged, "id", "text").count() == 0)
+  }
+
   test("langId: profiles are well-formed (alphabetical, 12+ languages, " +
       "trigram-clean)") {
     val codes = TextStatsOps.LangCodes
