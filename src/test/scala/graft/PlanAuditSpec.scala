@@ -301,4 +301,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("nlargest_keep_all").contains("WindowGroupLimit"),
       "nlargest_keep_all lost its WindowGroupLimit pruning")
   }
+
+  test("registry-wide: queries planning a CartesianProduct or " +
+      "BroadcastNestedLoopJoin are exactly the pinned set") {
+    // Every entry here is either an explicit cross join (the operator's
+    // SEMANTICS), a broadcast of a ≤1-row scalar-stats side, or a
+    // broadcast of a bounded literal/query side — never corpus×corpus.
+    // A new query joining without keys lands here loudly instead of
+    // shipping a quadratic plan at 100 TB.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (n, fn) =>
+        val p =
+          try fn(spark, d).queryExecution.sparkPlan.toString
+          catch { case e: Throwable => fail(s"$n failed to plan: $e") }
+        if (p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin")) Some(n) else None
+    }.toSet
+    val allowed: Set[String] = Set(
+      "join_cross",            // the cross-join operator itself
+      "range_join_bins",       // non-equi join, bounded bin side broadcast
+      "bm25_topk",             // ONE corpus-stats scalar row broadcast
+      "tfidf_top_terms",       // broadcast vocabulary-df side
+      "describe_object",       // single aggregate row
+      "first_3d", "last_3d",   // broadcast scalar min/max-ts row
+      "sample_frac",           // broadcast scalar count row
+      "sample_weights",        // broadcast scalar weight-total row
+      "str_levenshtein_pairs", // explicit bounded id×id pair set
+      "cosine_topk", "cosine_topk_native", "cosine_ivf_topk",
+      "embedding_near_dup")    // broadcast query/centroid side over the
+                               // corpus scan (the documented ANN shape)
+    assert(offenders == allowed,
+      s"cartesian/nested-loop set drifted.\n  now: ${offenders.toSeq.sorted}\n" +
+        s"  pinned: ${allowed.toSeq.sorted}")
+  }
 }
