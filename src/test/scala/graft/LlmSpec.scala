@@ -451,6 +451,24 @@ class LlmSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xffffff) == ((x * 31 + y * 17 + 9L) & 0xffffff).toInt)
   }
 
+  test("decodeImageMeta on an externally-produced PNG (not our encoder): " +
+      "dims and channel model match the container header") {
+    import graft.llm.MultimodalOps
+    import spark.implicits._
+    // A real-world PNG written by an external tool (600x125 RGBA per
+    // its IHDR chunk) — decoding it proves the kernel isn't only
+    // round-tripping its own encoder's output.
+    val p = java.nio.file.Paths.get("/root/reference/doc/logo/pandas_logo.png")
+    assume(java.nio.file.Files.exists(p), "external fixture not present")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val meta = MultimodalOps.decodeImageMeta(
+        Seq((1L, bytes)).toDF("asset_id", "payload")).collect()
+    assert(meta.length == 1)
+    val r = meta.head
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)) ==
+      ((600, 125, 4, "ok")), r.toString)
+  }
+
   test("real WAV decode: format/stats from genuine AudioSystem bytes, " +
       "stereo, decimation, and corrupt payloads as data") {
     import graft.llm.MultimodalOps
