@@ -231,6 +231,40 @@ object TextDedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** CROSS-corpus near-duplicate detection — eval/benchmark
+    * decontamination at the near-dup tier. [[contaminationScore]]
+    * measures n-gram overlap; this catches template/paraphrase clones
+    * whose shingle overlap is diluted but whose MinHash signatures
+    * still agree. Returns (corpus_id, probe_id, est_jaccard) for cross
+    * pairs only — corpus-internal near-dups (the job of the plain LSH
+    * pass) never inflate the decontamination set, and probe-internal
+    * pairs are the probe owner's problem.
+    *
+    * Scale shape: identical to [[lshCandidatePairs]] (the union rides
+    * the same banded bucket join — bucket-bounded, cappable); the side
+    * tag is one bit folded into the id (ids must be non-negative and
+    * < 2^62), decoded with shift/mask after pairing, so the bucket
+    * shuffle still carries 3 longs per row. */
+  def crossCorpusNearDups(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val c = corpus.select((col(idCol).cast("long") * 2).as(idCol),
+      col(textCol))
+    val p = probes.select((col(idCol).cast("long") * 2 + 1).as(idCol),
+      col(textCol))
+    val sigs = minHashSignatures(c.unionByName(p), idCol, textCol,
+      shingleN, k)
+    lshCandidatePairs(sigs, idCol, bands, threshold, maxBucketSize)
+      .filter(col("id_a").bitwiseAND(1) =!= col("id_b").bitwiseAND(1))
+      .select(
+        shiftright(when(col("id_a").bitwiseAND(1) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("corpus_id"),
+        shiftright(when(col("id_a").bitwiseAND(1) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("probe_id"),
+        col("est_jaccard"))
+  }
+
   /** Split a signature array into `bands` contiguous slices. */
   private def split_band(sig: Column, bands: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),

@@ -1061,6 +1061,41 @@ object LlmQueries extends QueryModule {
               |  CAST(1000000 AS BIGINT) AS est_e6
               |FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id""".stripMargin)),
 
+    // CROSS-corpus near-dup decontamination
+    // (TextDedupOps.crossCorpusNearDups): probes are clones of every
+    // 10th corpus doc (+50000 ids); the compared projection is the
+    // candidate set semi-joined against the engine-independent
+    // fingerprint CROSS-pair set (recall side exact, like
+    // minhash_capped_pairs — clone signatures are identical by
+    // construction, so est_jaccard is exactly 1). A side-tag bug, a
+    // lost cross pair, or an id decode error drops rows and hash-fails.
+    QueryDef("cross_corpus_near_dup",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val probes = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+        val got = TextDedupOps.crossCorpusNearDups(docs, probes,
+          "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.9, maxBucketSize = 64)
+        val cfp = docs.select(col("doc_id").as("corpus_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val pfp = probes.select(col("doc_id").as("probe_id"),
+          TextDedupOps.fingerprint(col("text")).as("fp"))
+        val clonePairs = cfp.join(pfp, Seq("fp"))
+          .select("corpus_id", "probe_id")
+        broadcast(clonePairs).join(got, Seq("corpus_id", "probe_id"))
+          .select(col("corpus_id"), col("probe_id"),
+            round(col("est_jaccard") * 1e6).cast("long").as("est_e6"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, md5(${normSql("text")}) AS fp
+              |  FROM documents),
+              |p AS (SELECT doc_id + 50000 AS probe_id,
+              |    md5(${normSql("text")}) AS fp
+              |  FROM documents WHERE doc_id % 10 = 0)
+              |SELECT f.doc_id AS corpus_id, p.probe_id,
+              |  CAST(1000000 AS BIGINT) AS est_e6
+              |FROM f JOIN p USING (fp)""".stripMargin)),
+
     // Benchmark decontamination: per-doc fraction of distinct 3-gram
     // shingles also present in the "eval" slice (doc_id < 20) — the
     // leakage check every training pipeline runs. Benchmark shingles

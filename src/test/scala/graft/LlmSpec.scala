@@ -302,6 +302,30 @@ class LlmSpec extends SparkSpec {
       .filter(col("count") =!= col("n")).count() == 0)
   }
 
+  test("crossCorpusNearDups: cross clone pairs found, internal pairs " +
+      "excluded, ids decode to their original spaces") {
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, tA), (2L, tB), (3L, tA)).toDF("id", "text")
+    val probes = Seq((7L, tA), (8L, "unrelated words entirely here now"))
+      .toDF("id", "text")
+    val got = graft.llm.TextDedupOps.crossCorpusNearDups(
+      corpus, probes, "id", "text", shingleN = 3, k = 32, bands = 8,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // both corpus clones of tA pair with probe 7 at est 1.0
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 7L)) && pairs.contains((3L, 7L)),
+      got.mkString(";"))
+    assert(got.filter(t => t._2 == 7L && (t._1 == 1L || t._1 == 3L))
+      .forall(_._3 == 1.0))
+    // the corpus-internal clone pair (1,3) must NOT appear, and every
+    // row decodes to (corpus id, probe id)
+    assert(got.forall(t => Set(1L, 2L, 3L)(t._1) && Set(7L, 8L)(t._2)),
+      got.mkString(";"))
+  }
+
   test("dedupIncremental: batch-internal keep-first plus index anti-join") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
