@@ -588,6 +588,51 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
 
+    // END-TO-END curation pipeline gate: quality-classifier filter →
+    // exact dedup (keep-first) → deterministic token-budget draw, the
+    // minimal real corpus-construction chain, ORACLE-CHECKED AS A
+    // WHOLE — stage boundaries are where pipelines actually break
+    // (filter semantics feeding dedup's keep choice feeding the draw's
+    // hash order), and the per-stage gates can't see a composition bug.
+    // The oracle replays all three stages in one CTE chain; the drawn
+    // id set shifts if ANY stage drifts.
+    QueryDef("curation_pipeline_draw",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val w = TextStatsOps.demoClassifierWeights()
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val kept = docs.filter(
+          TextStatsOps.hashedClassifierLogit(col("text"), w) > 0)
+        val deduped = TextDedupOps.exactDedup(kept, "text", "doc_id")
+        val counted = deduped.select(col("doc_id"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.sampleTokenBudget(counted, "doc_id", "n_tok",
+          budget = 5000L)
+      },
+      Some("""WITH wt AS (SELECT i, (i * 2654435761) % 1000 - 500 AS w
+             |  FROM range(0, 64) t(i)),
+             |wl AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM wl),
+             |sc AS (SELECT f.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit
+             |  FROM f JOIN wt ON wt.i = f.b GROUP BY f.doc_id),
+             |kept AS (SELECT d.doc_id, d.text FROM documents d
+             |  JOIN sc ON sc.doc_id = d.doc_id WHERE sc.logit > 0),
+             |ded AS (SELECT doc_id, text FROM (
+             |  SELECT doc_id, text, row_number() OVER (
+             |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM kept) WHERE rn = 1),
+             |t AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+             |  FROM ded),
+             |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+             |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             |SELECT doc_id, n_tok FROM c WHERE cum <= 5000""".stripMargin)),
+
     // Sequence packing (the step AFTER the corpus draw: concatenate
     // docs in deterministic hash order, cut into fixed 128-token
     // training windows; SampleOps.packSequences). The oracle replays
