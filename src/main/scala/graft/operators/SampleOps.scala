@@ -24,6 +24,30 @@ object SampleOps {
     conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
       16, 10).cast("long")
 
+  /** Deterministic shard id for a row key: hashU32 mod nShards — a pure
+    * function of the KEY, so shard membership survives reprocessing,
+    * repartitioning, and file-layout changes (the property that lets a
+    * resumed training run read the same shards it left off at). */
+  def shardCol(key: Column, nShards: Int, salt: String = "shard"): Column =
+    pmod(hashU32(key, salt), lit(nShards.toLong))
+
+  /** Sharded training-corpus materialization — the output step at the
+    * end of the curation pipeline: rows land in hive-layout
+    * `shard=<k>/` parquet directories by deterministic hash shard.
+    * One repartition on the shard id co-locates each shard before the
+    * write (≈1 file per shard; AQE splits a skewed one), and readers
+    * get planning-time partition pruning per shard — a training job
+    * reading shard 3 lists and scans ONLY shard 3. The md5-based hash
+    * is uniform, so shards balance at any corpus size; size nShards to
+    * the downstream reader fleet, not the writer cluster. */
+  def writeTrainingShards(df: DataFrame, idCol: String, outDir: String,
+      nShards: Int, salt: String = "shard"): Unit = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    df.withColumn("shard", shardCol(col(idCol), nShards, salt))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Deterministic frac-sample: keep rows whose hash-uniform < frac.
     * Per-row independent ⇒ already stratified under any grouping;
     * reproducible and oracle-exact (unlike rand()-based sample). */

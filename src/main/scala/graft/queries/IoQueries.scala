@@ -437,6 +437,27 @@ object IoQueries extends QueryModule {
              |  CAST(3 AS INTEGER) AS r_height
              |FROM documents""".stripMargin)),
 
+    // Sharded training-corpus write (SampleOps.writeTrainingShards):
+    // hive-layout shard=<k>/ dirs by deterministic md5 shard, read back
+    // WHOLE so every row's persisted shard assignment faces the oracle's
+    // closed-form md5 arithmetic — a wrong mod, a salt drift, a
+    // partition-column type change, or rows landing in the wrong dir
+    // all hash-fail. (Pruned single-dir reads are pinned by
+    // parquet_partitioned_pruned; this gate pins the ASSIGNMENT.)
+    QueryDef("train_shards_roundtrip",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val out = s"$scratch/train_shards"
+        val docs = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+        SampleOps.writeTrainingShards(docs, "doc_id", out, nShards = 8)
+        s.read.parquet(out).select(col("doc_id"),
+          col("shard").cast("long").as("shard"), col("n_chars"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT) % 8 AS shard,
+             |  n_chars
+             |FROM documents""".stripMargin)),
+
     // REAL audio decode gate: per-document PCM16 waveforms whose sample
     // values are a closed-form function of doc_id are pushed through the
     // JRE's genuine WAVE writer (AudioSystem.write), decoded back by the
