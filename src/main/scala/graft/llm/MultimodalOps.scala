@@ -80,6 +80,147 @@ object MultimodalOps {
   def metadataOnly(assets: DataFrame): DataFrame =
     assets.select("asset_id", "media_type", "meta_width", "meta_height")
 
+  // ---- REAL video CONTAINER parsing (ISO-BMFF / MP4 box structure per
+  // the public ISO 14496-12 layout). Parsing the box tree gives the
+  // metadata a curation pipeline filters on (duration, track inventory,
+  // display dims) WITHOUT any codec; frame/pixel decode remains
+  // honestly stubbed (no video codec exists in the JRE or this
+  // container). HONESTY NOTE: unlike sas7bdat (validated against real
+  // SAS-written files) no externally-produced MP4 exists in this
+  // environment, so the parser is validated against spec-derived
+  // fixtures built by [[syntheticMp4]] — a layout error faithfully
+  // repeated in both builder and parser would not be caught. ----
+
+  /** Parsed container facts; -1/"undecodable" for payloads that are not
+    * a well-formed box tree (data, never an executor throw). */
+  case class VideoMeta(
+      asset_id: Long, brand: String, timescale: Long, duration_us: Long,
+      n_tracks: Long, video_tracks: Long, audio_tracks: Long,
+      width: Int, height: Int, format: String)
+
+  private def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      ((u16(o).toLong << 16) | u16(o + 2).toLong) & 0xffffffffL
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    var brand = ""; var timescale = 0L; var duration = 0L
+    var nT = 0L; var vT = 0L; var aT = 0L; var w = 0; var h = 0
+    var sawMoov = false
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        var hdr = 8
+        if (size == 1L) { size = u64(off + 8); hdr = 16 }
+        else if (size == 0L) size = (end - off).toLong // box runs to end
+        if (size < hdr || off + size > end)
+          throw new IllegalArgumentException(s"bad box $typ at $off")
+        val body = off + hdr
+        typ match {
+          case "ftyp" => brand = new String(bytes, body, 4, "ISO-8859-1")
+          case "moov" => sawMoov = true; walk(body, off + size.toInt)
+          case "mvhd" =>
+            if ((bytes(body) & 0xff) == 1) {
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else { timescale = u32(body + 12); duration = u32(body + 16) }
+          case "trak" => nT += 1; walk(body, off + size.toInt)
+          case "tkhd" =>
+            // width/height are the box's last 8 bytes (16.16 fixed) in
+            // BOTH tkhd versions
+            val tw = (u32(off + size.toInt - 8) >> 16).toInt
+            val th = (u32(off + size.toInt - 4) >> 16).toInt
+            if (tw > 0) { w = math.max(w, tw); h = math.max(h, th) }
+          case "hdlr" =>
+            new String(bytes, body + 8, 4, "ISO-8859-1") match {
+              case "vide" => vT += 1
+              case "soun" => aT += 1
+              case _ =>
+            }
+          case "mdia" | "minf" | "stbl" => walk(body, off + size.toInt)
+          case _ => // leaf we don't read (mdat, free, ...): skip
+        }
+        off += size.toInt
+      }
+      if (off != end)
+        throw new IllegalArgumentException(s"trailing garbage at $off")
+    }
+    try {
+      walk(0, bytes.length)
+      if (!sawMoov || brand.isEmpty) None
+      else Some(VideoMeta(-1L, brand, timescale,
+        if (timescale > 0) duration * 1000000L / timescale else -1L,
+        nT, vT, aT, w, h, "ok"))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** REAL MP4 container metadata over a binary payload column: walks
+    * the ISO-BMFF box tree (ftyp brand, mvhd timescale/duration with
+    * exact-integer micros, per-trak tkhd dims + hdlr handler census).
+    * Batched mapPartitions, no shuffle, like the image/audio kernels. */
+  def decodeVideoMeta(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload", batchSize: Int = 64): Dataset[VideoMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          parseMp4(bytes) match {
+            case Some(m) => m.copy(asset_id = id)
+            case None => VideoMeta(id, "", -1, -1, -1, -1, -1, -1, -1,
+              "undecodable")
+          }
+        })
+      }
+  }
+
+  /** Spec-conformant minimal MP4 builder (fixture producer): ftyp +
+    * moov(mvhd + per-track trak(tkhd + mdia(mdhd + hdlr))). No mdat —
+    * metadata-only, which is exactly what the parser reads. */
+  def syntheticMp4(brand: String, timescale: Long, duration: Long,
+      tracks: Seq[(String, Int, Int)], mvhdV1: Boolean = false): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val matrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd",
+      (if (mvhdV1)
+        Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(timescale) ++
+          be64(duration)
+      else
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+          be32(duration)) ++
+      be32(0x00010000L) ++ be16(0x0100) ++ Array.fill[Byte](10)(0) ++
+      matrix ++ Array.fill[Byte](24)(0) ++ be32(tracks.size + 1L))
+    val traks = tracks.zipWithIndex.map { case ((handler, tw, th), i) =>
+      val tkhd = box("tkhd",
+        Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(i + 1L) ++
+          be32(0) ++ be32(duration) ++ Array.fill[Byte](8)(0) ++
+          be16(0) ++ be16(0) ++ be16(if (handler == "soun") 0x0100 else 0) ++
+          be16(0) ++ matrix ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+      val mdhd = box("mdhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+          be32(duration) ++ be16(0x55c4) ++ be16(0)) // language 'und'
+      val hdlr = box("hdlr",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+          handler.getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0) ++
+          Array[Byte](0)) // empty nul-terminated name
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    box("ftyp", brand.getBytes("ISO-8859-1") ++ be32(0) ++
+      brand.getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ traks.flatten.toArray)
+  }
+
   /** Video frame sampling: split the payload into fixed-stride "frames"
     * (stub codec: a real one parses container headers; the byte-stride
     * fake keeps the plumbing honest) and keep every `everyNth`-th.

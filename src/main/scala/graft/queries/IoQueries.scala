@@ -458,6 +458,46 @@ object IoQueries extends QueryModule {
              |  n_chars
              |FROM documents""".stripMargin)),
 
+    // MP4 container-metadata gate: per-document spec-conformant box
+    // trees (brand, v0/v1 mvhd split by parity, 90kHz vs 1kHz
+    // timescales, track census, 16.16 dims) built by syntheticMp4 and
+    // walked back by the real ISO-BMFF parser; DuckDB restates every
+    // field closed-form from doc_id, incl. the floor-division micros.
+    // (Self-roundtrip caveat documented in MultimodalOps — no external
+    // MP4 exists in this environment; the gate still pins regressions
+    // and the exact-integer duration arithmetic.)
+    QueryDef("video_meta",
+      (s, d) => {
+        import s.implicits._
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val ts = if (id % 2 == 0) 1000L else 90000L
+            val w = 320 + (id % 5).toInt * 16
+            val h = 240 + (id % 3).toInt * 16
+            val tracks = Seq(("vide", w, h)) ++
+              (if (id % 2 == 0) Seq(("soun", 0, 0)) else Nil)
+            (id, MultimodalOps.syntheticMp4("isom", ts, 100000L + id * 7,
+              tracks, mvhdV1 = id % 2 == 1))
+          }).toDF("asset_id", "payload")
+        MultimodalOps.decodeVideoMeta(assets).toDF()
+          .select("asset_id", "brand", "timescale", "duration_us",
+            "n_tracks", "video_tracks", "audio_tracks", "width", "height")
+      },
+      Some("""SELECT doc_id AS asset_id, 'isom' AS brand,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END
+             |       AS BIGINT) AS timescale,
+             |  CAST((100000 + doc_id * 7) * 1000000 //
+             |       (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END)
+             |       AS BIGINT) AS duration_us,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             |    AS n_tracks,
+             |  CAST(1 AS BIGINT) AS video_tracks,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS audio_tracks,
+             |  CAST(320 + (doc_id % 5) * 16 AS INTEGER) AS width,
+             |  CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height
+             |FROM documents""".stripMargin)),
+
     // REAL audio decode gate: per-document PCM16 waveforms whose sample
     // values are a closed-form function of doc_id are pushed through the
     // JRE's genuine WAVE writer (AudioSystem.write), decoded back by the

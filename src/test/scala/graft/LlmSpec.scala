@@ -493,6 +493,34 @@ class LlmSpec extends SparkSpec {
       ((600, 125, 4, "ok")), r.toString)
   }
 
+  test("MP4 box-tree parse: brand, exact-micros duration, track census, " +
+      "dims, v1 mvhd, and corrupt payloads as data") {
+    import graft.llm.MultimodalOps
+    import spark.implicits._
+    val av = MultimodalOps.syntheticMp4("isom", timescale = 1000,
+      duration = 5000, tracks = Seq(("vide", 640, 360), ("soun", 0, 0)))
+    // v1 mvhd (64-bit times), odd timescale -> floor micros
+    val v1 = MultimodalOps.syntheticMp4("mp42", timescale = 90000,
+      duration = 123457, tracks = Seq(("vide", 1920, 1080)), mvhdV1 = true)
+    val assets = Seq((1L, av), (2L, v1),
+      (3L, "not a video".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val meta = MultimodalOps.decodeVideoMeta(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    val m1 = meta(1L)
+    assert((m1.brand, m1.timescale, m1.duration_us, m1.n_tracks,
+      m1.video_tracks, m1.audio_tracks, m1.width, m1.height, m1.format) ==
+      (("isom", 1000L, 5000000L, 2L, 1L, 1L, 640, 360, "ok")), m1.toString)
+    val m2 = meta(2L)
+    assert((m2.brand, m2.duration_us, m2.width, m2.height) ==
+      (("mp42", 123457L * 1000000L / 90000L, 1920, 1080)), m2.toString)
+    assert(meta(3L).format == "undecodable" && meta(3L).n_tracks == -1L)
+    // truncated box (size field exceeds payload) must be data, not a throw
+    val broken = av.take(40)
+    val mb = MultimodalOps.decodeVideoMeta(
+      Seq((4L, broken)).toDF("asset_id", "payload")).collect().head
+    assert(mb.format == "undecodable")
+  }
+
   test("real WAV decode: format/stats from genuine AudioSystem bytes, " +
       "stereo, decimation, and corrupt payloads as data") {
     import graft.llm.MultimodalOps
@@ -579,6 +607,16 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     cases.zipWithIndex.foreach { case ((in, want), i) =>
       assert(got(i) == want, s"'$in' -> '${got(i)}', want '$want'")
+    }
+    // idempotence: a canonical URL re-normalizes to itself (the dedup
+    // key property — without it, mixing already-canonical and raw URLs
+    // in one corpus would split groups)
+    val again = cases.map(_._2).filter(_ != null).zipWithIndex
+      .map { case (u, i) => (i, u) }.toDF("i", "url")
+      .select(col("i"), UrlOps.normalizeUrl(col("url")).as("n2"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.map(_._2).filter(_ != null).zipWithIndex.foreach { case (u, i) =>
+      assert(again(i) == u, s"not idempotent: '$u' -> '${again(i)}'")
     }
   }
 
