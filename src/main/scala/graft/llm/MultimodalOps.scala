@@ -177,11 +177,107 @@ object MultimodalOps {
       }
   }
 
+  /** Byte ranges (offset, size) of the FIRST video track's samples,
+    * read from the container's own sample tables: stsz sizes + the
+    * single-chunk stco offset. Multi-chunk layouts (stsc with more than
+    * one run) are out of scope and surface as None, as do ranges that
+    * escape the payload. Relies on hdlr preceding minf within mdia (the
+    * normative order our builder and typical muxers emit). */
+  private def parseMp4VideoSamples(bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      ((u16(o).toLong << 16) | u16(o + 2).toLong) & 0xffffffffL
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    var curHandler = ""
+    var sizes: Array[Int] = null
+    var chunkOff = -1L
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        var hdr = 8
+        if (size == 1L) { size = u64(off + 8); hdr = 16 }
+        else if (size == 0L) size = (end - off).toLong
+        if (size < hdr || off + size > end)
+          throw new IllegalArgumentException(s"bad box $typ at $off")
+        val body = off + hdr
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(body, off + size.toInt)
+          case "hdlr" =>
+            curHandler = new String(bytes, body + 8, 4, "ISO-8859-1")
+          case "stsz" if curHandler == "vide" && sizes == null =>
+            val uniform = u32(body + 4)
+            val n = u32(body + 8).toInt
+            sizes =
+              if (uniform != 0L) Array.fill(n)(uniform.toInt)
+              else Array.tabulate(n)(i => u32(body + 12 + 4 * i).toInt)
+          case "stco" if curHandler == "vide" && chunkOff < 0 =>
+            if (u32(body + 4) != 1L)
+              throw new IllegalArgumentException("multi-chunk stco")
+            chunkOff = u32(body + 8)
+          case _ =>
+        }
+        off += size.toInt
+      }
+    }
+    try {
+      walk(0, bytes.length)
+      if (sizes == null || chunkOff < 0) None
+      else {
+        var o = chunkOff
+        val out = sizes.map { s =>
+          val r = (o.toInt, s); o += s; r
+        }
+        if (o > bytes.length) None else Some(out.toSeq)
+      }
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** REAL video frame-sample extraction: sample byte ranges come from
+    * the container's OWN sample tables (stsz/stco) and are sliced out
+    * of mdat — this retires the byte-stride fake of [[sampleFrames]];
+    * only the pixel DECODE of an extracted sample remains stubbed (no
+    * video codec in the JRE). Keeps every `everyNth` sample, 0-based
+    * frame_no over the sample index. Payloads without a parseable
+    * video sample table emit one (frame_no = -1, null frame) row —
+    * keyed rows survive, like [[resizeImages]]. Batched mapPartitions,
+    * no shuffle. */
+  def sampleVideoFrames(assets: DataFrame, everyNth: Int,
+      idCol: String = "asset_id", payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive: $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          parseMp4VideoSamples(bytes) match {
+            case Some(ranges) =>
+              ranges.zipWithIndex.collect {
+                case ((o, s), i) if i % everyNth == 0 =>
+                  (id, i.toLong, java.util.Arrays.copyOfRange(bytes, o, o + s))
+              }
+            case None => Seq((id, -1L, null: Array[Byte]))
+          }
+        })
+      }.toDF("asset_id", "frame_no", "frame")
+  }
+
   /** Spec-conformant minimal MP4 builder (fixture producer): ftyp +
-    * moov(mvhd + per-track trak(tkhd + mdia(mdhd + hdlr))). No mdat —
-    * metadata-only, which is exactly what the parser reads. */
+    * moov(mvhd + per-track trak(tkhd + mdia(mdhd + hdlr [+ minf/stbl]))).
+    * With `videoSamples` empty the file is metadata-only (no mdat);
+    * non-empty, the FIRST `vide` track gets a full sample table
+    * (stsd/stts/stsc/stsz/stco — one chunk holding every sample) and
+    * the samples land in a trailing mdat, with stco's absolute offset
+    * fixed by a second build pass. */
   def syntheticMp4(brand: String, timescale: Long, duration: Long,
-      tracks: Seq[(String, Int, Int)], mvhdV1: Boolean = false): Array[Byte] = {
+      tracks: Seq[(String, Int, Int)], mvhdV1: Boolean = false,
+      videoSamples: Seq[Array[Byte]] = Nil): Array[Byte] = {
     require(brand.length == 4, s"brand must be 4 chars: '$brand'")
     def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
@@ -201,29 +297,55 @@ object MultimodalOps {
           be32(duration)) ++
       be32(0x00010000L) ++ be16(0x0100) ++ Array.fill[Byte](10)(0) ++
       matrix ++ Array.fill[Byte](24)(0) ++ be32(tracks.size + 1L))
-    val traks = tracks.zipWithIndex.map { case ((handler, tw, th), i) =>
-      val tkhd = box("tkhd",
-        Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(i + 1L) ++
-          be32(0) ++ be32(duration) ++ Array.fill[Byte](8)(0) ++
-          be16(0) ++ be16(0) ++ be16(if (handler == "soun") 0x0100 else 0) ++
-          be16(0) ++ matrix ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
-      val mdhd = box("mdhd",
-        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
-          be32(duration) ++ be16(0x55c4) ++ be16(0)) // language 'und'
-      val hdlr = box("hdlr",
-        Array[Byte](0, 0, 0, 0) ++ be32(0) ++
-          handler.getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0) ++
-          Array[Byte](0)) // empty nul-terminated name
-      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    val firstVide = tracks.indexWhere(_._1 == "vide")
+    def stbl(mdatPayloadOffset: Long): Array[Byte] = {
+      val n = videoSamples.size
+      val stsd = box("stsd", be32(0) ++ be32(1) ++
+        box("mp4v", Array.fill[Byte](78)(0)))
+      val stts = box("stts", be32(0) ++ be32(1) ++ be32(n.toLong) ++ be32(1))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++
+        be32(1) ++ be32(n.toLong) ++ be32(1))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n.toLong) ++
+        videoSamples.toArray.flatMap(s => be32(s.length.toLong)))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(mdatPayloadOffset))
+      box("minf", box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco))
     }
-    box("ftyp", brand.getBytes("ISO-8859-1") ++ be32(0) ++
-      brand.getBytes("ISO-8859-1")) ++
-      box("moov", mvhd ++ traks.flatten.toArray)
+    def prefix(mdatPayloadOffset: Long): Array[Byte] = {
+      val traks = tracks.zipWithIndex.map { case ((handler, tw, th), i) =>
+        val tkhd = box("tkhd",
+          Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(i + 1L) ++
+            be32(0) ++ be32(duration) ++ Array.fill[Byte](8)(0) ++
+            be16(0) ++ be16(0) ++ be16(if (handler == "soun") 0x0100 else 0) ++
+            be16(0) ++ matrix ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+        val mdhd = box("mdhd",
+          Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+            be32(duration) ++ be16(0x55c4) ++ be16(0)) // language 'und'
+        val hdlr = box("hdlr",
+          Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+            handler.getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0) ++
+            Array[Byte](0)) // empty nul-terminated name
+        val minf = if (videoSamples.nonEmpty && i == firstVide)
+          stbl(mdatPayloadOffset) else Array.emptyByteArray
+        box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ minf))
+      }
+      box("ftyp", brand.getBytes("ISO-8859-1") ++ be32(0) ++
+        brand.getBytes("ISO-8859-1")) ++
+        box("moov", mvhd ++ traks.flatten.toArray)
+    }
+    if (videoSamples.isEmpty) prefix(0L)
+    else {
+      // stco holds an ABSOLUTE file offset; a second pass fixes it
+      // (the offset field is fixed-width, so the length is stable)
+      val p = prefix(0L)
+      prefix(p.length + 8L) ++
+        box("mdat", videoSamples.toArray.flatten)
+    }
   }
 
-  /** Video frame sampling: split the payload into fixed-stride "frames"
-    * (stub codec: a real one parses container headers; the byte-stride
-    * fake keeps the plumbing honest) and keep every `everyNth`-th.
+  /** Video frame sampling over OPAQUE payloads: split into fixed-stride
+    * byte "frames" (no container knowledge — for real MP4 payloads use
+    * [[sampleVideoFrames]], which reads the actual sample tables) and
+    * keep every `everyNth`-th.
     * One narrow explode per asset — frames stay on the executor that
     * holds the payload, nothing shuffles. Output: (asset_id, frame_no,
     * frame: binary). */

@@ -498,6 +498,43 @@ object IoQueries extends QueryModule {
              |  CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height
              |FROM documents""".stripMargin)),
 
+    // Real frame-sample extraction gate: per-document MP4s carry
+    // 4..6 video samples of closed-form ASCII bytes; sampleVideoFrames
+    // recovers every 2nd via the container's OWN stsz/stco tables and
+    // the oracle restates each frame's exact content from doc_id
+    // arithmetic — a sample-size mis-read, a chunk-offset bug, or an
+    // off-by-one in the mdat slice changes a string and hash-fails.
+    QueryDef("video_frames",
+      (s, d) => {
+        import s.implicits._
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 4 + (id % 3).toInt
+            val samples = (0 until n).map { i =>
+              val len = 5 + (i % 3)
+              Array.tabulate(len)(j =>
+                (97 + ((id * 13 + i * 7 + j) % 26)).toByte)
+            }
+            (id, MultimodalOps.syntheticMp4("isom", 1000, n.toLong,
+              Seq(("vide", 64, 48), ("soun", 0, 0)),
+              videoSamples = samples))
+          }).toDF("asset_id", "payload")
+        MultimodalOps.sampleVideoFrames(assets, everyNth = 2)
+          .select(col("asset_id"), col("frame_no"),
+            col("frame").cast("string").as("frame_str"))
+      },
+      Some("""WITH base AS (SELECT doc_id, 4 + doc_id % 3 AS n
+             |  FROM documents),
+             |fi AS (SELECT doc_id, n,
+             |    unnest(range(0, CAST(n AS BIGINT))) AS i FROM base),
+             |kept AS (SELECT doc_id, i, 5 + (i % 3) AS len
+             |  FROM fi WHERE i % 2 = 0)
+             |SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+             |  array_to_string(list_transform(range(0, CAST(len AS BIGINT)),
+             |    j -> chr(CAST(97 + (doc_id * 13 + i * 7 + j) % 26 AS INT))),
+             |    '') AS frame_str
+             |FROM kept""".stripMargin)),
+
     // REAL audio decode gate: per-document PCM16 waveforms whose sample
     // values are a closed-form function of doc_id are pushed through the
     // JRE's genuine WAVE writer (AudioSystem.write), decoded back by the

@@ -521,6 +521,32 @@ class LlmSpec extends SparkSpec {
     assert(mb.format == "undecodable")
   }
 
+  test("sampleVideoFrames: exact sample bytes recovered via the real " +
+      "stsz/stco tables; metadata parse coexists with mdat") {
+    import graft.llm.MultimodalOps
+    import spark.implicits._
+    val samples = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5),
+      Array[Byte](6, 7, 8, 9), Array[Byte](10), Array[Byte](11, 12))
+    val mp4 = MultimodalOps.syntheticMp4("isom", 1000, 5,
+      Seq(("vide", 64, 48), ("soun", 0, 0)), videoSamples = samples)
+    val assets = Seq((1L, mp4), (2L, "junk".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val got = MultimodalOps.sampleVideoFrames(assets, everyNth = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Array[Byte]]("frame")).map(_.toSeq)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, Some(Seq[Byte](1, 2, 3))),
+      (1L, 2L, Some(Seq[Byte](6, 7, 8, 9))),
+      (1L, 4L, Some(Seq[Byte](11, 12))),
+      (2L, -1L, None)), got.mkString(";"))
+    // the metadata walk still parses the same payload (skipping mdat)
+    val m = MultimodalOps.decodeVideoMeta(
+      assets.filter(col("asset_id") === 1)).collect().head
+    assert((m.format, m.video_tracks, m.width) == (("ok", 1L, 64)))
+  }
+
   test("real WAV decode: format/stats from genuine AudioSystem bytes, " +
       "stereo, decimation, and corrupt payloads as data") {
     import graft.llm.MultimodalOps
