@@ -91,7 +91,12 @@ object GroupOps {
     * column must be an integral type (a double would collapse distinct
     * values under the long cast and silently over-return through the
     * semi-join), and NULL order values cannot rank — they are excluded
-    * from the winner computation, so null-ordered rows never return. */
+    * from the winner computation, so null-ordered rows never return.
+    * Order values should be DISTINCT within a key for an exact-n
+    * result: the winner semi-join matches by value, so duplicates of a
+    * boundary value all return (a deterministic tie-keep-all, like
+    * nlargest keep='all' — derive a unique key, e.g. hash·2^k + id,
+    * when exact-n matters). */
   private def integralOrder(df: DataFrame, orderCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val dt = df.schema(orderCol).dataType
@@ -104,16 +109,16 @@ object GroupOps {
   def headPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       n: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(n))
-    val fresh = keys.map(k => s"__w_$k")
+    val fresh = keys.map(k => s"__graft_hpk_$k")
     val winners = integralOrder(df, orderCol)
       .groupBy(keys.map(col): _*)
       .agg(topAgg(col(orderCol).cast("long")).as("__top"))
-      .select(keys.map(col) :+ explode(col("__top")).as("__ord"): _*)
-      .toDF(fresh :+ "__ord": _*)
+      .select(keys.map(col) :+ explode(col("__top")).as("__graft_hpk_ord"): _*)
+      .toDF(fresh :+ "__graft_hpk_ord": _*)
     df.join(winners,
       keys.zip(fresh).map { case (k, f) => col(k) <=> col(f) }
         .reduce(_ && _) &&
-        col(orderCol).cast("long") === col("__ord"),
+        col(orderCol).cast("long") === col("__graft_hpk_ord"),
       "left_semi")
   }
 
@@ -125,18 +130,18 @@ object GroupOps {
   def nthPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       k: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(k + 1))
-    val fresh = keys.map(kc => s"__w_$kc")
+    val fresh = keys.map(kc => s"__graft_hpk_$kc")
     val winners = integralOrder(df, orderCol)
       .groupBy(keys.map(col): _*)
       .agg(topAgg(col(orderCol).cast("long")).as("__top"))
       .filter(size(col("__top")) === k + 1)
       .select(keys.map(col) :+
-        element_at(col("__top"), k + 1).as("__ord"): _*)
-      .toDF(fresh :+ "__ord": _*)
+        element_at(col("__top"), k + 1).as("__graft_hpk_ord"): _*)
+      .toDF(fresh :+ "__graft_hpk_ord": _*)
     df.join(winners,
       keys.zip(fresh).map { case (kc, f) => col(kc) <=> col(f) }
         .reduce(_ && _) &&
-        col(orderCol).cast("long") === col("__ord"),
+        col(orderCol).cast("long") === col("__graft_hpk_ord"),
       "left_semi")
   }
 }

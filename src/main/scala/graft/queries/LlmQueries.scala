@@ -934,6 +934,31 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
 
+    // Per-GROUP deterministic n-sample — stratified corpus sampling
+    // (n docs per source/language/domain) via GroupOps.headPerKey over
+    // the md5-hash order: BoundedMinList partial-aggregates map-side,
+    // so a group holding half the corpus costs its map partitions, not
+    // one reduce task (the row_number-window formulation would). The
+    // order key is hash·2^20 + doc_id — collision-free here (ids <
+    // 2^20), which makes "n smallest order values" an EXACT sample the
+    // oracle replays with its window.
+    QueryDef("group_sample_n",
+      (s, d) => {
+        import graft.operators.{GroupOps, SampleOps}
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"))
+          .withColumn("__sord",
+            SampleOps.hashU32(col("doc_id"), "gsamp") * 1048576L +
+              col("doc_id"))
+        GroupOps.headPerKey(docs, Seq("source"), "__sord", 5)
+          .select("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id, row_number() OVER (
+             |    PARTITION BY source ORDER BY
+             |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':gsamp'), 1, 8)) AS BIGINT)
+             |        * 1048576 + doc_id) AS rn
+             |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
     // URL canonicalization (UrlOps.normalizeUrl) — the step before
     // domain_cap_url's host extraction and any URL-keyed dedup. Six
     // planted shapes per doc_id: case-mangled scheme/host + default
