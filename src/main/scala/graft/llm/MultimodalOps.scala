@@ -98,55 +98,79 @@ object MultimodalOps {
       n_tracks: Long, video_tracks: Long, audio_tracks: Long,
       width: Int, height: Int, format: String)
 
-  private def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
-    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
-    def u32(o: Int): Long =
-      ((u16(o).toLong << 16) | u16(o + 2).toLong) & 0xffffffffL
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    var brand = ""; var timescale = 0L; var duration = 0L
-    var nT = 0L; var vT = 0L; var aT = 0L; var w = 0; var h = 0
-    var sawMoov = false
+  private def beU16(bytes: Array[Byte], o: Int): Int =
+    ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+  private def beU32(bytes: Array[Byte], o: Int): Long =
+    ((beU16(bytes, o).toLong << 16) | beU16(bytes, o + 2).toLong) & 0xffffffffL
+  private def beU64(bytes: Array[Byte], o: Int): Long =
+    (beU32(bytes, o) << 32) | beU32(bytes, o + 4)
+
+  /** Containers the walker descends into. */
+  private val BmffContainers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Shared ISO-BMFF box walker: big-endian size+type headers, 64-bit
+    * largesize, size-0 runs-to-end, strict bounds and trailing-garbage
+    * checks at every level; recurses into [[BmffContainers]] and calls
+    * `visit(type, bodyStart, boxEnd)` for EVERY box (containers
+    * included, before descending). Malformed structure throws
+    * IllegalArgumentException for the callers' catch-to-None. */
+  private def walkBmff(bytes: Array[Byte])(
+      visit: (String, Int, Int) => Unit): Unit = {
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
-        var size = u32(off)
+        var size = beU32(bytes, off)
         val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
         var hdr = 8
-        if (size == 1L) { size = u64(off + 8); hdr = 16 }
+        if (size == 1L) { size = beU64(bytes, off + 8); hdr = 16 }
         else if (size == 0L) size = (end - off).toLong // box runs to end
         if (size < hdr || off + size > end)
           throw new IllegalArgumentException(s"bad box $typ at $off")
-        val body = off + hdr
+        visit(typ, off + hdr, off + size.toInt)
+        if (BmffContainers(typ)) walk(off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+      if (off != end)
+        throw new IllegalArgumentException(s"trailing garbage at $off")
+    }
+    walk(0, bytes.length)
+  }
+
+  private def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    var brand = ""; var timescale = 0L; var duration = 0L
+    var nT = 0L; var vT = 0L; var aT = 0L; var w = 0; var h = 0
+    var sawMoov = false
+    try {
+      walkBmff(bytes) { (typ, body, boxEnd) =>
         typ match {
           case "ftyp" => brand = new String(bytes, body, 4, "ISO-8859-1")
-          case "moov" => sawMoov = true; walk(body, off + size.toInt)
+          case "moov" => sawMoov = true
           case "mvhd" =>
             if ((bytes(body) & 0xff) == 1) {
-              timescale = u32(body + 20); duration = u64(body + 24)
-            } else { timescale = u32(body + 12); duration = u32(body + 16) }
-          case "trak" => nT += 1; walk(body, off + size.toInt)
+              timescale = beU32(bytes, body + 20)
+              duration = beU64(bytes, body + 24)
+            } else {
+              timescale = beU32(bytes, body + 12)
+              duration = beU32(bytes, body + 16)
+            }
+          case "trak" => nT += 1
           case "tkhd" =>
             // width/height are the box's last 8 bytes (16.16 fixed) in
-            // BOTH tkhd versions
-            val tw = (u32(off + size.toInt - 8) >> 16).toInt
-            val th = (u32(off + size.toInt - 4) >> 16).toInt
-            if (tw > 0) { w = math.max(w, tw); h = math.max(h, th) }
+            // BOTH tkhd versions; the FIRST track with a nonzero
+            // display size wins AS A PAIR (mixing maxima across tracks
+            // would report a resolution no track has)
+            val tw = (beU32(bytes, boxEnd - 8) >> 16).toInt
+            val th = (beU32(bytes, boxEnd - 4) >> 16).toInt
+            if ((tw > 0 || th > 0) && w == 0 && h == 0) { w = tw; h = th }
           case "hdlr" =>
             new String(bytes, body + 8, 4, "ISO-8859-1") match {
               case "vide" => vT += 1
               case "soun" => aT += 1
               case _ =>
             }
-          case "mdia" | "minf" | "stbl" => walk(body, off + size.toInt)
           case _ => // leaf we don't read (mdat, free, ...): skip
         }
-        off += size.toInt
       }
-      if (off != end)
-        throw new IllegalArgumentException(s"trailing garbage at $off")
-    }
-    try {
-      walk(0, bytes.length)
       if (!sawMoov || brand.isEmpty) None
       else Some(VideoMeta(-1L, brand, timescale,
         if (timescale > 0) duration * 1000000L / timescale else -1L,
@@ -184,46 +208,40 @@ object MultimodalOps {
     * escape the payload. Relies on hdlr preceding minf within mdia (the
     * normative order our builder and typical muxers emit). */
   private def parseMp4VideoSamples(bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
-    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
-    def u32(o: Int): Long =
-      ((u16(o).toLong << 16) | u16(o + 2).toLong) & 0xffffffffL
-    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
     var curHandler = ""
     var sizes: Array[Int] = null
     var chunkOff = -1L
-    def walk(start: Int, end: Int): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
-        var hdr = 8
-        if (size == 1L) { size = u64(off + 8); hdr = 16 }
-        else if (size == 0L) size = (end - off).toLong
-        if (size < hdr || off + size > end)
-          throw new IllegalArgumentException(s"bad box $typ at $off")
-        val body = off + hdr
+    try {
+      walkBmff(bytes) { (typ, body, boxEnd) =>
         typ match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-            walk(body, off + size.toInt)
           case "hdlr" =>
             curHandler = new String(bytes, body + 8, 4, "ISO-8859-1")
           case "stsz" if curHandler == "vide" && sizes == null =>
-            val uniform = u32(body + 4)
-            val n = u32(body + 8).toInt
+            val uniform = beU32(bytes, body + 4)
+            val nL = beU32(bytes, body + 8)
+            // sample_count is UNTRUSTED: bound it BEFORE allocating —
+            // per-entry tables must fit the box, and even a uniform
+            // table can't describe more media bytes than the payload
+            // holds (an OOM from a crafted count is an Error the
+            // catch-to-None path could not absorb)
+            if (uniform == 0L) {
+              if (nL > (boxEnd - body - 12) / 4)
+                throw new IllegalArgumentException(
+                  s"stsz count $nL exceeds box capacity")
+            } else if (nL * uniform > bytes.length)
+              throw new IllegalArgumentException(
+                s"stsz $nL x $uniform exceeds payload")
+            val n = nL.toInt
             sizes =
               if (uniform != 0L) Array.fill(n)(uniform.toInt)
-              else Array.tabulate(n)(i => u32(body + 12 + 4 * i).toInt)
+              else Array.tabulate(n)(i => beU32(bytes, body + 12 + 4 * i).toInt)
           case "stco" if curHandler == "vide" && chunkOff < 0 =>
-            if (u32(body + 4) != 1L)
+            if (beU32(bytes, body + 4) != 1L)
               throw new IllegalArgumentException("multi-chunk stco")
-            chunkOff = u32(body + 8)
+            chunkOff = beU32(bytes, body + 8)
           case _ =>
         }
-        off += size.toInt
       }
-    }
-    try {
-      walk(0, bytes.length)
       if (sizes == null || chunkOff < 0) None
       else {
         var o = chunkOff
@@ -544,9 +562,13 @@ object MultimodalOps {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val f = ais.getFormat
+        // rate guard: the JDK reader ACCEPTS a crafted fmt chunk with
+        // sampleRate=0 (verified), which would make the duration
+        // division throw in the kernel — reject it as undecodable data
         if (f.getEncoding !=
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16) None
+            f.getSampleSizeInBits != 16 || f.getSampleRate <= 0 ||
+            f.getChannels <= 0) None
         else {
           val data = ais.readAllBytes()
           val n = data.length / 2

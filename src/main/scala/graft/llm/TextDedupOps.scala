@@ -57,12 +57,19 @@ object TextDedupOps {
   def dedupIncremental(newBatch: DataFrame, existing: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val oldIdx = existing
-      .select(fingerprint(col(textCol)).as("__fp")).distinct()
+      .select(fingerprint(col(textCol)).as("__old_fp")).distinct()
     val withFp = newBatch.withColumn("__fp", fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    // NULL-SAFE anti join: fingerprint(null text) is null, and the
+    // window above already groups null-fingerprint rows as one content
+    // value within the batch — a plain equality anti-join would then
+    // contradict that by treating corpus null-text as never-matching
+    // (null != null). <=> makes both stages agree: null content is one
+    // value everywhere.
     withFp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .join(oldIdx, Seq("__fp"), "left_anti").drop("__fp")
+      .join(oldIdx, col("__fp") <=> col("__old_fp"), "left_anti")
+      .drop("__fp")
   }
 
   /** Exact cross-document PARAGRAPH dedup with reassembly — the

@@ -202,23 +202,12 @@ object TextStatsOps {
   def bpeTokenCount(text: Column,
       merges: Seq[(String, String)] = BpeDemoMerges): Column = {
     val rules = typedLit(bpeMergePatterns(merges))
-    val perWord = (w: Column) => {
-      val init = concat(lit(" "),
-        array_join(transform(sequence(lit(1), length(w)),
-          i => w.substr(i, lit(1))), " "), lit(" "))
-      aggregate(
-        sequence(lit(1), greatest(length(w) - 1, lit(1))),
-        init,
-        (st, _) => {
-          val applicable = filter(rules, r => contains(st, r.getField("_1")))
-          when(size(applicable) > 0,
-            replace(st, element_at(applicable, 1).getField("_1"),
-              element_at(applicable, 1).getField("_2")))
-            .otherwise(st)
-        },
-        st => size(split(trim(st), " ")).cast("long"))
-    }
-    aggregate(transform(words(text), perWord), lit(0L), (a, b) => a + b)
+    // count = size of the encoding, BY CONSTRUCTION: one fixpoint loop
+    // ([[bpeWordSymbols]]) serves both ops, so they cannot disagree
+    aggregate(
+      transform(words(text),
+        w => size(bpeWordSymbols(w, rules)).cast("long")),
+      lit(0L), (a, b) => a + b)
   }
 
   /** Final BPE symbol array of ONE word — the same fixpoint loop as

@@ -43,6 +43,9 @@ object SampleOps {
   def writeTrainingShards(df: DataFrame, idCol: String, outDir: String,
       nShards: Int, salt: String = "shard"): Unit = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — writeTrainingShards would " +
+        "silently overwrite it; rename or drop it first")
     df.withColumn("shard", shardCol(col(idCol), nShards, salt))
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)

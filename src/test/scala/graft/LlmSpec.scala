@@ -346,6 +346,32 @@ class LlmSpec extends SparkSpec {
       batch.filter(col("id").isin(11L, 12L, 15L)))
     assert(graft.llm.TextDedupOps
       .dedupIncremental(batch, merged, "id", "text").count() == 0)
+    // NULL text is one content value in BOTH stages: two null-text
+    // batch rows collapse to the first, and a null-text corpus row
+    // kills that survivor too (null-safe anti join)
+    val oldN = Seq((1L, Option("x")), (2L, None: Option[String]))
+      .toDF("id", "text")
+    val batchN = Seq((10L, None: Option[String]),
+      (11L, None: Option[String]), (12L, Option("y"))).toDF("id", "text")
+    val gotN = graft.llm.TextDedupOps
+      .dedupIncremental(batchN, oldN, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gotN == Seq(12L), gotN.mkString(","))
+    // and with no null in the corpus, exactly one null-text row survives
+    val gotN2 = graft.llm.TextDedupOps
+      .dedupIncremental(batchN, oldN.filter(col("id") === 1), "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotN2 == Seq(10L, 12L), gotN2.mkString(","))
+  }
+
+  test("writeTrainingShards refuses to clobber an existing shard column") {
+    import spark.implicits._
+    val df = Seq((1L, 3L)).toDF("id", "shard")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SampleOps.writeTrainingShards(df, "id",
+        s"${sys.props("java.io.tmpdir")}/graft-shard-clash", 4)
+    }
+    assert(e.getMessage.contains("shard"))
   }
 
   test("langId: profiles are well-formed (alphabetical, 12+ languages, " +
@@ -519,6 +545,14 @@ class LlmSpec extends SparkSpec {
     val mb = MultimodalOps.decodeVideoMeta(
       Seq((4L, broken)).toDF("asset_id", "payload")).collect().head
     assert(mb.format == "undecodable")
+    // two video tracks: dims come from the FIRST nonzero pair — never
+    // independent maxima (which would report a phantom resolution)
+    val two = MultimodalOps.syntheticMp4("isom", 1000, 100,
+      Seq(("vide", 640, 360), ("vide", 320, 480)))
+    val mt = MultimodalOps.decodeVideoMeta(
+      Seq((5L, two)).toDF("asset_id", "payload")).collect().head
+    assert((mt.width, mt.height, mt.video_tracks) == ((640, 360, 2L)),
+      mt.toString)
   }
 
   test("sampleVideoFrames: exact sample bytes recovered via the real " +
@@ -545,6 +579,19 @@ class LlmSpec extends SparkSpec {
     val m = MultimodalOps.decodeVideoMeta(
       assets.filter(col("asset_id") === 1)).collect().head
     assert((m.format, m.video_tracks, m.width) == (("ok", 1L, 64)))
+    // hostile stsz sample_count (0x40000000 in a tiny payload) must be
+    // rejected as data BEFORE any allocation — an OOM would be an
+    // Error the catch-to-None path could not absorb
+    val hostile = mp4.clone()
+    val stszAt = hostile.indices.find(i => i + 4 <= hostile.length &&
+      new String(hostile, i, 4, "ISO-8859-1") == "stsz").get
+    val countAt = stszAt + 4 + 8 // past type, verflags, uniform-size
+    hostile(countAt) = 0x40.toByte
+    hostile(countAt + 1) = 0; hostile(countAt + 2) = 0
+    hostile(countAt + 3) = 0
+    val hb = MultimodalOps.sampleVideoFrames(
+      Seq((6L, hostile)).toDF("asset_id", "payload"), 2).collect()
+    assert(hb.length == 1 && hb.head.getLong(1) == -1L, hb.mkString(";"))
   }
 
   test("real WAV decode: format/stats from genuine AudioSystem bytes, " +
@@ -574,6 +621,13 @@ class LlmSpec extends SparkSpec {
     assert(m2.sum_sq == Seq(100L, 200, 300, 400, 500, 600).map(v => v * v).sum)
     assert(meta(3L).format == "undecodable" && meta(3L).n_frames == -1L,
       "corrupt blob must become a data row, never an executor throw")
+    // a crafted fmt chunk with sampleRate=0 is ACCEPTED by the JDK
+    // reader — the kernel must reject it as data, not divide by zero
+    val zeroRate = mono.clone()
+    for (i <- 24 until 28) zeroRate(i) = 0 // RIFF fmt dwSamplesPerSec
+    val zr = MultimodalOps.decodeAudioMeta(
+      Seq((9L, zeroRate)).toDF("asset_id", "payload")).collect().head
+    assert(zr.format == "undecodable", zr.toString)
 
     // decimation: every 3rd frame survives (BOTH channels of it), rate
     // divides, and the re-encoded bytes decode through the real reader
