@@ -132,6 +132,42 @@ object Bench {
       TextDedupOps.paragraphDedup(kept, "doc_id", "text")
     }
 
+    /** Multimodal kernel throughput witness: per document, ENCODE and
+      * DECODE a real PNG (two ImageIO passes), a real WAV (AudioSystem
+      * both ways + exact sample stats), and an MP4 with a sample table
+      * (builder + box-tree walk + mdat frame slicing) — the whole
+      * decode tier the curation pipeline runs on binary columns, timed
+      * end to end. All batched mapPartitions, zero shuffle; wall-clock
+      * here is pure kernel + codec throughput. */
+    def multimodalStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.MultimodalOps
+      import spark.implicits._
+      val assets = Tables.documents(spark, sfDir).select(col("doc_id"))
+        .as[Long].mapPartitions(_.map { id =>
+          val png = MultimodalOps.syntheticPng(
+            16 + (id % 16).toInt, 16 + (id % 8).toInt, seed = id)
+          val wav = MultimodalOps.syntheticWav(
+            800 + (id % 200).toInt, 8000, seed = id)
+          val n = 4 + (id % 3).toInt
+          val mp4 = MultimodalOps.syntheticMp4("isom", 1000, n.toLong,
+            Seq(("vide", 64, 48)), videoSamples =
+              (0 until n).map(i => Array.tabulate(64)(j =>
+                ((id + i * 7 + j) % 256).toByte)))
+          (id, png, wav, mp4)
+        }).toDF("asset_id", "png", "wav", "mp4")
+      val img = MultimodalOps.decodeImageMeta(assets, payloadCol = "png")
+        .toDF().select(col("asset_id"), col("width"), col("height"))
+      val aud = MultimodalOps.decodeAudioMeta(assets, payloadCol = "wav")
+        .toDF().select(col("asset_id"), col("n_frames"), col("sum_sq"))
+      val vid = MultimodalOps.sampleVideoFrames(assets, everyNth = 2,
+          payloadCol = "mp4")
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(octet_length(col("frame"))).as("frame_bytes"))
+      img.join(aud, "asset_id").join(vid, "asset_id")
+    }
+
     /** Wall-clock witness that the stream≡batch claim holds END TO END
       * at bench scale (r10 verdict task #6 — it was spec-only): events
       * are staged into 16 files, replayed through the parquet FILE
@@ -309,7 +345,8 @@ object Bench {
       Seq("lsh_stress_capped" -> (() => lshStressCapped()),
         "asof_stress_hot_key" -> (() => asofStressHotKey()),
         "para_dedup_stress_hot" -> (() => paraDedupStressHot()),
-        "curation_stress" -> (() => curationStress()))
+        "curation_stress" -> (() => curationStress()),
+        "multimodal_stress" -> (() => multimodalStress()))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood
