@@ -242,6 +242,40 @@ object SimilarityOps {
       .drop("__scale")
   }
 
+  /** Mean-pool chunk embeddings into ONE document embedding — the
+    * aggregation between chunk-level encoding (`chunkWords` → encoder)
+    * and document-level ANN/SemDeDup. DETERMINISTIC BY ORDER: chunks
+    * fold in ascending `chunkIdCol` order (sort_array over the
+    * collected structs), so the double summation is bit-reproducible
+    * across runs, partitionings, and engines — an unordered sum would
+    * drift by schedule, and a drifting document embedding breaks
+    * dedup/dedup-resume invariants downstream.
+    *
+    * Scale shape: one hash aggregation (map-side-combined
+    * collect_list) + row-local HOF fold; a document's chunks must fit
+    * one reducer row, which chunking bounds by construction (cap
+    * loudly guarded). Output: (doc, n_chunks, doc_emb: array<double>). */
+  def meanPoolChunks(chunks: DataFrame, docCol: String, chunkIdCol: String,
+      embCol: String, maxChunks: Int = 100000): DataFrame = {
+    val collected = sort_array(collect_list(
+      struct(col(chunkIdCol).cast("long").as("i"),
+        toDoubleArr(col(embCol)).as("e"))))
+    val agged = chunks.groupBy(col(docCol))
+      .agg(collected.as("__cs"), count(lit(1)).as("n_chunks"))
+    val guarded = agged.withColumn("__cs",
+      when(size(col("__cs")) > maxChunks, raise_error(concat(
+        lit(s"meanPoolChunks: document "), col(docCol).cast("string"),
+        lit(s" has more than $maxChunks chunks"))))
+        .otherwise(col("__cs")))
+    val zero = transform(element_at(col("__cs"), 1).getField("e"),
+      _ => lit(0.0))
+    guarded
+      .withColumn("__sum", aggregate(col("__cs"), zero,
+        (acc, c) => zip_with(acc, c.getField("e"), (a, x) => a + x)))
+      .select(col(docCol), col("n_chunks"),
+        transform(col("__sum"), s => s / col("n_chunks")).as("doc_emb"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def embeddingNearDupPairs(corpus: DataFrame, cId: String, bits: Int,
       minCosine: Double): DataFrame = {

@@ -934,6 +934,44 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
 
+    // Chunk→document embedding mean-pooling
+    // (SimilarityOps.meanPoolChunks): three synthetic chunks per vector
+    // (embedding scaled by c+1), folded in ascending chunk order with
+    // an explicit zero init — the oracle replays the IDENTICAL fold
+    // (list_prepend zero + list_reduce), so the double sums are
+    // bit-equal by order, no tolerance. An unordered sum, a dropped
+    // chunk, or a wrong divisor changes doubles and hash-fails.
+    QueryDef("chunk_mean_pool",
+      (s, d) => {
+        val chunks = T.embeddings(s, d)
+          .select(col("vec_id"), explode(sequence(lit(0), lit(2))).as("c"),
+            col("embedding"))
+          .select(col("vec_id"), col("c"),
+            transform(col("embedding"),
+              x => x.cast("double") * (col("c") + 1)).as("ch_emb"))
+        SimilarityOps.meanPoolChunks(chunks, "vec_id", "c", "ch_emb")
+          .select(col("vec_id"), col("n_chunks"),
+            posexplode(col("doc_emb")).as(Seq("dim", "mean_val")))
+      },
+      Some("""WITH ch AS (SELECT vec_id, c,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE) * (c + 1)) AS e
+             |  FROM (SELECT vec_id, embedding, unnest([0, 1, 2]) AS c
+             |        FROM embeddings)),
+             |g AS (SELECT vec_id, count(*) AS n_chunks,
+             |    list(e ORDER BY c) AS es FROM ch GROUP BY vec_id),
+             |f AS (SELECT vec_id, n_chunks,
+             |    list_reduce(
+             |      list_prepend(list_transform(es[1], x -> 0.0), es),
+             |      (a, b) -> list_transform(range(1, len(a) + 1),
+             |        i -> a[CAST(i AS INT)] + b[CAST(i AS INT)])) AS s
+             |  FROM g),
+             |e AS (SELECT vec_id, n_chunks, s,
+             |    unnest(range(1, len(s) + 1)) AS i FROM f)
+             |SELECT vec_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+             |  CAST(i - 1 AS INT) AS dim,
+             |  s[CAST(i AS INT)] / n_chunks AS mean_val
+             |FROM e""".stripMargin)),
+
     // Per-GROUP deterministic n-sample — stratified corpus sampling
     // (n docs per source/language/domain) via GroupOps.headPerKey over
     // the md5-hash order: BoundedMinList partial-aggregates map-side,

@@ -364,6 +364,33 @@ class LlmSpec extends SparkSpec {
     assert(gotN2 == Seq(10L, 12L), gotN2.mkString(","))
   }
 
+  test("meanPoolChunks: bit-identical under shuffled input order, " +
+      "known means, and the chunk-cap guard") {
+    import graft.llm.SimilarityOps
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0L, Seq(1.0, 2.0)), (1L, 1L, Seq(3.0, 4.0)),
+      (1L, 2L, Seq(5.0, 6.0)), (2L, 0L, Seq(10.0, -10.0)))
+      .toDF("doc", "cid", "emb")
+    val a = SimilarityOps.meanPoolChunks(chunks, "doc", "cid", "emb")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(a(1L) == ((3L, Seq(3.0, 4.0))))
+    assert(a(2L) == ((1L, Seq(10.0, -10.0))))
+    // partitioning/arrival order cannot move the fold: bit-identical
+    // on a shuffled, repartitioned twin
+    val b = SimilarityOps.meanPoolChunks(
+      chunks.orderBy(col("cid").desc).repartition(7), "doc", "cid", "emb")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(a == b)
+    val e = intercept[Exception] {
+      SimilarityOps.meanPoolChunks(chunks, "doc", "cid", "emb",
+        maxChunks = 2).collect()
+    }
+    assert(e.getMessage.contains("more than 2 chunks"), e.getMessage)
+  }
+
   test("writeTrainingShards refuses to clobber an existing shard column") {
     import spark.implicits._
     val df = Seq((1L, 3L)).toDF("id", "shard")
