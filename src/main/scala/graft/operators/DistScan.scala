@@ -142,6 +142,50 @@ object DistScan {
     }
   }
 
+  /** Per-GROUP distributed running sum over a global order — the
+    * grouped form of [[withRunningSums]]: same range buckets on the
+    * leading numeric, local cumsums within (bucket, group), and the
+    * per-(bucket, group) totals prefix-summed per group with a TINY
+    * window (≤ buckets·|groups| rows) broadcast back onto the data.
+    * Unlike a window partitioned by the group alone, a group holding
+    * half the corpus still splits across every bucket — this is the
+    * skew-safe shape for domain-grained running totals (per-source
+    * token budgets, per-language quotas).
+    *
+    * The group key must be DOMAIN-grained (sources, languages — not
+    * per-document): the offsets frame is buckets·|groups| rows and is
+    * counted with a loud `maxGroups` guard before broadcasting. Sum
+    * expressions must be exact types (integer/decimal), same as
+    * [[withRunningSums]]. Output keeps `__pid`. */
+  def withGroupedRunningSum(df: DataFrame, groupCols: Seq[String],
+      leadNum: Column, order: Seq[Column], name: String, expr: Column,
+      buckets: Int = 32, maxGroups: Int = 100000): DataFrame = {
+    val keys = PidCol +: groupCols
+    val withPid = bucketed(df, leadNum, buckets)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withPid.withColumn(name, sum(expr).over(w))
+    val totals = withPid.groupBy(keys.map(col): _*)
+      .agg(sum(expr).as("__tot")).cache()
+    persistedFrames.add(totals)
+    val nRows = totals.count()
+    require(nRows <= buckets.toLong * maxGroups,
+      s"withGroupedRunningSum: ${nRows} (bucket, group) cells exceed " +
+        s"buckets*maxGroups = ${buckets.toLong * maxGroups} — the group " +
+        "key looks row-grained; use a plain grouped window instead")
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(PidCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", sum(col("__tot")).over(wOff))
+      .filter(col("__off").isNotNull).drop("__tot")
+    local.join(broadcast(offsets), keys, "left")
+      .withColumn(name,
+        // lit(0L) coerces to the sum's exact type (long or decimal)
+        col(name) + coalesce(col("__off"), lit(0L)))
+      .drop("__off")
+  }
+
   /** Replicate each bucket's last `ctxRows` rows (by `order`) into the
     * NEXT bucket as flagged context, so a within-bucket window looking
     * back ≤ ctxRows rows sees exactly its global predecessors. Context

@@ -105,6 +105,31 @@ object SampleOps {
       .drop("__h", "__cum", DistScan.PidCol)
   }
 
+  /** PER-GROUP deterministic token-budget draw — domain mixing by token
+    * QUOTA rather than keep-fraction ("fill 30 B tokens of code, 70 B
+    * of web" — the budgeted form of [[mixCorpora]]): within each group,
+    * documents fill in the same hash order as [[sampleTokenBudget]],
+    * independently per group, and a group keeps the maximal prefix
+    * whose inclusive token total stays ≤ its budget. Groups absent from
+    * `budgets` are DROPPED (budget 0) — state every group you want.
+    *
+    * Scale shape: DistScan.withGroupedRunningSum — range buckets on the
+    * hash (a group holding half the corpus still splits across every
+    * bucket; a window partitioned by group alone would single-task it),
+    * per-(bucket, group) cumsums, tiny broadcast offset join. Budgets
+    * ride the plan as a map literal. */
+  def sampleTokenBudgetPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, tokensCol: String, budgets: Map[String, Long],
+      salt: String = "budget", buckets: Int = 32): DataFrame = {
+    val withH = df.withColumn("__h", hashU32(col(idCol), salt))
+    val bLit = typedLit(budgets)
+    DistScan.withGroupedRunningSum(withH, Seq(groupCol), col("__h"),
+        Seq(col("__h").asc, col(idCol).asc), "__cum",
+        col(tokensCol).cast("long"), buckets)
+      .filter(col("__cum") <= element_at(bLit, col(groupCol)))
+      .drop("__h", "__cum", DistScan.PidCol)
+  }
+
   /** Sequence packing — the pretraining step after the corpus draw:
     * concatenate every document's tokens into one global stream
     * (deterministic hash order, same convention as sampleTokenBudget)

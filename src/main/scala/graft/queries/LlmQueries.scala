@@ -934,6 +934,40 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
 
+    // Per-SOURCE token-budget draw (SampleOps.sampleTokenBudgetPerGroup)
+    // — domain mixing by token QUOTA over the grouped distributed
+    // cumsum (DistScan.withGroupedRunningSum: range buckets on the
+    // hash, per-(bucket, source) windows, tiny broadcast offset join —
+    // a hot source still splits across buckets). Budgets vary by
+    // source index; the oracle replays the hash order and the cumsum
+    // with a per-source window and a VALUES budget table.
+    QueryDef("sample_budget_per_source", {
+      val budgets =
+        (0 until 20).map(k => s"src$k" -> (400L + 200L * (k % 3))).toMap
+      (s: SparkSession, d: String) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.sampleTokenBudgetPerGroup(docs, "source", "doc_id",
+          "n_tok", budgets)
+          .select("doc_id", "source", "n_tok")
+      }
+    }, {
+      val values = (0 until 20)
+        .map(k => s"('src$k', ${400L + 200L * (k % 3)})").mkString(",\n    ")
+      Some(s"""WITH b(source, budget) AS (VALUES
+              |    $values),
+              |t AS (SELECT doc_id, source,
+              |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+              |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (
+              |    PARTITION BY source ORDER BY h, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+              |SELECT doc_id, source, n_tok FROM c JOIN b USING (source)
+              |WHERE cum <= budget""".stripMargin)
+    }),
+
     // Chunk→document embedding mean-pooling
     // (SimilarityOps.meanPoolChunks): three synthetic chunks per vector
     // (embedding scaled by c+1), folded in ascending chunk order with

@@ -32,6 +32,31 @@ class DistScanSpec extends SparkSpec {
     assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
   }
 
+  test("withGroupedRunningSum equals per-group global cumsum, with a " +
+      "hot group spanning buckets; row-grained keys rejected") {
+    val rnd = new scala.util.Random(11)
+    // 60% of rows in ONE group (the skew the op exists for), long sums
+    val df = (1 to 3000).map { i =>
+      val g = if (rnd.nextInt(10) < 6) "hot" else s"g${rnd.nextInt(7)}"
+      (g, i, rnd.nextInt(1000).toLong)
+    }.toDF("g", "id", "v")
+    val ord = Seq(col("k").asc, col("id").asc)
+    val withK = df.withColumn("k", pmod(xxhash64(col("id")), lit(1000)))
+    val dist = DistScan.withGroupedRunningSum(withK, Seq("g"), col("k"),
+        ord, "cum", col("v"), buckets = 8)
+      .select(col("id"), col("cum"))
+    val w = Window.partitionBy(col("g")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = withK.select(col("id"), sum(col("v")).over(w).as("cum"))
+    assert(dist.exceptAll(global).isEmpty && global.exceptAll(dist).isEmpty)
+    // loud guard: a per-row group key must be rejected, not broadcast
+    val e = intercept[IllegalArgumentException] {
+      DistScan.withGroupedRunningSum(withK, Seq("id"), col("k"), ord,
+        "cum", col("v"), buckets = 8, maxGroups = 100)
+    }
+    assert(e.getMessage.contains("row-grained"), e.getMessage)
+  }
+
   test("withContext lag equals global lag across bucket boundaries") {
     val df = frame(2000)
     val ord = Seq(col("k"), col("id"))
