@@ -216,6 +216,57 @@ object SimilarityOps {
       .select(col(qId), col(cId), col("score"), col("rn"))
   }
 
+  /** Int8-code shortlist + full-precision re-rank — the
+    * storage-bandwidth ANN tier: every candidate is scored on its int8
+    * CODES with an EXACT integer dot (rank key
+    * dotCodes(q,c)/√selfdot(c) — the per-vector scales cancel within a
+    * query, so ranking needs codes only: the 4×-smaller representation
+    * is the ONLY thing the scan touches), the top `rerankFactor·k` per
+    * query survive, and only they are re-scored with full-precision
+    * cosine. Approximation affects candidate SELECTION only — emitted
+    * scores are exact cosine, and with a shortlist covering the corpus
+    * the result equals [[bruteForceTopK]] by construction (spec-pinned;
+    * recall at small factors is fixture-tested like IVF's nprobe).
+    * At cluster scale the full-precision embedding lives in a separate
+    * columnar store joined only for the shortlist; here it rides the
+    * row for simplicity — column pruning keeps it out of the code
+    * scoring projection either way. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankFactor: Int = 4, qId: String = "q_id", cId: String = "vec_id")
+      : DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    def codesOf(emb: Column): Column = {
+      val e = toDoubleArr(emb)
+      val scale = array_max(transform(e, x => abs(x))) / lit(127.0)
+      when(scale > 0, transform(e, x => round(x / scale).cast("long")))
+        .otherwise(transform(e, _ => lit(0L)))
+    }
+    val qc = broadcast(queries
+      .withColumn("__qcodes", codesOf(col("q_emb"))))
+    val cc = corpus.withColumn("__ccodes", codesOf(col("embedding")))
+      .withColumn("__cnorm",
+        sqrt(aggregate(col("__ccodes"), lit(0L), (a, x) => a + x * x)
+          .cast("double")))
+    val approx = qc.crossJoin(cc)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("__adot",
+        aggregate(zip_with(col("__qcodes"), col("__ccodes"), _ * _),
+          lit(0L), (a, x) => a + x))
+      .withColumn("__ascore",
+        when(col("__cnorm") > 0, col("__adot") / col("__cnorm"))
+          .otherwise(lit(Double.NegativeInfinity)))
+    val wa = Window.partitionBy(qId)
+      .orderBy(col("__ascore").desc, col(cId).asc)
+    val shortlist = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= rerankFactor.toLong * k)
+    val rescored = shortlist.withColumn("score",
+      cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))))
+    val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(cId), col("score"), col("rn"))
+  }
+
   /** Per-vector symmetric int8 quantization (the standard ANN storage
     * reduction: 4× smaller vectors, codes = round(x/scale) with
     * scale = max|x|/127). Pure scan-stage HOFs — codes, their checksum,

@@ -1388,6 +1388,35 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Int8-shortlist + exact re-rank tier (SimilarityOps.quantizedTopK):
+    // candidates rank on integer code dots (the 4×-smaller vectors that
+    // actually travel at scale), the top 8·k re-score with exact
+    // cosine. Emitted scores are EXACT, so the brute-force oracle
+    // applies verbatim as long as the true top-3 survive the int8
+    // shortlist — which this 64-dim fixture satisfies (like the LSH
+    // gate's mirrored-predicate and minhash's cap-invariance, the gate
+    // pins the full shortlist+re-rank machinery; recall at small
+    // factors and full-shortlist equality are spec-tested in IvfSpec).
+    QueryDef("cosine_topk_quantized",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        SimilarityOps.quantizedTopK(queries, emb, 3, rerankFactor = 8)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // IVF tier in exhaustive-probe configuration (nprobe = #cells):
     // exercises the full train-quantizer + cell-join machinery while
     // staying EXACT, so the brute-force oracle applies verbatim. The

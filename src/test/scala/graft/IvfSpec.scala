@@ -34,6 +34,34 @@ class IvfSpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe2=$r2, @8=$r8")
   }
 
+  test("quantizedTopK: corpus-covering shortlist equals brute force " +
+      "bit-exactly; small shortlists trade recall, scores stay exact") {
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // shortlist ≥ corpus ⇒ re-rank sees everything ⇒ identical rows,
+    // identical DOUBLES (the emitted score is exact cosine, not the
+    // code approximation)
+    val full = SimilarityOps.quantizedTopK(queries, emb, 3,
+        rerankFactor = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(full.toSeq == brute.toSeq)
+    // tight shortlist: recall may drop, but every emitted (pair, score)
+    // must carry the EXACT cosine of that pair (approximation selects,
+    // never scores)
+    val bruteAll = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val tight = SimilarityOps.quantizedTopK(queries, emb, 3,
+        rerankFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hit = tight.count(t => bruteAll.contains((t._1, t._2)))
+    assert(hit.toDouble / tight.length > 0.5,
+      s"int8 shortlist recall collapsed: $hit/${tight.length}")
+    tight.filter(t => bruteAll.contains((t._1, t._2))).foreach { t =>
+      assert(t._3 == bruteAll((t._1, t._2)), s"score drift on $t")
+    }
+  }
+
   test("k=256: seeding/assignment/probe plans stay O(1)-size in k") {
     // the former literal encoding (isInCollection + k-ary greatest /
     // when-fold) put O(k·dim) literals in the plan: 256 centroids × 64
