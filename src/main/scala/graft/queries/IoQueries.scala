@@ -579,6 +579,51 @@ object IoQueries extends QueryModule {
              |  CAST((max(n) + 3) // 4 AS BIGINT) AS d_frames,
              |  CAST(sum(CASE WHEN i % 4 = 0 THEN v * v ELSE 0 END)
              |       AS BIGINT) AS d_sum_sq
-             |FROM s GROUP BY doc_id""".stripMargin))
+             |FROM s GROUP BY doc_id""".stripMargin)),
+
+    // Bucketed co-located fact-fact join — THE shuffle-elimination
+    // primitive for repeated 100 TB joins (Spark's analog of hive
+    // bucketing / the reference's presorted-index merge,
+    // pandas/core/reshape/merge.py:1850 _get_join_indexers' sorted
+    // path). Both sides are written ONCE as 8-bucket tables hashed on
+    // the join key (bucket id = pmod(murmur3(key), n) — the same
+    // function shuffle hash-partitioning uses, which is exactly why
+    // catalog-reported bucketing satisfies the join's required
+    // distribution); every subsequent join on that key then runs with
+    // ZERO Exchange on either side — pinned in PlanAuditSpec. The
+    // repartition(8, key) before each write puts one file in each
+    // bucket so the sortBy order survives the scan. The merge hint
+    // keeps the tiny test slice on the SortMergeJoin path a 100 TB
+    // fact-fact join would take (broadcast would hide the property
+    // under test). DuckDB states the identical join from flat parquet —
+    // a row misrouted to the wrong bucket, or a bucket dropped by the
+    // scan, hash-fails.
+    QueryDef("bucketed_join_colocated",
+      (s, d) => {
+        val li = T.lineitem(s, d).filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice")
+        val ord = T.orders(s, d).filter(col("o_orderkey") < 2000)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+        li.repartition(8, col("l_orderkey")).write.mode("overwrite")
+          .option("path", s"$scratch/bucketed_li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+        ord.repartition(8, col("o_orderkey")).write.mode("overwrite")
+          .option("path", s"$scratch/bucketed_ord")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_ord_bucketed")
+        s.table("graft_li_bucketed").hint("merge")
+          .join(s.table("graft_ord_bucketed").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  l_extendedprice, o_custkey, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_orderkey < 2000 AND o_orderkey < 2000""".stripMargin))
   )
 }

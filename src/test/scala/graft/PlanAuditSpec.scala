@@ -199,6 +199,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed_join_colocated: sort-merge join with ZERO Exchange — " +
+      "catalog bucketing satisfies the join distribution on both sides") {
+    val p = plan("bucketed_join_colocated")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join lost the SMJ shape:\n${p.take(3000)}")
+    assert(!p.contains("Exchange"),
+      s"bucketed co-located join re-shuffled:\n${p.take(3000)}")
+    // one file per bucket + sortBy(key) ⇒ the scan reports sorted
+    // output and the SMJ needs no Sort either
+    assert(!p.linesIterator.exists(_.trim.startsWith("Sort ")),
+      s"bucketed join re-sorted (bucket sort order lost):\n${p.take(3000)}")
+  }
+
   test("ewm_time_halflife (+long variant): one grouped shuffle, " +
       "partitioned windows incl. the per-user day rebase") {
     Seq("ewm_time_halflife", "ewm_time_halflife_long").foreach { q =>
