@@ -1661,6 +1661,45 @@ object LlmQueries extends QueryModule {
            |  FROM kept GROUP BY doc_id)
            |SELECT t.doc_id, coalesce(re.clean, '') AS clean
            |FROM t LEFT JOIN re USING (doc_id)""".stripMargin
-      })
+      }),
+
+    // Bigram-LM reference-overlap filter (LmOps.lmOverlapScore) — the
+    // CCNet/FineWeb perplexity-filter tier in its integer-exact,
+    // engine-portable form: train bigram counts on a reference slice
+    // (every 7th document), score EVERY document by joining its bigram
+    // stream against the counts, keep documents with ≥50% of adjacent
+    // word pairs attested in the reference. Counts, masses, and the
+    // cross-multiplied keep are all BIGINT/boolean — no log, no libm
+    // divergence; the real log-space lmPerplexity is spec-pinned in
+    // LmSpec against a driver-replayed reference. The oracle retrains
+    // the same counts and replays the same left-join rollup; a dropped
+    // bigram, an off-by-one slice bound, or a miscounted hit mass
+    // hash-fails.
+    QueryDef("lm_bigram_filter",
+      (s, d) => {
+        import graft.llm.LmOps
+        val docs = T.documents(s, d)
+        val ref = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        LmOps.lmOverlapScore(docs, ref, "doc_id", "text")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |big AS (SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+             |  FROM w WHERE len(w) >= 2),
+             |refc AS (SELECT bg, count(*) AS c FROM big
+             |  WHERE doc_id % 7 = 0 GROUP BY bg),
+             |sc AS (SELECT b.doc_id,
+             |    count(*) AS n_bigrams,
+             |    count(r.c) AS hit_bigrams,
+             |    coalesce(sum(r.c), 0) AS hit_mass
+             |  FROM big b LEFT JOIN refc r USING (bg) GROUP BY b.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(coalesce(sc.hit_bigrams, 0) AS BIGINT) AS hit_bigrams,
+             |  CAST(coalesce(sc.hit_mass, 0) AS BIGINT) AS hit_mass,
+             |  coalesce(sc.hit_bigrams, 0) * 2 >= coalesce(sc.n_bigrams, 0) AS keep
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin))
   )
 }
