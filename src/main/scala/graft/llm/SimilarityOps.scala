@@ -361,4 +361,138 @@ object SimilarityOps {
     val clusters = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
     TextDedupOps.applyClusters(corpus, clusters, cId)
   }
+
+  // ───── Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search") — the memory tier below
+  // int8: dim doubles → m single-byte codes (64× smaller at m=dim/8
+  // than float32), with search over code lookups instead of vector
+  // arithmetic. ─────
+
+  private def litArr(a: Array[Double]): Column = array(a.toSeq.map(lit): _*)
+
+  /** L2-argmin code for a staged subvector column against one literal
+    * codebook: argmax over k of (2·x·cₖ − ‖cₖ‖²) — equal to argmin
+    * ‖x−cₖ‖² with the row-constant ‖x‖² dropped, and the ONLY sound
+    * geometry for PQ (a dot-argmax quantizer assigns the zero
+    * subvector to an arbitrary centroid and reconstruction collapses —
+    * caught by PqSpec's planted-cluster fixture). ‖cₖ‖² folds to a
+    * driver-computed literal; strict-greater fold keeps the LOWEST
+    * code on exact ties. */
+  private def l2Code(sub: Column, cb: Array[Array[Double]]): Column = {
+    val scores = array(cb.zipWithIndex.map { case (c, k) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((dot(sub, litArr(c)) * 2 - lit(cNormSq)).as("score"),
+        lit(k).as("cell")) }.toSeq: _*)
+    aggregate(scores,
+      struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
+      (a, s) => when(s.getField("score") > a.getField("score"), s)
+        .otherwise(a))
+      .getField("cell")
+  }
+
+  /** Train PQ codebooks: split the space into `m` contiguous subspaces
+    * and train a `ksub`-centroid L2 quantizer per subspace — maximin
+    * seeding (reused from the IVF layer) followed by Lloyd iterations
+    * run as DataFrame aggregations with the SAME L2 assignment rule
+    * [[pqEncode]] applies (assign = l2Code over broadcast-literal
+    * centroids, update = per-cell mean; empty cells keep their
+    * centroid). m small driver-held codebooks; the corpus is never
+    * collected (the one-row dim probe is bounded). Deterministic end to
+    * end: same corpus ⇒ same codebooks. */
+  def trainPqCodebooks(corpus: DataFrame, cId: String, embCol: String,
+      m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(embCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val sliced = corpus.select(col(cId),
+        slice(toDoubleArr(col(embCol)), lit(mi * sub + 1), lit(sub)).as("__sub"))
+      var cents = seedCentroidsMaximin(sliced, cId, "__sub", ksub)
+      for (_ <- 0 until iters) {
+        val sums = sliced
+          .withColumn("__cell", l2Code(col("__sub"), cents))
+          .groupBy("__cell")
+          .agg(count(lit(1)).as("n"),
+            array((0 until sub).map(i =>
+              sum(element_at(col("__sub"), i + 1))): _*).as("s"))
+          .collect()
+        val next = cents.clone()
+        sums.foreach { r =>
+          val cell = r.getInt(0); val n = r.getLong(1)
+          if (n > 0) next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+        }
+        cents = next
+      }
+      cents
+    }.toArray
+  }
+
+  /** Encode: m codes per row — per subspace the L2-nearest centroid
+    * ([[l2Code]]). Row-local codegen'd HOFs over plan-literal
+    * codebooks: encoding 100 TB of embeddings is pure scan throughput,
+    * zero shuffle, and the codes column is what a production pipeline
+    * PERSISTS (the float vectors move to cold storage). Each subvector
+    * is staged as a real column first — a lambda referencing the slice
+    * EXPRESSION would re-slice per centroid. */
+  def pqEncode(df: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      outCol: String = "pq_codes"): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val staged = codebooks.indices.foldLeft(
+        df.withColumn("__pqe", toDoubleArr(col(embCol)))) { (acc, mi) =>
+      acc.withColumn(s"__pqs$mi",
+        slice(col("__pqe"), lit(mi * sub + 1), lit(sub)))
+    }
+    val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
+      l2Code(col(s"__pqs$mi"), cb)
+    }
+    staged.withColumn(outCol, array(codes.toSeq: _*))
+      .drop("__pqe" +: codebooks.indices.map(i => s"__pqs$i"): _*)
+  }
+
+  /** PQ asymmetric-distance top-k: each (broadcast-sized) query builds
+    * an m×ksub lookup table of subspace dots against the plan-literal
+    * codebooks ONCE; every corpus row is then scored by m array lookups
+    * over its codes — Σₘ lut[m][code[m]] reconstructs the query·centroid
+    * inner product, so the scan touches only the m-byte codes, never
+    * the float vectors (the ADC trick that makes billion-vector search
+    * storage-bandwidth-bound instead of FLOP-bound). The top
+    * `rerankFactor·k` per query survive to an exact-cosine re-rank —
+    * approximation affects candidate SELECTION only; emitted scores are
+    * exact, and a shortlist covering the corpus reproduces
+    * [[bruteForceTopK]] by construction (the gate's configuration;
+    * recall at small factors is fixture-tested in PqSpec). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]], rerankFactor: Int = 4,
+      qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    val sub = codebooks(0)(0).length
+    val qStaged = codebooks.indices.foldLeft(
+        queries.withColumn("__pqq", toDoubleArr(col("q_emb")))) { (acc, mi) =>
+      acc.withColumn(s"__pqqs$mi",
+        slice(col("__pqq"), lit(mi * sub + 1), lit(sub)))
+    }
+    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      array(cb.toSeq.map(c => dot(col(s"__pqqs$mi"), litArr(c))): _*)
+    }.toSeq: _*)
+    val qc = broadcast(qStaged.withColumn("__lut", lut)
+      .drop("__pqq" +: codebooks.indices.map(i => s"__pqqs$i"): _*))
+    val cc = pqEncode(corpus, "embedding", codebooks)
+    val approx = qc.crossJoin(cc)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("__ascore", aggregate(
+        zip_with(col("__lut"), col("pq_codes"),
+          (l, c) => element_at(l, c + 1)),
+        lit(0.0), (a, x) => a + x))
+    val wa = Window.partitionBy(qId)
+      .orderBy(col("__ascore").desc, col(cId).asc)
+    val shortlist = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= rerankFactor.toLong * k)
+    val rescored = shortlist.withColumn("score",
+      cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))))
+    val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(cId), col("score"), col("rn"))
+  }
 }

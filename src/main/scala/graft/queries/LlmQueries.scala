@@ -1417,6 +1417,38 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Product-quantization tier (Jégou et al. 2011): train 8 subspace
+    // codebooks, encode the corpus to 8 codes/vector, ADC-score via the
+    // query's lookup table, shortlist, re-rank with exact cosine. The
+    // IVF pattern: gate the full train→encode→ADC→re-rank machinery in
+    // its COVERING configuration (shortlist ⊇ corpus ⇒ the exact-cosine
+    // re-rank reproduces brute force by construction, so the
+    // brute-force oracle applies verbatim); small-factor shortlist
+    // recall is fixture-tested in PqSpec — this table's synthetic
+    // embeddings are near-uniform, where 8-byte codes carry little rank
+    // signal, exactly the regime the spec's clustered fixture contrasts.
+    QueryDef("cosine_pq_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+          m = 8, ksub = 8, iters = 1)
+        SimilarityOps.pqTopK(queries, emb, 3, cbs, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // IVF tier in exhaustive-probe configuration (nprobe = #cells):
     // exercises the full train-quantizer + cell-join machinery while
     // staying EXACT, so the brute-force oracle applies verbatim. The

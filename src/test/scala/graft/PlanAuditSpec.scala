@@ -342,6 +342,7 @@ class PlanAuditSpec extends SparkSpec {
       "str_levenshtein_pairs", // explicit bounded id×id pair set
       "cosine_topk", "cosine_topk_native", "cosine_ivf_topk",
       "cosine_topk_quantized", // int8 shortlist: same broadcast-query shape
+      "cosine_pq_topk",        // PQ-ADC shortlist: same broadcast-query shape
       "embedding_near_dup")    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
     assert(offenders == allowed,

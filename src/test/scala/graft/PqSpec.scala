@@ -1,0 +1,72 @@
+package graft
+
+import graft.llm.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Product quantization (SimilarityOps.trainPqCodebooks / pqEncode /
+  * pqTopK): shape + determinism, code identity for identical vectors,
+  * covering-shortlist exactness vs brute force, and small-factor recall
+  * on a planted clustered fixture. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, d)
+
+  test("trainPqCodebooks: m × ksub × dim/m shape, deterministic across runs") {
+    val a = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding", 4, 4, 1)
+    val b = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding", 4, 4, 1)
+    assert(a.length == 4 && a.forall(_.length == 4) &&
+      a.forall(_.forall(_.length == 16)))
+    assert(a.zip(b).forall { case (x, y) =>
+      x.zip(y).forall { case (u, v) => u.sameElements(v) } })
+  }
+
+  test("pqEncode: codes in range, identical vectors get identical codes") {
+    val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding", 4, 4, 1)
+    // duplicate every vector under a shifted id: codes must coincide
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val coded = SimilarityOps.pqEncode(base.unionByName(dup), "embedding", cbs)
+    assert(coded.filter(exists(col("pq_codes"),
+      c => c < 0 || c >= 4)).count() == 0)
+    val mismatch = coded.filter(col("vec_id") < 100000).alias("a")
+      .join(coded.filter(col("vec_id") >= 100000).alias("b"),
+        col("a.vec_id") === col("b.vec_id") - 100000)
+      .filter(col("a.pq_codes") =!= col("b.pq_codes"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("pqTopK with covering shortlist equals bruteForceTopK exactly") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding", 8, 8, 1)
+    val pq = SimilarityOps.pqTopK(queries, emb, 3, cbs, rerankFactor = 100000)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, 3)
+    assertFrameEqual(pq, brute)
+  }
+
+  test("pqTopK small-factor recall on planted clusters is perfect") {
+    // 3 tight clusters of 5 vectors each in R^8: within-cluster cosine
+    // ≈ 1, across ≈ 0 — ADC must shortlist cluster-mates at factor 2.
+    val rows = for (c <- 0 until 3; i <- 0 until 5) yield {
+      val base = Array.fill(8)(0.0)
+      base(c * 2) = 1.0
+      base(c * 2 + 1) = 0.1 * i
+      ((c * 5 + i).toLong, base.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cbs = SimilarityOps.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    val out = SimilarityOps.pqTopK(queries, corpus, 4, cbs, rerankFactor = 2)
+      .collect()
+    // every neighbor of query c*5 must be from cluster c
+    out.foreach { r =>
+      val q = r.getLong(0) / 5; val n = r.getLong(1) / 5
+      assert(q == n, s"query ${r.getLong(0)} got cross-cluster ${r.getLong(1)}")
+    }
+    assert(out.length == 3 * 4)
+  }
+}
