@@ -333,6 +333,65 @@ object Bench {
       } else secs
     }
 
+    /** Wall-clock witness for STREAM-STREAM INNER JOIN under
+      * watermarks — the fourth streaming claim next to aggregation,
+      * dedup, and session windows: even events ("impressions") join
+      * odd events ("conversions") by user within a forward 30-minute
+      * event-time bound, both sides watermarked 1 hour, through the
+      * same 8-micro-batch mtime-ordered file replay (each side is its
+      * own file source over the staged range files, so the join state
+      * genuinely hands off across triggers). Append-mode inner join
+      * emits each match exactly once; the batch twin runs the identical
+      * join over the staged files. Any row diff is a real join-state
+      * bug and reports as -1. */
+    def streamJoinWitness(): Double = {
+      import org.apache.spark.sql.functions._
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sjoin-" +
+        ProcessHandle.current().pid()
+      val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id")
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      def side(even: Boolean, df: DataFrame): DataFrame = {
+        val m = if (even) 0 else 1
+        val (u, t, id) = if (even) ("user_id", "lts", "lid")
+          else ("r_user", "rts", "rid")
+        df.filter(pmod(col("event_id"), lit(2)) === m)
+          .select(col("user_id").as(u), col("ts").as(t),
+            col("event_id").as(id))
+      }
+      def joined(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, col("user_id") === col("r_user") &&
+            col("rts") >= col("lts") &&
+            col("rts") <= col("lts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("lid"), col("rid"))
+      def src(): DataFrame = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val sj = joined(
+        side(even = true, src()).withWatermark("lts", "1 hour"),
+        side(even = false, src()).withWatermark("rts", "1 hour"))
+      val t0 = System.nanoTime()
+      val q = sj.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_join").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.table("graft_stream_join")
+      val batchSrc = spark.read.parquet(staged)
+      val batch = joined(side(even = true, batchSrc),
+        side(even = false, batchSrc))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_join_interval: $diff rows " +
+          "differ between streaming and batch interval join — reporting -1")
+        -1.0
+      } else secs
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -447,7 +506,8 @@ object Bench {
     val stress = stressEntries.map { case (n, f) => (n, runOnce(n, f)) } :+
       ("stream_resample_5min" -> streamResampleWitness()) :+
       ("stream_dedup_watermark" -> streamDedupWitness()) :+
-      ("stream_session_window" -> streamSessionWitness())
+      ("stream_session_window" -> streamSessionWitness()) :+
+      ("stream_join_interval" -> streamJoinWitness())
     val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
