@@ -581,6 +581,33 @@ object IoQueries extends QueryModule {
              |       AS BIGINT) AS d_sum_sq
              |FROM s GROUP BY doc_id""".stripMargin)),
 
+    // Range-partitioned, sorted time-series layout — the WRITE-side
+    // data-skipping primitive for event data at 100 TB: repartition the
+    // stream by ts RANGE and sort within partitions before writing, so
+    // every parquet file covers a tight, disjoint ts interval and every
+    // row group's min/max stats are narrow. A time-bounded read then
+    // (a) pushes both bounds to the scan (pinned in PlanAuditSpec via
+    // PushedFilters) and (b) skips whole files/row groups whose stats
+    // miss the interval — on an unsorted layout the same predicate
+    // reads every file because every row group spans the full month.
+    // The gate states the identically filtered slice from the original
+    // parquet: a row lost at a range boundary, a timezone shift in the
+    // round trip, or a sort that dropped rows hash-fails.
+    QueryDef("parquet_sorted_layout",
+      (s, d) => {
+        val path = s"$scratch/sorted_events"
+        T.events(s, d).select("event_id", "ts", "user_id", "value")
+          .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)),
+
     // Bucketed co-located fact-fact join — THE shuffle-elimination
     // primitive for repeated 100 TB joins (Spark's analog of hive
     // bucketing / the reference's presorted-index merge,

@@ -1707,6 +1707,29 @@ object LlmQueries extends QueryModule {
     // the same counts and replays the same left-join rollup; a dropped
     // bigram, an off-by-one slice bound, or a miscounted hit mass
     // hash-fails.
+    // Corpus-wide top-bigram report (LmOps.bigramCounts + distributed
+    // top-k): the collocation table a curation run publishes next to
+    // its Gopher/C4 stats — one map-side-combined aggregation over the
+    // exploded bigram stream, then TakeOrderedAndProject (no global
+    // sort); count-desc, bigram-asc deterministic ties. Also the
+    // standing witness that the LM training aggregation itself is
+    // exact: the oracle recounts every bigram from scratch.
+    QueryDef("top_bigrams",
+      (s, d) => {
+        import graft.llm.LmOps
+        LmOps.bigramCounts(T.documents(s, d), "doc_id", "text")
+          .select(col("bg"), col("__c").as("cnt"))
+          .orderBy(col("cnt").desc, col("bg").asc).limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |big AS (SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+             |  FROM w WHERE len(w) >= 2)
+             |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM big
+             |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin)),
+
     QueryDef("lm_bigram_filter",
       (s, d) => {
         import graft.llm.LmOps

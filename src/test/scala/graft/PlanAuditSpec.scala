@@ -199,6 +199,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("parquet_sorted_layout: both time bounds reach the scan as " +
+      "PushedFilters (row-group skipping over the sorted layout)") {
+    val p = plan("parquet_sorted_layout")
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse(
+      fail(s"no PushedFilters in plan:\n${p.take(3000)}"))
+    assert(pf.contains("GreaterThanOrEqual(ts") && pf.contains("LessThan(ts"),
+      s"time bounds not pushed to the parquet scan: $pf")
+  }
+
   test("bucketed_join_colocated: sort-merge join with ZERO Exchange — " +
       "catalog bucketing satisfies the join distribution on both sides") {
     val p = plan("bucketed_join_colocated")
