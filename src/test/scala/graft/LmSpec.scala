@@ -72,6 +72,18 @@ class LmSpec extends SparkSpec {
     assert(ppl(0) < ppl(1) && ppl(1) < ppl(2), ppl.toSeq.toString)
   }
 
+  test("null text scores as no-evidence (0,0,0,keep) on both paths") {
+    val withNull = Seq((20L, null.asInstanceOf[String]), (21L, "the cat sat"))
+      .toDF("id", "text")
+    val o = LmOps.lmOverlapScore(withNull, ref, "id", "text")
+      .filter($"id" === 20L).collect()
+    assert(o.length == 1)
+    assert(o(0).getLong(1) == 0L && o(0).getLong(3) == 0L && o(0).getBoolean(4))
+    val p = LmOps.lmPerplexity(withNull, ref, "id", "text")
+      .filter($"id" === 20L).collect()
+    assert(p.length == 1 && p(0).isNullAt(p(0).fieldIndex("avg_logprob")))
+  }
+
   test("lmOverlapScore on the sf0.001 documents table is total and keyed once per doc") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, d)
