@@ -219,6 +219,32 @@ class PlanAuditSpec extends SparkSpec {
     // output and the SMJ needs no Sort either
     assert(!p.linesIterator.exists(_.trim.startsWith("Sort ")),
       s"bucketed join re-sorted (bucket sort order lost):\n${p.take(3000)}")
+    // and a point lookup on the bucket key prunes to ONE bucket at
+    // planning time (the tables exist — plan() above just wrote them).
+    // autoBucketedScan turns the bucketed read off for scan-only
+    // queries (no join/agg wants the partitioning), which also forfeits
+    // pruning — scope it off to witness the pruning path itself.
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "false")
+      val lookup = spark.table("graft_li_bucketed")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(lookup.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup did not bucket-prune:\n${lookup.take(3000)}")
+    } finally spark.conf.set(k, saved)
+  }
+
+  test("lm_bigram_filter: map-side-combined aggregations, no window, " +
+      "and top_bigrams takes the distributed top-k path") {
+    val p = plan("lm_bigram_filter")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 && p.contains("partial"),
+      s"LM count aggregation lost map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("Window "), s"unexpected window:\n${p.take(3000)}")
+    val t = plan("top_bigrams")
+    assert(t.contains("TakeOrderedAndProject"),
+      s"top_bigrams global-sorts instead of top-k:\n${t.take(3000)}")
   }
 
   test("ewm_time_halflife (+long variant): one grouped shuffle, " +
