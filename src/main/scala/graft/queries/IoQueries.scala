@@ -581,6 +581,29 @@ object IoQueries extends QueryModule {
              |       AS BIGINT) AS d_sum_sq
              |FROM s GROUP BY doc_id""".stripMargin)),
 
+    // Small-file compaction round trip (sources/Compaction) — the lake
+    // maintenance chore a micro-batch-fed 100 TB table needs
+    // continuously: the slice is deliberately fragmented into 16 files,
+    // compacted to a byte-target file count (a shuffle-free
+    // coalesce+rewrite; only the file LISTING touches the driver), and
+    // read back. The oracle states the slice from the original parquet:
+    // a row lost or duplicated in the rewrite hash-fails, and the gate
+    // body asserts the file count actually shrank to the computed
+    // target before returning.
+    QueryDef("parquet_compacted_roundtrip",
+      (s, d) => {
+        val in = s"$scratch/compact_in"; val out = s"$scratch/compact_out"
+        slice(s, d).repartition(16).write.mode("overwrite").parquet(in)
+        val bytes = graft.sources.Compaction.dataBytes(s, in)
+        val res = graft.sources.Compaction.compact(s, in, out,
+          targetFileBytes = math.max(1L, (bytes + 1) / 2))
+        val nOut = graft.sources.Compaction.dataFileCount(s, out)
+        require(nOut <= 2 && nOut < 16,
+          s"compaction did not shrink the file count: $nOut")
+        res
+      },
+      Some(sliceSql)),
+
     // Range-partitioned, sorted time-series layout — the WRITE-side
     // data-skipping primitive for event data at 100 TB: repartition the
     // stream by ts RANGE and sort within partitions before writing, so
