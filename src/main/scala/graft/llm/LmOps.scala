@@ -106,8 +106,18 @@ object LmOps {
     val bg2 = bigramCounts(ref, idCol, textCol)
     val uni = unigramCounts(ref, idCol, textCol)
     val vocab = uni.agg(count(lit(1)).as("__v"))
-    val scored = explodedBigrams(docs, idCol, textCol)
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    // carry w1 alongside the bigram from the zip (re-splitting the
+    // just-concatenated "w1 w2" string per row would pay a redundant
+    // regex and lean on a words-contain-no-space invariant)
+    val scored = docs
+      .select(col(idCol), TextStatsOps.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a, b) => struct(a.as("w1"),
+          concat(a, lit(" "), b).as("bg")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.bg").as("bg"))
       .join(bg2, Seq("bg"), "left")
       .join(uni, col("w1") === col("w"), "left")
       .crossJoin(broadcast(vocab))

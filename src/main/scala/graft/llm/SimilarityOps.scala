@@ -383,47 +383,127 @@ object SimilarityOps {
       val cNormSq = c.map(x => x * x).sum
       struct((dot(sub, litArr(c)) * 2 - lit(cNormSq)).as("score"),
         lit(k).as("cell")) }.toSeq: _*)
-    aggregate(scores,
+    val cell = aggregate(scores,
       struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
       (a, s) => when(s.getField("score") > a.getField("score"), s)
         .otherwise(a))
       .getField("cell")
+    // a NULL or short subvector nulls every score and the fold keeps
+    // the −1 sentinel — which would crash DOWNSTREAM as an array index
+    // (element_at(lut, 0)) far from the cause; raise here instead
+    when(cell === -1,
+      raise_error(lit("pq: null or wrong-dimension embedding")))
+      .otherwise(cell)
+  }
+
+  /** Deterministic batched farthest-point seeding in L2 geometry — the
+    * PQ twin of [[seedCentroidsMaximin]], whose max-dot "closeness" is
+    * cosine-shaped and rates small-norm points as far regardless of
+    * actual L2 spread (wrong starting geometry for an L2 Lloyd): each
+    * round adds the `k/rounds` rows with the LARGEST min-over-seeds
+    * squared distance ‖x‖² − 2x·c + ‖c‖², seeds broadcast, picked ids
+    * excluded by anti-join. Deterministic — no sampling seed. */
+  private def seedL2Maximin(corpus: DataFrame, cId: String, subCol: String,
+      k: Int, rounds: Int = 4): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val e = col(subCol)
+    val first = corpus.orderBy(col(cId).asc).limit(1)
+      .select(col(cId), e.as("e")).collect()
+    if (first.isEmpty) return Array.empty
+    var seeds = first.map(_.getSeq[Double](1).toArray)
+    var seedIds = first.map(_.get(0))
+    val idField = corpus.schema(cId)
+    def seedIdsFrame: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(seedIds.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(idField.copy(name = "__seed_id"))))
+    val perRound = math.max(1, math.ceil((k - 1).toDouble / rounds).toInt)
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
+      val minDistSq = array_min(transform(col("__cents"), c =>
+        dot(e, e) - dot(e, c.getField("emb")) * 2 +
+          aggregate(c.getField("emb"), lit(0.0), (a, x) => a + x * x)))
+      val batch = corpus
+        .join(broadcast(seedIdsFrame), col(cId) === col("__seed_id"), "left_anti")
+        .crossJoin(broadcast(centroidsFrame(spark, seeds)))
+        .withColumn("__d", minDistSq)
+        .orderBy(col("__d").desc, col(cId).asc)
+        .limit(math.min(perRound, k - seeds.length))
+        .select(col(cId), e.as("e")).collect()
+      if (batch.isEmpty) exhausted = true
+      else {
+        seeds ++= batch.map(_.getSeq[Double](1).toArray)
+        seedIds ++= batch.map(_.get(0))
+      }
+    }
+    seeds
+  }
+
+  /** Stage the double-cast embedding and its m subvector slices as
+    * REAL columns under `prefix` (HOF lambdas re-evaluate captured
+    * non-attribute subtrees per element — an inline slice would
+    * re-slice per centroid). Returns (staged frame, staging columns to
+    * drop). Shared by the corpus and query sides of the PQ path. */
+  private def stageSubvectors(df: DataFrame, embCol: String, m: Int,
+      sub: Int, prefix: String): (DataFrame, Seq[String]) = {
+    val eCol = s"${prefix}_e"
+    val names = (0 until m).map(i => s"$prefix$i")
+    val staged = (0 until m).foldLeft(
+        df.withColumn(eCol, toDoubleArr(col(embCol)))) { (acc, mi) =>
+      acc.withColumn(names(mi),
+        slice(col(eCol), lit(mi * sub + 1), lit(sub)))
+    }
+    (staged, eCol +: names)
   }
 
   /** Train PQ codebooks: split the space into `m` contiguous subspaces
-    * and train a `ksub`-centroid L2 quantizer per subspace — maximin
-    * seeding (reused from the IVF layer) followed by Lloyd iterations
-    * run as DataFrame aggregations with the SAME L2 assignment rule
-    * [[pqEncode]] applies (assign = l2Code over broadcast-literal
-    * centroids, update = per-cell mean; empty cells keep their
-    * centroid). m small driver-held codebooks; the corpus is never
-    * collected (the one-row dim probe is bounded). Deterministic end to
-    * end: same corpus ⇒ same codebooks. */
+    * and train a `ksub`-centroid L2 quantizer per subspace —
+    * [[seedL2Maximin]] seeding followed by Lloyd iterations run as
+    * DataFrame aggregations with the SAME L2 assignment rule
+    * [[pqEncode]] applies (assign = l2Code over plan-literal centroids,
+    * update = per-cell mean; empty cells keep their centroid). The
+    * Lloyd loop intentionally parallels [[trainIvfCentroids]] rather
+    * than sharing it — the assignment geometries differ (L2 here,
+    * inner-product there) and the IVF trainer is proven machinery this
+    * module does not destabilize. Each subspace slice is persisted
+    * across its seeding rounds + iterations so the corpus is scanned
+    * once per slice, not once per round. m small driver-held codebooks;
+    * the corpus is never collected (the dim probe is a bounded 1-row
+    * collect over non-null embeddings). Deterministic end to end: same
+    * corpus ⇒ same codebooks. */
   def trainPqCodebooks(corpus: DataFrame, cId: String, embCol: String,
       m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col(embCol)).as("d")).head().getInt(0)
+    val dimRow = corpus.select(size(col(embCol)).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "trainPqCodebooks: empty corpus or all-null embeddings")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     (0 until m).map { mi =>
       val sliced = corpus.select(col(cId),
         slice(toDoubleArr(col(embCol)), lit(mi * sub + 1), lit(sub)).as("__sub"))
-      var cents = seedCentroidsMaximin(sliced, cId, "__sub", ksub)
-      for (_ <- 0 until iters) {
-        val sums = sliced
-          .withColumn("__cell", l2Code(col("__sub"), cents))
-          .groupBy("__cell")
-          .agg(count(lit(1)).as("n"),
-            array((0 until sub).map(i =>
-              sum(element_at(col("__sub"), i + 1))): _*).as("s"))
-          .collect()
-        val next = cents.clone()
-        sums.foreach { r =>
-          val cell = r.getInt(0); val n = r.getLong(1)
-          if (n > 0) next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+        .persist()
+      try {
+        var cents = seedL2Maximin(sliced, cId, "__sub", ksub)
+        for (_ <- 0 until iters) {
+          val sums = sliced
+            .withColumn("__cell", l2Code(col("__sub"), cents))
+            .groupBy("__cell")
+            .agg(count(lit(1)).as("n"),
+              array((0 until sub).map(i =>
+                sum(element_at(col("__sub"), i + 1))): _*).as("s"))
+            .collect()
+          val next = cents.clone()
+          sums.foreach { r =>
+            val cell = r.getInt(0); val n = r.getLong(1)
+            if (n > 0) next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+          }
+          cents = next
         }
-        cents = next
+        cents
+      } finally {
+        sliced.unpersist(false); ()
       }
-      cents
     }.toArray
   }
 
@@ -438,16 +518,13 @@ object SimilarityOps {
       codebooks: Array[Array[Array[Double]]],
       outCol: String = "pq_codes"): DataFrame = {
     val sub = codebooks(0)(0).length
-    val staged = codebooks.indices.foldLeft(
-        df.withColumn("__pqe", toDoubleArr(col(embCol)))) { (acc, mi) =>
-      acc.withColumn(s"__pqs$mi",
-        slice(col("__pqe"), lit(mi * sub + 1), lit(sub)))
-    }
+    val (staged, stagingCols) =
+      stageSubvectors(df, embCol, codebooks.length, sub, "__pqs")
     val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
       l2Code(col(s"__pqs$mi"), cb)
     }
     staged.withColumn(outCol, array(codes.toSeq: _*))
-      .drop("__pqe" +: codebooks.indices.map(i => s"__pqs$i"): _*)
+      .drop(stagingCols: _*)
   }
 
   /** PQ asymmetric-distance top-k: each (broadcast-sized) query builds
@@ -456,34 +533,48 @@ object SimilarityOps {
     * over its codes — Σₘ lut[m][code[m]] reconstructs the query·centroid
     * inner product, so the scan touches only the m-byte codes, never
     * the float vectors (the ADC trick that makes billion-vector search
-    * storage-bandwidth-bound instead of FLOP-bound). The top
-    * `rerankFactor·k` per query survive to an exact-cosine re-rank —
-    * approximation affects candidate SELECTION only; emitted scores are
-    * exact, and a shortlist covering the corpus reproduces
-    * [[bruteForceTopK]] by construction (the gate's configuration;
-    * recall at small factors is fixture-tested in PqSpec). */
+    * storage-bandwidth-bound instead of FLOP-bound). The shortlist RANK
+    * key is the reconstructed COSINE — the inner product divided by the
+    * candidate's reconstructed norm √Σₘ‖c_codeₘ‖² (a second, pure-
+    * literal lookup table computed once per corpus row at encode time);
+    * ranking by raw inner product would bias the shortlist toward
+    * large-norm vectors exactly as the int8 tier's __cnorm division
+    * exists to prevent. The top `rerankFactor·k` per query survive to
+    * an exact-cosine re-rank — approximation affects candidate
+    * SELECTION only; emitted scores are exact, and a shortlist covering
+    * the corpus reproduces [[bruteForceTopK]] by construction (the
+    * gate's configuration; recall at small factors is fixture-tested in
+    * PqSpec). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       codebooks: Array[Array[Array[Double]]], rerankFactor: Int = 4,
       qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
     val sub = codebooks(0)(0).length
-    val qStaged = codebooks.indices.foldLeft(
-        queries.withColumn("__pqq", toDoubleArr(col("q_emb")))) { (acc, mi) =>
-      acc.withColumn(s"__pqqs$mi",
-        slice(col("__pqq"), lit(mi * sub + 1), lit(sub)))
-    }
+    val (qStaged, qStagingCols) =
+      stageSubvectors(queries, "q_emb", codebooks.length, sub, "__pqq")
     val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      array(cb.toSeq.map(c => dot(col(s"__pqqs$mi"), litArr(c))): _*)
+      array(cb.toSeq.map(c => dot(col(s"__pqq$mi"), litArr(c))): _*)
     }.toSeq: _*)
     val qc = broadcast(qStaged.withColumn("__lut", lut)
-      .drop("__pqq" +: codebooks.indices.map(i => s"__pqqs$i"): _*))
+      .drop(qStagingCols: _*))
+    // reconstructed ‖·‖² per candidate: one literal-table lookup sum at
+    // encode time, reused across every query
+    val normLut = array(codebooks.map(cb =>
+      array(cb.toSeq.map(c => lit(c.map(x => x * x).sum)): _*)).toSeq: _*)
     val cc = pqEncode(corpus, "embedding", codebooks)
+      .withColumn("__cnormsq", aggregate(
+        zip_with(normLut, col("pq_codes"),
+          (l, c) => element_at(l, c + 1)),
+        lit(0.0), (a, x) => a + x))
     val approx = qc.crossJoin(cc)
       .filter(col(qId) =!= col(cId))
-      .withColumn("__ascore", aggregate(
+      .withColumn("__adot", aggregate(
         zip_with(col("__lut"), col("pq_codes"),
           (l, c) => element_at(l, c + 1)),
         lit(0.0), (a, x) => a + x))
+      .withColumn("__ascore",
+        when(col("__cnormsq") > 0, col("__adot") / sqrt(col("__cnormsq")))
+          .otherwise(lit(Double.NegativeInfinity)))
     val wa = Window.partitionBy(qId)
       .orderBy(col("__ascore").desc, col(cId).asc)
     val shortlist = approx.withColumn("__arn", row_number().over(wa))

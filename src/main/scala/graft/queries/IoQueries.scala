@@ -598,8 +598,8 @@ object IoQueries extends QueryModule {
         val res = graft.sources.Compaction.compact(s, in, out,
           targetFileBytes = math.max(1L, (bytes + 1) / 2))
         val nOut = graft.sources.Compaction.dataFileCount(s, out)
-        require(nOut <= 2 && nOut < 16,
-          s"compaction did not shrink the file count: $nOut")
+        require(nOut <= 2,
+          s"compaction missed its 2-file target (from 16): $nOut")
         res
       },
       Some(sliceSql)),

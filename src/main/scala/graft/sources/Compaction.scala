@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions.col
   * directory into ⌈totalBytes / targetFileBytes⌉ files.
   *
   * Spark-first shape: the rewrite IS a plain scan→write with a
-  * coalesce — no shuffle (coalesce narrows partitions), no driver
-  * data movement; only the file LISTING (names+sizes, not contents)
-  * touches the driver, which is exactly what any planner pays anyway.
+  * coalesce — no shuffle in the normal shrink case (coalesce narrows
+  * partitions; a round-robin repartition only when the target exceeds
+  * the scan's parallelism, where the data is tiny by construction),
+  * no driver data movement; only the file LISTING (names+sizes, not
+  * contents) touches the driver, which any planner pays anyway.
   * An optional sort column re-establishes the
   * [[graft.queries.IoQueries parquet_sorted_layout]] skipping
   * property across the now-larger files via repartitionByRange (one
@@ -24,18 +26,26 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
-  /** Bytes currently on disk for `path` (data files only). */
-  def dataBytes(spark: SparkSession, path: String): Long = {
+  /** Recursive listing of data files (directories descended, `_`-
+    * prefixed bookkeeping files like _SUCCESS skipped) — the one
+    * walker both size and count derive from. */
+  private def dataFiles(spark: SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(dir: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(dir).map { st =>
+    def walk(dir: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_")) 0L // _SUCCESS etc
-        else st.getLen
-      }.sum
+        else if (st.getPath.getName.startsWith("_")) Nil
+        else Seq(st)
+      }
     walk(p)
   }
+
+  /** Bytes currently on disk for `path` (data files only). */
+  def dataBytes(spark: SparkSession, path: String): Long =
+    dataFiles(spark, path).map(_.getLen).sum
 
   /** Compact `inPath` → `outPath` targeting `targetFileBytes` per
     * output file. Returns the compacted frame (read back from
@@ -52,22 +62,20 @@ object Compaction {
     val in = spark.read.format(format).load(inPath)
     val out = sortBy match {
       case Some(c) => in.repartitionByRange(n, col(c)).sortWithinPartitions(c)
-      case None    => in.coalesce(n)
+      case None =>
+        // coalesce cannot EXCEED the scan's partition count — when the
+        // input is so fragmented that Spark packs it into fewer scan
+        // partitions than n (splitting a 1 MB table toward 100 KB
+        // files), fall back to a round-robin repartition; the shuffle
+        // is tiny by construction (the data fits in few partitions)
+        val scanParts = in.rdd.getNumPartitions
+        if (n <= scanParts) in.coalesce(n) else in.repartition(n)
     }
     out.write.mode("overwrite").format(format).save(outPath)
     spark.read.format(format).load(outPath)
   }
 
   /** Data-file count under `path` (the quantity compaction shrinks). */
-  def dataFileCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(dir: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(dir).map { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_")) 0
-        else 1
-      }.sum
-    walk(p)
-  }
+  def dataFileCount(spark: SparkSession, path: String): Int =
+    dataFiles(spark, path).size
 }

@@ -46,6 +46,17 @@ class PqSpec extends SparkSpec {
     assertFrameEqual(pq, brute)
   }
 
+  test("pqEncode raises loudly on a null embedding (no silent -1 code)") {
+    val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding", 4, 4, 1)
+    val bad = Seq((1L, Seq.fill(16)(0.5)), (2L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.pqEncode(bad, "embedding", cbs).collect()
+    }
+    assert(e.getMessage.contains("pq: null or wrong-dimension"),
+      e.getMessage.take(300))
+  }
+
   test("pqTopK small-factor recall on planted clusters is perfect") {
     // 3 tight clusters of 5 vectors each in R^8: within-cluster cosine
     // ≈ 1, across ≈ 0 — ADC must shortlist cluster-mates at factor 2.
