@@ -89,6 +89,74 @@ object LmOps {
       .withColumn("keep", col("hit_bigrams") * 2 >= col("n_bigrams"))
   }
 
+  /** Train: trigram → occurrence count over the reference corpus. */
+  def trigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    ref.select(TextStatsOps.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(explode(transform(sequence(lit(3), size(col("__w"))),
+        i => concat_ws(" ", element_at(col("__w"), i - 2),
+          element_at(col("__w"), i - 1), element_at(col("__w"), i))))
+        .as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("__c3"))
+
+  /** Stupid-backoff longest-match profile (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the n-gram model that
+    * actually scales to web corpora because it needs only counts, no
+    * discounting): for every trigram position of a document, the
+    * longest reference-attested suffix level — 3 (trigram match), 2
+    * (bigram), 1 (unigram), 0 (OOV) — aggregated per document. The
+    * level histogram is the integer-exact core of the backoff score
+    * (which weights the levels 1, 0.4, 0.16): it drives head/tail
+    * splits and OOV filters without a single float, so the
+    * differential gate hash-compares exactly.
+    *
+    * Scale shape: three count-table trainings (map-side-combined
+    * aggregations over the reference) and three key joins of the
+    * candidate position stream (trigram, bigram, unigram) — each build
+    * side is pre-aggregated to one row per n-gram and broadcastable
+    * for a curated reference; probe-side hot keys are AQE-splittable
+    * join skew. One per-doc rollup shuffle. Positions start at the
+    * third word (full trigram context only), matching the oracle. */
+  def backoffMatchLevels(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tri = trigramCounts(ref, idCol, textCol)
+    val big = bigramCounts(ref, idCol, textCol)
+    val uni = unigramCounts(ref, idCol, textCol)
+    val pos = docs
+      .select(col(idCol), TextStatsOps.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col(idCol), explode(transform(sequence(lit(3), size(col("__w"))),
+        i => struct(
+          concat_ws(" ", element_at(col("__w"), i - 2),
+            element_at(col("__w"), i - 1), element_at(col("__w"), i)).as("tg"),
+          concat_ws(" ", element_at(col("__w"), i - 1),
+            element_at(col("__w"), i)).as("bg"),
+          element_at(col("__w"), i).as("ug")))).as("__p"))
+      .select(col(idCol), col("__p.tg").as("tg"), col("__p.bg").as("bg"),
+        col("__p.ug").as("ug"))
+    val flagged = pos
+      .join(tri, Seq("tg"), "left")
+      .join(big, Seq("bg"), "left")
+      .join(uni, col("ug") === col("w"), "left")
+    val level = when(col("__c3").isNotNull, 3)
+      .when(col("__c").isNotNull, 2)
+      .when(col("__cw").isNotNull, 1)
+      .otherwise(0)
+    val perDoc = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_pos"),
+      sum(when(level === 3, 1L).otherwise(0L)).as("l3"),
+      sum(when(level === 2, 1L).otherwise(0L)).as("l2"),
+      sum(when(level === 1, 1L).otherwise(0L)).as("l1"),
+      sum(when(level === 0, 1L).otherwise(0L)).as("oov"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("l3"), lit(0L)).as("l3"),
+        coalesce(col("l2"), lit(0L)).as("l2"),
+        coalesce(col("l1"), lit(0L)).as("l1"),
+        coalesce(col("oov"), lit(0L)).as("oov"))
+  }
+
   /** Real log-space bigram LM score with add-one smoothing:
     *   avg_logprob = (1/n) Σᵢ ln((C(wᵢ₋₁wᵢ)+1) / (C(wᵢ₋₁)+V)),
     *   perplexity  = exp(−avg_logprob),

@@ -1730,6 +1730,59 @@ object LlmQueries extends QueryModule {
              |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM big
              |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin)),
 
+    // Stupid-backoff longest-match levels (LmOps.backoffMatchLevels —
+    // Brants et al. 2007): per document, every trigram position is
+    // classified by its longest reference-attested suffix (trigram /
+    // bigram / unigram / OOV) against count tables trained on the
+    // doc_id%7 reference slice. The level histogram is the
+    // integer-exact core of the backoff score; the oracle retrains all
+    // three n-gram sets and replays the CASE cascade per position. A
+    // dropped position, a wrong context window, or a level cascade
+    // ordering bug hash-fails.
+    QueryDef("lm_backoff_levels",
+      (s, d) => {
+        import graft.llm.LmOps
+        val docs = T.documents(s, d)
+        val ref = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        LmOps.backoffMatchLevels(docs, ref, "doc_id", "text")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |tri AS (SELECT doc_id, w[i-2] || ' ' || w[i-1] || ' ' || w[i] AS tg,
+             |    w[i-1] || ' ' || w[i] AS bg, w[i] AS ug
+             |  FROM (SELECT doc_id, w, unnest(generate_series(3, len(w))) AS i
+             |        FROM w WHERE len(w) >= 3)),
+             |refw AS (SELECT w FROM w WHERE doc_id % 7 = 0),
+             |tgs AS (SELECT DISTINCT unnest(list_transform(
+             |    generate_series(3, len(w)),
+             |    i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS tg
+             |  FROM refw WHERE len(w) >= 3),
+             |bgs AS (SELECT DISTINCT unnest(list_transform(
+             |    generate_series(1, len(w) - 1),
+             |    i -> w[i] || ' ' || w[i+1])) AS bg
+             |  FROM refw WHERE len(w) >= 2),
+             |ugs AS (SELECT DISTINCT unnest(w) AS ug FROM refw),
+             |lv AS (SELECT tri.doc_id,
+             |    CASE WHEN tgs.tg IS NOT NULL THEN 3
+             |         WHEN bgs.bg IS NOT NULL THEN 2
+             |         WHEN ugs.ug IS NOT NULL THEN 1 ELSE 0 END AS level
+             |  FROM tri LEFT JOIN tgs USING (tg)
+             |    LEFT JOIN bgs USING (bg) LEFT JOIN ugs USING (ug)),
+             |sc AS (SELECT doc_id, count(*) AS n_pos,
+             |    sum(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS l3,
+             |    sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS l2,
+             |    sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS l1,
+             |    sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS oov
+             |  FROM lv GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(sc.n_pos, 0) AS BIGINT) AS n_pos,
+             |  CAST(coalesce(sc.l3, 0) AS BIGINT) AS l3,
+             |  CAST(coalesce(sc.l2, 0) AS BIGINT) AS l2,
+             |  CAST(coalesce(sc.l1, 0) AS BIGINT) AS l1,
+             |  CAST(coalesce(sc.oov, 0) AS BIGINT) AS oov
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+
     QueryDef("lm_bigram_filter",
       (s, d) => {
         import graft.llm.LmOps

@@ -72,6 +72,29 @@ class LmSpec extends SparkSpec {
     assert(ppl(0) < ppl(1) && ppl(1) < ppl(2), ppl.toSeq.toString)
   }
 
+  test("backoffMatchLevels: longest-match cascade on a hand-checked corpus") {
+    // ref trigrams: {the cat sat, cat sat on, sat on the, on the mat,
+    //   the dog sat, dog sat on}; bigrams: {the cat, cat sat, sat on,
+    //   on the, the mat, the dog, dog sat}; unigrams: {the,cat,sat,on,
+    //   mat,dog}
+    val docs = Seq(
+      (30L, "the cat sat on the mat"),   // all 4 positions trigram-hit
+      (31L, "big dog sat on a mat"),     // one of each level
+      (32L, "zz yy xx"),                 // single all-OOV position
+      (33L, "too short")                 // <3 words ⇒ zeros
+    ).toDF("id", "text")
+    val out = LmOps.backoffMatchLevels(docs, ref, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out(0) == ((30L, 4L, 4L, 0L, 0L, 0L)))
+    // big dog sat→bg "dog sat"=2; dog sat on→tri=3; sat on a→oov=0
+    // (bg "on a", ug "a" unattested); on a mat→ug "mat"=1
+    assert(out(1) == ((31L, 4L, 1L, 1L, 1L, 1L)))
+    assert(out(2) == ((32L, 1L, 0L, 0L, 0L, 1L)))
+    assert(out(3) == ((33L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("null text scores as no-evidence (0,0,0,keep) on both paths") {
     val withNull = Seq((20L, null.asInstanceOf[String]), (21L, "the cat sat"))
       .toDF("id", "text")
