@@ -439,6 +439,31 @@ object TextDedupOps {
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus snapshot diff — the data-versioning audit an incremental
+    * 100 TB pipeline runs on every ingest: classify every document id
+    * across two corpus versions as `added` (new only), `removed` (old
+    * only), `changed` (in both with a different normalized-content
+    * [[fingerprint]]), or `unchanged`. One full-outer shuffle join
+    * keyed by unique document ids (no skew by construction); the
+    * content comparison rides the 16-byte fingerprint so 10 KB texts
+    * never cross the wire twice. In steady state the old side is the
+    * persisted fingerprint index — the same artifact
+    * [[dedupIncremental]] keeps — so the diff costs one scan of each
+    * side. Returns (idCol, status), total over both versions' ids. */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldV.select(col(idCol).as("__oid"),
+      fingerprint(col(textCol)).as("__ofp"))
+    val n = newV.select(col(idCol).as("__nid"),
+      fingerprint(col(textCol)).as("__nfp"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__nid"), col("__oid")).as(idCol),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__ofp") <=> col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** 64-bit SimHash over word tokens: per bit, the sign of the sum of
     * ±1 votes from each token hash. One explode + one hash-agg. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1730,6 +1730,37 @@ object LlmQueries extends QueryModule {
              |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM big
              |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin)),
 
+    // Corpus snapshot diff (TextDedupOps.corpusDiff) — the
+    // data-versioning audit between two ingests: planted versions
+    // remove every 13th document, add every 11th (absent from "old"),
+    // and mutate every 7th's text; the full-outer fingerprint join
+    // classifies every id as added/removed/changed/unchanged. The
+    // oracle replays the versions and compares NORMALIZED text directly
+    // (the fingerprint is md5-of-normalized on both engines, so text
+    // equality ⇔ fingerprint equality); a misclassified id or a lost
+    // side of the outer join hash-fails.
+    QueryDef("corpus_diff",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val oldV = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val newV = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+          .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        TextDedupOps.corpusDiff(oldV, newV, "doc_id", "text")
+      },
+      Some(s"""WITH o AS (SELECT doc_id, text FROM documents
+              |  WHERE doc_id % 11 <> 0),
+              |n AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              |  FROM documents WHERE doc_id % 13 <> 0)
+              |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+              |  CASE WHEN o.doc_id IS NULL THEN 'added'
+              |       WHEN n.doc_id IS NULL THEN 'removed'
+              |       WHEN ${normSql("o.text")} = ${normSql("n.text")}
+              |         THEN 'unchanged'
+              |       ELSE 'changed' END AS status
+              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),
+
     // Stupid-backoff longest-match levels (LmOps.backoffMatchLevels —
     // Brants et al. 2007): per document, every trigram position is
     // classified by its longest reference-attested suffix (trigram /
