@@ -89,14 +89,24 @@ object LmOps {
       .withColumn("keep", col("hit_bigrams") * 2 >= col("n_bigrams"))
   }
 
+  /** Trigram ending at 1-based position `i` of word array `w` — the
+    * ONE builder both the count-table training and the scoring
+    * position stream use: training and probing must stay bit-identical
+    * or every probe becomes a non-match with no compile-time signal. */
+  private def triAt(w: Column, i: Column): Column =
+    concat_ws(" ", element_at(w, i - 2), element_at(w, i - 1),
+      element_at(w, i))
+
+  /** Bigram ending at 1-based position `i` (same sharing rationale). */
+  private def biAt(w: Column, i: Column): Column =
+    concat_ws(" ", element_at(w, i - 1), element_at(w, i))
+
   /** Train: trigram → occurrence count over the reference corpus. */
   def trigramCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
     ref.select(TextStatsOps.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 3)
       .select(explode(transform(sequence(lit(3), size(col("__w"))),
-        i => concat_ws(" ", element_at(col("__w"), i - 2),
-          element_at(col("__w"), i - 1), element_at(col("__w"), i))))
-        .as("tg"))
+        i => triAt(col("__w"), i))).as("tg"))
       .groupBy("tg").agg(count(lit(1)).as("__c3"))
 
   /** Stupid-backoff longest-match profile (Brants et al. 2007, "Large
@@ -126,11 +136,8 @@ object LmOps {
       .select(col(idCol), TextStatsOps.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 3)
       .select(col(idCol), explode(transform(sequence(lit(3), size(col("__w"))),
-        i => struct(
-          concat_ws(" ", element_at(col("__w"), i - 2),
-            element_at(col("__w"), i - 1), element_at(col("__w"), i)).as("tg"),
-          concat_ws(" ", element_at(col("__w"), i - 1),
-            element_at(col("__w"), i)).as("bg"),
+        i => struct(triAt(col("__w"), i).as("tg"),
+          biAt(col("__w"), i).as("bg"),
           element_at(col("__w"), i).as("ug")))).as("__p"))
       .select(col(idCol), col("__p.tg").as("tg"), col("__p.bg").as("bg"),
         col("__p.ug").as("ug"))

@@ -1756,7 +1756,7 @@ object LlmQueries extends QueryModule {
               |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
               |  CASE WHEN o.doc_id IS NULL THEN 'added'
               |       WHEN n.doc_id IS NULL THEN 'removed'
-              |       WHEN ${normSql("o.text")} = ${normSql("n.text")}
+              |       WHEN ${normSql("o.text")} IS NOT DISTINCT FROM ${normSql("n.text")}
               |         THEN 'unchanged'
               |       ELSE 'changed' END AS status
               |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),

@@ -105,6 +105,10 @@ class LmSpec extends SparkSpec {
     val p = LmOps.lmPerplexity(withNull, ref, "id", "text")
       .filter($"id" === 20L).collect()
     assert(p.length == 1 && p(0).isNullAt(p(0).fieldIndex("avg_logprob")))
+    val b = LmOps.backoffMatchLevels(withNull, ref, "id", "text")
+      .filter($"id" === 20L).collect()
+    assert(b.length == 1 && (1 to 5).forall(i => b(0).getLong(i) == 0L),
+      b.mkString(","))
   }
 
   test("lmOverlapScore on the sf0.001 documents table is total and keyed once per doc") {
