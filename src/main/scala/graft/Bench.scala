@@ -392,6 +392,78 @@ object Bench {
       } else secs
     }
 
+    /** Wall-clock witness for the INCREMENTAL-INGEST loop — the
+      * steady-state shape of a production corpus (COVERAGE's
+      * dedupIncremental story) driven END TO END through streaming:
+      * documents with planted cross-batch duplicate texts (every 4th
+      * doc reuses the text of doc_id−2, so pairs straddle batch
+      * boundaries) are replayed as 8 id-ordered micro-batches into a
+      * foreachBatch sink that dedups each batch within itself AND
+      * against the corpus parquet accumulated so far, then appends the
+      * survivors. The final corpus is diffed against one-shot batch
+      * exactDedup over the same staged data — id-ordered replay makes
+      * keep-lowest-id deterministic on both paths, so ANY diff is a
+      * real incremental-state bug and reports as -1. */
+    def streamIncrementalIngestWitness(): Double = {
+      import org.apache.spark.sql.functions._
+      val root = s"${sys.props("java.io.tmpdir")}/graft-bench-singest-" +
+        ProcessHandle.current().pid()
+      val staged = s"$root/in"; val corpus = s"$root/corpus"
+      // fresh corpus dir per run (append mode accumulates)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val planted = docs.alias("d").join(
+          docs.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+          col("doc_id") - 2 === col("src_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0 && col("src_text").isNotNull,
+            col("src_text")).otherwise(col("text")).as("text"))
+      planted.repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(corpus)))
+              spark.read.parquet(corpus)
+            else spark.emptyDataFrame
+              .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0)
+          graft.llm.TextDedupOps
+            .dedupIncremental(batch, existing, "doc_id", "text")
+            .write.mode("append").parquet(corpus)
+        }
+        .queryName("graft_stream_ingest").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(corpus)
+      // batch twin with dedupIncremental's SEMANTICS: keep the lowest
+      // id per NORMALIZED-content fingerprint (exactDedup keys on raw
+      // text md5 — close but not the same equivalence relation)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.llm.TextDedupOps.fingerprint(col("text")))
+        .orderBy(col("doc_id").asc)
+      val batchTwin = spark.read.parquet(staged)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val diff = streamed.exceptAll(batchTwin).count() +
+        batchTwin.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_incremental_ingest: $diff rows " +
+          "differ between incremental and one-shot dedup — reporting -1")
+        -1.0
+      } else secs
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -507,7 +579,8 @@ object Bench {
       ("stream_resample_5min" -> streamResampleWitness()) :+
       ("stream_dedup_watermark" -> streamDedupWitness()) :+
       ("stream_session_window" -> streamSessionWitness()) :+
-      ("stream_join_interval" -> streamJoinWitness())
+      ("stream_join_interval" -> streamJoinWitness()) :+
+      ("stream_incremental_ingest" -> streamIncrementalIngestWitness())
     val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
