@@ -689,6 +689,47 @@ object TextStatsOps {
     regexp_replace(regexp_replace(r2, IpRe, ip), IpRe, ip)
   }
 
+  /** Raw-HTML → text extraction — the step BEFORE every text filter in
+    * a web-crawl pipeline (WET-style extraction; the reference's
+    * read_html parses tables, this strips markup from arbitrary
+    * pages): drop <script>/<style> blocks wholesale (their CONTENT is
+    * code, not prose), turn <br> and block-level closers into newlines
+    * so paragraph structure survives for paragraphDedup/c4Clean
+    * downstream, strip all remaining tags, decode the five core
+    * entities plus &nbsp;, and collapse runs of spaces/tabs. Pure
+    * codegen'd regexp chain — zero shuffle, engine-portable syntax
+    * ((?si) inline flags work in both Java regex and RE2, so the gate
+    * oracle replays the identical chain). A tolerant extractor, not a
+    * validator: unclosed tags strip fine; angle brackets in prose
+    * ("a < b") survive because a tag must open with a letter or /. */
+  def stripHtml(text: Column): Column = {
+    // two separate patterns, not <(script|style)>...</\1>: RE2 (the
+    // oracle's engine) has no backreferences
+    val noScript = regexp_replace(regexp_replace(text,
+      "(?si)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?si)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val breaks = regexp_replace(noScript,
+      "(?i)<br\\s*/?>|</(p|div|li|tr|h[1-6])\\s*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)</?[A-Za-z][^>]*>", " ")
+    // &amp; decodes LAST so "&amp;lt;" yields "&lt;", not "<"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(ent, "[ \\t]+", " "))
+  }
+
+  /** Sentence segmentation on terminal punctuation at end-of-word
+    * positions (the boundary rule c4Clean's counter uses as a proxy,
+    * here producing the actual spans): split on `[.!?]+` followed by
+    * whitespace-or-end, trim, drop empties. Returns an array column —
+    * explode it for per-sentence rows (chunking, per-sentence LM
+    * scoring). Abbreviation-blind by design ("e.g. x" splits) — the
+    * documented tradeoff of every regex segmenter; a corpus needing
+    * better pays for a model segmenter outside the engine. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+(\\s+|$)"), s => trim(s)),
+      s => s =!= "")
+
   /** Repetition ratio: 1 − distinct/total word n-grams — the standard
     * boilerplate/templating signal in training-data quality filters
     * (high ⇒ repeated phrases). Row-local, codegen'd, no shuffle. */

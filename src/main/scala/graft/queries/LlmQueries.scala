@@ -1730,6 +1730,63 @@ object LlmQueries extends QueryModule {
              |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM big
              |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin)),
 
+    // Raw-HTML → text extraction (TextStatsOps.stripHtml) — the step
+    // BEFORE every text filter in a web-crawl pipeline: each document
+    // is wrapped in a planted page (style block, script with embedded
+    // '<' and quotes, entities, block closers) and stripped back to
+    // prose. The oracle replays the IDENTICAL regexp chain in DuckDB —
+    // the patterns are deliberately RE2-safe (no backreferences) so
+    // one chain serves both engines; a divergence in block removal,
+    // entity order (&amp; must decode last), or newline synthesis
+    // hash-fails.
+    QueryDef("html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>p {color:red}</style></head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1>\n<p>"), col("text"),
+          lit("</p><br><div>tail &amp; x &lt; y&nbsp;z</div>" +
+            "<script>var i = 1 < 2; s = \"q\";</script></body></html>"))
+        T.documents(s, d).select(col("doc_id"),
+          TextStatsOps.stripHtml(html).as("clean"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    '<html><head><style>p {color:red}</style></head><body><h1>Doc '
+             |    || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>'
+             |    || text || '</p><br><div>tail &amp; x &lt; y&nbsp;z</div>'
+             |    || '<script>var i = 1 < 2; s = "q";</script></body></html>'
+             |      AS html FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             |    '(?si)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             |    '(?si)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(t,
+             |    '(?i)<br\s*/?>|</(p|div|li|tr|h[1-6])\s*>', chr(10), 'g') AS t
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(t,
+             |    '(?s)</?[A-Za-z][^>]*>', ' ', 'g') AS t FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    t, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+             |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
+             |SELECT doc_id, trim(regexp_replace(t, '[ \t]+', ' ', 'g'))
+             |  AS clean FROM s4""".stripMargin)),
+
+    // Sentence segmentation (TextStatsOps.sentences) — terminal
+    // punctuation at end-of-word positions, the span-producing twin of
+    // c4Clean's sentence counter: one row per non-empty trimmed
+    // sentence with its 0-based position. Row-local split+HOF, zero
+    // shuffle; the oracle replays the same RE2-safe pattern.
+    QueryDef("sentence_split",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+        posexplode(TextStatsOps.sentences(col("text")))
+          .as(Seq("pos", "sentence"))),
+      Some("""WITH t AS (SELECT doc_id, list_filter(list_transform(
+             |    regexp_split_to_array(text, '[.!?]+(\s+|$)'),
+             |    x -> trim(x)), x -> x <> '') AS s FROM documents)
+             |SELECT doc_id, CAST(generate_subscripts(s, 1) - 1 AS INT) AS pos,
+             |  unnest(s) AS sentence FROM t""".stripMargin)),
+
     // Corpus snapshot diff (TextDedupOps.corpusDiff) — the
     // data-versioning audit between two ingests: planted versions
     // remove every 13th document, add every 11th (absent from "old"),
