@@ -715,7 +715,11 @@ object TextStatsOps {
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
-    trim(regexp_replace(ent, "[ \\t]+", " "))
+    // collapse space runs, absorb spaces hugging the synthesized
+    // newlines, and strip whitespace (incl. newlines) at both ends
+    regexp_replace(regexp_replace(
+      regexp_replace(ent, "[ \\t]+", " "), " ?\\n ?", "\n"),
+      "^\\s+|\\s+$", "")
   }
 
   /** Sentence segmentation on terminal punctuation at end-of-word

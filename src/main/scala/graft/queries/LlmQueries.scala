@@ -1769,8 +1769,9 @@ object LlmQueries extends QueryModule {
              |    t, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
              |    '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
              |    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3)
-             |SELECT doc_id, trim(regexp_replace(t, '[ \t]+', ' ', 'g'))
-             |  AS clean FROM s4""".stripMargin)),
+             |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |    t, '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+             |    '^\s+|\s+$', '', 'g') AS clean FROM s4""".stripMargin)),
 
     // Sentence segmentation (TextStatsOps.sentences) — terminal
     // punctuation at end-of-word positions, the span-producing twin of
