@@ -134,7 +134,8 @@ class PlanAuditSpec extends SparkSpec {
       "exactly twice") {
     // both Gopher filter families are pure per-row expressions over the
     // planted corpus — any Exchange is a scale regression
-    for (name <- Seq("gopher_quality", "gopher_repetition", "c4_line_clean")) {
+    for (name <- Seq("gopher_quality", "gopher_repetition", "c4_line_clean",
+        "html_strip", "sentence_split")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
     }
