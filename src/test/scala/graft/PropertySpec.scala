@@ -369,4 +369,69 @@ class PropertySpec extends SparkSpec {
         df.exceptAll(back).isEmpty, s"sample $i mismatch")
     }
   }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(0, 9).map(i => s"w$i")
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("corpusDiff status matches a driver replay over random versions") {
+    (0 until 6).foreach { s =>
+      val texts = (0 until 30).map(i =>
+        i.toLong -> textGen.pureApply(Gen.Parameters.default, Seed(900L + s * 100 + i)))
+      val oldRows = texts.filter(_._1 % 3 != 0)
+      val newRows = texts.filter(_._1 % 4 != 0)
+        .map { case (id, t) => (id, if (id % 5 == 0) t + " extra" else t) }
+      val out = graft.llm.TextDedupOps.corpusDiff(
+        oldRows.toDF("id", "text"), newRows.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def norm(t: String) =
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+      val o = oldRows.toMap; val n = newRows.toMap
+      val expected = (o.keySet ++ n.keySet).map { id =>
+        id -> ((o.get(id), n.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) =>
+            if (norm(a) == norm(b)) "unchanged" else "changed"
+          case _ => sys.error("unreachable")
+        })
+      }.toMap
+      assert(out == expected, s"seed $s")
+    }
+  }
+
+  test("backoffMatchLevels partitions positions and matches a driver replay") {
+    (0 until 6).foreach { s =>
+      val texts = (0 until 25).map(i =>
+        i.toLong -> textGen.pureApply(Gen.Parameters.default, Seed(2000L + s * 100 + i)))
+      val docs = texts.toDF("id", "text")
+      val refRows = texts.filter(_._1 % 2 == 0)
+      val out = graft.llm.LmOps.backoffMatchLevels(
+        docs, refRows.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      def words(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      val refW = refRows.map(t => words(t._2))
+      def grams(n: Int) = refW.flatMap(w =>
+        w.sliding(n).filter(_.length == n).map(_.mkString(" "))).toSet
+      val (t3, t2, t1) = (grams(3), grams(2), grams(1))
+      texts.foreach { case (id, t) =>
+        val w = words(t)
+        val lv = (3 to w.length).map { i =>
+          val tg = w.slice(i - 3, i).mkString(" ")
+          val bg = w.slice(i - 2, i).mkString(" ")
+          if (t3(tg)) 3 else if (t2(bg)) 2 else if (t1(w(i - 1))) 1 else 0
+        }
+        val exp = (lv.size.toLong, lv.count(_ == 3).toLong,
+          lv.count(_ == 2).toLong, lv.count(_ == 1).toLong,
+          lv.count(_ == 0).toLong)
+        assert(out(id) == exp, s"seed $s id $id text '$t'")
+        // the levels always partition the position count
+        val (np, l3, l2, l1, oov) = out(id)
+        assert(l3 + l2 + l1 + oov == np)
+      }
+    }
+  }
 }
