@@ -1730,6 +1730,34 @@ object LlmQueries extends QueryModule {
              |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM big
              |GROUP BY bg ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin)),
 
+    // Per-source corpus report — the datasheet table every curation
+    // run publishes (docs, word mass, length spread, distinct-content
+    // count per source): ONE map-side-combined aggregation keyed by
+    // source; the distinct-content count rides approx-free as a
+    // count(DISTINCT md5) inside the same shuffle. All integers —
+    // engine-exact.
+    QueryDef("corpus_report",
+      (s, d) => T.documents(s, d)
+        .select(col("source"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("__w"),
+          md5(col("text")).as("__fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("total_words"),
+          min(col("__w")).as("min_words"),
+          max(col("__w")).as("max_words"),
+          countDistinct(col("__fp")).as("n_distinct")),
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(w) AS BIGINT) AS total_words,
+             |  CAST(min(w) AS BIGINT) AS min_words,
+             |  CAST(max(w) AS BIGINT) AS max_words,
+             |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+             |FROM (SELECT source,
+             |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w,
+             |    md5(text) AS fp
+             |  FROM documents) GROUP BY source""".stripMargin)),
+
     // Raw-HTML → text extraction (TextStatsOps.stripHtml) — the step
     // BEFORE every text filter in a web-crawl pipeline: each document
     // is wrapped in a planted page (style block, script with embedded
