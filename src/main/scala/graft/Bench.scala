@@ -111,6 +111,25 @@ object Bench {
       TextDedupOps.paragraphDedup(skewed, "doc_id", "text")
     }
 
+    /** Hot-bigram stress for the LM scoring tier: every 3rd document
+      * gets "of the" stitched between all its words, so one bigram key
+      * carries a large share of the probe stream — the boilerplate-
+      * n-gram shape a web corpus always has. The count side is
+      * pre-aggregated (one row per bigram) and the probe-side hot key
+      * is join skew AQE can split, so this must stay linear; a plan
+      * regression to a window or an unaggregated build side shows up
+      * as wall-clock here. */
+    def lmStressHotBigram(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val skewed = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          regexp_replace(col("text"), " ", " of the "))
+          .otherwise(col("text")))
+      val ref = skewed.filter(pmod(col("doc_id"), lit(7)) === 0)
+      graft.llm.LmOps.lmOverlapScore(skewed, ref, "doc_id", "text")
+    }
+
     /** Wall-clock witness for the combined curation pipeline (r11
       * verdict task #6 — the r11 flagship had no standing bench entry):
       * Gopher quality gate (row-local) → Gopher repetition gate (the
@@ -477,6 +496,7 @@ object Bench {
         "asof_stress_hot_key" -> (() => asofStressHotKey()),
         "para_dedup_stress_hot" -> (() => paraDedupStressHot()),
         "curation_stress" -> (() => curationStress()),
+        "lm_stress_hot_bigram" -> (() => lmStressHotBigram()),
         "multimodal_stress" -> (() => multimodalStress()))
 
     // Host-contention self-identification (the r7 lesson: one official
