@@ -465,15 +465,14 @@ object Bench {
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(corpus)
-      // batch twin with dedupIncremental's SEMANTICS: keep the lowest
-      // id per NORMALIZED-content fingerprint (exactDedup keys on raw
-      // text md5 — close but not the same equivalence relation)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(graft.llm.TextDedupOps.fingerprint(col("text")))
-        .orderBy(col("doc_id").asc)
-      val batchTwin = spark.read.parquet(staged)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // batch twin = THE SAME OPERATOR run once over everything with an
+      // empty prior corpus — one-shot and incremental must agree by the
+      // operator's own contract, so the witness tracks its semantics
+      // (tie-breaks, null handling) instead of a hand copy that could
+      // silently diverge
+      val emptyExisting = spark.read.parquet(staged).limit(0)
+      val batchTwin = graft.llm.TextDedupOps.dedupIncremental(
+        spark.read.parquet(staged), emptyExisting, "doc_id", "text")
       val diff = streamed.exceptAll(batchTwin).count() +
         batchTwin.exceptAll(streamed).count()
       if (diff != 0) {

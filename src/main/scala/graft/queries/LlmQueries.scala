@@ -1732,9 +1732,11 @@ object LlmQueries extends QueryModule {
 
     // Per-source corpus report — the datasheet table every curation
     // run publishes (docs, word mass, length spread, distinct-content
-    // count per source): ONE map-side-combined aggregation keyed by
-    // source; the distinct-content count rides approx-free as a
-    // count(DISTINCT md5) inside the same shuffle. All integers —
+    // count per source). The exact count(DISTINCT md5) makes Catalyst
+    // plan TWO keyed shuffles — a partial-combined aggregate on
+    // (source, fingerprint) then the per-source rollup — the standard
+    // exact-distinct price; at 100 TB swap in approx_count_distinct
+    // for a one-shuffle sketch when ±2% is acceptable. All integers —
     // engine-exact.
     QueryDef("corpus_report",
       (s, d) => T.documents(s, d)
