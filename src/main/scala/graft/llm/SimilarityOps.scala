@@ -403,8 +403,13 @@ object SimilarityOps {
     * round adds the `k/rounds` rows with the LARGEST min-over-seeds
     * squared distance ‖x‖² − 2x·c + ‖c‖², seeds broadcast, picked ids
     * excluded by anti-join. Deterministic — no sampling seed. */
-  private def seedL2Maximin(corpus: DataFrame, cId: String, subCol: String,
+  private def seedL2Maximin(corpusRaw: DataFrame, cId: String, subCol: String,
       k: Int, rounds: Int = 4): Array[Array[Double]] = {
+    // null embeddings are an expected input (trainPqCodebooks' dim
+    // probe filters them too): without this the first seed could be a
+    // null-embedding row and getSeq would NPE opaquely, bypassing the
+    // module's designed loud failure (l2Code's raise_error)
+    val corpus = corpusRaw.filter(col(subCol).isNotNull)
     val spark = corpus.sparkSession
     val e = col(subCol)
     val first = corpus.orderBy(col(cId).asc).limit(1)
@@ -468,8 +473,14 @@ object SimilarityOps {
     * across its seeding rounds + iterations so the corpus is scanned
     * once per slice, not once per round. m small driver-held codebooks;
     * the corpus is never collected (the dim probe is a bounded 1-row
-    * collect over non-null embeddings). Deterministic end to end: same
-    * corpus ⇒ same codebooks. */
+    * collect over non-null embeddings). Null-embedding rows are
+    * excluded from training (they still fail loudly at encode time).
+    * Deterministic for a FIXED partitioning: seeding is sampling-free,
+    * but the Lloyd update's per-cell double sums merge in shuffle-
+    * fetch order, so codebooks can differ at floating-point level
+    * across different partitionings/cluster layouts — the gate stays
+    * exact regardless because the covering re-rank emits exact
+    * cosines. */
   def trainPqCodebooks(corpus: DataFrame, cId: String, embCol: String,
       m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
     val dimRow = corpus.select(size(col(embCol)).as("d"))
@@ -479,8 +490,9 @@ object SimilarityOps {
     val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
+    val nonNull = corpus.filter(col(embCol).isNotNull)
     (0 until m).map { mi =>
-      val sliced = corpus.select(col(cId),
+      val sliced = nonNull.select(col(cId),
         slice(toDoubleArr(col(embCol)), lit(mi * sub + 1), lit(sub)).as("__sub"))
         .persist()
       try {
@@ -547,11 +559,12 @@ object SimilarityOps {
     * PqSpec). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       codebooks: Array[Array[Array[Double]]], rerankFactor: Int = 4,
-      qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
+      qId: String = "q_id", cId: String = "vec_id",
+      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
     val sub = codebooks(0)(0).length
     val (qStaged, qStagingCols) =
-      stageSubvectors(queries, "q_emb", codebooks.length, sub, "__pqq")
+      stageSubvectors(queries, qEmb, codebooks.length, sub, "__pqq")
     val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
       array(cb.toSeq.map(c => dot(col(s"__pqq$mi"), litArr(c))): _*)
     }.toSeq: _*)
@@ -561,7 +574,7 @@ object SimilarityOps {
     // encode time, reused across every query
     val normLut = array(codebooks.map(cb =>
       array(cb.toSeq.map(c => lit(c.map(x => x * x).sum)): _*)).toSeq: _*)
-    val cc = pqEncode(corpus, "embedding", codebooks)
+    val cc = pqEncode(corpus, embCol, codebooks)
       .withColumn("__cnormsq", aggregate(
         zip_with(normLut, col("pq_codes"),
           (l, c) => element_at(l, c + 1)),
@@ -580,7 +593,7 @@ object SimilarityOps {
     val shortlist = approx.withColumn("__arn", row_number().over(wa))
       .filter(col("__arn") <= rerankFactor.toLong * k)
     val rescored = shortlist.withColumn("score",
-      cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))))
+      cosine(toDoubleArr(col(qEmb)), toDoubleArr(col(embCol))))
     val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
     rescored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

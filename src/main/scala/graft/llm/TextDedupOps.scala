@@ -280,11 +280,38 @@ object TextDedupOps {
   /** Exact word-level Jaccard for verified near-dup pairs, computed the
     * scalable way: explode distinct shingles, join on shingle, count
     * intersections — never a quadratic cross join.
-    * Returns (id_a, id_b, jaccard) for pairs with ≥1 common shingle. */
+    * Returns (id_a, id_b, jaccard) for pairs with ≥1 common shingle.
+    *
+    * `maxShingleDocs` caps the DOCUMENT FREQUENCY a shingle may have
+    * and still participate in pairing: the shingle-key join emits
+    * b·(b−1)/2 pairs for a shingle shared by b documents, so ONE
+    * boilerplate shingle ("all rights reserved …") shared by 10⁶ docs
+    * would emit 5·10¹¹ pairs — the same hot-bucket pathology
+    * [[lshCandidatePairs]]' maxBucketSize exists to cap, and the cap
+    * is the same pattern: one map-side-combined document-frequency
+    * count plus a semi-join on the slim (id, shingle) frame. Shingles
+    * above the ceiling are dropped from BOTH the intersection count
+    * and the per-document sizes, so the returned value is the exact
+    * Jaccard over the ≤-cap shingle universe (consistent numerator
+    * and denominator — the stopword-removal convention); a ubiquitous
+    * shingle carries ~no similarity signal, so near-dup decisions are
+    * unaffected while the pair count stays bounded by
+    * maxShingleDocs²/2 per distinct shingle. The default keeps every
+    * shingle (exact classic Jaccard — gate behavior); 100 TB runs
+    * should set it to O(1000). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, shingleN)
+      shingleN: Int = 3, maxShingleDocs: Int = Int.MaxValue): DataFrame = {
+    val shAll = explodedShingles(df, idCol, textCol, shingleN)
       .select(col(idCol).as("id"), col("__sh").as("sh"))
+    val sh = if (maxShingleDocs == Int.MaxValue) shAll else {
+      // shingles are per-document distinct (shinglesFromWords
+      // array_distincts), so the per-shingle row count IS its
+      // document frequency; the count shuffles (sh, cnt) pairs only
+      val keep = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDocs)
+        .select("sh")
+      shAll.join(keep, Seq("sh"), "left_semi")
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.select(col("id").as("id_a"), col("sh"))
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))

@@ -798,6 +798,49 @@ object LlmQueries extends QueryModule {
               |JOIN sizes na ON na.id = id_a
               |JOIN sizes nb ON nb.id = id_b""".stripMargin)),
 
+    // The CAPPED exact-Jaccard tier (r12 verdict task #1 — the one
+    // standing `weak`): every 3rd document gets a shared boilerplate
+    // sentence appended, so its shingles' document frequency blows past
+    // the maxShingleDocs=5 ceiling and the cap MUST drop them — from
+    // both the intersection counts and the sizes (the consistent
+    // filtered-universe Jaccard the operator documents). The oracle
+    // replays the document-frequency filter in SQL, so an inverted
+    // semi-join sense, an off-by-one ceiling, or dropping from only one
+    // side of the ratio hash-fails. Pair-count boundedness under a
+    // 10%-hot shingle is pinned in LlmSpec.
+    QueryDef("ngram_jaccard_capped",
+      (s, d) => {
+        val boiler = " all rights reserved terms of service apply to visitors"
+        val docs = T.documents(s, d).filter(col("doc_id") < 100)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit(boiler))).otherwise(col("text")))
+        TextDedupOps.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleDocs = 5)
+          .select("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 0 THEN text ||
+              |      ' all rights reserved terms of service apply to visitors'
+              |    ELSE text END AS text2
+              |  FROM documents WHERE doc_id < 100),
+              |docs AS (SELECT doc_id, string_split(${normSql("text2")}, ' ') AS w
+              |  FROM base),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM docs),
+              |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 5),
+              |shc AS (SELECT id, sh FROM sh SEMI JOIN keep USING (sh)),
+              |sizes AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+              |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              |  FROM shc a JOIN shc b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+              |FROM common
+              |JOIN sizes na ON na.id = id_a
+              |JOIN sizes nb ON nb.id = id_b""".stripMargin)),
+
     // Near-dup CLUSTERS: the pair graph collapsed to components via
     // distributed min-label propagation (O(diameter) join+agg rounds) —
     // dedup keeps one doc per cluster, so this is the operator a real
@@ -1695,18 +1738,6 @@ object LlmQueries extends QueryModule {
            |FROM t LEFT JOIN re USING (doc_id)""".stripMargin
       }),
 
-    // Bigram-LM reference-overlap filter (LmOps.lmOverlapScore) — the
-    // CCNet/FineWeb perplexity-filter tier in its integer-exact,
-    // engine-portable form: train bigram counts on a reference slice
-    // (every 7th document), score EVERY document by joining its bigram
-    // stream against the counts, keep documents with ≥50% of adjacent
-    // word pairs attested in the reference. Counts, masses, and the
-    // cross-multiplied keep are all BIGINT/boolean — no log, no libm
-    // divergence; the real log-space lmPerplexity is spec-pinned in
-    // LmSpec against a driver-replayed reference. The oracle retrains
-    // the same counts and replays the same left-join rollup; a dropped
-    // bigram, an off-by-one slice bound, or a miscounted hit mass
-    // hash-fails.
     // Corpus-wide top-bigram report (LmOps.bigramCounts + distributed
     // top-k): the collocation table a curation run publishes next to
     // its Gopher/C4 stats — one map-side-combined aggregation over the
@@ -1902,6 +1933,18 @@ object LlmQueries extends QueryModule {
              |  CAST(coalesce(sc.oov, 0) AS BIGINT) AS oov
              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
 
+    // Bigram-LM reference-overlap filter (LmOps.lmOverlapScore) — the
+    // CCNet/FineWeb perplexity-filter tier in its integer-exact,
+    // engine-portable form: train bigram counts on a reference slice
+    // (every 7th document), score EVERY document by joining its bigram
+    // stream against the counts, keep documents with ≥50% of adjacent
+    // word pairs attested in the reference. Counts, masses, and the
+    // cross-multiplied keep are all BIGINT/boolean — no log, no libm
+    // divergence; the real log-space lmPerplexity is spec-pinned in
+    // LmSpec against a driver-replayed reference. The oracle retrains
+    // the same counts and replays the same left-join rollup; a dropped
+    // bigram, an off-by-one slice bound, or a miscounted hit mass
+    // hash-fails.
     QueryDef("lm_bigram_filter",
       (s, d) => {
         import graft.llm.LmOps

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
-  /** Recursive listing of data files (directories descended, `_`-
-    * prefixed bookkeeping files like _SUCCESS skipped) — the one
-    * walker both size and count derive from. */
+  /** Recursive listing of data files — the one walker both size and
+    * count derive from. `_`- and `.`-prefixed bookkeeping entries are
+    * pruned BEFORE the directory check, so a leftover `_temporary`
+    * from an interrupted write (or a `.staging` dir) is never
+    * descended — its task-attempt files would otherwise inflate
+    * dataBytes/dataFileCount and skew the computed output count. */
   private def dataFiles(spark: SparkSession,
       path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -36,8 +39,9 @@ object Compaction {
     def walk(dir: org.apache.hadoop.fs.Path)
         : Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_")) Nil
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
         else Seq(st)
       }
     walk(p)

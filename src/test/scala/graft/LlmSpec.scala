@@ -108,6 +108,45 @@ class LlmSpec extends SparkSpec {
     assert(j.length == 10 && j.forall(_ == 1.0))
   }
 
+  test("jaccardPairs maxShingleDocs bounds hot-shingle pair blowup") {
+    // 10%-hot shingle corpus: 200 docs with disjoint vocabulary, every
+    // 10th doc (20 docs) sharing one boilerplate trigram run —
+    // uncapped, the shared shingles pair all
+    // 20 hot docs with each other (190 pairs from boilerplate alone);
+    // capped at maxShingleDocs=5 those shingles are dropped and the
+    // boilerplate-only pairs VANISH while clone pairs (docfreq 2)
+    // survive with jaccard 1.0 over the filtered universe.
+    val boiler = "copyright terms of service apply to all visitors here"
+    val base = (0L until 200L).map { i =>
+      val words = (0 until 20).map(j => s"u${i}x$j").mkString(" ")
+      val text = if (i % 10 == 0) s"$words $boiler" else words
+      (i, text)
+    }
+    val df = (base ++ Seq((301L, base(1)._2), (303L, base(3)._2)))
+      .toDF("doc_id", "text")
+    val uncapped = TextDedupOps.jaccardPairs(df, "doc_id", "text", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = TextDedupOps.jaccardPairs(df, "doc_id", "text", 3,
+      maxShingleDocs = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // hot-doc pairs dominate uncapped output (20 hot docs, all-pairs)
+    val hotUncapped = uncapped.count { case (a, b) =>
+      a % 10 == 0 && b % 10 == 0 && a < 300 && b < 300 }
+    assert(hotUncapped == 190, s"expected 190 boilerplate pairs: $hotUncapped")
+    // the cap removes every boilerplate-only pair ...
+    val hotCapped = capped.keySet.count { case (a, b) =>
+      a % 10 == 0 && b % 10 == 0 && a < 300 && b < 300 }
+    assert(hotCapped == 0, s"cap left $hotCapped boilerplate pairs")
+    // ... keeps clone pairs exact over the filtered universe ...
+    assert(capped.get((1L, 301L)).contains(1.0))
+    assert(capped.get((3L, 303L)).contains(1.0))
+    // ... and the total output is exactly the clone pairs (vocabularies
+    // are otherwise disjoint)
+    assert(capped.keySet == Set((1L, 301L), (3L, 303L)),
+      s"unexpected capped pairs: ${capped.keySet}")
+  }
+
   test("brute-force topk is self-consistent and lsh is a subset") {
     val emb = (0L until 50L).map { i =>
       val v = (0 until 8).map(j => math.sin(i * 31 + j * 7).toFloat).toArray
