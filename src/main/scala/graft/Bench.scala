@@ -197,7 +197,7 @@ object Bench {
       * decimal-exact, so micro-batch partial-aggregation order cannot
       * move it: any nonzero diff is a real streaming-semantics bug and
       * reports as -1. */
-    def streamResampleWitness(): Double = {
+    def streamResampleWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       import graft.queries.Q
       val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-stream-" +
@@ -212,10 +212,10 @@ object Bench {
         .select(col("window.start").as("bucket"), col("cnt"), col("sum_value"))
       val t0 = System.nanoTime()
       val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName("graft_stream_resample").start()
+        .queryName("graft_stream_resample_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.table("graft_stream_resample")
+      val streamed = spark.table("graft_stream_resample_" + tag)
       val batch = queries("resample_5min")(spark, sfDir)
       val diff = streamed.exceptAll(batch).count() +
         batch.exceptAll(streamed).count()
@@ -239,7 +239,7 @@ object Bench {
       * identical payloads, so ANY row diff is a real streaming-state
       * bug and reports as -1. ts is excluded from the diff (the batch
       * pick between two otherwise-identical copies is arbitrary). */
-    def streamDedupWitness(): Double = {
+    def streamDedupWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sdedup-" +
         ProcessHandle.current().pid()
@@ -267,11 +267,11 @@ object Bench {
         .dropDuplicatesWithinWatermark("event_id")
       val t0 = System.nanoTime()
       val q = dedup.writeStream.outputMode("append").format("memory")
-        .queryName("graft_stream_dedup").start()
+        .queryName("graft_stream_dedup_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val cols = Seq(col("event_id"), col("user_id"), col("value"))
-      val streamed = spark.table("graft_stream_dedup").select(cols: _*)
+      val streamed = spark.table("graft_stream_dedup_" + tag).select(cols: _*)
       // batch twin: the planted copies are payload-identical on the
       // compared columns, so distinct == dropDuplicates(event_id) here
       // (and plans as a plain Aggregate — Deduplicate + exceptAll trips
@@ -297,7 +297,7 @@ object Bench {
       * computes the same session_window aggregate and filters to
       * session end ≤ max(ts) − delay. Any row diff is a real
       * session-state bug and reports as -1. */
-    def streamSessionWitness(): Double = {
+    def streamSessionWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       import graft.queries.Q
       val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-ssess-" +
@@ -319,10 +319,10 @@ object Bench {
           col("session_window.end").as("e"), col("n"), col("sum_value"))
       val t0 = System.nanoTime()
       val q = sess.writeStream.outputMode("append").format("memory")
-        .queryName("graft_stream_session").start()
+        .queryName("graft_stream_session_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.table("graft_stream_session")
+      val streamed = spark.table("graft_stream_session_" + tag)
       val batchSrc = spark.read.parquet(staged)
       val hi = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
       val cutoff = new java.sql.Timestamp(hi.getTime - 10 * 60 * 1000L)
@@ -363,7 +363,7 @@ object Bench {
       * emits each match exactly once; the batch twin runs the identical
       * join over the staged files. Any row diff is a real join-state
       * bug and reports as -1. */
-    def streamJoinWitness(): Double = {
+    def streamJoinWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sjoin-" +
         ProcessHandle.current().pid()
@@ -395,10 +395,10 @@ object Bench {
         side(even = false, src()).withWatermark("rts", "1 hour"))
       val t0 = System.nanoTime()
       val q = sj.writeStream.outputMode("append").format("memory")
-        .queryName("graft_stream_join").start()
+        .queryName("graft_stream_join_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.table("graft_stream_join")
+      val streamed = spark.table("graft_stream_join_" + tag)
       val batchSrc = spark.read.parquet(staged)
       val batch = joined(side(even = true, batchSrc),
         side(even = false, batchSrc))
@@ -407,6 +407,74 @@ object Bench {
       if (diff != 0) {
         System.err.println(s"[bench] stream_join_interval: $diff rows " +
           "differ between streaming and batch interval join — reporting -1")
+        -1.0
+      } else secs
+    }
+
+    /** Wall-clock witness for STREAM-STREAM LEFT-OUTER JOIN under
+      * watermarks (r12 verdict task #8) — the state-EVICTION path the
+      * inner join never exercises: a null-padded row is emitted only
+      * when the watermark closes an unmatched left row's match window,
+      * so this pins the timeout/eviction machinery real attribution
+      * pipelines rely on (impressions with no conversion). Same sides,
+      * interval bound, and 8-micro-batch mtime-ordered replay as
+      * stream_join_interval. The batch twin keeps matched rows
+      * unconditionally and filters UNMATCHED rows to match windows
+      * closed by the FINAL watermark (max event time − 1 h delay) —
+      * left rows still open when the stream ends legitimately never
+      * null-emit (in production, later data advances the watermark and
+      * flushes them). Any row diff is a real eviction-semantics bug
+      * and reports as -1. */
+    def streamJoinOuterWitness(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sojoin-" +
+        ProcessHandle.current().pid()
+      val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id")
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      def side(even: Boolean, df: DataFrame): DataFrame = {
+        val m = if (even) 0 else 1
+        val (u, t, id) = if (even) ("user_id", "lts", "lid")
+          else ("r_user", "rts", "rid")
+        df.filter(pmod(col("event_id"), lit(2)) === m)
+          .select(col("user_id").as(u), col("ts").as(t),
+            col("event_id").as(id))
+      }
+      def joinedOuter(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, col("user_id") === col("r_user") &&
+            col("rts") >= col("lts") &&
+            col("rts") <= col("lts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+      def src(): DataFrame = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val sj = joinedOuter(
+        side(even = true, src()).withWatermark("lts", "1 hour"),
+        side(even = false, src()).withWatermark("rts", "1 hour"))
+        .select(col("user_id"), col("lid"), col("rid"))
+      val t0 = System.nanoTime()
+      val q = sj.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_ojoin_" + tag).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.table("graft_stream_ojoin_" + tag)
+      val batchSrc = spark.read.parquet(staged)
+      val hi = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(hi.getTime - 60 * 60 * 1000L)
+      val batch = joinedOuter(side(even = true, batchSrc),
+          side(even = false, batchSrc))
+        .filter(col("rid").isNotNull ||
+          col("lts") + expr("INTERVAL 30 MINUTES") < lit(cutoff))
+        .select(col("user_id"), col("lid"), col("rid"))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_join_left_outer: $diff rows " +
+          "differ between streaming and batch left-outer join — reporting -1")
         -1.0
       } else secs
     }
@@ -423,7 +491,7 @@ object Bench {
       * exactDedup over the same staged data — id-ordered replay makes
       * keep-lowest-id deterministic on both paths, so ANY diff is a
       * real incremental-state bug and reports as -1. */
-    def streamIncrementalIngestWitness(): Double = {
+    def streamIncrementalIngestWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       val root = s"${sys.props("java.io.tmpdir")}/graft-bench-singest-" +
         ProcessHandle.current().pid()
@@ -461,7 +529,7 @@ object Bench {
             .dedupIncremental(batch, existing, "doc_id", "text")
             .write.mode("append").parquet(corpus)
         }
-        .queryName("graft_stream_ingest").start()
+        .queryName("graft_stream_ingest_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(corpus)
@@ -592,19 +660,115 @@ object Bench {
     val st = entries.map { case (n, f) => "\"" + n + "\":" + planStages(f) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Stress witnesses: single rep each (wall-clock evidence, not a
-    // median-quality timing; headline warmup already paid JIT costs).
-    val stress = stressEntries.map { case (n, f) => (n, runOnce(n, f)) } :+
-      ("stream_resample_5min" -> streamResampleWitness()) :+
-      ("stream_dedup_watermark" -> streamDedupWitness()) :+
-      ("stream_session_window" -> streamSessionWitness()) :+
-      ("stream_join_interval" -> streamJoinWitness()) :+
-      ("stream_incremental_ingest" -> streamIncrementalIngestWitness())
-    val str = stress.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // Stress witnesses (r12 verdict task #2): TWO reps each, reporting
+    // the MIN — twice the official single-rep stress numbers were 2×
+    // contention-inflated (lsh 14.3 vs 6.8 idle, stream_join 55 vs 32),
+    // making round-over-round witness comparison noise-limited. The
+    // work is deterministic, so timing noise is strictly additive and
+    // the min of two is the honest steady-state estimate; every rep
+    // stays in stress_reps for audit, and stress_noisy flags any entry
+    // whose worst rep exceeds 3× its best. A diff failure in ANY rep
+    // reports -1 (semantics failures must stay loud, never be
+    // min'd away).
+    val stressRepCount = 2
+    def stressReps(run: () => Double): Vector[Double] =
+      (1 to stressRepCount).map(_ => run()).toVector
+    // Streaming witnesses run once per STATE-STORE PROVIDER (r12
+    // verdict task #3): the default HDFS-backed provider keeps the
+    // round-over-round series comparable with r12, and RocksDB — the
+    // provider a 100 TB streaming state actually deploys (state
+    // off-heap in a native LSM with incremental snapshots, instead of
+    // a full on-heap copy snapshotted per batch) — is recorded beside
+    // it as <name>_rocksdb. Each provider run independently re-diffs
+    // the streamed result against its batch twin, so stream≡batch is
+    // witnessed under BOTH providers, and the pair doubles as two
+    // timings of near-identical work for the contention check.
+    val RocksDb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    def withStateProvider[T](provider: Option[String])(body: => T): T = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try body finally provider.foreach { _ =>
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    val streamWitnesses: Seq[(String, String => Double)] = Seq(
+      "stream_resample_5min" -> (streamResampleWitness _),
+      "stream_dedup_watermark" -> (streamDedupWitness _),
+      "stream_session_window" -> (streamSessionWitness _),
+      "stream_join_interval" -> (streamJoinWitness _),
+      "stream_join_left_outer" -> (streamJoinOuterWitness _),
+      "stream_incremental_ingest" -> (streamIncrementalIngestWitness _))
+    val stressResults: Seq[(String, Vector[Double])] =
+      stressEntries.map { case (n, f) =>
+        (n, stressReps(() => runOnce(n, f)))
+      } ++
+      streamWitnesses.flatMap { case (n, w) =>
+        Seq(
+          n -> Vector(withStateProvider(None)(w("h"))),
+          (n + "_rocksdb") -> Vector(withStateProvider(Some(RocksDb))(w("r"))))
+      }
+    def minOrFail(ts: Vector[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    val stressNoisy = stressResults.exists { case (_, ts) =>
+      val ok = ts.filter(_ >= 0)
+      ok.size >= 2 && ok.min > 0 && ok.max / ok.min > 3.0
+    }
+    val str = stressResults.map { case (k, ts) =>
+      "\"" + k + "\":" + minOrFail(ts) }.mkString("{", ",", "}")
+    val strReps = stressResults.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
+
+    // Measured shortlist recall@10 of the approximate ANN tiers in
+    // PRODUCTION configurations (r12 verdict task #5 — the oracle
+    // gates run covering/exhaustive configs where recall = 1 by
+    // construction, so nothing had measured the approximation): pq
+    // (8×16 codebooks, rerankFactor 4), ivf (nprobe 4 of 16 cells),
+    // int8 (rerankFactor 2), each vs bruteForceTopK over this SF's
+    // embeddings with 32 query vectors. Recall = |approx ∩ exact| /
+    // |exact| over (q_id, vec_id) pairs. NOTE these embeddings are
+    // near-uniform synthetic — the hardest regime for coarse codes —
+    // so these are conservative floors; the clustered-fixture recall
+    // floor is asserted in PqSpec/IvfSpec.
+    def annRecall(): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.SimilarityOps
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val k = 10
+      val exact = SimilarityOps.bruteForceTopK(queries, emb, k)
+        .select("q_id", "vec_id").persist()
+      val nExact = exact.count().toDouble
+      def recallOf(approx: DataFrame): Double = {
+        val hit = approx.select("q_id", "vec_id")
+          .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+        math.rint(hit / nExact * 10000) / 10000
+      }
+      val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      val pq = recallOf(SimilarityOps.pqTopK(queries, emb, k, cbs,
+        rerankFactor = 4))
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", 16)
+      val ivf = recallOf(SimilarityOps.ivfTopK(queries, emb, k, cents,
+        nprobe = 4))
+      val int8 = recallOf(SimilarityOps.quantizedTopK(queries, emb, k,
+        rerankFactor = 2))
+      exact.unpersist(false)
+      Seq("pq_m8k16_r4" -> pq, "ivf_probe4of16" -> ivf, "int8_r2" -> int8)
+    }
+    val recallJson = annRecall().map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     val loadEnd = loadAvg()
     val at = attemptTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"attempts":$at,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"attempts":$at,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,40 @@ class PqSpec extends SparkSpec {
       e.getMessage.take(300))
   }
 
+  test("production-factor recall floors vs brute force (bench's measure)") {
+    // The Bench recall witness's exact configurations (pq 8×16
+    // rerankFactor 4, ivf nprobe 4 of 16, int8 rerankFactor 2) on the
+    // sf0.001 embeddings — asserting a floor so a shortlist-ranking
+    // regression (e.g. dropping the norm correction) fails HERE, not
+    // just as a drifting number in BENCH_r*.json. These embeddings are
+    // near-uniform (the hardest regime for coarse codes), so the
+    // floors are far below the clustered-fixture recall of the test
+    // below; pq/ivf must also stay BELOW 1 — proof the configuration
+    // is genuinely approximate, unlike the covering oracle gates.
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = SimilarityOps.bruteForceTopK(queries, emb, k)
+      .select("q_id", "vec_id").persist()
+    val n = exact.count().toDouble
+    def recallOf(a: org.apache.spark.sql.DataFrame): Double =
+      a.select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"), "left_semi").count() / n
+    val cbs = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val pq = recallOf(SimilarityOps.pqTopK(queries, emb, k, cbs,
+      rerankFactor = 4))
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 16)
+    val ivf = recallOf(SimilarityOps.ivfTopK(queries, emb, k, cents,
+      nprobe = 4))
+    val int8 = recallOf(SimilarityOps.quantizedTopK(queries, emb, k,
+      rerankFactor = 2))
+    exact.unpersist(false)
+    assert(pq >= 0.45 && pq < 1.0, s"pq recall@10 = $pq")
+    assert(ivf >= 0.45 && ivf < 1.0, s"ivf recall@10 = $ivf")
+    assert(int8 >= 0.95, s"int8 recall@10 = $int8")
+  }
+
   test("pqTopK small-factor recall on planted clusters is perfect") {
     // 3 tight clusters of 5 vectors each in R^8: within-cluster cosine
     // ≈ 1, across ≈ 0 — ADC must shortlist cluster-mates at factor 2.
