@@ -231,6 +231,87 @@ object TextStatsOps {
       st => split(trim(st), " "))
   }
 
+  /** GPT-2-shape pretokenizer regex (Radford et al. 2019, the
+    * `gpt2.encoder` pattern) in RE2-safe form: contraction suffixes
+    * ('s 't 're 've 'm 'll 'd) split off their word, and each
+    * letter/digit/punctuation run keeps ONE leading space attached —
+    * the property that makes " world" and "world" distinct tokens and
+    * lets merge tables learn space-prefixed merges. The original's
+    * `\s+(?!\S)` lookahead branch (which donates the LAST space of a
+    * multi-space run to the following token) is dropped — RE2, the
+    * oracle engine's regex dialect, has no lookahead — so a run of 2+
+    * spaces stays ONE whitespace token instead of donating its final
+    * space; single-space-separated text (virtually all of it)
+    * pretokenizes identically to GPT-2. Divergence documented, not
+    * hidden. */
+  val Gpt2PretokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken array of a text column under [[Gpt2PretokenRe]] —
+    * row-local regex scan, zero shuffle. */
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PretokenRe), lit(0))
+
+  /** GPT-2 byte-encoder images for the whitespace bytes a pretoken can
+    * contain: space→Ġ (288 = 256+32), tab→ĉ (265 = 256+9), LF→Ċ
+    * (266 = 256+10) — exactly `bytes_to_unicode`'s mapping for those
+    * bytes (printable ASCII maps to itself, also the GPT-2
+    * convention). This keeps every symbol space-free, so the
+    * space-separated merge state of [[bpeWordSymbols]] stays
+    * unambiguous even for space-carrying pretokens. Non-ASCII text is
+    * treated per CHARACTER with codepoint ids — a documented
+    * simplification of full UTF-8 byte fallback (the corpus tables
+    * are ASCII; a production vocab assigns ids from its vocab file,
+    * not from codepoints). */
+  def byteMark(tok: Column): Column =
+    translate(tok, " \t\n", "ĠĉĊ")
+
+  /** BYTE-LEVEL BPE token count — [[bpeTokenCount]] with the GPT-2
+    * pretokenizer in front (r12 verdict task #4): the whitespace-word
+    * path undercounts punctuation-adjacent text ("it's" is ONE
+    * whitespace word but three pretokens it/'s/... — budget sampling
+    * mis-sizes on exactly the text web corpora are full of). Merge
+    * rules apply WITHIN a pretoken only, the GPT-2 contract. Same
+    * scale shape: row-local HOF arithmetic, zero shuffle, merge table
+    * rides the plan as a literal. */
+  def bpeTokenCountBytes(text: Column,
+      merges: Seq[(String, String)] = BpeDemoMerges): Column = {
+    val rules = typedLit(bpeMergePatterns(merges))
+    aggregate(
+      transform(gpt2Pretokens(text),
+        t => size(bpeWordSymbols(byteMark(t), rules)).cast("long")),
+      lit(0L), (a, b) => a + b)
+  }
+
+  /** BYTE-LEVEL BPE token-id encoding — [[bpeEncodeTokens]] over
+    * GPT-2 pretokens instead of whitespace words: one output row per
+    * surviving symbol, (id, tok_idx, sym_idx, token, token_id),
+    * 0-based positions over the PRETOKEN stream. Ids follow the demo
+    * convention (codepoint for single chars — which prices Ġ/ĉ/Ċ at
+    * their GPT-2 byte-encoder codepoints for free — and 256+rank for
+    * merge results; NOTE a table of ≥33 rules would collide rank id
+    * 288 with Ġ, so production tables must carry their own vocab ids,
+    * as real tokenizers do). Zero shuffle: two scan-local generators
+    * with the fixpoint as row-local HOF arithmetic. */
+  def bpeEncodeTokensBytes(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      merges: Seq[(String, String)] = BpeDemoMerges)
+      : org.apache.spark.sql.DataFrame = {
+    require(merges.size <= 32,
+      s"codepoint-id demo vocab collides with byte-marker ids above 32 " +
+        s"rules (got ${merges.size}); supply explicit vocab ids instead")
+    val rules = typedLit(bpeMergePatterns(merges))
+    val vocab = typedLit(bpeVocab(merges))
+    df.select(col(idCol), posexplode(gpt2Pretokens(col(textCol)))
+        .as(Seq("tok_idx", "__t")))
+      .select(col(idCol), col("tok_idx"),
+        posexplode(bpeWordSymbols(byteMark(col("__t")), rules))
+          .as(Seq("sym_idx", "token")))
+      .withColumn("token_id",
+        when(length(col("token")) === 1, ascii(col("token")))
+          .otherwise(element_at(vocab, col("token"))).cast("int"))
+  }
+
   /** Deterministic vocabulary for a merge table: a single-character
     * symbol's id is its CODEPOINT (the byte-alphabet convention), and
     * the i-th merge rule's RESULT gets id 256+i. Merges only ever

@@ -777,6 +777,90 @@ object LlmQueries extends QueryModule {
            |LEFT JOIN vocab v ON v.tok = f.token""".stripMargin
       }),
 
+    // BYTE-LEVEL BPE encoding (r12 verdict task #4 — the
+    // whitespace-word tier above mis-sizes punctuation-adjacent text:
+    // "it's" is ONE whitespace word but THREE pretokens, and " world"
+    // with its attached leading space is a different token than
+    // "world"): GPT-2 pretokenizer regex + Ġ/ĉ/Ċ byte-marking in
+    // front of the same merge fixpoint. The corpus (pure ASCII
+    // letters+spaces) is augmented with planted contraction/
+    // punctuation/multi-space rows so the pretokenizer paths the
+    // corpus never exercises are pinned; the oracle replays the SAME
+    // regex in RE2 via regexp_extract_all, the SAME byte-marking via
+    // chr(), and the SAME recursive-CTE fixpoint over DISTINCT
+    // pretokens — a pretokenizer drift, a lost space prefix, or a
+    // whitespace-symbol collision each hash-fail. The differential
+    // whitespace-vs-byte pin (counts MUST disagree on the planted
+    // rows) lives in LlmSpec.
+    QueryDef("bpe_byte_encode",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, "it's the-end. don't stop!"),
+          (900002L, "she'll they've we're i'm you'd can't say so"),
+          (900003L, "x42,y7 (a-b) [c] 3.14 100x"),
+          (900004L, "  double  spaced  and trailing ")
+        ).toDF("doc_id", "text")
+        TextStatsOps.bpeEncodeTokensBytes(
+          T.documents(s, d).select("doc_id", "text").unionByName(planted),
+          "doc_id", "text")
+      },
+      Some {
+        val mergeRows = TextStatsOps
+          .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+          .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+          .mkString(",\n    ")
+        val vocabRows = TextStatsOps.bpeVocab().toSeq.sortBy(_._2)
+          .map { case (tok, tid) => s"('$tok', $tid)" }.mkString(",\n    ")
+        val reSql = "'" + TextStatsOps.Gpt2PretokenRe.replace("'", "''") + "'"
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+           |    $mergeRows),
+           |vocab(tok, tid) AS (VALUES
+           |    $vocabRows),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (900001, 'it''s the-end. don''t stop!'),
+           |    (900002, 'she''ll they''ve we''re i''m you''d can''t say so'),
+           |    (900003, 'x42,y7 (a-b) [c] 3.14 100x'),
+           |    (900004, '  double  spaced  and trailing ')) v(doc_id, text)),
+           |t AS (SELECT doc_id,
+           |    regexp_extract_all(text, $reSql, 0) AS ws
+           |  FROM corpus),
+           |wi AS (SELECT doc_id, ws,
+           |    unnest(generate_series(0, len(ws) - 1)) AS tok_idx FROM t),
+           |wr AS (SELECT doc_id, CAST(tok_idx AS INTEGER) AS tok_idx,
+           |    translate(ws[tok_idx + 1], ' ' || chr(9) || chr(10),
+           |      chr(288) || chr(265) || chr(266)) AS word FROM wi),
+           |uw AS (SELECT DISTINCT word FROM wr),
+           |init AS (SELECT word, ' ' || array_to_string(
+           |    list_transform(range(1, length(word) + 1),
+           |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+           |  FROM uw),
+           |rec AS (
+           |  SELECT word, state FROM init
+           |  UNION ALL
+           |  SELECT x.word, replace(x.state, m.pat, m.rep)
+           |  FROM (SELECT r.word, r.state,
+           |      (SELECT min(m2.rank) FROM merges m2
+           |       WHERE contains(r.state, m2.pat)) AS br
+           |    FROM rec r) x
+           |  JOIN merges m ON m.rank = x.br),
+           |fin AS (SELECT word, string_split(trim(state, ' '), ' ') AS syms
+           |  FROM rec r
+           |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+           |                    WHERE contains(r.state, m.pat))),
+           |fe AS (SELECT word, syms,
+           |    unnest(generate_series(0, len(syms) - 1)) AS sym_idx FROM fin),
+           |ft AS (SELECT word, CAST(sym_idx AS INTEGER) AS sym_idx,
+           |    syms[sym_idx + 1] AS token FROM fe)
+           |SELECT w.doc_id, w.tok_idx, f.sym_idx, f.token,
+           |  CAST(CASE WHEN length(f.token) = 1 THEN ascii(f.token)
+           |       ELSE v.tid END AS INTEGER) AS token_id
+           |FROM wr w JOIN ft f USING (word)
+           |LEFT JOIN vocab v ON v.tok = f.token""".stripMargin
+      }),
+
     // Scalable n-gram Jaccard: explode + join on shingle — never an
     // all-pairs cross join.
     QueryDef("ngram_jaccard_pairs",

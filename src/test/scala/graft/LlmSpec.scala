@@ -108,6 +108,37 @@ class LlmSpec extends SparkSpec {
     assert(j.length == 10 && j.forall(_ == 1.0))
   }
 
+  test("byte-level BPE prices spaces/contractions the whitespace path cannot") {
+    // Hand-computed against BpeDemoMerges. "the theme": both paths
+    // merge identically inside letter runs (the=1 symbol;
+    // theme=[the,m,e]), but the byte path prices the separating space
+    // as its own Ġ symbol — ws 4 vs byte 5. "  double  spaced ":
+    // double=[d,ou,b,le], spaced=[s,p,a,c,ed], plus FIVE whitespace
+    // symbols (ĠĠ/ĠĠ/Ġ) the whitespace path silently drops — the
+    // budget mis-sizing the pretokenizer exists to fix (GPT-2 counts
+    // every space). "it's": one whitespace WORD but two PRETOKENS
+    // (it + 's) — same symbol multiset here, so the artifact-level
+    // grouping (tok_idx) is what distinguishes the paths.
+    val df = Seq(
+      (1L, "the theme"),
+      (2L, "it's"),
+      (3L, "  double  spaced ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextStatsOps.bpeTokenCount(col("text")).as("ws"),
+      TextStatsOps.bpeTokenCountBytes(col("text")).as("by")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((4L, 5L)), s"the theme: ${got(1L)}")
+    assert(got(3L) == ((9L, 14L)), s"multi-space: ${got(3L)}")
+    val enc = TextStatsOps.bpeEncodeTokensBytes(
+      df.filter(col("doc_id") === 2), "doc_id", "text").collect()
+    assert(enc.map(_.getInt(1)).max == 1, "it's must be TWO pretokens")
+    assert(enc.map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSet ==
+      Set((0, 0, "it"), (1, 0, "'"), (1, 1, "s")), enc.mkString(","))
+    val encWs = TextStatsOps.bpeEncodeTokens(
+      df.filter(col("doc_id") === 2), "doc_id", "text").collect()
+    assert(encWs.map(_.getInt(1)).max == 0, "whitespace path: ONE word")
+  }
+
   test("jaccardPairs maxShingleDocs bounds hot-shingle pair blowup") {
     // 10%-hot shingle corpus: 200 docs with disjoint vocabulary, every
     // 10th doc (20 docs) sharing one boilerplate trigram run —
