@@ -550,6 +550,84 @@ object Bench {
       } else secs
     }
 
+    /** foreachBatch witness for the INCREMENTAL NEAR-DUP loop (r12
+      * verdict task #7, beside stream_incremental_ingest): each
+      * micro-batch is MinHash-signatured and banded against the
+      * PERSISTED signature index read from parquet — exactly the
+      * artifact a production ingest keeps between runs — then the
+      * survivors append to the corpus AND their signatures append to
+      * the index; the accumulated corpus is never re-signatured. Same
+      * planted shape as the exact witness (every 4th doc reuses the
+      * text of doc_id−2, so duplicate pairs straddle batch boundaries
+      * and are only catchable via the index), same id-ordered 8-batch
+      * replay. The final corpus diffs against ONE-SHOT lshIncremental
+      * over everything with an empty index — equal by the operator's
+      * one-shot-replay contract, because exact-clone candidate graphs
+      * are transitive (each clone pair fully signature-collides) so
+      * sequential index consultation and one-shot components agree.
+      * Any diff is a real index-handoff bug and reports -1. */
+    def streamNearDupIngestWitness(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      val root = s"${sys.props("java.io.tmpdir")}/graft-bench-snear-" +
+        ProcessHandle.current().pid()
+      val staged = s"$root/in"; val corpus = s"$root/corpus"
+      val index = s"$root/index"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(corpus), true)
+      fs.delete(new org.apache.hadoop.fs.Path(index), true)
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val planted = docs.alias("d").join(
+          docs.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+          col("doc_id") - 2 === col("src_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0 && col("src_text").isNotNull,
+            col("src_text")).otherwise(col("text")).as("text"))
+      planted.repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      import graft.llm.TextDedupOps
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val idx =
+            if (fs.exists(new org.apache.hadoop.fs.Path(index)))
+              spark.read.parquet(index)
+            else TextDedupOps.minHashSignatures(
+              batch.limit(0), "doc_id", "text", 3, 32)
+          val surv = TextDedupOps.lshIncremental(batch, idx,
+            "doc_id", "text", threshold = 0.99).persist()
+          surv.write.mode("append").parquet(corpus)
+          TextDedupOps.minHashSignatures(surv, "doc_id", "text", 3, 32)
+            .write.mode("append").parquet(index)
+          surv.unpersist()
+          ()
+        }
+        .queryName("graft_stream_near_" + tag).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(corpus)
+      val all = spark.read.parquet(staged)
+      val emptyIdx = TextDedupOps.minHashSignatures(
+        all.limit(0), "doc_id", "text", 3, 32)
+      val batchTwin = TextDedupOps.lshIncremental(all, emptyIdx,
+        "doc_id", "text", threshold = 0.99)
+      val diff = streamed.exceptAll(batchTwin).count() +
+        batchTwin.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_near_dup_ingest: $diff rows " +
+          "differ between incremental and one-shot near-dup — reporting -1")
+        -1.0
+      } else secs
+    }
+
     // Headline registry queries; the stress entries below are
     // deliberately NOT registry queries (their outputs are
     // xxhash64-dependent, which would reintroduce a no-oracle row in
@@ -703,7 +781,8 @@ object Bench {
       "stream_session_window" -> (streamSessionWitness _),
       "stream_join_interval" -> (streamJoinWitness _),
       "stream_join_left_outer" -> (streamJoinOuterWitness _),
-      "stream_incremental_ingest" -> (streamIncrementalIngestWitness _))
+      "stream_incremental_ingest" -> (streamIncrementalIngestWitness _),
+      "stream_near_dup_ingest" -> (streamNearDupIngestWitness _))
     val stressResults: Seq[(String, Vector[Double])] =
       stressEntries.map { case (n, f) =>
         (n, stressReps(() => runOnce(n, f)))

@@ -201,14 +201,18 @@ object MultimodalOps {
       }
   }
 
-  /** Byte ranges (offset, size) of the FIRST video track's samples,
-    * read from the container's own sample tables: stsz sizes + the
-    * single-chunk stco offset. Multi-chunk layouts (stsc with more than
-    * one run) are out of scope and surface as None, as do ranges that
-    * escape the payload. Relies on hdlr preceding minf within mdia (the
-    * normative order our builder and typical muxers emit). */
-  private def parseMp4VideoSamples(bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
+  /** (sample-entry codec, byte ranges (offset, size)) of the FIRST
+    * video track's samples, read from the container's own sample
+    * tables: the stsd entry type names the codec, stsz gives sizes,
+    * the single-chunk stco the offset. Multi-chunk layouts (stsc with
+    * more than one run) are out of scope and surface as None, as do
+    * ranges that escape the payload. Relies on hdlr preceding minf
+    * within mdia (the normative order our builder and typical muxers
+    * emit). */
+  private def parseMp4VideoSamples(bytes: Array[Byte])
+      : Option[(String, Seq[(Int, Int)])] = {
     var curHandler = ""
+    var codec = ""
     var sizes: Array[Int] = null
     var chunkOff = -1L
     try {
@@ -216,6 +220,11 @@ object MultimodalOps {
         typ match {
           case "hdlr" =>
             curHandler = new String(bytes, body + 8, 4, "ISO-8859-1")
+          case "stsd" if curHandler == "vide" && codec.isEmpty &&
+              body + 16 <= boxEnd =>
+            // 4B version/flags + 4B entry_count, then the first sample
+            // entry's size+TYPE — the four-char codec identifier
+            codec = new String(bytes, body + 12, 4, "ISO-8859-1")
           case "stsz" if curHandler == "vide" && sizes == null =>
             val uniform = beU32(bytes, body + 4)
             val nL = beU32(bytes, body + 8)
@@ -248,7 +257,7 @@ object MultimodalOps {
         val out = sizes.map { s =>
           val r = (o.toInt, s); o += s; r
         }
-        if (o > bytes.length) None else Some(out.toSeq)
+        if (o > bytes.length) None else Some((codec, out.toSeq))
       }
     } catch { case _: RuntimeException => None }
   }
@@ -275,7 +284,7 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
           parseMp4VideoSamples(bytes) match {
-            case Some(ranges) =>
+            case Some((_, ranges)) =>
               ranges.zipWithIndex.collect {
                 case ((o, s), i) if i % everyNth == 0 =>
                   (id, i.toLong, java.util.Arrays.copyOfRange(bytes, o, o + s))
@@ -284,6 +293,83 @@ object MultimodalOps {
           }
         })
       }.toDF("asset_id", "frame_no", "frame")
+  }
+
+  /** Decoded-frame facts; status "ok" (MJPEG frame decoded), "stub"
+    * (samples extracted, codec undecodable in the JRE — dims/stats
+    * -1), "bad_frame" (MJPEG claimed but ImageIO refused the bytes),
+    * or "undecodable" (no parseable video sample table; frame_no -1).
+    */
+  case class VideoFrameMeta(
+      asset_id: Long, frame_no: Long, codec: String,
+      width: Int, height: Int, channels: Int, pix_sum: Long,
+      status: String)
+
+  /** Sample-entry types whose samples ARE complete JPEG images
+    * (Motion-JPEG families): each extracted sample decodes with the
+    * JRE's real JPEG codec — no external dependency. */
+  val MjpegCodecs: Set[String] = Set("mjpa", "mjpb", "jpeg", "mjpg")
+
+  /** REAL video frame DECODE for MJPEG tracks (r12 verdict task #6 —
+    * retires the pixel-decode stub for the one codec family the JRE
+    * can actually decode): every `everyNth` sample is sliced from mdat
+    * via the container's own stsz/stco tables ([[sampleVideoFrames]]'
+    * machinery), and when the stsd sample-entry type is an MJPEG
+    * family each frame IS a JPEG — decoded with ImageIO to
+    * width/height/channels plus `pix_sum` (Σ over pixels of R+G+B, an
+    * exact integer pixel statistic). Other codecs keep the honest
+    * stub: samples extracted, dims/stats -1, status "stub" (no video
+    * codec beyond JPEG exists in the JRE). Batched mapPartitions, no
+    * shuffle — decode runs wherever the payloads live. */
+  def decodeVideoFrames(assets: DataFrame, everyNth: Int,
+      idCol: String = "asset_id", payloadCol: String = "payload",
+      batchSize: Int = 64): Dataset[VideoFrameMeta] = {
+    require(everyNth > 0, s"everyNth must be positive: $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("asset_id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          parseMp4VideoSamples(bytes) match {
+            case Some((codec, ranges)) =>
+              val mjpeg = MjpegCodecs.contains(codec)
+              ranges.zipWithIndex.collect {
+                case ((o, s), i) if i % everyNth == 0 =>
+                  if (!mjpeg)
+                    VideoFrameMeta(id, i.toLong, codec, -1, -1, -1, -1L,
+                      "stub")
+                  else readImage(
+                      java.util.Arrays.copyOfRange(bytes, o, o + s)) match {
+                    case Some(img) =>
+                      var sum = 0L
+                      var y = 0
+                      while (y < img.getHeight) {
+                        var x = 0
+                        while (x < img.getWidth) {
+                          val rgb = img.getRGB(x, y)
+                          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                            (rgb & 0xff)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      VideoFrameMeta(id, i.toLong, codec, img.getWidth,
+                        img.getHeight,
+                        img.getColorModel.getNumComponents, sum, "ok")
+                    case None =>
+                      VideoFrameMeta(id, i.toLong, codec, -1, -1, -1, -1L,
+                        "bad_frame")
+                  }
+              }
+            case None =>
+              Seq(VideoFrameMeta(id, -1L, "", -1, -1, -1, -1L,
+                "undecodable"))
+          }
+        })
+      }
   }
 
   /** Spec-conformant minimal MP4 builder (fixture producer): ftyp +
@@ -295,7 +381,9 @@ object MultimodalOps {
     * fixed by a second build pass. */
   def syntheticMp4(brand: String, timescale: Long, duration: Long,
       tracks: Seq[(String, Int, Int)], mvhdV1: Boolean = false,
-      videoSamples: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      videoSamples: Seq[Array[Byte]] = Nil,
+      videoCodec: String = "mp4v"): Array[Byte] = {
+    require(videoCodec.length == 4, s"codec must be 4 chars: '$videoCodec'")
     require(brand.length == 4, s"brand must be 4 chars: '$brand'")
     def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
@@ -319,7 +407,7 @@ object MultimodalOps {
     def stbl(mdatPayloadOffset: Long): Array[Byte] = {
       val n = videoSamples.size
       val stsd = box("stsd", be32(0) ++ be32(1) ++
-        box("mp4v", Array.fill[Byte](78)(0)))
+        box(videoCodec, Array.fill[Byte](78)(0)))
       val stts = box("stts", be32(0) ++ be32(1) ++ be32(n.toLong) ++ be32(1))
       val stsc = box("stsc", be32(0) ++ be32(1) ++
         be32(1) ++ be32(n.toLong) ++ be32(1))
@@ -478,6 +566,30 @@ object MultimodalOps {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic JPEG fixture (the JRE's real JPEG ENCODER): same
+    * procedural pixels as [[syntheticPng]], written through
+    * `ImageIO.write(_, "jpg", _)`. Lossy — decoded pixels differ from
+    * the procedural input — but encode and decode are deterministic
+    * for a fixed JRE, and the DIMENSIONS always round-trip exactly,
+    * which is what the closed-form video_frames_decoded oracle pins
+    * (pixel statistics are spec-pinned, not oracle-pinned). */
+  def syntheticJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
 

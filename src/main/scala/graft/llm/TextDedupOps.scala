@@ -238,6 +238,65 @@ object TextDedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** INCREMENTAL near-dup dedup — the MinHash twin of
+    * [[dedupIncremental]] (r12 verdict task #7): a production pipeline
+    * keeps the SIGNATURE INDEX of its corpus between ingests, so a new
+    * batch costs signatures for the BATCH ONLY plus one banded join
+    * against the index — never a re-signature of the accumulated
+    * corpus. `existingSignatures` is the persisted (idCol, signature)
+    * index ([[minHashSignatures]] output with the SAME shingleN/k/seed;
+    * in steady state it is read straight from parquet).
+    *
+    * Semantics — exactly the one-shot replay over old ∪ new: a batch
+    * document survives iff its connected component over the banded
+    * candidate graph of all signatures (old and new together, pairs
+    * thresholded on estimated Jaccard) contains NO existing document
+    * and it is the minimum-id NEW document of its component. Callers
+    * union the survivors' signatures into the index for the next
+    * ingest ([[minHashSignatures]] over the returned frame, or a
+    * semi-join of the batch signatures).
+    *
+    * Scale shape: the index side ships (id, signature) — k+1 longs per
+    * UNIQUE surviving doc, not texts; the union rides the same
+    * bucket-bounded, cappable banded join as [[lshCandidatePairs]]
+    * (side bit folded into the id like [[crossCorpusNearDups]] — ids
+    * must be non-negative and < 2^62); components run on candidate
+    * pairs only (O(diameter) rounds — near-dup graphs are shallow);
+    * the final membership check is one anti-join on unique ids. */
+  def lshIncremental(newBatch: DataFrame, existingSignatures: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val batchSigs = minHashSignatures(newBatch, idCol, textCol, shingleN, k)
+    val ex = existingSignatures.select(
+      (col(idCol).cast("long") * 2).as(idCol), col("signature"))
+    val nw = batchSigs.select(
+      (col(idCol).cast("long") * 2 + 1).as(idCol), col("signature"))
+    // the banded join consumes the signature frame THREE times (band
+    // explode + two pair-side re-attach joins): persist so the batch's
+    // shingle-explode + 32-way min aggregation runs once, not three
+    // times (the minhash_near_dup lesson); registered with DistScan's
+    // release queue for the application's step-boundary cleanup
+    val sigs = graft.operators.DistScan.registerCache(
+      ex.unionByName(nw)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = lshCandidatePairs(sigs, idCol, bands,
+      threshold, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    // per component: does it touch the existing corpus, and which NEW
+    // id is its representative if not — one slim aggregation over the
+    // (paired docs only) component frame
+    val verdicts = comps.groupBy("cluster").agg(
+      max(when(col("id").bitwiseAND(1) === 0, 1).otherwise(0))
+        .as("__has_old"),
+      min(when(col("id").bitwiseAND(1) === 1, col("id"))).as("__min_new"))
+    val losers = comps.filter(col("id").bitwiseAND(1) === 1)
+      .join(verdicts, Seq("cluster"))
+      .filter(col("__has_old") === 1 || col("id") =!= col("__min_new"))
+      .select(shiftright(col("id"), 1).as(idCol))
+    newBatch.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** CROSS-corpus near-duplicate detection — eval/benchmark
     * decontamination at the near-dup tier. [[contaminationScore]]
     * measures n-gram overlap; this catches template/paraphrase clones

@@ -535,6 +535,56 @@ object IoQueries extends QueryModule {
              |    '') AS frame_str
              |FROM kept""".stripMargin)),
 
+    // MJPEG frame-DECODE gate (r12 verdict task #6 — the pixel tier
+    // for the one codec family the JRE really decodes): even ids get
+    // mjpa tracks whose samples are real ImageIO-written JPEGs with
+    // closed-form dimensions; odd ids keep mp4v ASCII samples and MUST
+    // come back as the honest "stub" rows. The oracle restates codec,
+    // decoded width/height/channels, and status from doc_id arithmetic
+    // — a codec misread from stsd, a decode of the wrong byte range,
+    // or a stub/ok misclassification all hash-fail. pix_sum (lossy
+    // JPEG pixels, not closed-form) is deliberately excluded here and
+    // pinned in LlmSpec against an independent driver-side decode.
+    QueryDef("video_frames_decoded",
+      (s, d) => {
+        import s.implicits._
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 3 + (id % 3).toInt
+            val mjpeg = id % 2 == 0
+            val samples = (0 until n).map { i =>
+              if (mjpeg)
+                MultimodalOps.syntheticJpeg(16 + ((id + i) % 4).toInt * 8,
+                  8 + ((id + i) % 3).toInt * 8, seed = id * 31 + i)
+              else Array.tabulate(6)(j =>
+                (97 + ((id + i + j) % 26)).toByte)
+            }
+            (id, MultimodalOps.syntheticMp4("isom", 1000, n.toLong,
+              Seq(("vide", 64, 48)), videoSamples = samples,
+              videoCodec = if (mjpeg) "mjpa" else "mp4v"))
+          }).toDF("asset_id", "payload")
+        MultimodalOps.decodeVideoFrames(assets, everyNth = 2).toDF()
+          .select("asset_id", "frame_no", "codec", "width", "height",
+            "channels", "status")
+      },
+      Some("""WITH base AS (SELECT doc_id, 3 + doc_id % 3 AS n
+             |  FROM documents),
+             |fi AS (SELECT doc_id,
+             |    unnest(range(0, CAST(n AS BIGINT))) AS i FROM base),
+             |kept AS (SELECT doc_id, i FROM fi WHERE i % 2 = 0)
+             |SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'mjpa' ELSE 'mp4v' END AS codec,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |       THEN 16 + ((doc_id + i) % 4) * 8 ELSE -1 END
+             |       AS INTEGER) AS width,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |       THEN 8 + ((doc_id + i) % 3) * 8 ELSE -1 END
+             |       AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END
+             |       AS INTEGER) AS channels,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'stub' END AS status
+             |FROM kept""".stripMargin)),
+
     // REAL audio decode gate: per-document PCM16 waveforms whose sample
     // values are a closed-form function of doc_id are pushed through the
     // JRE's genuine WAVE writer (AudioSystem.write), decoded back by the

@@ -211,6 +211,69 @@ object LlmQueries extends QueryModule {
               |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.nt = f.nt)"""
         .stripMargin)),
 
+    // INCREMENTAL near-dup dedup (TextDedupOps.lshIncremental, r12
+    // verdict task #7): the MinHash-index twin of dedup_incremental —
+    // the persisted signature index stands in for the existing corpus,
+    // the batch is signatured and banded against it, and survivors are
+    // the batch docs in no old-touching component, min-id per new-only
+    // component. The corpus here is DERIVED from the doc_id column
+    // (25 words w[(97·id+13j) mod 1009] per doc — both engines build
+    // the identical texts), NOT the natural documents text: the
+    // natural corpus's tiny vocabulary makes some distinct doc pairs
+    // genuine near-dups by minhash's own measure (9 full-signature
+    // collisions at sf0.01), which a fingerprint oracle cannot
+    // replay. In THIS construction distinct texts share ~no shingles,
+    // while doc ids 1009 apart alias to the SAME text — natural exact
+    // duplicates that, with the planted clones of existing docs 0-19
+    // (+10000) and of batch docs 300-309 (+20000), exercise index
+    // hits, within-batch clusters, and old-touching chains, all
+    // fingerprint-replayable. At threshold 0.99 a candidate pair needs
+    // all 32 signature minima equal — exactly the identical-text
+    // pairs. The word formula is TRILINEAR (97i + 13j + 7ij mod 1009)
+    // so a 3-consecutive-word match across docs forces i ≡ i' (the
+    // t-coefficient 7(i−i') must vanish mod a prime): distinct texts
+    // share NO shingle, where a linear formula shares whole shifted
+    // runs (tried first: 14 spurious full-signature collisions at
+    // sf0.01). A bucket bug, a side-bit decode error, an inverted
+    // has-old verdict, or a broken min-new pick each change the
+    // survivor set and hash-fail.
+    QueryDef("near_dup_incremental",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .withColumn("text", mk)
+        val existing = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(300, 309))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val idx = TextDedupOps.minHashSignatures(existing, "doc_id",
+          "text", shingleN = 3, k = 32)
+        TextDedupOps.lshIncremental(batch, idx, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.99)
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents),
+              |old AS (SELECT text FROM corpus WHERE doc_id < 250),
+              |newb AS (
+              |  SELECT doc_id, text FROM corpus WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 20
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 300 AND 309)
+              |SELECT b.doc_id FROM newb b
+              |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = b.text)
+              |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
+              |                  WHERE b2.text = b.text)""".stripMargin)),
+
     // Dataset mixture: per-source deterministic hash sampling at target
     // keep-fractions (downsample src0 to 30%, keep the rest whole) —
     // the pretraining-mix step, reproducible across reprocessing.

@@ -108,6 +108,76 @@ class LlmSpec extends SparkSpec {
     assert(j.length == 10 && j.forall(_ == 1.0))
   }
 
+  test("decodeVideoFrames: MJPEG pixels decode, other codecs stay stub") {
+    import graft.llm.MultimodalOps
+    val jpegs = Seq(
+      MultimodalOps.syntheticJpeg(32, 16, seed = 7),
+      MultimodalOps.syntheticJpeg(24, 24, seed = 9),
+      MultimodalOps.syntheticJpeg(16, 8, seed = 11))
+    val mjpeg = MultimodalOps.syntheticMp4("isom", 1000, 3,
+      Seq(("vide", 64, 48)), videoSamples = jpegs, videoCodec = "jpeg")
+    val other = MultimodalOps.syntheticMp4("isom", 1000, 2,
+      Seq(("vide", 64, 48)),
+      videoSamples = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6)),
+      videoCodec = "mp4v")
+    val df = Seq((1L, mjpeg), (2L, other)).toDF("asset_id", "payload")
+    val out = MultimodalOps.decodeVideoFrames(df, everyNth = 1).collect()
+      .map(m => (m.asset_id, m.frame_no) -> m).toMap
+    // every MJPEG frame decodes with exact dims and the same pix_sum
+    // an INDEPENDENT driver-side ImageIO decode of the same sample
+    // bytes yields (plumbing + determinism, not just positivity)
+    jpegs.zipWithIndex.foreach { case (bytes, i) =>
+      val m = out((1L, i.toLong))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var want = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        want += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(m.status == "ok" && m.codec == "jpeg")
+      assert(m.width == img.getWidth && m.height == img.getHeight &&
+        m.channels == 3)
+      assert(m.pix_sum == want && m.pix_sum > 0,
+        s"frame $i: ${m.pix_sum} vs $want")
+    }
+    // non-MJPEG codec: samples extracted but honestly stubbed
+    (0L to 1L).foreach { i =>
+      val m = out((2L, i))
+      assert(m.status == "stub" && m.codec == "mp4v" && m.width == -1 &&
+        m.pix_sum == -1L)
+    }
+  }
+
+  test("lshIncremental: index hits drop, new-only clusters keep min id") {
+    // trilinear word formula mod a large prime: a 3-consecutive-word
+    // match across docs forces equal doc ids, so distinct texts share
+    // NO shingle (a linear progression shares shifted runs — and
+    // minhash correctly calls those near-dups, poisoning the fixture)
+    def mkText(i: Long): String =
+      (0 until 25).map(j => s"w${(i * 97 + j * 13 + i * j * 7) % 1009}")
+        .mkString(" ")
+    val existing = (0L until 10L).map(i => (i, mkText(i)))
+      .toDF("doc_id", "text")
+    val batch = ((20L until 25L).map(i => (i, mkText(i))) ++ Seq(
+      (100L, mkText(3)),   // clone of EXISTING doc 3 → index hit, drops
+      (200L, mkText(40)),  // new-only clone pair: min id survives ...
+      (201L, mkText(40)),  // ... this one drops
+      (300L, mkText(5)),   // clone pair that ALSO clones existing doc 5:
+      (301L, mkText(5))))  // the whole component touches old → both drop
+      .toDF("doc_id", "text")
+    val idx = TextDedupOps.minHashSignatures(existing, "doc_id", "text",
+      3, 32)
+    val out = TextDedupOps.lshIncremental(batch, idx, "doc_id", "text",
+      threshold = 0.99).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(20L, 21L, 22L, 23L, 24L, 200L), out.toSeq.sorted)
+    // first-ingest shape: empty index ⇒ pure within-batch min-id dedup
+    val out0 = TextDedupOps.lshIncremental(batch, idx.limit(0), "doc_id",
+      "text", threshold = 0.99).select("doc_id").as[Long].collect().toSet
+    assert(out0 == Set(20L, 21L, 22L, 23L, 24L, 100L, 200L, 300L),
+      out0.toSeq.sorted)
+  }
+
   test("byte-level BPE prices spaces/contractions the whitespace path cannot") {
     // Hand-computed against BpeDemoMerges. "the theme": both paths
     // merge identically inside letter runs (the=1 symbol;
