@@ -87,38 +87,51 @@ object GroupOps {
     * hot key to one unsplittable task; this is the per-domain document
     * cap of a 100 TB curation pipeline), then one left-semi join of the
     * corpus against the exploded winners on (keys, orderCol). */
-  /** Fail-fast preconditions shared by headPerKey/nthPerKey: the order
-    * column must be an integral type (a double would collapse distinct
-    * values under the long cast and silently over-return through the
-    * semi-join), and NULL order values cannot rank — they are excluded
-    * from the winner computation, so null-ordered rows never return.
-    * Order values should be DISTINCT within a key for an exact-n
-    * result: the winner semi-join matches by value, so duplicates of a
-    * boundary value all return (a deterministic tie-keep-all, like
-    * nlargest keep='all' — derive a unique key, e.g. hash·2^k + id,
-    * when exact-n matters). */
-  private def integralOrder(df: DataFrame, orderCol: String): DataFrame = {
+  /** Fail-fast preconditions shared by headPerKey/nthPerKey, plus the
+    * EXACT long order key for the bounded-buffer aggregate (r12
+    * verdict task #9 — the integral-only restriction forced callers to
+    * derive keys for time-ordered data): integral types cast
+    * losslessly, timestamps rank by `unix_micros` (Spark's exact
+    * internal micros — a bare long cast would TRUNCATE to seconds and
+    * collapse sub-second order), dates by `unix_date`. Doubles/strings
+    * stay rejected (a double's long cast collapses distinct values and
+    * silently over-returns through the semi-join — derive a unique
+    * integral key instead). NULL order values cannot rank — they are
+    * excluded from the winner computation, so null-ordered rows never
+    * return. Order values should be DISTINCT within a key for an
+    * exact-n result: the winner semi-join matches by value, so
+    * duplicates of a boundary value all return (a deterministic
+    * tie-keep-all, like nlargest keep='all'). */
+  private def orderKey(df: DataFrame, orderCol: String)
+      : (DataFrame, Column) = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(orderCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"headPerKey/nthPerKey need an integral order column; " +
-        s"'$orderCol' is $dt (rank doubles/strings via a derived id)")
-    df.filter(col(orderCol).isNotNull)
+    val key = df.schema(orderCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(orderCol).cast("long")
+      case TimestampType => unix_micros(col(orderCol))
+      case DateType => unix_date(col(orderCol)).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"headPerKey/nthPerKey need an integral, timestamp, or date " +
+          s"order column; '$orderCol' is $dt (rank doubles/strings via " +
+          "a derived integral key)")
+    }
+    (df.filter(col(orderCol).isNotNull), key)
   }
 
   def headPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
       n: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(n))
     val fresh = keys.map(k => s"__graft_hpk_$k")
-    val winners = integralOrder(df, orderCol)
+    val (ranked, key) = orderKey(df, orderCol)
+    val winners = ranked
       .groupBy(keys.map(col): _*)
-      .agg(topAgg(col(orderCol).cast("long")).as("__top"))
+      .agg(topAgg(key).as("__top"))
       .select(keys.map(col) :+ explode(col("__top")).as("__graft_hpk_ord"): _*)
       .toDF(fresh :+ "__graft_hpk_ord": _*)
     df.join(winners,
       keys.zip(fresh).map { case (k, f) => col(k) <=> col(f) }
         .reduce(_ && _) &&
-        col(orderCol).cast("long") === col("__graft_hpk_ord"),
+        key === col("__graft_hpk_ord"),
       "left_semi")
   }
 
@@ -131,9 +144,10 @@ object GroupOps {
       k: Int): DataFrame = {
     val topAgg = udaf(new graft.functions.BoundedMinList(k + 1))
     val fresh = keys.map(kc => s"__graft_hpk_$kc")
-    val winners = integralOrder(df, orderCol)
+    val (ranked, key) = orderKey(df, orderCol)
+    val winners = ranked
       .groupBy(keys.map(col): _*)
-      .agg(topAgg(col(orderCol).cast("long")).as("__top"))
+      .agg(topAgg(key).as("__top"))
       .filter(size(col("__top")) === k + 1)
       .select(keys.map(col) :+
         element_at(col("__top"), k + 1).as("__graft_hpk_ord"): _*)
@@ -141,7 +155,7 @@ object GroupOps {
     df.join(winners,
       keys.zip(fresh).map { case (kc, f) => col(kc) <=> col(f) }
         .reduce(_ && _) &&
-        col(orderCol).cast("long") === col("__graft_hpk_ord"),
+        key === col("__graft_hpk_ord"),
       "left_semi")
   }
 }

@@ -34,6 +34,22 @@ object GroupByQueries extends QueryModule {
              |    PARTITION BY user_id ORDER BY event_id) AS rn
              |  FROM events) WHERE rn <= 5""".stripMargin)),
 
+    // The TIMESTAMP-ordered twin (r12 verdict task #9): each user's 3
+    // earliest events by event TIME, ranked through the same bounded
+    // BoundedMinList buffer via unix_micros — exact micros, no
+    // seconds-truncating long cast, no caller-derived key. (user_id,
+    // ts) is duplicate-free in this corpus, so row_number is an exact
+    // oracle; sub-second order is real in the data, so a truncating
+    // cast regression changes winners and hash-fails.
+    QueryDef("group_head_n_ts",
+      (s, d) => GroupOps.headPerKey(
+        T.events(s, d), Seq("user_id"), "ts", 3)
+        .select("user_id", "event_id", "ts"),
+      Some("""SELECT user_id, event_id, ts FROM (
+             |  SELECT user_id, event_id, ts, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts) AS rn
+             |  FROM events) WHERE rn <= 3""".stripMargin)),
+
     // groupby.nth(k) by explicit order (GroupOps.nthPerKey): each
     // user's 3rd-smallest event (0-indexed k=2); users with fewer than
     // 3 events drop, matching the reference's nth semantics.

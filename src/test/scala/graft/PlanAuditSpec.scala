@@ -177,7 +177,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("r12 skew-safe top-N (group_head_n / group_nth / domain_cap_url): " +
       "bounded-buffer aggregate, never a per-key window") {
-    for (name <- Seq("group_head_n", "group_nth", "domain_cap_url")) {
+    for (name <- Seq("group_head_n", "group_head_n_ts", "group_nth",
+        "domain_cap_url")) {
       val p = plan(name)
       // a row_number window here would ship every row of a hot key
       // (10% of domain_cap_url's corpus shares one host) to one task
