@@ -463,7 +463,17 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.table("graft_stream_ojoin_" + tag)
       val batchSrc = spark.read.parquet(staged)
-      val hi = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
+      // the GLOBAL watermark is min over BOTH sides' watermarks, and
+      // each side only sees its own parity's events — using the overall
+      // max ts overstates the final watermark by the gap between the
+      // sides' maxima (caught at sf0.1: 2 batch-only rows whose windows
+      // closed under max-based cutoff but not under the real min-based
+      // watermark)
+      val his = batchSrc.agg(
+        max(when(pmod(col("event_id"), lit(2)) === 0, col("ts"))),
+        max(when(pmod(col("event_id"), lit(2)) === 1, col("ts")))).head()
+      val hi = Seq(his.getTimestamp(0), his.getTimestamp(1)).min(
+        Ordering.by((t: java.sql.Timestamp) => t.getTime))
       val cutoff = new java.sql.Timestamp(hi.getTime - 60 * 60 * 1000L)
       val batch = joinedOuter(side(even = true, batchSrc),
           side(even = false, batchSrc))
