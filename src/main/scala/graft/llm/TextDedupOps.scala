@@ -282,10 +282,19 @@ object TextDedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = lshCandidatePairs(sigs, idCol, bands,
       threshold, maxBucketSize)
+    incrementalSurvivors(newBatch, pairs, idCol)
+  }
+
+  /** Shared survivor selection for the incremental near-dup tiers
+    * ([[lshIncremental]] / [[simHashIncremental]]): given candidate
+    * pairs over SIDE-FOLDED ids (existing = 2·id, batch = 2·id + 1),
+    * keep the batch rows whose component touches no existing document
+    * and whose id is the component's minimum NEW id. One slim
+    * aggregation over the paired-docs-only component frame, then one
+    * anti-join on unique ids. */
+  private def incrementalSurvivors(newBatch: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val comps = connectedComponents(pairs, "id_a", "id_b")
-    // per component: does it touch the existing corpus, and which NEW
-    // id is its representative if not — one slim aggregation over the
-    // (paired docs only) component frame
     val verdicts = comps.groupBy("cluster").agg(
       max(when(col("id").bitwiseAND(1) === 0, 1).otherwise(0))
         .as("__has_old"),
@@ -295,6 +304,31 @@ object TextDedupOps {
       .filter(col("__has_old") === 1 || col("id") =!= col("__min_new"))
       .select(shiftright(col("id"), 1).as(idCol))
     newBatch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** INCREMENTAL SimHash near-dup dedup — the banded-Hamming twin of
+    * [[lshIncremental]]: the persisted per-document 64-bit simhash
+    * index (`existingHashes`: (idCol, simhash), i.e. [[simHash]]
+    * output read back from storage) is banded against the new batch's
+    * hashes — 8 bytes per existing doc on the wire, the cheapest of
+    * the three incremental indexes. Survivorship is the same one-shot
+    * replay over old ∪ new: a batch doc survives iff its component
+    * over the ≤ maxHamming candidate graph touches no existing doc
+    * and it is the minimum-id new doc of its component. Callers union
+    * the survivors' hashes into the index for the next ingest. Ids
+    * must be non-negative and < 2^62 (side bit folded into the id). */
+  def simHashIncremental(newBatch: DataFrame, existingHashes: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val batchH = simHash(newBatch, idCol, textCol)
+    val ex = existingHashes.select(
+      (col(idCol).cast("long") * 2).as(idCol), col("simhash"))
+    val nw = batchH.select(
+      (col(idCol).cast("long") * 2 + 1).as(idCol), col("simhash"))
+    val pairs = simHashPairsOfHashes(ex.unionByName(nw), idCol,
+      maxHamming, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    incrementalSurvivors(newBatch, pairs, idCol)
   }
 
   /** CROSS-corpus near-duplicate detection — eval/benchmark
@@ -584,11 +618,21 @@ object TextDedupOps {
     * pathology). Returns (id_a, id_b, hamming). */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    simHashPairsOfHashes(simHash(df, idCol, textCol), idCol, maxHamming,
+      bands, maxBucketSize)
+
+  /** The banded-Hamming pair generator over an EXISTING (idCol,
+    * simhash) frame — factored out of [[simHashNearDupPairs]] so the
+    * incremental tier can band a persisted hash index without
+    * recomputing hashes from text. Same pigeonhole recall and
+    * hot-bucket cap semantics. */
+  def simHashPairsOfHashes(sh: DataFrame, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simHash(df, idCol, textCol)
     val chunks = array((0 until bands).map(i =>
       shiftrightunsigned(col("simhash"), i * width).bitwiseAND(lit(mask))): _*)
     val bandedAll = sh.select(col(idCol), col("simhash"),

@@ -312,6 +312,72 @@ object TextStatsOps {
           .otherwise(element_at(vocab, col("token"))).cast("int"))
   }
 
+  /** TRAIN a BPE merge table from a corpus — the training side of the
+    * tokenizer stack ([[bpeTokenCount]] / [[bpeEncodeTokens]] apply
+    * it): the classic Sennrich et al. 2016 loop. Repeat `numMerges`
+    * times — count adjacent symbol pairs corpus-wide (every adjacent
+    * position counts, weighted by word frequency), take the most
+    * frequent pair (count desc, then pair string asc — a DETERMINISTIC
+    * tie-break, where the reference implementations are dict-order-
+    * dependent), append it as the next merge rule, and apply it
+    * non-overlapping left-to-right (exactly the encoder's replace
+    * semantics, so train and encode cannot disagree on application
+    * order).
+    *
+    * Scale shape: the corpus collapses ONCE to its distinct words with
+    * frequencies (one map-side-combined aggregation — pair counts are
+    * frequency-weighted sums over UNIQUE words, so training state is
+    * |vocab| rows, never |corpus| rows; the standard trick). Each
+    * round is one hash aggregation over the exploded adjacent pairs of
+    * the unique-word states plus a 1-row TakeOrdered collect — the
+    * ONLY driver traffic is the winning pair per round. The state
+    * frame re-persists per round (one `replace` projection), so plans
+    * stay shallow for any `numMerges`. Training stops early if no
+    * multi-symbol word remains. */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges: $numMerges")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var state = df
+      .select(explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .select(concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("__w"))),
+          i => col("__w").substr(i, lit(1))), " "), lit(" ")).as("__st"),
+        col("__f"))
+      .persist(lvl)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val syms = split(trim(col("__st")), " ")
+      val top = state
+        .withColumn("__syms", syms)
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__f"), explode(transform(
+          sequence(lit(1), size(col("__syms")) - 1),
+          j => concat(lit(" "), element_at(col("__syms"), j), lit(" "),
+            element_at(col("__syms"), j + 1), lit(" ")))).as("__pair"))
+        .groupBy("__pair").agg(sum(col("__f")).as("__c"))
+        .orderBy(col("__c").desc, col("__pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pat = top(0).getString(0) // " a b "
+        val parts = pat.trim.split(" ")
+        merges += ((parts(0), parts(1)))
+        val next = state.select(
+          replace(col("__st"), lit(pat), lit(s" ${parts(0)}${parts(1)} "))
+            .as("__st"), col("__f"))
+          .persist(lvl)
+        next.count() // materialize before releasing the parent
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    merges.toSeq
+  }
+
   /** Deterministic vocabulary for a merge table: a single-character
     * symbol's id is its CODEPOINT (the byte-alphabet convention), and
     * the i-th merge rule's RESULT gets id 256+i. Merges only ever

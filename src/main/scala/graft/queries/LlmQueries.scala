@@ -274,6 +274,51 @@ object LlmQueries extends QueryModule {
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
 
+    // INCREMENTAL SimHash dedup (TextDedupOps.simHashIncremental) —
+    // the banded-Hamming twin of near_dup_incremental over the SAME
+    // trilinear corpus and the SAME survivorship oracle (identical
+    // texts ⇒ identical simhash ⇒ hamming 0; distinct trilinear texts
+    // share no shingle and their 64-bit hashes sit at Hamming ≈ 32, so
+    // maxHamming = 3 pairs exactly the identical-text classes). The
+    // index here is 8 bytes per existing doc — the cheapest of the
+    // incremental indexes; a band-mask bug, a hamming filter
+    // inversion, or a verdict error changes survivors and hash-fails.
+    QueryDef("simhash_incremental",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .withColumn("text", mk)
+        val existing = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(300, 309))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val idx = TextDedupOps.simHash(existing, "doc_id", "text")
+        TextDedupOps.simHashIncremental(batch, idx, "doc_id", "text",
+          maxHamming = 3, bands = 4)
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents),
+              |old AS (SELECT text FROM corpus WHERE doc_id < 250),
+              |newb AS (
+              |  SELECT doc_id, text FROM corpus WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 20
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 300 AND 309)
+              |SELECT b.doc_id FROM newb b
+              |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = b.text)
+              |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
+              |                  WHERE b2.text = b.text)""".stripMargin)),
+
     // Dataset mixture: per-source deterministic hash sampling at target
     // keep-fractions (downsample src0 to 30%, keep the rest whole) —
     // the pretraining-mix step, reproducible across reprocessing.
@@ -923,6 +968,37 @@ object LlmQueries extends QueryModule {
            |FROM wr w JOIN ft f USING (word)
            |LEFT JOIN vocab v ON v.tok = f.token""".stripMargin
       }),
+
+    // BPE TRAINING end-to-end (TextStatsOps.bpeTrainMerges → encode
+    // with the TRAINED table): the corpus is the constant sentence
+    // "the cat ate the thee cat" per document, whose merge sequence is
+    // HAND-DERIVABLE and scale-invariant (uniform doc frequencies
+    // cancel): pair counts (t,h)=3 (h,e)=3 (a,t)=3 (c,a)=2 (a|t,e)=1
+    // (e,e)=1 per doc, ties broken by pair string asc, give exactly
+    //   1:(a,t) 2:(h,e) 3:(t,he) 4:(c,at) 5:(at,e) 6:(the,e)
+    // after which every word is ONE symbol: the=258 cat=259 ate=260
+    // thee=261 under the 256+rank vocabulary. The oracle states that
+    // final encoding closed-form — ANY deviation in the training loop
+    // (count weighting, tie order, overlapping-pair handling, replace
+    // semantics) shifts the merge order, which shifts the vocabulary
+    // ids or the symbol rows, and hash-fails. LlmSpec additionally
+    // pins the trained table itself against the hand derivation.
+    QueryDef("bpe_train_encode",
+      (s, d) => {
+        val corpus = T.documents(s, d).select(col("doc_id"))
+          .withColumn("text", lit("the cat ate the thee cat"))
+        val trained = TextStatsOps.bpeTrainMerges(corpus, "text",
+          numMerges = 6)
+        TextStatsOps.bpeEncodeTokens(corpus, "doc_id", "text",
+          merges = trained)
+      },
+      Some("""SELECT doc_id, CAST(v.word_idx AS INTEGER) AS word_idx,
+             |  CAST(0 AS INTEGER) AS sym_idx, v.token,
+             |  CAST(v.token_id AS INTEGER) AS token_id
+             |FROM documents CROSS JOIN (VALUES
+             |  (0, 'the', 258), (1, 'cat', 259), (2, 'ate', 260),
+             |  (3, 'the', 258), (4, 'thee', 261), (5, 'cat', 259))
+             |  v(word_idx, token, token_id)""".stripMargin)),
 
     // Scalable n-gram Jaccard: explode + join on shingle — never an
     // all-pairs cross join.

@@ -178,6 +178,37 @@ class LlmSpec extends SparkSpec {
       out0.toSeq.sorted)
   }
 
+  test("simHashIncremental mirrors lshIncremental's survivorship") {
+    def mkText(i: Long): String =
+      (0 until 25).map(j => s"w${(i * 97 + j * 13 + i * j * 7) % 1009}")
+        .mkString(" ")
+    val existing = (0L until 10L).map(i => (i, mkText(i)))
+      .toDF("doc_id", "text")
+    val batch = ((20L until 25L).map(i => (i, mkText(i))) ++ Seq(
+      (100L, mkText(3)), (200L, mkText(40)), (201L, mkText(40)),
+      (300L, mkText(5)), (301L, mkText(5)))).toDF("doc_id", "text")
+    val idx = TextDedupOps.simHash(existing, "doc_id", "text")
+    val out = TextDedupOps.simHashIncremental(batch, idx, "doc_id", "text",
+      maxHamming = 3, bands = 4).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(20L, 21L, 22L, 23L, 24L, 200L), out.toSeq.sorted)
+  }
+
+  test("bpeTrainMerges reproduces the hand-derived merge sequence") {
+    // "the cat ate the thee cat": per doc (t,h)=3 (h,e)=3 (a,t)=3
+    // (c,a)=2 (t,e)=1 (e,e)=1 — ties resolve by pair-string asc
+    // (" a t " < " h e " < " t h "), then each merge reshapes the
+    // counts as derived in the bpe_train_encode gate comment. The
+    // sequence must hold at any corpus size (frequencies uniform).
+    val corpus = (0L until 7L).map(i => (i, "the cat ate the thee cat"))
+      .toDF("doc_id", "text")
+    val trained = TextStatsOps.bpeTrainMerges(corpus, "text", numMerges = 6)
+    assert(trained == Seq("a" -> "t", "h" -> "e", "t" -> "he",
+      "c" -> "at", "at" -> "e", "the" -> "e"), trained)
+    // early stop: once every word is one symbol no pair remains
+    val more = TextStatsOps.bpeTrainMerges(corpus, "text", numMerges = 50)
+    assert(more == trained, more)
+  }
+
   test("byte-level BPE prices spaces/contractions the whitespace path cannot") {
     // Hand-computed against BpeDemoMerges. "the theme": both paths
     // merge identically inside letter runs (the=1 symbol;
