@@ -151,6 +151,26 @@ object Bench {
       TextDedupOps.paragraphDedup(kept, "doc_id", "text")
     }
 
+    /** BPE TRAINING wall-clock witness (r13): learn 12 merges from the
+      * real documents text. The training state is the unique-word
+      * frame (one map-side-combined collapse of the corpus), then 12
+      * rounds of pair-count aggregation + 1-row collect — the
+      * iterative-driver-loop shape whose cost is rounds × one job, NOT
+      * rounds × corpus scans; wall-clock here pins that the loop
+      * doesn't regress to rescanning or deep-lineage replans. The
+      * result feeds the same encoder the bpe gates pin, so only the
+      * loop's cost needs witnessing. */
+    def bpeTrainStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextStatsOps
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val trained = TextStatsOps.bpeTrainMerges(docs, "text", numMerges = 12)
+      // encode a 1-row frame with the trained table so the timed unit
+      // ends in a materializable plan (the training cost dominates)
+      docs.limit(1).select(col("doc_id"),
+        TextStatsOps.bpeTokenCount(col("text"), trained).as("n"))
+    }
+
     /** Multimodal kernel throughput witness: per document, ENCODE and
       * DECODE a real PNG (two ImageIO passes), a real WAV (AudioSystem
       * both ways + exact sample stats), and an MP4 with a sample table
@@ -665,7 +685,8 @@ object Bench {
         "para_dedup_stress_hot" -> (() => paraDedupStressHot()),
         "curation_stress" -> (() => curationStress()),
         "lm_stress_hot_bigram" -> (() => lmStressHotBigram()),
-        "multimodal_stress" -> (() => multimodalStress()))
+        "multimodal_stress" -> (() => multimodalStress()),
+        "bpe_train_stress" -> (() => bpeTrainStress()))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood

@@ -258,6 +258,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("RocksDB state store provider: stateful agg equals batch (the " +
+      "deployable large-state configuration, not just the bench witness)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val agg = in.toDF().groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .select(col("window.start").as("b"), col("n"), col("s"))
+      val q = agg.writeStream.format("memory").queryName("rocks_agg")
+        .outputMode("complete").start()
+      try {
+        // three micro-batches so state genuinely hands off through the
+        // RocksDB provider between triggers
+        val data = (0 until 90).map(i => Ev(ts(i * 60L), i % 5L, i * 1.0))
+        data.grouped(30).foreach { g =>
+          in.addData(g); q.processAllAvailable()
+        }
+        val streamed = spark.table("rocks_agg").collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+        val batch = data.toDF().groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+          .select(col("window.start").as("b"), col("n"), col("s"))
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(streamed.nonEmpty && streamed == batch,
+          s"rocksdb stream ${streamed.size} vs batch ${batch.size}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingSpec {
