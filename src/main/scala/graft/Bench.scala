@@ -377,9 +377,12 @@ object Bench {
       * dedup, and session windows: even events ("impressions") join
       * odd events ("conversions") by user within a forward 30-minute
       * event-time bound, both sides watermarked 1 hour, through the
-      * same 8-micro-batch mtime-ordered file replay (each side is its
+      * same mtime-ordered file replay (each side is its
       * own file source over the staged range files, so the join state
-      * genuinely hands off across triggers). Append-mode inner join
+      * genuinely hands off across triggers; FOUR batches — join-state
+      * commit overhead dominates this witness, and four triggers
+      * exercise the same cross-batch handoff at half the fixed cost).
+      * Append-mode inner join
       * emits each match exactly once; the batch twin runs the identical
       * join over the staged files. Any row diff is a real join-state
       * bug and reports as -1. */
@@ -409,7 +412,7 @@ object Bench {
             col("rts") <= col("lts") + expr("INTERVAL 30 MINUTES"))
           .select(col("user_id"), col("lid"), col("rid"))
       def src(): DataFrame = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(staged)
+        .option("maxFilesPerTrigger", 4).parquet(staged)
       val sj = joined(
         side(even = true, src()).withWatermark("lts", "1 hour"),
         side(even = false, src()).withWatermark("rts", "1 hour"))
@@ -438,7 +441,8 @@ object Bench {
       * so this pins the timeout/eviction machinery real attribution
       * pipelines rely on (impressions with no conversion). Same sides,
       * interval bound, and 8-micro-batch mtime-ordered replay as
-      * stream_join_interval. The batch twin keeps matched rows
+      * stream_join_interval (four batches, same fixed-cost rationale).
+      * The batch twin keeps matched rows
       * unconditionally and filters UNMATCHED rows to match windows
       * closed by the FINAL watermark (max event time − 1 h delay) —
       * left rows still open when the stream ends legitimately never
@@ -471,7 +475,7 @@ object Bench {
             col("rts") <= col("lts") + expr("INTERVAL 30 MINUTES"),
           "left_outer")
       def src(): DataFrame = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(staged)
+        .option("maxFilesPerTrigger", 4).parquet(staged)
       val sj = joinedOuter(
         side(even = true, src()).withWatermark("lts", "1 hour"),
         side(even = false, src()).withWatermark("rts", "1 hour"))
