@@ -440,7 +440,7 @@ object Bench {
       * when the watermark closes an unmatched left row's match window,
       * so this pins the timeout/eviction machinery real attribution
       * pipelines rely on (impressions with no conversion). Same sides,
-      * interval bound, and 8-micro-batch mtime-ordered replay as
+      * interval bound, and mtime-ordered replay as
       * stream_join_interval (four batches, same fixed-cost rationale).
       * The batch twin keeps matched rows
       * unconditionally and filters UNMATCHED rows to match windows
@@ -649,12 +649,14 @@ object Bench {
               spark.read.parquet(index)
             else TextDedupOps.minHashSignatures(
               batch.limit(0), "doc_id", "text", 3, 32)
-          val surv = TextDedupOps.lshIncremental(batch, idx,
-            "doc_id", "text", threshold = 0.99).persist()
+          // WithSignatures: the index rows come from the dedup's own
+          // persisted signature frame (semi-join = cache hit) instead
+          // of re-signaturing survivors from text — the signature
+          // aggregation is the dominant per-batch cost of this loop
+          val (surv, survSigs) = TextDedupOps.lshIncrementalWithSignatures(
+            batch, idx, "doc_id", "text", threshold = 0.99)
           surv.write.mode("append").parquet(corpus)
-          TextDedupOps.minHashSignatures(surv, "doc_id", "text", 3, 32)
-            .write.mode("append").parquet(index)
-          surv.unpersist()
+          survSigs.write.mode("append").parquet(index)
           ()
         }
         .queryName("graft_stream_near_" + tag).start()
@@ -842,9 +844,22 @@ object Bench {
       }
     def minOrFail(ts: Vector[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else ts.min
-    val stressNoisy = stressResults.exists { case (_, ts) =>
-      val ok = ts.filter(_ >= 0)
-      ok.size >= 2 && ok.min > 0 && ok.max / ok.min > 3.0
+    // Noise detection: within-entry (any 2-rep entry whose worst rep
+    // exceeds 3× its best) AND across each streaming witness's
+    // provider pair — the two provider runs do near-identical work
+    // (RocksDB commit overhead stays well under 2× of HDFS here), so
+    // a >3× split between them is host contention, which single-rep
+    // streaming entries could otherwise never self-report.
+    val stressByName = stressResults.toMap
+    val providerPairNoisy = streamWitnesses.exists { case (n, _) =>
+      val pair = Seq(n, n + "_rocksdb")
+        .flatMap(stressByName.get).flatten.filter(_ > 0)
+      pair.size == 2 && pair.max / pair.min > 3.0
+    }
+    val stressNoisy = providerPairNoisy || stressResults.exists {
+      case (_, ts) =>
+        val ok = ts.filter(_ >= 0)
+        ok.size >= 2 && ok.min > 0 && ok.max / ok.min > 3.0
     }
     val str = stressResults.map { case (k, ts) =>
       "\"" + k + "\":" + minOrFail(ts) }.mkString("{", ",", "}")

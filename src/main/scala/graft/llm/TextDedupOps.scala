@@ -266,7 +266,21 @@ object TextDedupOps {
   def lshIncremental(newBatch: DataFrame, existingSignatures: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.7,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    lshIncrementalWithSignatures(newBatch, existingSignatures, idCol,
+      textCol, shingleN, k, bands, threshold, maxBucketSize)._1
+
+  /** [[lshIncremental]] plus the SURVIVORS' signature frame — the rows
+    * a production ingest loop appends to its persisted index. The
+    * signatures come from the SAME persisted frame the dedup banded
+    * (a semi-join on the survivor ids, a cache hit) — re-signaturing
+    * the survivors from text would repeat the shingle-explode + k-way
+    * min aggregation, the dominant per-batch cost of the loop. */
+  def lshIncrementalWithSignatures(newBatch: DataFrame,
+      existingSignatures: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxBucketSize: Int = Int.MaxValue)
+      : (DataFrame, DataFrame) = {
     val batchSigs = minHashSignatures(newBatch, idCol, textCol, shingleN, k)
     val ex = existingSignatures.select(
       (col(idCol).cast("long") * 2).as(idCol), col("signature"))
@@ -282,7 +296,12 @@ object TextDedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = lshCandidatePairs(sigs, idCol, bands,
       threshold, maxBucketSize)
-    incrementalSurvivors(newBatch, pairs, idCol)
+    val survivors = incrementalSurvivors(newBatch, pairs, idCol)
+    val survivorSigs = sigs
+      .filter(col(idCol).bitwiseAND(1) === 1)
+      .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
+      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+    (survivors, survivorSigs)
   }
 
   /** Shared survivor selection for the incremental near-dup tiers

@@ -243,28 +243,33 @@ object TextStatsOps {
     * spaces stays ONE whitespace token instead of donating its final
     * space; single-space-separated text (virtually all of it)
     * pretokenizes identically to GPT-2. Divergence documented, not
-    * hidden. */
+    * hidden. The whitespace class is spelled out as
+    * `[ \t\n\f\r]` rather than `\s` because the engines DISAGREE on
+    * `\s` itself: java.util.regex includes vertical tab \x0B, RE2
+    * does not — an explicit class pretokenizes identically on both
+    * sides (\x0B consistently lands in the punctuation branch). */
   val Gpt2PretokenRe: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+" +
+      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Pretoken array of a text column under [[Gpt2PretokenRe]] —
     * row-local regex scan, zero shuffle. */
   def gpt2Pretokens(text: Column): Column =
     regexp_extract_all(text, lit(Gpt2PretokenRe), lit(0))
 
-  /** GPT-2 byte-encoder images for the whitespace bytes a pretoken can
-    * contain: space→Ġ (288 = 256+32), tab→ĉ (265 = 256+9), LF→Ċ
-    * (266 = 256+10) — exactly `bytes_to_unicode`'s mapping for those
-    * bytes (printable ASCII maps to itself, also the GPT-2
-    * convention). This keeps every symbol space-free, so the
-    * space-separated merge state of [[bpeWordSymbols]] stays
-    * unambiguous even for space-carrying pretokens. Non-ASCII text is
-    * treated per CHARACTER with codepoint ids — a documented
-    * simplification of full UTF-8 byte fallback (the corpus tables
-    * are ASCII; a production vocab assigns ids from its vocab file,
-    * not from codepoints). */
+  /** GPT-2 byte-encoder images for the whitespace/control bytes a
+    * pretoken can contain: space→Ġ (288 = 256+32), tab→ĉ (265 =
+    * 256+9), LF→Ċ (266), VT→ċ (267), FF→Č (268), CR→č (269) —
+    * exactly `bytes_to_unicode`'s mapping for those bytes (printable
+    * ASCII maps to itself, also the GPT-2 convention). This keeps
+    * every symbol space-free, so the space-separated merge state of
+    * [[bpeWordSymbols]] stays unambiguous even for space-carrying
+    * pretokens. Non-ASCII text is treated per CHARACTER with
+    * codepoint ids — a documented simplification of full UTF-8 byte
+    * fallback (the corpus tables are ASCII; a production vocab
+    * assigns ids from its vocab file, not from codepoints). */
   def byteMark(tok: Column): Column =
-    translate(tok, " \t\n", "ĠĉĊ")
+    translate(tok, " \t\n\u000B\u000C\r", "ĠĉĊċČč")
 
   /** BYTE-LEVEL BPE token count — [[bpeTokenCount]] with the GPT-2
     * pretokenizer in front (r12 verdict task #4): the whitespace-word

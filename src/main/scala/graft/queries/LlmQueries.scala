@@ -938,8 +938,10 @@ object LlmQueries extends QueryModule {
            |wi AS (SELECT doc_id, ws,
            |    unnest(generate_series(0, len(ws) - 1)) AS tok_idx FROM t),
            |wr AS (SELECT doc_id, CAST(tok_idx AS INTEGER) AS tok_idx,
-           |    translate(ws[tok_idx + 1], ' ' || chr(9) || chr(10),
-           |      chr(288) || chr(265) || chr(266)) AS word FROM wi),
+           |    translate(ws[tok_idx + 1],
+           |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+           |      chr(288) || chr(265) || chr(266) || chr(267) || chr(268)
+           |        || chr(269)) AS word FROM wi),
            |uw AS (SELECT DISTINCT word FROM wr),
            |init AS (SELECT word, ' ' || array_to_string(
            |    list_transform(range(1, length(word) + 1),
