@@ -32,8 +32,22 @@ object TextDedupOps {
     * (The row_number window here is NOT the paragraph-dedup skew hazard:
     * rank-limit pushdown plants a partial WindowGroupLimit before the
     * exchange, so each mapper forwards at most one row per hash.) */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedupBy(df, textCol, Seq(col(idCol).asc))
+
+  /** Exact dedup keeping the row that ranks FIRST by EXPLICIT order
+    * columns — source-priority dedup: when the same content arrives
+    * from several sources (a curated dump AND a web crawl), production
+    * pipelines keep the canonical/high-priority copy, not the
+    * lowest-id one (the copy's metadata — source, license, fetch date
+    * — survives into the trained corpus). Callers make the order
+    * total (end with a unique id) for deterministic results. Same
+    * plan shape as [[exactDedup]]: one shuffle on the content hash,
+    * and rank-limit pushdown plants a partial WindowGroupLimit before
+    * the exchange so hot duplicate classes collapse map-side. */
+  def exactDedupBy(df: DataFrame, textCol: String,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -435,6 +449,41 @@ object TextDedupOps {
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+  }
+
+  /** Near-CONTAINMENT pairs: |A∩B| / |A| and |A∩B| / |B| over distinct
+    * word shingles — the excerpt/quote detector Jaccard misses (a 10%
+    * excerpt of a long document has tiny Jaccard but containment ≈ 1
+    * in one direction; pipelines drop or link such pairs rather than
+    * treating them as distinct content). Same scalable shape as
+    * [[jaccardPairs]]: explode distinct shingles, join on the shingle
+    * key, count intersections — never an all-pairs cross join — with
+    * the same `maxShingleDocs` document-frequency cap on hot
+    * boilerplate shingles (dropped from numerator AND denominators,
+    * the consistent filtered-universe convention). Returns (id_a,
+    * id_b, cont_a_in_b, cont_b_in_a) for pairs with ≥1 common
+    * surviving shingle, id_a < id_b. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxShingleDocs: Int = Int.MaxValue): DataFrame = {
+    val shAll = explodedShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("id"), col("__sh").as("sh"))
+    val sh = if (maxShingleDocs == Int.MaxValue) shAll else {
+      val keep = shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDocs)
+        .select("sh")
+      shAll.join(keep, Seq("sh"), "left_semi")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("id").as("id_a"), col("sh"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("common").cast("double") / col("n_b")).as("cont_b_in_a"))
   }
 
   /** Benchmark decontamination: fraction of each corpus document's

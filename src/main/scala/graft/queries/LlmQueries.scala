@@ -274,6 +274,82 @@ object LlmQueries extends QueryModule {
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
 
+    // Source-PRIORITY exact dedup (TextDedupOps.exactDedupBy): when
+    // identical content arrives from several sources, keep the
+    // highest-priority copy, not the lowest id — clones of docs 0-49
+    // are planted under a 'zcurated' source that outranks every
+    // natural src* under the source-desc order, so the gate proves the
+    // ORDER is honored (keep-first would keep the originals). The
+    // oracle replays the same md5 partition + (source DESC, doc_id)
+    // rank. Same WindowGroupLimit partial plan as dedup_keep_first.
+    QueryDef("dedup_keep_priority",
+      (s, d) => {
+        val docs = T.documents(s, d).select("doc_id", "source", "text")
+        val clones = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            lit("zcurated").as("source"), col("text"))
+        TextDedupOps.exactDedupBy(docs.unionByName(clones), "text",
+          Seq(col("source").desc, col("doc_id").asc))
+          .select("doc_id", "source")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, source, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, 'zcurated', text
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY md5(text) ORDER BY source DESC, doc_id) AS rn
+             |  FROM corpus) WHERE rn = 1""".stripMargin)),
+
+    // Near-CONTAINMENT pairs (TextDedupOps.containmentPairs): the
+    // excerpt/quote detector — planted excerpts (the first 10 words of
+    // doc 1, the first 12 of doc 7) have tiny Jaccard against their
+    // sources but containment 1.0 in the contained direction, which
+    // the oracle replays along with every natural overlap pair over
+    // the same shingle join (common/n_a, common/n_b as IEEE doubles —
+    // identical integer inputs give bit-identical quotients on both
+    // engines, the jaccard gate convention).
+    QueryDef("ngram_containment",
+      (s, d) => {
+        val base = T.documents(s, d).filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        def excerpt(src: Long, newId: Long, n: Int) = base
+          .filter(col("doc_id") === src)
+          .select(lit(newId).as("doc_id"),
+            array_join(slice(split(TextDedupOps.normalize(col("text")),
+              " "), 1, n), " ").as("text"))
+        val corpus = base
+          .unionByName(excerpt(1, 900001, 10))
+          .unionByName(excerpt(7, 900002, 12))
+        TextDedupOps.containmentPairs(corpus, "doc_id", "text", 3)
+          .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+      },
+      Some(s"""WITH docs0 AS (SELECT doc_id, ${normSql("text")} AS nt
+              |  FROM documents WHERE doc_id < 100),
+              |ex AS (
+              |  SELECT 900001 AS doc_id, array_to_string(
+              |    list_slice(string_split(nt, ' '), 1, 10), ' ') AS nt
+              |  FROM docs0 WHERE doc_id = 1
+              |  UNION ALL
+              |  SELECT 900002, array_to_string(
+              |    list_slice(string_split(nt, ' '), 1, 12), ' ')
+              |  FROM docs0 WHERE doc_id = 7),
+              |corpus AS (SELECT doc_id, nt FROM docs0
+              |  UNION ALL SELECT doc_id, nt FROM ex),
+              |t AS (SELECT doc_id, string_split(nt, ' ') AS w FROM corpus),
+              |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+              |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS sh
+              |  FROM t),
+              |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(common AS DOUBLE) / na.n AS cont_a_in_b,
+              |  CAST(common AS DOUBLE) / nb.n AS cont_b_in_a
+              |FROM common
+              |JOIN sizes na ON na.id = id_a
+              |JOIN sizes nb ON nb.id = id_b""".stripMargin)),
+
     // INCREMENTAL SimHash dedup (TextDedupOps.simHashIncremental) —
     // the banded-Hamming twin of near_dup_incremental over the SAME
     // trilinear corpus and the SAME survivorship oracle (identical
