@@ -772,6 +772,70 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
 
+    // Token-budget draw sized by BYTE-LEVEL BPE counts — the
+    // composition the byte-level tier exists for (the whitespace
+    // counter under-prices punctuation/space-heavy documents, so the
+    // SAME budget admits a different document set): sampleTokenBudget
+    // consumes bpeTokenCountBytes as its count column, and the oracle
+    // replays the full chain — GPT-2 pretokens, byte marks, the
+    // recursive-CTE merge fixpoint over distinct pretokens, per-doc
+    // sums, then the identical hash-order cumsum draw. A drift in
+    // EITHER the counter or the draw moves the cut document and
+    // hash-fails.
+    QueryDef("sample_budget_bytes",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          coalesce(TextStatsOps.bpeTokenCountBytes(col("text")), lit(0L))
+            .as("n_tok"))
+        SampleOps.sampleTokenBudget(docs, "doc_id", "n_tok",
+          budget = 10000L)
+      },
+      Some {
+        val mergeRows = TextStatsOps
+          .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+          .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+          .mkString(",\n    ")
+        val reSql = "'" + TextStatsOps.Gpt2PretokenRe.replace("'", "''") + "'"
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+           |    $mergeRows),
+           |tt AS (SELECT doc_id,
+           |    regexp_extract_all(text, $reSql, 0) AS ws FROM documents),
+           |wi0 AS (SELECT doc_id, unnest(ws) AS tok FROM tt),
+           |wi AS (SELECT doc_id, translate(tok,
+           |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+           |      chr(288) || chr(265) || chr(266) || chr(267) || chr(268)
+           |        || chr(269)) AS word FROM wi0),
+           |uw AS (SELECT DISTINCT word FROM wi),
+           |init AS (SELECT word, ' ' || array_to_string(
+           |    list_transform(range(1, length(word) + 1),
+           |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+           |  FROM uw),
+           |rec AS (
+           |  SELECT word, state FROM init
+           |  UNION ALL
+           |  SELECT x.word, replace(x.state, m.pat, m.rep)
+           |  FROM (SELECT r.word, r.state,
+           |      (SELECT min(m2.rank) FROM merges m2
+           |       WHERE contains(r.state, m2.pat)) AS br
+           |    FROM rec r) x
+           |  JOIN merges m ON m.rank = x.br),
+           |fin AS (SELECT word,
+           |    CAST(len(string_split(trim(state, ' '), ' ')) AS BIGINT) AS n
+           |  FROM rec r
+           |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+           |                    WHERE contains(r.state, m.pat))),
+           |cnts AS (SELECT wi.doc_id, CAST(sum(f.n) AS BIGINT) AS nb
+           |  FROM wi JOIN fin f USING (word) GROUP BY wi.doc_id),
+           |t AS (SELECT d.doc_id, CAST(coalesce(c.nb, 0) AS BIGINT) AS n_tok,
+           |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+           |      || ':budget'), 1, 8)) AS BIGINT) AS h
+           |  FROM documents d LEFT JOIN cnts c ON c.doc_id = d.doc_id),
+           |c2 AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+           |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+           |SELECT doc_id, n_tok FROM c2 WHERE cum <= 10000""".stripMargin
+      }),
+
     // END-TO-END curation pipeline gate: quality-classifier filter →
     // exact dedup (keep-first) → deterministic token-budget draw, the
     // minimal real corpus-construction chain, ORACLE-CHECKED AS A
