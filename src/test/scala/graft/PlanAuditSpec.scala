@@ -41,6 +41,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("dedup_keep_priority: same partial WindowGroupLimit as keep_first " +
+      "(the explicit-order overload must not lose rank-limit pushdown)") {
+    val p = plan("dedup_keep_priority")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"dedup_keep_priority lost partial WindowGroupLimit:\n${p.take(3000)}")
+  }
+
   test("dedup_keep_first: partial WindowGroupLimit before the shuffle") {
     val p = plan("dedup_keep_first")
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
