@@ -1306,6 +1306,56 @@ object LlmQueries extends QueryModule {
              |  coalesce(sc.logit_milli, 0) > 0 AS keep
              |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin)),
 
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // histograms of a target sample (every 7th doc plays the "domain
+    // we want") vs the raw corpus, per-bucket micro-integer log-
+    // likelihood ratios — floor(1e6·x + 0.5), a fixed rounding both
+    // engines state identically, computed once per BUCKET driver-side
+    // so the lone ln() never meets per-row data and a 1-ulp libm
+    // difference cannot move the integer grid — then BIGINT dot-product
+    // scores and a deterministic top-50 by (score desc, id). The oracle
+    // recomputes the WHOLE chain (features, histograms, smoothing, ln,
+    // rounding, score, top-k) from the same md5-prefix feature hash;
+    // empty-feature docs score 0 via the left join on both sides.
+    QueryDef("dsir_select",
+      (s, d) => {
+        import graft.llm.DsirOps
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val target = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val ratios = DsirOps.logRatioTableMicro(target, docs, "text", 64)
+        DsirOps.selectTopK(docs, "doc_id", "text", ratios, 50)
+          .select("doc_id", "score_micro")
+      },
+      Some("""WITH wl AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |feats AS (SELECT doc_id, unnest(w ||
+             |    list_transform(range(1, len(w)), i ->
+             |      array_to_string(list_slice(w, i, i + 1), ' '))) AS f
+             |  FROM wl),
+             |fb AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM feats),
+             |tot AS (SELECT
+             |    (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt,
+             |    (SELECT count(*) FROM fb) AS rt),
+             |tab AS (SELECT i AS b, CAST(floor(1e6 * (
+             |      ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64)) -
+             |      ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64))) + 0.5) AS BIGINT) AS w
+             |  FROM range(0, 64) t(i) CROSS JOIN tot
+             |  LEFT JOIN (SELECT b, count(*) AS c FROM fb
+             |    WHERE doc_id % 7 = 0 GROUP BY b) tc ON tc.b = i
+             |  LEFT JOIN (SELECT b, count(*) AS c FROM fb
+             |    GROUP BY b) rc ON rc.b = i),
+             |sc AS (SELECT fb.doc_id, CAST(sum(tab.w) AS BIGINT) AS s
+             |  FROM fb JOIN tab ON tab.b = fb.b GROUP BY fb.doc_id),
+             |al AS (SELECT d.doc_id, coalesce(sc.s, 0) AS score_micro
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+             |SELECT doc_id, score_micro FROM (
+             |  SELECT *, row_number() OVER (
+             |    ORDER BY score_micro DESC, doc_id) AS rn
+             |  FROM al) WHERE rn <= 50""".stripMargin)),
+
     // Per-DOMAIN document cap — the Common-Crawl-style curation step
     // between URL parsing and content filters: planted URLs give every
     // 10th document one HOT host (10% of the corpus — the

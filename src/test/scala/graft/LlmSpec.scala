@@ -1286,4 +1286,97 @@ class LlmSpec extends SparkSpec {
       2L -> "delta",
       3L -> "own text\n\nepsilon"), r.toString)
   }
+
+  test("DsirOps.features: unigrams plus adjacent bigrams, short-doc guards") {
+    import graft.llm.DsirOps
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "solo"), (3L, ""), (4L, "  x   y "))
+      .toDF("id", "text")
+      .select(col("id"), DsirOps.features(col("text")).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a", "b", "c", "a b", "b c"), m(1L).toString)
+    assert(m(2L) == Seq("solo"))
+    assert(m(3L) == Seq())
+    assert(m(4L) == Seq("x", "y", "x y"))
+  }
+
+  test("DSIR selection prefers target-vocabulary documents; table and " +
+      "selection are deterministic") {
+    import graft.llm.DsirOps
+    import spark.implicits._
+    // 10 docs in the target's vocabulary, 30 in a disjoint one; the
+    // target SAMPLE is 4 separate docs (not in the raw corpus).
+    val raw = ((0L until 10L).map(i =>
+        (i, s"quantum energy field theory particle q$i wave")) ++
+      (10L until 40L).map(i =>
+        (i, s"recipe garden football w$i weather market"))).toDF("doc_id", "text")
+    val target = (100L until 104L).map(i =>
+      (i, "quantum field energy wave particle theory")).toDF("doc_id", "text")
+    val ratios = DsirOps.logRatioTableMicro(target, raw, "text", 64)
+    assert(ratios.size == 64)
+    val picked = DsirOps.selectTopK(raw, "doc_id", "text", ratios, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == (0L until 10L).toSet, picked.toString)
+    // deterministic: same table, same selection, under relayout
+    val again = DsirOps.logRatioTableMicro(target, raw.repartition(7), "text", 64)
+    assert(again == ratios)
+    val picked2 = DsirOps.selectTopK(raw.repartition(5), "doc_id", "text",
+      ratios, 10).select("doc_id").as[Long].collect().toSet
+    assert(picked2 == picked)
+  }
+
+  test("DSIR gate rounding margin: every micro-log ratio on the real " +
+      "fixtures sits far from a floor(x+0.5) boundary, so a 1-ulp libm " +
+      "difference between Math.log and DuckDB ln cannot flip the table") {
+    import graft.llm.DsirOps
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.Tables.documents(spark, s"/root/testdata/$sf")
+        .select("doc_id", "text")
+      val target = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      def histOf(df: org.apache.spark.sql.DataFrame): (Map[Int, Long], Long) = {
+        val m = DsirOps.bucketCounts(df, "text", 64).collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        (m, m.values.sum)
+      }
+      val (tm, tTot) = histOf(target)
+      val (rm, rTot) = histOf(docs)
+      // floor(y) flips where y crosses an integer; distance of y from
+      // the nearest integer is the safety margin. A 1-ulp error in
+      // each log is ≤ ulp(|log| ≈ 20) ≈ 4e-15 absolute, so y moves by
+      // ≤ 1e6·8e-15 ≈ 1e-8 — require 100× that clearance per bucket.
+      val margins = (0 until 64).map { b =>
+        val x = math.log((tm.getOrElse(b, 0L) + 1).toDouble / (tTot + 64)) -
+          math.log((rm.getOrElse(b, 0L) + 1).toDouble / (rTot + 64))
+        val y = 1e6 * x + 0.5
+        math.abs(y - math.rint(y))
+      }
+      assert(margins.forall(_ > 1e-6),
+        s"$sf: a ratio within 1e-6 of a floor boundary (worst ${margins.min})")
+    }
+  }
+
+  test("DSIR gumbelTopK: seed-deterministic, and a cold temperature " +
+      "recovers the deterministic top-k set") {
+    import graft.llm.DsirOps
+    import spark.implicits._
+    val raw = ((0L until 10L).map(i =>
+        (i, s"quantum energy field theory particle q$i wave")) ++
+      (10L until 40L).map(i =>
+        (i, s"recipe garden football w$i weather market"))).toDF("doc_id", "text")
+    val target = Seq((100L, "quantum field energy wave particle theory"))
+      .toDF("doc_id", "text")
+    val ratios = DsirOps.logRatioTableMicro(target, raw, "text", 64)
+    val a = DsirOps.gumbelTopK(raw, "doc_id", "text", ratios, 8)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = DsirOps.gumbelTopK(raw.repartition(3), "doc_id", "text", ratios, 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b, s"$a vs $b") // same salt → same draw, any layout
+    // micro-unit temperature: score gaps (thousands of micro units)
+    // dwarf Gumbel noise → the draw degenerates to the argmax slice
+    val cold = DsirOps.gumbelTopK(raw, "doc_id", "text", ratios, 10,
+      temperature = 1.0).select("doc_id").as[Long].collect().toSet
+    val det = DsirOps.selectTopK(raw, "doc_id", "text", ratios, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cold == det)
+  }
 }

@@ -283,6 +283,15 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("dsir_select: scoring rides the scan (the ratio table is a plan " +
+      "literal) and selection is TakeOrderedAndProject — the only " +
+      "shuffles in the FINAL query are the top-k's singlePartition") {
+    val p = plan("dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"dsir scoring must not hash-shuffle the corpus:\n${p.take(3000)}")
+  }
+
   test("bm25_topk: scalar stats broadcast back; top-k is " +
       "TakeOrderedAndProject; zero hash shuffles") {
     val p = plan("bm25_topk")
