@@ -362,6 +362,37 @@ object SimilarityOps {
     TextDedupOps.applyClusters(corpus, clusters, cId)
   }
 
+  /** Topic-balanced subcorpus draw: assign every row to its nearest
+    * centroid (max-dot over the broadcast centroid frame — the same
+    * cosine-geometry rule [[assignCells]]/IVF use, with the lowest
+    * cell winning exact ties) and keep at most `perCluster` rows per
+    * cluster by deterministic hash order. This is the
+    * cluster-proportional curation step (the DoReMi/D4-style "don't
+    * let one topic dominate the mixture" tier next to the per-DOMAIN
+    * cap): centroids typically come from [[trainIvfCentroids]] or a
+    * domain taxonomy's exemplar embeddings.
+    *
+    * Scale shape: one broadcast (centroids), zero shuffles for the
+    * assignment, and the per-cluster cap rides
+    * [[graft.operators.GroupOps.headPerKey]]'s bounded-buffer
+    * aggregate — a mega-cluster partial-aggregates map-side instead of
+    * landing on one window task. The hash-order key is
+    * `hashU32(id)·2^20 + id`, collision-free for integral ids < 2^20
+    * (the group_sample_n convention; for wider id spaces pass rows
+    * through a surrogate — headPerKey returns ALL boundary ties). */
+  def clusterBalancedSample(df: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Double]], perCluster: Int,
+      salt: String = "bal"): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val assigned = assignCells(df, embCol, centroids)
+      .withColumn("__bord",
+        graft.operators.SampleOps.hashU32(col(idCol), salt) * 1048576L +
+          col(idCol))
+    graft.operators.GroupOps.headPerKey(assigned, Seq("__cell"), "__bord",
+        perCluster)
+      .withColumnRenamed("__cell", "cluster").drop("__bord")
+  }
+
   // ───── Product quantization (Jégou, Douze & Schmid 2011, "Product
   // Quantization for Nearest Neighbor Search") — the memory tier below
   // int8: dim doubles → m single-byte codes (64× smaller at m=dim/8

@@ -1464,6 +1464,42 @@ object LlmQueries extends QueryModule {
              |  s[CAST(i AS INT)] / n_chunks AS mean_val
              |FROM e""".stripMargin)),
 
+    // Cluster-balanced subcorpus draw (the DoReMi/D4-style topic-mix
+    // cap): nearest-centroid assignment over four PLANTED centroids —
+    // the embeddings of vec_id 0..3, so the oracle reads the SAME
+    // centroid vectors from the table instead of trusting a float
+    // literal round-trip — then ≤20 rows per cluster by the
+    // collision-free hash order. Assignment is max-dot with
+    // lowest-cell tie-break (assignCells' fold keeps the earlier cell
+    // on equal scores; the oracle's window orders score DESC, cell).
+    QueryDef("cluster_balanced_draw",
+      (s, d) => {
+        val emb = T.embeddings(s, d).select("vec_id", "embedding")
+        val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        SimilarityOps.clusterBalancedSample(emb, "vec_id", "embedding",
+            cents, 20)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, e AS ce FROM c WHERE vec_id < 4),
+             |sc AS (SELECT c.vec_id, cents.cell,
+             |    list_dot_product(c.e, cents.ce) AS score
+             |  FROM c CROSS JOIN cents),
+             |asg AS (SELECT vec_id, cell AS cluster FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY score DESC, cell) AS rn FROM sc)
+             |  WHERE rn = 1),
+             |h AS (SELECT vec_id, cluster,
+             |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':bal'), 1, 8)) AS BIGINT)
+             |      * 1048576 + vec_id AS hk
+             |  FROM asg)
+             |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY cluster ORDER BY hk) AS rn FROM h)
+             |WHERE rn <= 20""".stripMargin)),
+
     // Per-GROUP deterministic n-sample — stratified corpus sampling
     // (n docs per source/language/domain) via GroupOps.headPerKey over
     // the md5-hash order: BoundedMinList partial-aggregates map-side,

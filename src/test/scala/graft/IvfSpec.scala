@@ -79,4 +79,33 @@ class IvfSpec extends SparkSpec {
       "probe plan blew up")
     assert(top.collect().length == 30)
   }
+
+  test("clusterBalancedSample: planted one-hot clusters assign exactly, " +
+      "hot cluster caps at perCluster, layout-invariant") {
+    import spark.implicits._
+    // 3 orthogonal directions; cluster 0 is HOT (60 rows), 1 and 2
+    // hold 10 and 3 — the cap must trim only the hot one
+    def vec(axis: Int, mag: Double): Seq[Double] =
+      (0 until 8).map(i => if (i == axis) mag else 0.0)
+    val rows = ((0L until 60L).map(i => (i, vec(0, 1.0 + (i % 5) * 0.1))) ++
+      (60L until 70L).map(i => (i, vec(1, 2.0))) ++
+      (70L until 73L).map(i => (i, vec(2, 3.0)))).toDF("vec_id", "embedding")
+    val cents = Array(vec(0, 1.0).toArray, vec(1, 1.0).toArray,
+      vec(2, 1.0).toArray)
+    val out = SimilarityOps.clusterBalancedSample(rows, "vec_id",
+      "embedding", cents, 8)
+    val byCluster = out.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCluster == Map(0 -> 8L, 1 -> 8L, 2 -> 3L), byCluster.toString)
+    // every kept row sits in its true cluster
+    val wrong = out.filter(
+      (col("vec_id") < 60 && col("cluster") =!= 0) ||
+      (col("vec_id") >= 60 && col("vec_id") < 70 && col("cluster") =!= 1) ||
+      (col("vec_id") >= 70 && col("cluster") =!= 2)).count()
+    assert(wrong == 0)
+    val again = SimilarityOps.clusterBalancedSample(rows.repartition(7),
+      "vec_id", "embedding", cents, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == out.select("vec_id").as[Long].collect().toSet)
+  }
 }

@@ -396,8 +396,10 @@ class PlanAuditSpec extends SparkSpec {
       "cosine_topk", "cosine_topk_native", "cosine_ivf_topk",
       "cosine_topk_quantized", // int8 shortlist: same broadcast-query shape
       "cosine_pq_topk",        // PQ-ADC shortlist: same broadcast-query shape
-      "embedding_near_dup")    // broadcast query/centroid side over the
+      "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
+      "cluster_balanced_draw") // broadcast 4-centroid frame over one
+                               // corpus scan (assignCells' shape)
     assert(offenders == allowed,
       s"cartesian/nested-loop set drifted.\n  now: ${offenders.toSeq.sorted}\n" +
         s"  pinned: ${allowed.toSeq.sorted}")
