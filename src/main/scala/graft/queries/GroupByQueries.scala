@@ -205,6 +205,33 @@ object GroupByQueries extends QueryModule {
              |  round(quantile_cont(value, 0.75), 4) AS p75
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // SKETCH-tier quantiles — the 100 TB describe() path: exact
+    // percentile materializes every group's values for a sort, while
+    // percentile_approx rides a mergeable Greenwald-Khanna summary
+    // (memory bounded by `accuracy`, partial+final aggregation, no
+    // per-group sort), the only formulation that survives a 10^9-row
+    // group. At accuracy ≥ group size the summary retains every sample
+    // and the answer degenerates to the EXACT nearest-rank element —
+    // which is what the oracle pins (Spark's rank: the smallest sample
+    // with position ≥ ceil(p·n); no interpolation, the returned double
+    // is an element of the input so it hash-compares verbatim). The
+    // approximation contract at scale (rank error ≤ n/accuracy) is
+    // spec-asserted in GroupOpsSpec next to this gate's exact regime.
+    QueryDef("approx_quantile_sketch",
+      (s, d) => T.events(s, d).groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(100000)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(100000)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(100000)).as("p99")),
+      Some("""WITH r AS (SELECT event_type, value, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY value) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT event_type,
+             |  min(CASE WHEN rn >= ceil(0.5 * n)  THEN value END) AS p50,
+             |  min(CASE WHEN rn >= ceil(0.9 * n)  THEN value END) AS p90,
+             |  min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
+             |FROM r GROUP BY event_type""".stripMargin)),
+
     QueryDef("groupby_any_all",
       (s, d) => T.events(s, d).groupBy("user_id").agg(
         bool_or(col("value") > 400).as("any_big"),

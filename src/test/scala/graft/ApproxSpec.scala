@@ -29,6 +29,35 @@ class ApproxSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("percentile_approx exact regime: accuracy ≥ n returns the " +
+      "ceil(p·n) nearest-rank element — the approx_quantile_sketch " +
+      "gate's oracle convention") {
+    import spark.implicits._
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val rows = ev.filter(col("event_type") === "click")
+        .select(col("value")).as[Double].collect().sorted
+      val n = rows.length
+      val expected = rows(math.ceil(p * n).toInt - 1)
+      val got = ev.filter(col("event_type") === "click")
+        .agg(percentile_approx(col("value"), lit(p), lit(100000)))
+        .collect()(0).getDouble(0)
+      assert(got == expected, s"p=$p: $got vs rank element $expected")
+    }
+  }
+
+  test("percentile_approx rank-error contract: observed rank within " +
+      "n/accuracy of the target at a lossy accuracy") {
+    import spark.implicits._
+    val rows = ev.select(col("value")).as[Double].collect().sorted
+    val n = rows.length
+    val accuracy = 50
+    val got = ev.agg(percentile_approx(col("value"), lit(0.5), lit(accuracy)))
+      .collect()(0).getDouble(0)
+    val rank = rows.count(_ <= got)
+    assert(math.abs(rank - 0.5 * n) <= n.toDouble / accuracy + 1,
+      s"rank $rank of $n outside ±n/$accuracy of the median target")
+  }
+
   test("HLL sketch per group: mergeable partial distinct counts") {
     // hll_sketch_agg / hll_sketch_estimate: the re-aggregatable form —
     // at 100 TB you store sketches per partition/day and merge, never
