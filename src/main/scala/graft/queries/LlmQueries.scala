@@ -1356,6 +1356,62 @@ object LlmQueries extends QueryModule {
              |    ORDER BY score_micro DESC, doc_id) AS rn
              |  FROM al) WHERE rn <= 50""".stripMargin)),
 
+    // DSIR → budget-draw COMPOSITION (the production shape: keep the
+    // target-like slice — score_micro > 0 means "more likely under the
+    // target model than the raw model" — then fill the token budget in
+    // the diversity-preserving hash order among survivors). One oracle
+    // CTE chain replays scoring AND the cumsum draw, so a drift in
+    // either stage, or in how they meet (the score filter must run
+    // BEFORE the cumsum so excluded docs free budget), moves the cut
+    // document and hash-fails — exactly what the per-stage gates
+    // cannot see.
+    QueryDef("dsir_budget_draw",
+      (s, d) => {
+        import graft.llm.DsirOps
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select("doc_id", "text")
+        val target = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val ratios = DsirOps.logRatioTableMicro(target, docs, "text", 64)
+        val kept = docs
+          .withColumn("score_micro", DsirOps.scoreMicro(col("text"), ratios))
+          .filter(col("score_micro") > 0)
+          .withColumn("n_tok",
+            size(TextStatsOps.words(col("text"))).cast("long"))
+          .select("doc_id", "score_micro", "n_tok")
+        SampleOps.sampleTokenBudget(kept, "doc_id", "n_tok", budget = 5000L)
+      },
+      Some("""WITH wl AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents),
+             |feats AS (SELECT doc_id, unnest(w ||
+             |    list_transform(range(1, len(w)), i ->
+             |      array_to_string(list_slice(w, i, i + 1), ' '))) AS f
+             |  FROM wl),
+             |fb AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM feats),
+             |tot AS (SELECT
+             |    (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tt,
+             |    (SELECT count(*) FROM fb) AS rt),
+             |tab AS (SELECT i AS b, CAST(floor(1e6 * (
+             |      ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 64)) -
+             |      ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + 64))) + 0.5) AS BIGINT) AS w
+             |  FROM range(0, 64) t(i) CROSS JOIN tot
+             |  LEFT JOIN (SELECT b, count(*) AS c FROM fb
+             |    WHERE doc_id % 7 = 0 GROUP BY b) tc ON tc.b = i
+             |  LEFT JOIN (SELECT b, count(*) AS c FROM fb
+             |    GROUP BY b) rc ON rc.b = i),
+             |sc AS (SELECT fb.doc_id, CAST(sum(tab.w) AS BIGINT) AS s
+             |  FROM fb JOIN tab ON tab.b = fb.b GROUP BY fb.doc_id),
+             |kept AS (SELECT d.doc_id, coalesce(sc.s, 0) AS score_micro,
+             |    CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |  WHERE coalesce(sc.s, 0) > 0),
+             |c AS (SELECT doc_id, score_micro, n_tok, sum(n_tok) OVER (
+             |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM kept)
+             |SELECT doc_id, score_micro, n_tok FROM c WHERE cum <= 5000""".stripMargin)),
+
     // Per-DOMAIN document cap — the Common-Crawl-style curation step
     // between URL parsing and content filters: planted URLs give every
     // 10th document one HOT host (10% of the corpus — the
