@@ -1412,6 +1412,60 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM kept)
              |SELECT doc_id, score_micro, n_tok FROM c WHERE cum <= 5000""".stripMargin)),
 
+    // CCNet head/middle/tail tiering + per-tier budget draw (Wenzek et
+    // al. 2020 §3: rank pages by model score, cut into terciles, keep
+    // mostly the head): classifier logits (integer milli-exact) rank
+    // via DistScan.globalNtile — ntile as ARITHMETIC on the
+    // distributed row number, range-repartitioned, never a
+    // single-partition window — then each tier fills its own token
+    // quota in hash order (sampleTokenBudgetPerGroup's grouped cumsum).
+    // The oracle replays logit → ntile(3) window → per-tier cumsum
+    // with CASE budgets in one chain.
+    QueryDef("ccnet_quality_buckets",
+      (s, d) => {
+        import graft.operators.{DistScan, SampleOps}
+        val w = TextStatsOps.demoClassifierWeights(64)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          TextStatsOps.hashedClassifierLogit(col("text"), w)
+            .as("logit_milli"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        val tiled = DistScan.globalNtile(docs,
+          Seq(col("logit_milli").desc, col("doc_id").asc), 3, "tier")
+        val labeled = tiled.withColumn("tier",
+          when(col("tier") === 1, "head")
+            .when(col("tier") === 2, "middle").otherwise("tail"))
+        SampleOps.sampleTokenBudgetPerGroup(labeled, "tier", "doc_id",
+            "n_tok", Map("head" -> 6000L, "middle" -> 3000L,
+              "tail" -> 1000L))
+          .select("doc_id", "tier", "n_tok")
+      },
+      Some("""WITH wt AS (SELECT i, (i * 2654435761) % 1000 - 500 AS w
+             |  FROM range(0, 64) t(i)),
+             |wl AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM wl),
+             |sc AS (SELECT f.doc_id, CAST(sum(wt.w) AS BIGINT) AS lg
+             |  FROM f JOIN wt ON wt.i = f.b GROUP BY f.doc_id),
+             |base AS (SELECT d.doc_id, coalesce(sc.lg, 0) AS lg,
+             |    CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+             |tiers AS (SELECT doc_id, n_tok,
+             |    ntile(3) OVER (ORDER BY lg DESC, doc_id) AS t FROM base),
+             |lab AS (SELECT doc_id, n_tok,
+             |    CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |      ELSE 'tail' END AS tier,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+             |  FROM tiers),
+             |c AS (SELECT doc_id, tier, n_tok, sum(n_tok) OVER (
+             |    PARTITION BY tier ORDER BY h, doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS cum FROM lab)
+             |SELECT doc_id, tier, n_tok FROM c
+             |WHERE cum <= CASE tier WHEN 'head' THEN 6000
+             |  WHEN 'middle' THEN 3000 ELSE 1000 END""".stripMargin)),
+
     // Per-DOMAIN document cap — the Common-Crawl-style curation step
     // between URL parsing and content filters: planted URLs give every
     // 10th document one HOT host (10% of the corpus — the
