@@ -154,6 +154,44 @@ object SampleOps {
     * offset pass; the window arithmetic is a row-local explode whose
     * fan-out is ⌈n_tok/seqLen⌉+1 per document. Exact long arithmetic
     * throughout (`div`, not double floor). */
+  /** Data-constrained upsampling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): when the curated corpus holds
+    * fewer tokens than the training budget, REPEAT it — full epochs of
+    * every document plus one hash-order partial epoch that fills the
+    * remainder, with `maxEpochs` capping repetition where the paper's
+    * value-of-repeated-data decay makes further epochs worthless
+    * (their fitted ~4-epoch knee is the default). Emits one row per
+    * (document × epoch) with `epoch` 0-based, so the downstream
+    * packer/shard writer sees repeats as ordinary rows and a resumed
+    * run regenerates the identical schedule.
+    *
+    * Scale shape: ONE scalar total-tokens aggregate (collected — a
+    * 1-row driver read), the full epochs as a row-local
+    * explode(sequence) whose fan-out is the epoch count, and the
+    * partial epoch as [[sampleTokenBudget]]'s single-range-exchange
+    * cumsum. If the budget exceeds maxEpochs full epochs, the cap
+    * wins (no partial epoch — the caller asked for more data than
+    * repetition usefully provides, and silently looping further would
+    * betray the paper's premise). */
+  def repeatToBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, maxEpochs: Int = 4, salt: String = "budget",
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val total = df.agg(sum(col(tokensCol).cast("long"))).collect()(0)
+      .getLong(0)
+    require(total > 0, "corpus has no tokens to repeat")
+    val k = math.min(budget / total, maxEpochs.toLong)
+    val full =
+      if (k == 0) df.limit(0).withColumn("epoch", lit(0L))
+      else df.withColumn("epoch",
+        explode(sequence(lit(0L), lit(k - 1))))
+    val rem = if (k >= maxEpochs) 0L else budget - k * total
+    val partial = sampleTokenBudget(df, idCol, tokensCol, rem, salt,
+      buckets).withColumn("epoch", lit(k))
+    if (rem == 0) full else full.unionByName(partial)
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, salt: String = "pack", buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")

@@ -772,6 +772,39 @@ object LlmQueries extends QueryModule {
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
              |SELECT doc_id, n_tok FROM c WHERE cum <= 10000""".stripMargin)),
 
+    // Data-constrained UPSAMPLING (Muennighoff et al. 2023): budget >
+    // corpus ⇒ repeat — full epochs via a row-local explode plus one
+    // hash-order partial epoch, epochs capped where repeated data
+    // stops paying (their ~4-epoch knee). The 50k budget lands in
+    // DIFFERENT regimes by SF (multiple full epochs + remainder at
+    // sf0.01, partial-only at sf0.1), so both paths face the oracle,
+    // which recomputes the corpus total, the epoch count, and the
+    // remainder cumsum in one chain.
+    QueryDef("repeat_to_budget",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.repeatToBudget(docs, "doc_id", "n_tok", budget = 50000L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |kk AS (SELECT least(50000 // T, 4) AS k, T FROM
+             |  (SELECT CAST(sum(n_tok) AS BIGINT) AS T FROM t)),
+             |fullep AS (SELECT doc_id, n_tok, r.e AS epoch
+             |  FROM t CROSS JOIN kk JOIN range(0, 4) r(e) ON r.e < kk.k),
+             |rem AS (SELECT k,
+             |    CASE WHEN k >= 4 THEN 0 ELSE 50000 - k * T END AS rem
+             |  FROM kk),
+             |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+             |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+             |part AS (SELECT c.doc_id, c.n_tok, rem.k AS epoch
+             |  FROM c CROSS JOIN rem WHERE c.cum <= rem.rem)
+             |SELECT doc_id, n_tok, epoch FROM fullep
+             |UNION ALL SELECT doc_id, n_tok, epoch FROM part""".stripMargin)),
+
     // Token-budget draw sized by BYTE-LEVEL BPE counts — the
     // composition the byte-level tier exists for (the whitespace
     // counter under-prices punctuation/space-heavy documents, so the

@@ -1287,6 +1287,35 @@ class LlmSpec extends SparkSpec {
       3L -> "own text\n\nepsilon"), r.toString)
   }
 
+  test("repeatToBudget: full epochs + exact partial remainder, epoch " +
+      "cap suppresses the partial, small-budget degenerates to a draw") {
+    import graft.operators.SampleOps
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L))
+      .toDF("doc_id", "n_tok") // total 1000
+    // budget 2600 → 2 full epochs + a 600-token hash-order partial
+    val r = SampleOps.repeatToBudget(docs, "doc_id", "n_tok", 2600L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.count(_._3 == 0L) == 4 && r.count(_._3 == 1L) == 4)
+    val partial = r.filter(_._3 == 2L)
+    assert(partial.map(_._2).sum <= 600L, partial.mkString(","))
+    // the partial equals the plain budget draw at 600
+    val draw = SampleOps.sampleTokenBudget(docs, "doc_id", "n_tok", 600L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(partial.map(_._1).toSet == draw)
+    // cap: budget 10×corpus stops at maxEpochs full epochs, no partial
+    val capped = SampleOps.repeatToBudget(docs, "doc_id", "n_tok", 10000L)
+      .collect().map(x => x.getLong(2))
+    assert(capped.length == 16 && capped.max == 3L)
+    // sub-corpus budget: zero full epochs, pure draw at epoch 0
+    val small = SampleOps.repeatToBudget(docs, "doc_id", "n_tok", 500L)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(small.forall(_._2 == 0L))
+    assert(small.map(_._1).toSet ==
+      SampleOps.sampleTokenBudget(docs, "doc_id", "n_tok", 500L)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("DsirOps.features: unigrams plus adjacent bigrams, short-doc guards") {
     import graft.llm.DsirOps
     import spark.implicits._
