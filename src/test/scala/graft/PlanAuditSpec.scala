@@ -292,6 +292,15 @@ class PlanAuditSpec extends SparkSpec {
       s"dsir scoring must not hash-shuffle the corpus:\n${p.take(3000)}")
   }
 
+  test("ccnet_quality_buckets: the global tercile rides range " +
+      "partitioning — no single-partition exchange, no unpartitioned " +
+      "window (the ntile-as-one-window formulation would plan both)") {
+    val p = plan("ccnet_quality_buckets")
+    assert(p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global ntile collapsed to one partition:\n${p.take(3000)}")
+  }
+
   test("bm25_topk: scalar stats broadcast back; top-k is " +
       "TakeOrderedAndProject; zero hash shuffles") {
     val p = plan("bm25_topk")
