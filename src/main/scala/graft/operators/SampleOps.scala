@@ -192,6 +192,57 @@ object SampleOps {
     if (rem == 0) full else full.unionByName(partial)
   }
 
+  /** Length-bucketed PADDED packing — the NO-SPLIT packing tier for
+    * SFT / encoder training, where a document must land whole inside
+    * one training sequence (GPT-style boundary-crossing packing is
+    * [[packSequences]]): each document rounds up to its power-of-two
+    * slot class, a sequence of `seqLen` tokens holds `seqLen/slot`
+    * same-slot documents, and the padding cost is `slot − n_tok` per
+    * document — bounded below 2× by construction, vs the unbounded
+    * waste of one-document-per-sequence padding. Emits
+    * (id, tokens, slot, seq_id, seq_pos, pad) with `(slot, seq_id)`
+    * naming the training sequence and `seq_pos` the document's slot
+    * index inside it; deterministic hash order, so the batch schedule
+    * is a pure function of (corpus, salt, seqLen).
+    *
+    * Scale shape: slot classes are log2(seqLen)-many, position within
+    * a class rides [[DistScan.withGroupedRunningSum]] (range buckets
+    * on the hash — one dominant length class still spreads across
+    * every bucket), and the window index is exact integer division.
+    * Zero-token documents occupy no slot and are dropped; documents
+    * LONGER than seqLen fail loudly (they cannot pack whole — filter
+    * or truncate upstream, silently dropping them would bias the
+    * corpus toward short text). */
+  def packPaddedByLength(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, salt: String = "pack", buckets: Int = 32): DataFrame = {
+    require(seqLen > 0 && (seqLen & (seqLen - 1)) == 0,
+      s"seqLen must be a power of two: $seqLen")
+    val t = col(tokensCol).cast("long")
+    val guarded = when(t > seqLen,
+        raise_error(concat(lit("packPaddedByLength: document exceeds " +
+          s"seqLen=$seqLen: id="), col(idCol).cast("string"))))
+      .otherwise(t)
+    val classes = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= seqLen).toSeq
+    val slot = classes.reverse.foldLeft(lit(seqLen): Column)((acc, s) =>
+      when(guarded <= s, lit(s)).otherwise(acc))
+    val staged = df.filter(t > 0)
+      .withColumn("__slot", slot)
+      .withColumn("__h", hashU32(col(idCol), salt))
+    val ranked = DistScan.withGroupedRunningSum(staged, Seq("__slot"),
+      col("__h"), Seq(col("__h").asc, col(idCol).asc),
+      "__rn", lit(1L), buckets)
+    ranked // capacity seqLen/slot is exact: both are powers of two
+      .withColumn("__cap", expr(s"${seqLen}L div __slot"))
+      .withColumn("seq_id", expr("(__rn - 1) div __cap"))
+      .withColumn("seq_pos", pmod(col("__rn") - 1, col("__cap")))
+      .withColumn("pad", col("__slot") - t)
+      .withColumnRenamed("__slot", "slot")
+      // withGroupedRunningSum's offset join fronts its key columns —
+      // restore a stable caller-columns-first order
+      .select((df.columns.toSeq ++
+        Seq("slot", "seq_id", "seq_pos", "pad")).map(col): _*)
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, salt: String = "pack", buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")

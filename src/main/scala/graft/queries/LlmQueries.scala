@@ -922,6 +922,41 @@ object LlmQueries extends QueryModule {
     // DuckDB; any cumsum, rounding, or boundary bug (off-by-one at a
     // window edge, a lost final partial window, a duplicated fragment)
     // changes a row and hash-fails. All-integer output, no tolerance.
+    // NO-SPLIT padded packing (the SFT/encoder tier next to
+    // pack_sequences' GPT-style boundary-crossing tiling): documents
+    // round up to power-of-two slot classes, each 256-token sequence
+    // holds 256/slot same-slot documents, pad = slot − n_tok. The
+    // fixture's 10..100-word docs spread over slot classes 16..128, so
+    // the oracle's CASE chain, the per-class hash-order row_number,
+    // and the exact integer div/mod window arithmetic all face real
+    // variety at both SFs.
+    QueryDef("pack_padded_length",
+      (s, d) => {
+        import graft.operators.SampleOps
+        val docs = T.documents(s, d).select(col("doc_id"),
+          size(TextStatsOps.words(col("text"))).cast("long").as("n_tok"))
+        SampleOps.packPaddedByLength(docs, "doc_id", "n_tok",
+          seqLen = 256L)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_tok, h,
+             |    CASE WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+             |      WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8
+             |      WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+             |      WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             |      ELSE 256 END AS slot
+             |  FROM t WHERE n_tok > 0),
+             |r AS (SELECT doc_id, n_tok, slot, row_number() OVER (
+             |    PARTITION BY slot ORDER BY h, doc_id) AS rn FROM s)
+             |SELECT doc_id, n_tok, CAST(slot AS BIGINT) AS slot,
+             |  CAST((rn - 1) // (256 // slot) AS BIGINT) AS seq_id,
+             |  CAST((rn - 1) % (256 // slot) AS BIGINT) AS seq_pos,
+             |  CAST(slot - n_tok AS BIGINT) AS pad
+             |FROM r""".stripMargin)),
+
     QueryDef("pack_sequences",
       (s, d) => {
         import graft.operators.SampleOps

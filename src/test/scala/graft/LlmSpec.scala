@@ -1287,6 +1287,47 @@ class LlmSpec extends SparkSpec {
       3L -> "own text\n\nepsilon"), r.toString)
   }
 
+  test("packPaddedByLength: slot rounding, capacity fill, sub-2x pad " +
+      "bound, oversize rejection, layout invariance") {
+    import graft.operators.SampleOps
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n_tok")
+    val out = SampleOps.packPaddedByLength(docs, "doc_id", "n_tok", 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 40)
+    out.foreach { case (id, t, slot, _, pos, pad) =>
+      assert(slot >= t && slot < 2 * t, s"doc $id slot $slot for $t") // pow2 round-up
+      assert(pad == slot - t && pad < t || t == slot, s"doc $id pad $pad")
+      assert(pos >= 0 && pos < 32 / slot, s"doc $id pos $pos slot $slot")
+    }
+    // every (slot, seq_id) holds at most capacity docs, positions distinct
+    out.groupBy(r => (r._3, r._4)).foreach { case ((slot, seq), rows) =>
+      assert(rows.length <= 32 / slot, s"overfull sequence $slot/$seq")
+      assert(rows.map(_._5).distinct.length == rows.length)
+    }
+    // non-final sequences are FULL (no fragmentation inside a class)
+    out.groupBy(_._3).foreach { case (slot, rows) =>
+      val maxSeq = rows.map(_._4).max
+      rows.groupBy(_._4).foreach { case (seq, rs) =>
+        if (seq < maxSeq)
+          assert(rs.length == (32 / slot).toInt, s"gap in $slot/$seq")
+      }
+    }
+    val again = SampleOps.packPaddedByLength(docs.repartition(7),
+      "doc_id", "n_tok", 32L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(again == out.map(r => (r._1, r._4, r._5)).toSet)
+    // oversize doc fails loudly, not silently dropped
+    val over = Seq((1L, 33L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      SampleOps.packPaddedByLength(over, "doc_id", "n_tok", 32L).collect()
+    }
+    assert(e.getMessage.contains("exceeds seqLen") ||
+      e.getCause != null && e.getCause.getMessage.contains("exceeds seqLen"),
+      e.toString)
+  }
+
   test("repeatToBudget: full epochs + exact partial remainder, epoch " +
       "cap suppresses the partial, small-budget degenerates to a draw") {
     import graft.operators.SampleOps
