@@ -1034,6 +1034,62 @@ object LlmQueries extends QueryModule {
            |           GROUP BY wl.doc_id) s ON s.doc_id = d.doc_id""".stripMargin
       }),
 
+    // Tokenizer FERTILITY report (tokens-per-word by language — the
+    // tokenizer-eval metric that drives vocab sizing: a language whose
+    // fertility runs high is being shredded into sub-word confetti and
+    // needs vocabulary coverage). Emitted as the exact integer PAIR
+    // (n_bpe, n_words) per language rather than the ratio, so the gate
+    // stays division-free and hash-exact; the byte-level counter
+    // composes identically (sample_budget_bytes pins that tier). One
+    // map-side-combined aggregation over scan-local counts. The oracle
+    // reuses the bpe_token_count recursive-CTE fixpoint over distinct
+    // words, regrouped by the table's lang column.
+    QueryDef("tokenizer_fertility",
+      (s, d) => T.documents(s, d).groupBy("lang").agg(
+        sum(size(TextStatsOps.words(col("text"))).cast("long"))
+          .as("n_words"),
+        sum(TextStatsOps.bpeTokenCount(col("text"))).as("n_bpe"),
+        count(lit(1)).as("n_docs")),
+      Some {
+        val mergeRows = TextStatsOps
+          .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+          .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+          .mkString(",\n    ")
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+           |    $mergeRows),
+           |wl AS (SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+           |  FROM documents),
+           |uw AS (SELECT DISTINCT word FROM wl),
+           |init AS (SELECT word, ' ' || array_to_string(
+           |    list_transform(range(1, length(word) + 1),
+           |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+           |  FROM uw),
+           |rec AS (
+           |  SELECT word, state FROM init
+           |  UNION ALL
+           |  SELECT x.word, replace(x.state, m.pat, m.rep)
+           |  FROM (SELECT r.word, r.state,
+           |      (SELECT min(m2.rank) FROM merges m2
+           |       WHERE contains(r.state, m2.pat)) AS br
+           |    FROM rec r) x
+           |  JOIN merges m ON m.rank = x.br),
+           |fin AS (SELECT word, state FROM rec r
+           |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+           |                    WHERE contains(r.state, m.pat))),
+           |cnt AS (SELECT word,
+           |    CAST(len(string_split(trim(state), ' ')) AS BIGINT) AS n
+           |  FROM fin),
+           |per_doc AS (SELECT wl.doc_id, CAST(sum(c.n) AS BIGINT) AS n_bpe
+           |  FROM wl JOIN cnt c USING (word) GROUP BY wl.doc_id)
+           |SELECT d.lang,
+           |  CAST(sum(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_words,
+           |  CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+           |GROUP BY d.lang""".stripMargin
+      }),
+
     // REAL BPE token-ID ENCODING (extends bpe_token_count from budget
     // to artifact): one row per surviving symbol with 0-based word and
     // symbol positions and the deterministic vocabulary id (codepoint
