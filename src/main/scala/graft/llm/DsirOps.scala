@@ -52,7 +52,9 @@ object DsirOps {
     * Surface words, not the dedup-normalized tokens: DSIR's histograms
     * are over raw text like the classifier's. */
   def features(text: Column): Column = {
-    val ws = TextStatsOps.words(text)
+    // NULL text ⇒ no features (not a NULL array): keeps scoreMicro at
+    // 0 for null docs, matching the oracle's LEFT JOIN + coalesce(0)
+    val ws = TextStatsOps.words(coalesce(text, lit("")))
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
@@ -60,10 +62,11 @@ object DsirOps {
     concat(ws, bigrams)
   }
 
-  /** Feature→bucket: first 8 md5 hex chars mod B (engine-portable). */
+  /** Feature→bucket: first 8 md5 hex chars mod B (engine-portable —
+    * the shared [[TextStatsOps.md5Bucket]] expression the hashed
+    * classifier also uses, so both oracles replay ONE hash). */
   def bucketOf(feature: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(feature), 1, 8), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    TextStatsOps.md5Bucket(feature, buckets)
 
   /** Corpus bucket histogram: (bucket, cnt) with one map-side-combined
     * aggregation — ≤B rows per partition cross the wire regardless of

@@ -445,15 +445,19 @@ object TextStatsOps {
     * engine can replay the features. Scale shape: zero shuffle —
     * weights ride the plan as an array literal, scoring is row-local
     * HOF arithmetic at scan throughput. */
+  /** THE engine-portable feature hash: first 8 md5 hex chars mod n.
+    * One definition shared by the hashed classifier and DSIR so their
+    * oracles replay a single expression — widen/retune it HERE and
+    * every dependent oracle's `substr(md5(x), 1, 8)` must follow. */
+  def md5Bucket(c: Column, n: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(n.toLong))
+
   def hashedClassifierLogit(text: Column, weights: Seq[Long]): Column = {
     val wlit = typedLit(weights)
     val n = weights.size
     aggregate(
-      transform(words(text), w => {
-        val bucket = pmod(conv(substring(md5(w), 1, 8), 16, 10)
-          .cast("long"), lit(n))
-        element_at(wlit, bucket.cast("int") + 1)
-      }),
+      transform(words(text), w =>
+        element_at(wlit, md5Bucket(w, n).cast("int") + 1)),
       lit(0L), (a, b) => a + b)
   }
 

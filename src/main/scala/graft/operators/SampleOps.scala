@@ -130,30 +130,6 @@ object SampleOps {
       .drop("__h", "__cum", DistScan.PidCol)
   }
 
-  /** Sequence packing — the pretraining step after the corpus draw:
-    * concatenate every document's tokens into one global stream
-    * (deterministic hash order, same convention as sampleTokenBudget)
-    * and cut it into fixed `seqLen`-token training windows. Emits one
-    * row per (document × window it overlaps):
-    *   seq_id     window index in the global stream
-    *   frag_start first token of the document inside this window
-    *   frag_len   number of its tokens in this window
-    *   seq_off    where the fragment lands inside the window
-    * so a downstream tokenizer pass can materialize window seq_id by
-    * concatenating its fragments ordered by seq_off — documents cross
-    * window boundaries (GPT-style packing), nothing is padded except
-    * the final partial window. Zero-token documents occupy no span and
-    * are dropped.
-    *
-    * Determinism/reproducibility: hash order makes the packing a pure
-    * function of (corpus, salt, seqLen) — independent of partitioning
-    * or file layout, so a re-run resumes training on identical batches.
-    *
-    * Scale shape (100 TB): DistScan.withRunningSums range-buckets by
-    * the hash — ONE range shuffle, per-bucket windows, ≤buckets-row
-    * offset pass; the window arithmetic is a row-local explode whose
-    * fan-out is ⌈n_tok/seqLen⌉+1 per document. Exact long arithmetic
-    * throughout (`div`, not double floor). */
   /** Data-constrained upsampling (Muennighoff et al. 2023, "Scaling
     * Data-Constrained Language Models"): when the curated corpus holds
     * fewer tokens than the training budget, REPEAT it — full epochs of
@@ -178,9 +154,10 @@ object SampleOps {
       buckets: Int = 32): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
-    val total = df.agg(sum(col(tokensCol).cast("long"))).collect()(0)
-      .getLong(0)
-    require(total > 0, "corpus has no tokens to repeat")
+    val totRow = df.agg(sum(col(tokensCol).cast("long"))).collect()(0)
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "corpus has no tokens to repeat")
+    val total = totRow.getLong(0)
     val k = math.min(budget / total, maxEpochs.toLong)
     val full =
       if (k == 0) df.limit(0).withColumn("epoch", lit(0L))
@@ -189,6 +166,9 @@ object SampleOps {
     val rem = if (k >= maxEpochs) 0L else budget - k * total
     val partial = sampleTokenBudget(df, idCol, tokensCol, rem, salt,
       buckets).withColumn("epoch", lit(k))
+    // rem == 0 ⇒ NO partial epoch at all — including zero-token
+    // documents a cum ≤ 0 prefix draw would admit (the oracle's part
+    // CTE guards rem > 0 to match)
     if (rem == 0) full else full.unionByName(partial)
   }
 
@@ -243,6 +223,30 @@ object SampleOps {
         Seq("slot", "seq_id", "seq_pos", "pad")).map(col): _*)
   }
 
+  /** Sequence packing — the pretraining step after the corpus draw:
+    * concatenate every document's tokens into one global stream
+    * (deterministic hash order, same convention as sampleTokenBudget)
+    * and cut it into fixed `seqLen`-token training windows. Emits one
+    * row per (document × window it overlaps):
+    *   seq_id     window index in the global stream
+    *   frag_start first token of the document inside this window
+    *   frag_len   number of its tokens in this window
+    *   seq_off    where the fragment lands inside the window
+    * so a downstream tokenizer pass can materialize window seq_id by
+    * concatenating its fragments ordered by seq_off — documents cross
+    * window boundaries (GPT-style packing), nothing is padded except
+    * the final partial window. Zero-token documents occupy no span and
+    * are dropped.
+    *
+    * Determinism/reproducibility: hash order makes the packing a pure
+    * function of (corpus, salt, seqLen) — independent of partitioning
+    * or file layout, so a re-run resumes training on identical batches.
+    *
+    * Scale shape (100 TB): DistScan.withRunningSums range-buckets by
+    * the hash — ONE range shuffle, per-bucket windows, ≤buckets-row
+    * offset pass; the window arithmetic is a row-local explode whose
+    * fan-out is ⌈n_tok/seqLen⌉+1 per document. Exact long arithmetic
+    * throughout (`div`, not double floor). */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, salt: String = "pack", buckets: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")

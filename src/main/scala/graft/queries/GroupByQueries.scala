@@ -225,12 +225,15 @@ object GroupByQueries extends QueryModule {
       Some("""WITH r AS (SELECT event_type, value, row_number() OVER (
              |    PARTITION BY event_type ORDER BY value) AS rn,
              |    count(*) OVER (PARTITION BY event_type) AS n
-             |  FROM events WHERE value IS NOT NULL)
-             |SELECT event_type,
-             |  min(CASE WHEN rn >= ceil(0.5 * n)  THEN value END) AS p50,
-             |  min(CASE WHEN rn >= ceil(0.9 * n)  THEN value END) AS p90,
-             |  min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
-             |FROM r GROUP BY event_type""".stripMargin)),
+             |  FROM events WHERE value IS NOT NULL),
+             |p AS (SELECT event_type,
+             |    min(CASE WHEN rn >= ceil(0.5 * n)  THEN value END) AS p50,
+             |    min(CASE WHEN rn >= ceil(0.9 * n)  THEN value END) AS p90,
+             |    min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
+             |  FROM r GROUP BY event_type)
+             |SELECT g.event_type, p.p50, p.p90, p.p99
+             |FROM (SELECT DISTINCT event_type FROM events) g
+             |LEFT JOIN p USING (event_type)""".stripMargin)),
 
     QueryDef("groupby_any_all",
       (s, d) => T.events(s, d).groupBy("user_id").agg(

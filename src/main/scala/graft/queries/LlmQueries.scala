@@ -801,7 +801,8 @@ object LlmQueries extends QueryModule {
              |c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
              |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
              |part AS (SELECT c.doc_id, c.n_tok, rem.k AS epoch
-             |  FROM c CROSS JOIN rem WHERE c.cum <= rem.rem)
+             |  FROM c CROSS JOIN rem
+             |  WHERE rem.rem > 0 AND c.cum <= rem.rem)
              |SELECT doc_id, n_tok, epoch FROM fullep
              |UNION ALL SELECT doc_id, n_tok, epoch FROM part""".stripMargin)),
 

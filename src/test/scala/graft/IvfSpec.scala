@@ -84,7 +84,8 @@ class IvfSpec extends SparkSpec {
       "hot cluster caps at perCluster, layout-invariant") {
     import spark.implicits._
     // 3 orthogonal directions; cluster 0 is HOT (60 rows), 1 and 2
-    // hold 10 and 3 — the cap must trim only the hot one
+    // hold 10 and 3 — the cap trims the two over-capacity clusters
+    // (0 and 1) to 8 and leaves under-capacity cluster 2 whole
     def vec(axis: Int, mag: Double): Seq[Double] =
       (0 until 8).map(i => if (i == axis) mag else 0.0)
     val rows = ((0L until 60L).map(i => (i, vec(0, 1.0 + (i % 5) * 0.1))) ++
