@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule, Tables}
 import graft.llm.MultimodalOps
 import graft.sources.{ExcelIo, FeatherIo, FwfReader, HtmlIo, JdbcIo,
-  JsonOrientIo, SasXportIo, StataIo}
+  JsonOrientIo, SasXportIo, StataIo, WetIo}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -724,6 +724,33 @@ object IoQueries extends QueryModule {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
              |  l_extendedprice, o_custkey, o_totalprice
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE l_orderkey < 2000 AND o_orderkey < 2000""".stripMargin))
+             |WHERE l_orderkey < 2000 AND o_orderkey < 2000""".stripMargin)),
+
+    // WARC/WET round trip (the Common Crawl crawl-text wire format —
+    // the entry point of the web-curation tier): the documents table
+    // streamed into ONE gzipped WET shard (warcinfo + one conversion
+    // record per doc, CRLF framing, exact UTF-8 Content-Length) and
+    // parsed back record-by-record. doc_id re-derives from the target
+    // URI and the compared projection is (id, byte length, text) —
+    // DuckDB states it straight from parquet (strlen = BYTES, matching
+    // the wire Content-Length), so a framing, length, gzip, or
+    // multibyte bug on either leg hash-fails.
+    QueryDef("wet_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/corpus.wet.gz"
+        val src = T.documents(s, d).select(
+          concat(lit("http://example.com/doc/"), col("doc_id"))
+            .as("target_uri"),
+          col("text")).orderBy(col("target_uri"))
+        WetIo.write(src, path)
+        WetIo.read(s, path)
+          .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            col("content_length"), col("text"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+             |  coalesce(text, '') AS text
+             |FROM documents""".stripMargin))
   )
 }
