@@ -276,7 +276,7 @@ object JsonOrientIo {
 
   private def fields(n: JsonNode): Seq[(String, JsonNode)] = {
     val b = Seq.newBuilder[(String, JsonNode)]
-    n.fields().forEachRemaining(e => b += e.getKey -> e.getValue)
+    n.properties().forEach(e => b += e.getKey -> e.getValue)
     b.result()
   }
 
