@@ -434,4 +434,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: packPaddedByLength equals the sequential reference " +
+      "on random corpora") {
+    import graft.operators.SampleOps
+    val gen: Gen[List[Long]] = Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 64L))
+    }
+    val seqLen = 64L
+    (0 until 6).foreach { s =>
+      val toks = gen.pureApply(Gen.Parameters.default, Seed(4200L + s))
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tok")
+      val got = SampleOps.packPaddedByLength(docs, "doc_id", "n_tok", seqLen)
+        .select("doc_id", "slot", "seq_id", "seq_pos")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // sequential reference: per slot class, ids in (hashU32, id)
+      // order fill capacity-sized windows
+      def hash(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:pack".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          md.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      def slotOf(t: Long): Long =
+        Iterator.iterate(1L)(_ * 2).find(_ >= t).get
+      val expect = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, slotOf(t)) }
+        .groupBy(_._3).flatMap { case (slot, rows) =>
+          val cap = seqLen / slot
+          rows.sortBy(r => (hash(r._1), r._1)).zipWithIndex.map {
+            case ((id, _, _), rn) =>
+              id -> (slot, rn.toLong / cap, rn.toLong % cap)
+          }
+        }
+      assert(got == expect, s"seed $s")
+    }
+  }
 }
