@@ -737,6 +737,35 @@ object TextStatsOps {
   val C4PolicyPhrases: Seq[String] = Seq("terms of use", "privacy policy",
     "cookie policy", "uses cookies", "use of cookies", "cookie notice")
 
+  /** C4's bad-word page filter (Raffel et al. 2020 §2.2, the blocklist
+    * step — the caller SUPPLIES the list; we deliberately ship none):
+    * exact word-boundary occurrence count over lowercased surface
+    * words. Multi-word terms match as consecutive-word runs, so
+    * "merge batch" hits "… merge batch …" but never "merged batches" —
+    * substring matching (`contains`) would flag compounds and inflect
+    * the false-positive rate the paper's critics documented. keep is
+    * just `badWordHits === 0`.
+    *
+    * Scale shape: the list rides the plan as array literals grouped by
+    * phrase length (one HOF count per distinct length), all row-local
+    * at scan throughput — zero shuffle. */
+  def badWordHits(text: Column, terms: Seq[String]): Column = {
+    val cleaned = terms.map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).distinct
+    require(cleaned.nonEmpty, "badWordHits: empty blocklist")
+    val ws = words(lower(text))
+    cleaned.groupBy(t => t.split("\\s+").length).toSeq.sortBy(_._1)
+      .map { case (n, ts) =>
+        val set = typedLit(ts)
+        if (n == 1) size(filter(ws, w => array_contains(set, w)))
+        else {
+          val sh = when(size(ws) >= n, shingles(ws, n))
+            .otherwise(array().cast("array<string>"))
+          size(filter(sh, s => array_contains(set, s)))
+        }
+      }.reduce(_ + _).cast("long")
+  }
+
   /** One line survives C4 cleaning (Raffel et al. 2020 §2.2): ends in a
     * terminal punctuation mark, has ≥5 words, and mentions neither
     * "javascript" nor a policy-notice phrase. */

@@ -1035,6 +1035,33 @@ object LlmQueries extends QueryModule {
            |           GROUP BY wl.doc_id) s ON s.doc_id = d.doc_id""".stripMargin
       }),
 
+    // C4 bad-word page filter (Raffel et al. 2020 §2.2's blocklist
+    // step, previously the c4Clean scaladoc's documented out-of-scope
+    // item — the operator takes the CALLER's list; the gate uses a
+    // neutral demo list from the corpus vocabulary): exact
+    // word-boundary counting, with "merge batch" exercising the
+    // consecutive-word phrase path next to two unigram terms. The
+    // oracle replays unigram membership + bigram-run equality over the
+    // same lowercased split.
+    QueryDef("bad_word_filter",
+      (s, d) => T.documents(s, d).select(col("doc_id"),
+          TextStatsOps.badWordHits(col("text"),
+            Seq("slow", "big", "merge batch")).as("bad_hits"))
+        .withColumn("keep", col("bad_hits") === 0),
+      Some("""WITH wl AS (SELECT doc_id,
+             |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> ''), w -> lower(w)) AS w
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    len(list_filter(w, x -> x IN ('slow', 'big'))) +
+             |    len(list_filter(list_transform(range(1, len(w)), i ->
+             |        array_to_string(list_slice(w, i, i + 1), ' ')),
+             |      s -> s = 'merge batch')) AS bad_hits
+             |  FROM wl)
+             |SELECT doc_id, CAST(bad_hits AS BIGINT) AS bad_hits,
+             |  bad_hits = 0 AS keep
+             |FROM h""".stripMargin)),
+
     // Tokenizer FERTILITY report (tokens-per-word by language — the
     // tokenizer-eval metric that drives vocab sizing: a language whose
     // fertility runs high is being shredded into sub-word confetti and

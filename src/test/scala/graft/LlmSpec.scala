@@ -1287,6 +1287,28 @@ class LlmSpec extends SparkSpec {
       3L -> "own text\n\nepsilon"), r.toString)
   }
 
+  test("badWordHits: word-boundary exactness — compounds and " +
+      "inflections never match, phrases need consecutive runs, " +
+      "case-insensitive, empty list rejected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the slow query"),            // unigram hit
+      (2L, "slowly but surely"),         // inflection: NO hit
+      (3L, "a merge batch job"),         // phrase hit
+      (4L, "merge the batch"),           // broken run: NO hit
+      (5L, "SLOW and Big and merge BATCH"), // case-folded: 3 hits
+      (6L, "slow slow slow"),            // occurrences, not distinct
+      (7L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextStatsOps.badWordHits(col("text"),
+        Seq("slow", "big", "merge batch")).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 3L,
+      6L -> 3L, 7L -> 0L), m.toString)
+    intercept[IllegalArgumentException] {
+      TextStatsOps.badWordHits(col("text"), Seq("  ", ""))
+    }
+  }
+
   test("packPaddedByLength: slot rounding, capacity fill, sub-2x pad " +
       "bound, oversize rejection, layout invariance") {
     import graft.operators.SampleOps
