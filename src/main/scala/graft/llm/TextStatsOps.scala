@@ -793,8 +793,8 @@ object TextStatsOps {
     *     floor it biases toward KEEPING pages: the conservative
     *     direction for a removal filter (drops stay certain; some
     *     borderline pages survive to the later gates). The paper's
-    *     bad-words list is out of scope
-    *     (we ship no word list); compose with `gopherQualityFlags`.
+    *     bad-words list step is [[badWordHits]] (the caller supplies
+    *     the list; we ship none); compose with `gopherQualityFlags`.
     * Returns (id, text_clean, n_lines_kept, n_sentences, flags, keep).
     * Row-local codegen'd expressions — zero shuffle, scan throughput
     * at 100 TB; empty documents yield text_clean = "" (no NaN paths:
