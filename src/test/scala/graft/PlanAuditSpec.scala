@@ -106,7 +106,8 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("repetition_ratio", "pii_redact", "lang_id",
         "quality_score", "bpe_token_count", "doc_fingerprint",
         "hash_sample_split", "str_wrap", "wide_to_long",
-        "quality_classifier", "url_normalize", "bpe_encode")) {
+        "quality_classifier", "url_normalize", "bpe_encode",
+        "bad_word_filter")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles:\n${p.take(2000)}")
     }
