@@ -69,6 +69,62 @@ class WetSpec extends SparkSpec {
       Files.readAllBytes(Paths.get(p)), Files.readAllBytes(Paths.get(p2))))
   }
 
+  test("external-producer fixture: hand-crafted bytes (not our writer) " +
+      "— reordered headers, extra fields, uuid record ids, a request " +
+      "record to skip, and a payload starting with 'WARC/'") {
+    // Byte-literal WET content in the Common Crawl layout: header
+    // order differs from our writer, unknown fields are present, and
+    // one payload's first line is itself 'WARC/1.0' — a reader that
+    // resynchronizes by scanning for the magic instead of honoring
+    // Content-Length would mis-frame it.
+    val body1 = "Ceci n'est pas une page.\nDeuxième ligne."
+    val b1len = body1.getBytes(UTF_8).length // multibyte: è, è
+    val crafted =
+      "WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      "WARC-Date: 2024-04-01T00:00:00Z\r\n" +
+      "WARC-Record-ID: <urn:uuid:aaaa-bbbb>\r\n" +
+      "Content-Length: 9\r\n" +
+      "\r\n" +
+      "robots: x\r\n\r\n" +
+      "WARC/1.0\r\n" +
+      "Content-Length: " + b1len + "\r\n" +           // length FIRST
+      "WARC-Identified-Content-Language: fra\r\n" +   // unknown field
+      "WARC-Target-URI: https://ext.example.org/page1\r\n" +
+      "WARC-Date: 2024-04-01T01:02:03Z\r\n" +
+      "WARC-Type: conversion\r\n" +                   // type LAST
+      "WARC-Record-ID: <urn:uuid:0f0f-1234>\r\n" +
+      "\r\n" +
+      body1 + "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+      "WARC-Type: request\r\n" +                      // must be skipped
+      "WARC-Target-URI: https://ext.example.org/page1\r\n" +
+      "Content-Length: 5\r\n" +
+      "\r\n" +
+      "GET /\r\n\r\n" +
+      "WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://ext.example.org/page2\r\n" +
+      "WARC-Date: 2024-04-01T01:02:04Z\r\n" +
+      "WARC-Record-ID: <urn:uuid:9999-0000>\r\n" +
+      "Content-Length: 12\r\n" +
+      "\r\n" +
+      "WARC/1.0 no!\r\n\r\n"                          // magic-in-payload
+    val p = tmp("external.wet")
+    Files.write(Paths.get(p), crafted.getBytes(UTF_8))
+    val rows = WetIo.read(spark, p).orderBy("target_uri").collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    val r1 = rows(0)
+    assert(r1.getAs[String]("target_uri") == "https://ext.example.org/page1")
+    assert(r1.getAs[String]("text") == body1)
+    assert(r1.getAs[Long]("content_length") == b1len)
+    assert(r1.getAs[String]("record_id") == "<urn:uuid:0f0f-1234>")
+    val r2 = rows(1)
+    assert(r2.getAs[String]("text") == "WARC/1.0 no!")
+    assert(r2.getAs[String]("warc_date") == "2024-04-01T01:02:04Z")
+  }
+
   test("hostile Content-Length fails loudly instead of OOMing") {
     val p = tmp("big.wet")
     WetIo.write(Seq(("http://h/1", "x" * 100)).toDF("target_uri", "text"), p)
