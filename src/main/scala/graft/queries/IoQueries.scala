@@ -751,6 +751,31 @@ object IoQueries extends QueryModule {
       Some("""SELECT doc_id,
              |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
              |  coalesce(text, '') AS text
+             |FROM documents""".stripMargin)),
+
+    // DISTRIBUTED sharded WET export (WetIo.writeShards — the 100 TB
+    // path beside the driver-side single-file edge): 8 executor-written
+    // gzipped shards with deterministic hash membership and in-shard
+    // URI order, read back through the directory reader. Same
+    // byte-exact projection oracle as wet_roundtrip; full coverage
+    // across shards is what's under test (a dropped/duplicated shard
+    // or a mis-grouped multi-shard task changes the row set).
+    QueryDef("wet_shards_roundtrip",
+      (s, d) => {
+        val dir = s"$scratch/wet_shards"
+        val src = T.documents(s, d).select(
+          concat(lit("http://example.com/doc/"), col("doc_id"))
+            .as("target_uri"),
+          col("text"))
+        WetIo.writeShards(src, dir, nShards = 8)
+        WetIo.read(s, dir)
+          .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+            col("content_length"), col("text"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+             |  coalesce(text, '') AS text
              |FROM documents""".stripMargin))
   )
 }

@@ -132,49 +132,124 @@ object WetIo {
     if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
   }
 
+  private def openOut(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : BufferedOutputStream = {
+    val raw = fs.create(new Path(path), true)
+    new BufferedOutputStream(
+      if (path.endsWith(".gz")) new GZIPOutputStream(raw) else raw, 1 << 16)
+  }
+
+  private def writeRec(out: BufferedOutputStream,
+      headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+    out.write("WARC/1.0\r\n".getBytes(UTF_8))
+    (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
+      case (k, v) => out.write(s"$k: $v\r\n".getBytes(UTF_8))
+    }
+    out.write("\r\n".getBytes(UTF_8))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+  }
+
+  private def writeInfoRec(out: BufferedOutputStream, date: String): Unit =
+    writeRec(out, Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date,
+      "WARC-Record-ID" -> "<urn:graft:warcinfo:0>",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-wet-writer\r\n".getBytes(UTF_8))
+
+  private def writeConvRec(out: BufferedOutputStream, uri: String,
+      text: String, date: String, n: Long): Long = {
+    val payload = Option(text).getOrElse("").getBytes(UTF_8)
+    writeRec(out, Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> uri, "WARC-Date" -> date,
+      "WARC-Record-ID" -> s"<urn:graft:record:$n>",
+      "Content-Type" -> "text/plain"), payload)
+    payload.length.toLong
+  }
+
   /** Write (target_uri, text) rows as ONE deterministic WET shard:
     * a warcinfo record then a conversion record per row in the frame's
     * iterator order; Content-Length is the exact UTF-8 byte count and
     * record ids are a deterministic per-shard counter (no wall clock —
     * `date` is the caller's corpus timestamp, so a re-run is
-    * byte-identical). Gzip chosen by the file extension. */
+    * byte-identical). Gzip chosen by the file extension. Driver-side
+    * streaming (bounded memory) — the interchange edge; the export
+    * path at corpus scale is [[writeShards]]. */
   def write(df: DataFrame, path: String,
       date: String = "2026-01-01T00:00:00Z"): Unit = {
     val cols = df.columns
     require(cols.contains("target_uri") && cols.contains("text"),
       s"WetIo.write needs target_uri and text columns, got ${cols.mkString(",")}")
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(hconf)
-    val rawOut = fs.create(p, true)
-    val out = new BufferedOutputStream(
-      if (path.endsWith(".gz")) new GZIPOutputStream(rawOut) else rawOut,
-      1 << 16)
-    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
-      out.write("WARC/1.0\r\n".getBytes(UTF_8))
-      (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
-        case (k, v) => out.write(s"$k: $v\r\n".getBytes(UTF_8))
-      }
-      out.write("\r\n".getBytes(UTF_8))
-      out.write(payload)
-      out.write("\r\n\r\n".getBytes(UTF_8))
-    }
+    val fs = new Path(path).getFileSystem(hconf)
+    val out = openOut(fs, path)
     try {
-      rec(Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date,
-        "WARC-Record-ID" -> "<urn:graft:warcinfo:0>",
-        "Content-Type" -> "application/warc-fields"),
-        "software: graft-wet-writer\r\n".getBytes(UTF_8))
+      writeInfoRec(out, date)
       val it = df.select("target_uri", "text").toLocalIterator()
       var n = 0L
       while (it.hasNext) {
         val row = it.next(); n += 1
-        rec(Seq("WARC-Type" -> "conversion",
-          "WARC-Target-URI" -> row.getString(0),
-          "WARC-Date" -> date,
-          "WARC-Record-ID" -> s"<urn:graft:record:$n>",
-          "Content-Type" -> "text/plain"),
-          Option(row.getString(1)).getOrElse("").getBytes(UTF_8))
+        writeConvRec(out, row.getString(0), row.getString(1), date, n)
       }
     } finally out.close()
+  }
+
+  /** DISTRIBUTED sharded WET export — the 100 TB path: `nShards`
+    * gzipped shards written EXECUTOR-side, one `part-<k>.wet.gz` per
+    * shard, each record landing in its shard by the deterministic
+    * md5-hash of its URI (the writeTrainingShards idiom — membership
+    * survives reprocessing and relayout) and written in (uri) order
+    * within the shard. Every shard is therefore byte-identical across
+    * re-runs: hash assignment, sort order, per-shard record counters,
+    * and the caller's `date` are all layout-free. One repartition on
+    * the shard id; each task streams its rows straight to the store
+    * (bounded memory), grouping by shard inside the partition so a
+    * task owning several shard ids emits each to its own file.
+    * Returns (shard, n_records, payload_bytes) — the export manifest,
+    * one row per shard. */
+  def writeShards(df: DataFrame, dir: String, nShards: Int,
+      date: String = "2026-01-01T00:00:00Z"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val cols = df.columns
+    require(cols.contains("target_uri") && cols.contains("text"),
+      s"WetIo.writeShards needs target_uri and text columns, got ${cols.mkString(",")}")
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    new Path(dir).getFileSystem(hconf).mkdirs(new Path(dir))
+    val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val staged = df
+      .withColumn("__shard", pmod(graft.operators.SampleOps
+        .hashU32(col("target_uri"), "wetshard"), lit(nShards.toLong)))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("target_uri"))
+      .select(col("__shard").cast("long"), col("target_uri"), col("text"))
+    val manifest = staged.mapPartitions { rows =>
+      val fsx = new Path(dir).getFileSystem(bConf.value.value)
+      var cur = -1L
+      var out: BufferedOutputStream = null
+      var n = 0L; var bytes = 0L
+      val acc = Seq.newBuilder[(Long, Long, Long)]
+      def close(): Unit = if (out != null) {
+        out.close(); acc += ((cur, n, bytes)); out = null
+      }
+      rows.foreach { r =>
+        val sh = r.getLong(0)
+        if (sh != cur) {
+          close(); cur = sh; n = 0L; bytes = 0L
+          out = openOut(fsx, s"$dir/part-$sh.wet.gz")
+          writeInfoRec(out, date)
+        }
+        n += 1
+        bytes += writeConvRec(out, r.getString(1), r.getString(2), date, n)
+      }
+      close()
+      acc.result().iterator
+    }.toDF("shard", "n_records", "payload_bytes")
+    // materialize the writes NOW (mapPartitions is lazy) and return
+    // the collected manifest as a small local frame
+    val rowsOut = manifest.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rowsOut.toSeq, 1), manifest.schema)
   }
 }
