@@ -132,11 +132,11 @@ object WetIo {
     if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
   }
 
-  private def openOut(fs: org.apache.hadoop.fs.FileSystem, path: String)
-      : BufferedOutputStream = {
+  private def openOut(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      gzip: Boolean): BufferedOutputStream = {
     val raw = fs.create(new Path(path), true)
     new BufferedOutputStream(
-      if (path.endsWith(".gz")) new GZIPOutputStream(raw) else raw, 1 << 16)
+      if (gzip) new GZIPOutputStream(raw) else raw, 1 << 16)
   }
 
   private def writeRec(out: BufferedOutputStream,
@@ -181,7 +181,7 @@ object WetIo {
       s"WetIo.write needs target_uri and text columns, got ${cols.mkString(",")}")
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(hconf)
-    val out = openOut(fs, path)
+    val out = openOut(fs, path, gzip = path.endsWith(".gz"))
     try {
       writeInfoRec(out, date)
       val it = df.select("target_uri", "text").toLocalIterator()
@@ -226,18 +226,34 @@ object WetIo {
       .select(col("__shard").cast("long"), col("target_uri"), col("text"))
     val manifest = staged.mapPartitions { rows =>
       val fsx = new Path(dir).getFileSystem(bConf.value.value)
+      // Task-attempt commit protocol: write to an attempt-suffixed
+      // temp, then rename into place. Under speculative execution two
+      // attempts may race; HDFS rename-if-absent picks one winner and
+      // the loser deletes its temp — harmless either way, because the
+      // shard bytes are DETERMINISTIC (hash membership + in-shard sort
+      // + fixed date), so both attempts wrote identical content.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var cur = -1L
       var out: BufferedOutputStream = null
       var n = 0L; var bytes = 0L
       val acc = Seq.newBuilder[(Long, Long, Long)]
+      def tmpPath(sh: Long) = new Path(dir, s".part-$sh.wet.gz.$attempt.tmp")
+      def finalPath(sh: Long) = new Path(dir, s"part-$sh.wet.gz")
       def close(): Unit = if (out != null) {
-        out.close(); acc += ((cur, n, bytes)); out = null
+        out.close()
+        if (!fsx.rename(tmpPath(cur), finalPath(cur))) {
+          fsx.delete(tmpPath(cur), false) // lost a speculative race
+          require(fsx.exists(finalPath(cur)),
+            s"shard $cur: rename failed and no committed file exists")
+        }
+        acc += ((cur, n, bytes)); out = null
       }
       rows.foreach { r =>
         val sh = r.getLong(0)
         if (sh != cur) {
           close(); cur = sh; n = 0L; bytes = 0L
-          out = openOut(fsx, s"$dir/part-$sh.wet.gz")
+          out = openOut(fsx, tmpPath(sh).toString, gzip = true)
           writeInfoRec(out, date)
         }
         n += 1
