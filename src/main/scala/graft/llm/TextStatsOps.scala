@@ -750,7 +750,10 @@ object TextStatsOps {
     * phrase length (one HOF count per distinct length), all row-local
     * at scan throughput — zero shuffle. */
   def badWordHits(text: Column, terms: Seq[String]): Column = {
-    val cleaned = terms.map(_.trim.toLowerCase)
+    // normalize internal whitespace to ONE space: shingles join words
+    // with a single space, so a tab/double-space term would silently
+    // never match
+    val cleaned = terms.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
       .filter(_.nonEmpty).distinct
     require(cleaned.nonEmpty, "badWordHits: empty blocklist")
     val ws = words(lower(text))

@@ -65,13 +65,20 @@ object WetIo {
         val raw: InputStream = fsx.open(fp)
         val in = new BufferedInputStream(
           if (f.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        // partial consumption (limit/take) or a mid-record parse
+        // failure must not leak the stream: close at task completion,
+        // not only at natural EOF
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
           private var nextRec: Row = advance()
           private def advance(): Row = {
             var r = readRecord(in, f, maxRecordBytes)
             while (r != null && r._1 != "conversion") // skip warcinfo etc.
               r = readRecord(in, f, maxRecordBytes)
-            if (r == null) { in.close(); null }
+            if (r == null) { closeOnce(); null }
             else Row(r._2, r._3, r._4, r._5, r._6)
           }
           def hasNext: Boolean = nextRec != null
@@ -122,14 +129,29 @@ object WetIo {
     (tpe, uri, date, id, len, new String(payload, UTF_8))
   }
 
-  /** CRLF/LF line; null at EOF. */
+  /** Longest header line we will buffer: a corrupt/hostile file with
+    * no newlines must fail loudly here, not OOM an executor before the
+    * Content-Length guard is ever reached. Real WARC headers are
+    * well under 1 KB; URIs cap at 64 KB in every crawler. */
+  private val MaxHeaderLineBytes = 1 << 20
+
+  /** CRLF/LF line, decoded as UTF-8 (the writer's encoding — byte-as-
+    * char would mojibake non-ASCII IRIs); null at EOF. */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(80)
+    val buf = new java.io.ByteArrayOutputStream(80)
     var c = in.read()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-    val s = sb.toString
-    if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
+    while (c >= 0 && c != '\n') {
+      buf.write(c)
+      require(buf.size <= MaxHeaderLineBytes,
+        s"header line exceeds $MaxHeaderLineBytes bytes — corrupt or " +
+          "hostile input (no newline found)")
+      c = in.read()
+    }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, UTF_8)
   }
 
   private def openOut(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -214,7 +236,20 @@ object WetIo {
       s"WetIo.writeShards needs target_uri and text columns, got ${cols.mkString(",")}")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    new Path(dir).getFileSystem(hconf).mkdirs(new Path(dir))
+    val dfs = new Path(dir).getFileSystem(hconf)
+    dfs.mkdirs(new Path(dir))
+    // overwrite semantics: clear prior part files and orphaned temps
+    // BEFORE the job — otherwise a re-export to the same directory
+    // would leave stale shards from a previous (possibly wider) run
+    // beside fresh ones, and rename-if-absent filesystems (HDFS)
+    // would silently keep ALL old data while the manifest reports new
+    if (dfs.exists(new Path(dir)))
+      dfs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if ((n.startsWith("part-") && isWetName(n)) ||
+            (n.startsWith(".part-") && n.endsWith(".tmp")))
+          dfs.delete(p, false)
+      }
     val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import spark.implicits._
@@ -222,7 +257,7 @@ object WetIo {
       .withColumn("__shard", pmod(graft.operators.SampleOps
         .hashU32(col("target_uri"), "wetshard"), lit(nShards.toLong)))
       .repartition(nShards, col("__shard"))
-      .sortWithinPartitions(col("__shard"), col("target_uri"))
+      .sortWithinPartitions(col("__shard"), col("target_uri"), col("text"))
       .select(col("__shard").cast("long"), col("target_uri"), col("text"))
     val manifest = staged.mapPartitions { rows =>
       val fsx = new Path(dir).getFileSystem(bConf.value.value)
@@ -242,8 +277,10 @@ object WetIo {
       def finalPath(sh: Long) = new Path(dir, s"part-$sh.wet.gz")
       def close(): Unit = if (out != null) {
         out.close()
+        // the driver cleared prior part files; a present final here
+        // means a speculative twin already committed IDENTICAL bytes
         if (!fsx.rename(tmpPath(cur), finalPath(cur))) {
-          fsx.delete(tmpPath(cur), false) // lost a speculative race
+          fsx.delete(tmpPath(cur), false) // lost the race
           require(fsx.exists(finalPath(cur)),
             s"shard $cur: rename failed and no committed file exists")
         }

@@ -157,6 +157,37 @@ class WetSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII IRIs round-trip (headers decode as UTF-8, not " +
+      "byte-as-char)") {
+    val p = tmp("iri.wet")
+    val docs = Seq(("http://a/café-中文/1", "body")).toDF("target_uri", "text")
+    WetIo.write(docs, p)
+    val back = WetIo.read(spark, p).collect()(0)
+    assert(back.getAs[String]("target_uri") == "http://a/café-中文/1",
+      back.toString)
+  }
+
+  test("writeShards re-export to the same directory replaces stale " +
+      "shards — including extras from a previous wider run") {
+    val d = Files.createTempDirectory("graft-wetre").toString
+    val big = (0L until 40L).map(i => (s"http://r/$i", s"v1 $i"))
+      .toDF("target_uri", "text")
+    WetIo.writeShards(big, d, nShards = 6)
+    assert(WetIo.read(spark, d).count() == 40)
+    // narrower re-export with different content: old part files and
+    // the extra shards must be gone
+    val small = (0L until 10L).map(i => (s"http://r/$i", s"v2 $i"))
+      .toDF("target_uri", "text")
+    WetIo.writeShards(small, d, nShards = 2)
+    val back = WetIo.read(spark, d)
+    assert(back.count() == 10, "stale shards survived the re-export")
+    assert(back.select("text").as[String].collect().forall(_.startsWith("v2")))
+    val files = new java.io.File(d).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // hadoop-local .crc sidecars
+    assert(files.toSeq == Seq("part-0.wet.gz", "part-1.wet.gz"),
+      files.mkString(","))
+  }
+
   test("hostile Content-Length fails loudly instead of OOMing") {
     val p = tmp("big.wet")
     WetIo.write(Seq(("http://h/1", "x" * 100)).toDF("target_uri", "text"), p)
