@@ -776,6 +776,33 @@ object IoQueries extends QueryModule {
       Some("""SELECT doc_id,
              |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
              |  coalesce(text, '') AS text
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Z-ordered (Morton-curve) layout — MULTI-column data skipping,
+    // the dimension the single-column sorted layout above cannot
+    // cover: interleaving the high bits of user_id and event_id tiles
+    // the plane into near-square cells, so every output file carries
+    // narrow min/max footer stats on BOTH columns and a selective
+    // predicate on EITHER skips most files (Delta OPTIMIZE ZORDER BY
+    // semantics; ZOrderSpec measures the per-file spread vs a linear
+    // sort). The gate reads the rewritten layout back through a
+    // two-column selective filter and states the identical slice from
+    // the original parquet: a row lost in the rewrite, a key collision
+    // dropping rows, or a filter not surviving the layout hash-fails.
+    // Both predicate bounds reach the scan as PushedFilters (pinned in
+    // PlanAuditSpec next to the sorted-layout pin).
+    QueryDef("parquet_zorder_layout",
+      (s, d) => {
+        val path = s"$scratch/zorder_events"
+        val in = T.events(s, d)
+          .select("event_id", "ts", "user_id", "value")
+        graft.sources.ZOrder.writeZOrdered(
+          in, path, Seq("user_id", "event_id"), bits = 16, nFiles = 8)
+        s.read.parquet(path)
+          .filter(col("user_id") < 40 && col("event_id") < 20000)
+          .select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE user_id < 40 AND event_id < 20000""".stripMargin))
   )
 }

@@ -218,6 +218,15 @@ class PlanAuditSpec extends SparkSpec {
       s"time bounds not pushed to the parquet scan: $pf")
   }
 
+  test("parquet_zorder_layout: BOTH dimension predicates reach the " +
+      "scan as PushedFilters (multi-column skipping over the Morton layout)") {
+    val p = plan("parquet_zorder_layout")
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse(
+      fail(s"no PushedFilters in plan:\n${p.take(3000)}"))
+    assert(pf.contains("LessThan(user_id") && pf.contains("LessThan(event_id"),
+      s"z-order dims not pushed to the parquet scan: $pf")
+  }
+
   test("bucketed_join_colocated: sort-merge join with ZERO Exchange — " +
       "catalog bucketing satisfies the join distribution on both sides") {
     val p = plan("bucketed_join_colocated")
