@@ -29,7 +29,8 @@ object SparkEntry {
     qmod.MissingQueries,
     qmod.ApplyQueries,
     qmod.OffsetQueries,
-    qmod.IoQueries
+    qmod.IoQueries,
+    qmod.MergeQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

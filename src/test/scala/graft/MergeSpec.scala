@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.MergeOps
+import org.apache.spark.sql.functions._
+
+/** MergeOps fixture contracts the differential gates can't reach:
+  * column-level merge coalesce semantics, CDC same-instant tie-break,
+  * SCD2 out-of-order rejection. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "bal")
+
+  test("upsert replaces matched rows, inserts new, keeps the rest") {
+    val src = Seq((2L, "B", 99.0), (9L, "z", 1.0)).toDF("k", "name", "bal")
+    val out = MergeOps.upsert(target, src, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(1L -> ("a", 10.0), 2L -> ("B", 99.0),
+      3L -> ("c", 30.0), 9L -> ("z", 1.0)))
+  }
+
+  test("mergeUpdate touches only updateCols on match; inserts take " +
+    "source values; source NULL falls back to target") {
+    val src = Seq[(Long, String, java.lang.Double)](
+      (2L, null, 99.0),  // match: bal updated, name kept (null falls back)
+      (9L, "z", 1.0)     // insert: all source values
+    ).toDF("k", "name", "bal")
+    val out = MergeOps.mergeUpdate(target, src, Seq("k"), Seq("bal"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(1L -> ("a", 10.0), 2L -> ("b", 99.0),
+      3L -> ("c", 30.0), 9L -> ("z", 1.0)))
+  }
+
+  test("applyChanges: latest-wins per key, same-seq tie favors the " +
+    "delete, deletes drop keys, new keys insert") {
+    val ch = Seq(
+      (1L, "a1", 11.0, "U", 5L),
+      (1L, "a2", 12.0, "U", 7L),   // latest for k=1
+      (2L, "bX", 0.0, "D", 9L),    // delete k=2
+      (3L, "c1", 31.0, "U", 4L),
+      (3L, "cD", 0.0, "D", 4L),    // same seq: delete wins
+      (9L, "z", 1.0, "U", 1L)      // insert
+    ).toDF("k", "name", "bal", "op", "seq")
+    val out = MergeOps.applyChanges(target, ch, Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(1L -> ("a2", 12.0), 9L -> ("z", 1.0)))
+  }
+
+  test("applyChanges requires every target column in the change feed") {
+    val bad = Seq((1L, "x", "U", 1L)).toDF("k", "name", "op", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.applyChanges(target, bad, Seq("k"), "op", "seq")
+    }
+    assert(e.getMessage.contains("bal"))
+  }
+
+  test("scd2Apply chains versions and rejects out-of-order updates") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .withColumn("valid_from", lit("2020-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val upd = Seq(
+      (1L, "a1", "2020-02-01 00:00:00"),
+      (1L, "a2", "2020-03-01 00:00:00")
+    ).toDF("k", "name", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val out = MergeOps.scd2Apply(dim, upd, "k", "ts", Seq("name"))
+      .select(col("k"), col("name"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("f"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("open"))
+          .as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(out === Set(
+      (1L, "a", "2020-01-01", "2020-02-01"),
+      (1L, "a1", "2020-02-01", "2020-03-01"),
+      (1L, "a2", "2020-03-01", "open"),
+      (2L, "b", "2020-01-01", "open")))
+
+    val bad = Seq((1L, "a0", "2019-06-01 00:00:00"))
+      .toDF("k", "name", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val e = intercept[Exception] {
+      MergeOps.scd2Apply(dim, bad, "k", "ts", Seq("name")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
