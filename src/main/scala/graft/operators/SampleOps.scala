@@ -287,4 +287,39 @@ object SampleOps {
       .limit(n)
       .drop("__k")
   }
+
+  /** Seeded deterministic EPOCH shuffle: the global reshuffle a
+    * training run performs between epochs, as a layout operation. Each
+    * row gets position `pos` (1-based) in a pseudo-random total order
+    * keyed by md5(seed || '-' || id) — a different seed yields an
+    * unrelated permutation, the same seed yields the identical one on
+    * any cluster layout (md5 of the KEY, never a partition-dependent
+    * rand()) — and `shard` splits that order into `numShards`
+    * EXACTLY-equal contiguous slices (SQL ntile arithmetic), so every
+    * data-parallel worker reads the same-sized contiguous range and a
+    * resumed run can seek to (shard, pos).
+    *
+    * Scale: the ranking is DistScan's distributed row number — ONE
+    * range exchange on the hash key plus a bounded ≤buckets-row
+    * offset collect; no single-partition window anywhere. Writing the
+    * result partitioned by `shard`, sorted by `pos`, is the epoch's
+    * on-disk layout. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      numShards: Int, buckets: Int = 32): DataFrame = {
+    require(numShards >= 1, s"epochShuffle: numShards must be >= 1")
+    val keyed = df.withColumn("__hk",
+      md5(concat_ws("-", lit(seed.toString), col(idCol).cast("string"))
+        .cast("binary")))
+    val (ranked, total) = DistScan.withGlobalRowNumber(
+      keyed, Seq(col("__hk"), col(idCol)), "pos", buckets)
+    // ntile(numShards) as arithmetic on pos (first N mod n shards get
+    // the extra row — the SQL definition, exact vs DuckDB's ntile)
+    val k = total / numShards; val m = total % numShards
+    val shard =
+      if (k == 0L) col("pos")
+      else when(col("pos") <= m * (k + 1),
+          floor((col("pos") - 1) / (k + 1)) + 1)
+        .otherwise(lit(m) + floor((col("pos") - 1 - m * (k + 1)) / k) + 1)
+    ranked.withColumn("shard", shard.cast("int")).drop("__hk")
+  }
 }

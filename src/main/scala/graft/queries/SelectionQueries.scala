@@ -368,6 +368,29 @@ object SelectionQueries extends QueryModule {
              |  h < 429496729 AS sampled_10pct
              |FROM u""".stripMargin)),
 
+    // Seeded EPOCH shuffle — the between-epochs global reshuffle of a
+    // training run as a layout operation: md5(seed || '-' || id) keys a
+    // pseudo-random total order (layout-independent, unlike rand()),
+    // pos ranks it via DistScan's distributed row number, and shard
+    // cuts EXACTLY-equal contiguous slices with ntile arithmetic so
+    // every data-parallel worker reads the same-sized range. The
+    // oracle replays hash → row_number → ntile; a different seed
+    // (checked in PropertySpec) yields an unrelated permutation.
+    QueryDef("epoch_shuffle",
+      (s, d) => {
+        import graft.operators.SampleOps
+        SampleOps.epochShuffle(T.documents(s, d).select("doc_id"),
+          "doc_id", 7L, 16)
+          .select(col("doc_id"), col("pos"), col("shard").cast("long")
+            .as("shard"))
+      },
+      Some("""WITH h AS (SELECT doc_id, md5('7-' || doc_id) AS hk
+             |  FROM documents)
+             |SELECT doc_id,
+             |  row_number() OVER (ORDER BY hk, doc_id) AS pos,
+             |  CAST(ntile(16) OVER (ORDER BY hk, doc_id) AS BIGINT) AS shard
+             |FROM h""".stripMargin)),
+
     // sort with order captured as a rank column (row content alone can't
     // witness ORDER BY — the differential compare re-sorts rows).
     // Ranked via DistScan.withGlobalRowNumber: range shuffle + per-range

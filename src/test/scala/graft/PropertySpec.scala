@@ -472,4 +472,33 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"seed $s")
     }
   }
+
+  test("epochShuffle: layout-invariant permutation, seeds decorrelate, " +
+    "shards exactly equal") {
+    import graft.operators.SampleOps
+    val ids = (0L until 240L).toDF("id")
+    def perm(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      SampleOps.epochShuffle(df, "id", seed, 6, buckets = 4)
+        .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    val p7a = perm(ids, 7L)
+    val p7b = perm(ids.repartition(13), 7L) // layout must not matter
+    val p8 = perm(ids, 8L)
+    assert(p7a == p7b, "permutation depends on physical layout")
+    assert(p7a != p8, "different seeds gave the same permutation")
+    assert(p7a.sorted == (0L until 240L), "not a permutation")
+    // decorrelation: the two epoch orders agree on few positions
+    val agree = p7a.zip(p8).count { case (a, b) => a == b }
+    assert(agree < 24, s"seeds 7 and 8 agree on $agree/240 positions")
+    val sizes = SampleOps.epochShuffle(ids, "id", 7L, 6, buckets = 4)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == (1 to 6).map(_ -> 40L).toMap, sizes.toString)
+    // shards are CONTIGUOUS pos ranges (seekable layout)
+    val byShard = SampleOps.epochShuffle(ids, "id", 7L, 6, buckets = 4)
+      .select("shard", "pos").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    byShard.foreach { case (sh, ps) =>
+      assert(ps.last - ps.head + 1 == ps.length, s"shard $sh not contiguous")
+    }
+  }
 }
