@@ -1654,6 +1654,48 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
 
+    // Domain-suffix blocklist (UT1/RefinedWeb adult-ads-malware list
+    // step, UrlOps.blockedDomain) — SUFFIX semantics, never substring:
+    // the entry hot.example.com must block cdn.hot.example.com (every
+    // 20th doc) and hot.example.com itself (every 10th) but NOT
+    // site<k>.example.com; every 13th doc gets an unparseable URL that
+    // must survive as blocked=false (dropping unparseables would bias
+    // the corpus). Zero shuffle — the list rides the plan as one array
+    // literal probed per row. The oracle re-derives the host from the
+    // same planted CASE and states the blocklist as exact-or-dot-
+    // suffix LIKE predicates.
+    QueryDef("url_blocklist",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit("not a url"))
+            .otherwise(concat(lit("https://"),
+              when(pmod(col("doc_id"), lit(20)) === 0,
+                lit("cdn.hot.example.com"))
+                .when(pmod(col("doc_id"), lit(10)) === 0,
+                  lit("hot.example.com"))
+                .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(37)),
+                  lit(".example.com"))),
+              lit("/p/"), col("doc_id"))).as("url"))
+        docs.select(col("doc_id"),
+          graft.llm.UrlOps.blockedDomain(col("url"),
+            Seq("hot.example.com", "site3.example.com", "nomatch.net"))
+            .as("blocked"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 20 = 0 THEN 'cdn.hot.example.com'
+             |         WHEN doc_id % 10 = 0 THEN 'hot.example.com'
+             |         ELSE 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+             |    END AS host FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 13 = 0 THEN false
+             |       ELSE (host = 'hot.example.com'
+             |          OR host LIKE '%.hot.example.com'
+             |          OR host = 'site3.example.com'
+             |          OR host LIKE '%.site3.example.com'
+             |          OR host = 'nomatch.net'
+             |          OR host LIKE '%.nomatch.net') END AS blocked
+             |FROM h""".stripMargin)),
+
     // Per-SOURCE token-budget draw (SampleOps.sampleTokenBudgetPerGroup)
     // — domain mixing by token QUOTA over the grouped distributed
     // cumsum (DistScan.withGroupedRunningSum: range buckets on the
