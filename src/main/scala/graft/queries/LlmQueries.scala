@@ -1654,6 +1654,52 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY host ORDER BY doc_id) AS rn
              |  FROM h) WHERE rn <= 3""".stripMargin)),
 
+    // Host-graph centrality prior (GraphOps.pageRank) — the
+    // Common-Crawl-style domain ranking a curation pipeline weights
+    // draws with. Deterministic host graph planted from doc_id
+    // arithmetic (101 hosts, one edge per document); THREE damped
+    // rounds in fixed-point integer units: every contribution is an
+    // integer floor-div and every combine an integer sum, so the
+    // distributed result is bit-identical on any partitioning and the
+    // oracle replays all three rounds as unrolled CTEs with DuckDB's
+    // `//`. A float PageRank could never face a hash oracle — partial
+    // sums would drift at 1 ulp per merge order.
+    QueryDef("host_rank",
+      (s, d) => {
+        val e = T.documents(s, d).select(
+          pmod(col("doc_id"), lit(101)).as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(101)).as("dst"))
+        graft.operators.GraphOps.pageRank(e, iters = 3)
+      },
+      Some("""WITH e AS (SELECT doc_id % 101 AS src,
+             |    (doc_id * 7 + 3) % 101 AS dst FROM documents),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |p AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |r0 AS (SELECT node, (SELECT base FROM p) AS r FROM nodes),
+             |c1 AS (SELECT e.dst AS node,
+             |    CAST(sum(r0.r // deg.deg) AS BIGINT) AS s
+             |  FROM e JOIN r0 ON r0.node = e.src
+             |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r1 AS (SELECT n.node, (15 * (SELECT base FROM p)) // 100
+             |    + (85 * coalesce(c1.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+             |c2 AS (SELECT e.dst AS node,
+             |    CAST(sum(r1.r // deg.deg) AS BIGINT) AS s
+             |  FROM e JOIN r1 ON r1.node = e.src
+             |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r2 AS (SELECT n.node, (15 * (SELECT base FROM p)) // 100
+             |    + (85 * coalesce(c2.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+             |c3 AS (SELECT e.dst AS node,
+             |    CAST(sum(r2.r // deg.deg) AS BIGINT) AS s
+             |  FROM e JOIN r2 ON r2.node = e.src
+             |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r3 AS (SELECT n.node, (15 * (SELECT base FROM p)) // 100
+             |    + (85 * coalesce(c3.s, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+             |SELECT node, r AS rank FROM r3""".stripMargin)),
+
     // Domain-suffix blocklist (UT1/RefinedWeb adult-ads-malware list
     // step, UrlOps.blockedDomain) — SUFFIX semantics, never substring:
     // the entry hot.example.com must block cdn.hot.example.com (every
