@@ -1458,6 +1458,63 @@ object LlmQueries extends QueryModule {
              |  coalesce(sc.logit_milli, 0) > 0 AS keep
              |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin)),
 
+    // Distributed classifier TRAINING (ClassifierOps.trainHardLogistic)
+    // — the missing half of quality_classifier above: two full-batch
+    // gradient steps of hard-sigmoid logistic regression (label:
+    // lang = 'en'), every quantity an exact integer so the trained
+    // weights are layout-invariant AND the oracle can replay BOTH
+    // steps: iter-1 gradients from the zero init, truncating-div
+    // weight update (Scala / == DuckDB //, which TRUNCATES — it is
+    // not floor division), iter-2 logits through the clamped hard
+    // sigmoid (trunc(z/4) is dyadic-exact), second
+    // update, then final scoring of every document. Per step: zero-
+    // shuffle row-local logits + ONE map-side-combined gradient sum
+    // keyed by feature bucket (bias rides a sentinel bucket in the
+    // same exchange); the driver only ever holds 17 longs.
+    QueryDef("classifier_train",
+      (s, d) => {
+        import graft.llm.ClassifierOps
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"),
+          (col("lang") === "en").cast("int").as("y"))
+        val w = ClassifierOps.trainHardLogistic(docs, "text", "y",
+          buckets = 16, iters = 2, lrDen = 100L)
+        docs.select(col("doc_id"),
+          ClassifierOps.logitMicro(col("text"), w.take(16).toSeq, w(16))
+            .as("logit_micro"))
+          .withColumn("keep", col("logit_micro") > 0)
+      },
+      Some("""WITH wl AS (SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '')) AS word
+             |  FROM documents),
+             |occ AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 16 AS b
+             |  FROM wl),
+             |occb AS (SELECT doc_id, b FROM occ
+             |  UNION ALL SELECT doc_id, 16 AS b FROM documents),
+             |lab AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+             |  FROM documents),
+             |nn AS (SELECT count(*) AS n FROM documents),
+             |g1 AS (SELECT o.b, CAST(sum(500000 - l.y) AS BIGINT) AS g
+             |  FROM occb o JOIN lab l ON l.doc_id = o.doc_id GROUP BY o.b),
+             |w1 AS (SELECT i AS b,
+             |    -(coalesce(g1.g, 0) // (100 * (SELECT n FROM nn))) AS wt
+             |  FROM range(0, 17) t(i) LEFT JOIN g1 ON g1.b = i),
+             |z2 AS (SELECT o.doc_id, CAST(sum(w1.wt) AS BIGINT) AS z
+             |  FROM occb o JOIN w1 ON w1.b = o.b GROUP BY o.doc_id),
+             |e2 AS (SELECT z2.doc_id,
+             |    least(1000000, greatest(0, 500000 + (z2.z // 4))) - l.y AS e
+             |  FROM z2 JOIN lab l ON l.doc_id = z2.doc_id),
+             |g2 AS (SELECT o.b, CAST(sum(e2.e) AS BIGINT) AS g
+             |  FROM occb o JOIN e2 ON e2.doc_id = o.doc_id GROUP BY o.b),
+             |w2 AS (SELECT w1.b,
+             |    w1.wt - (coalesce(g2.g, 0) // (100 * (SELECT n FROM nn))) AS wt
+             |  FROM w1 LEFT JOIN g2 ON g2.b = w1.b)
+             |SELECT o.doc_id, CAST(sum(w2.wt) AS BIGINT) AS logit_micro,
+             |  CAST(sum(w2.wt) AS BIGINT) > 0 AS keep
+             |FROM occb o JOIN w2 ON w2.b = o.b GROUP BY o.doc_id""".stripMargin)),
+
     // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
     // histograms of a target sample (every 7th doc plays the "domain
     // we want") vs the raw corpus, per-bucket micro-integer log-
