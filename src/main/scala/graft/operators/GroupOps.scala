@@ -158,4 +158,39 @@ object GroupOps {
         key === col("__graft_hpk_ord"),
       "left_semi")
   }
+
+  /** Per-key ordinary least squares — the groupby().apply(polyfit)
+    * idiom (reference: pandas/core/groupby/generic.py:224 apply with a
+    * user fit) as ONE map-side-combinable aggregation, never a
+    * per-group collect: the five power sums (n, Σx, Σy, Σxy, Σx²)
+    * accumulate exactly in DECIMAL(38,0) over INTEGER-scaled inputs
+    * (cents/seconds — the caller fixes the scale), so partial-merge
+    * order cannot move them, and the closed-form
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx) / n
+    * is evaluated as IEEE double arithmetic on exactly-cast operands —
+    * bit-identical on any engine that casts the same way. Degenerate
+    * groups (fewer than `minRows` points, or zero x-variance) yield
+    * NULL fits rather than an ANSI division error. */
+  def linearFit(df: DataFrame, keys: Seq[String], xInt: Column,
+      yInt: Column, minRows: Long = 2L): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = count(lit(1)).cast(d38)
+    val sx = sum(xInt.cast(d38)); val sy = sum(yInt.cast(d38))
+    val sxy = sum((xInt.cast(d38) * yInt.cast(d38)).cast(d38))
+    val sxx = sum((xInt.cast(d38) * xInt.cast(d38)).cast(d38))
+    val g = df.groupBy(keys.map(col): _*).agg(
+      n.as("__n"), sx.as("__sx"), sy.as("__sy"),
+      sxy.as("__sxy"), sxx.as("__sxx"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double") // ≥ 0 by Cauchy–Schwarz
+    val slope = when(col("__n") >= minRows && den > 0, num / den)
+    val intercept = when(slope.isNotNull,
+      (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("__n").cast("double"))
+    g.select(keys.map(col) :+ col("__n").cast("long").as("n_points") :+
+      slope.as("slope") :+ intercept.as("intercept"): _*)
+  }
 }

@@ -407,6 +407,45 @@ object GroupByQueries extends QueryModule {
       Some("""SELECT user_id, event_type,
              |  cnt / CAST(sum(cnt) OVER (PARTITION BY user_id) AS DOUBLE) AS share
              |FROM (SELECT user_id, event_type, count(*) AS cnt
-             |      FROM events GROUP BY 1, 2)""".stripMargin))
+             |      FROM events GROUP BY 1, 2)""".stripMargin)),
+
+    // Per-key OLS (GroupOps.linearFit) — groupby().apply(polyfit)
+    // without a per-group collect: value trend per user over time as
+    // ONE map-side-combinable aggregation of exact DECIMAL(38,0)
+    // power sums on integer-scaled inputs (seconds since 2024-01-01 ×
+    // value cents), closed-form slope/intercept as IEEE division of
+    // exactly-cast operands. The oracle replays the sums in HUGEINT
+    // with the sign·abs double-cast idiom (DuckDB's negative
+    // HUGEINT→DOUBLE cast is 1 ulp off the direct cast Spark uses).
+    // Degenerate groups (under 2 points / zero x-variance) are NULL
+    // fits on both sides.
+    QueryDef("groupby_linfit",
+      (s, d) => {
+        import graft.operators.GroupOps
+        val ev = T.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts) div 1000000 - 1704067200").as("x"),
+          (dec2(col("value")) * 100).cast("long").as("y"))
+        GroupOps.linearFit(ev, Seq("user_id"), col("x"), col("y"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+             |  FROM events),
+             |g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+             |  FROM e GROUP BY user_id),
+             |c AS (SELECT user_id, CAST(n AS BIGINT) AS n_points,
+             |    CASE WHEN n >= 2 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0
+             |      THEN sign(n*sxy - sx*sy) * CAST(abs(n*sxy - sx*sy) AS DOUBLE)
+             |        / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+             |    sy, sx, n FROM g)
+             |SELECT user_id, n_points, slope,
+             |  CASE WHEN slope IS NOT NULL
+             |    THEN (sign(sy) * CAST(abs(sy) AS DOUBLE)
+             |      - slope * sign(sx) * CAST(abs(sx) AS DOUBLE))
+             |      / CAST(n AS DOUBLE) END AS intercept
+             |FROM c""".stripMargin))
   )
 }

@@ -99,4 +99,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(!JoinOps.validateKeys(dup, Seq("k"), unique = true))
     assert(JoinOps.validateKeys(dup.limit(1), Seq("k"), unique = true))
   }
+
+  test("linearFit recovers an exact line; degenerate groups are NULL") {
+    import graft.operators.GroupOps
+    val pts = Seq(
+      ("a", 1L, 8L), ("a", 2L, 11L), ("a", 3L, 14L),   // y = 3x + 5
+      ("b", 4L, 7L),                                    // 1 point
+      ("c", 5L, 1L), ("c", 5L, 9L)                      // zero x-variance
+    ).toDF("k", "x", "y")
+    val got = GroupOps.linearFit(pts, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("a") === ((3L, Some(3.0), Some(5.0))))
+    assert(got("b") === ((1L, None, None)))
+    assert(got("c") === ((2L, None, None)))
+  }
 }
