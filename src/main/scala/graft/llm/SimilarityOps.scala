@@ -216,6 +216,69 @@ object SimilarityOps {
       .select(col(qId), col(cId), col("score"), col("rn"))
   }
 
+  /** Persist the IVF index as a LAKE ARTIFACT — build once, query many
+    * (the production shape: at 100 TB the assignment pass is the
+    * expensive part, and every query batch after it should pay only
+    * for the cells it probes). Layout:
+    *   - `dir/centroids`: (cell, emb) — the coarse layer, ≤ nlist rows;
+    *   - `dir/cells`: corpus rows PARTITIONED BY cell id, so a probe
+    *     reads only its cells' directories — partition PRUNING is the
+    *     on-disk analog of the in-memory cell join. */
+  def writeIvfIndex(corpus: DataFrame, dir: String,
+      centroids: Array[Array[Double]], cId: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "emb")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus.select(col(cId), col(embCol)), embCol, centroids)
+      .withColumnRenamed("__cell", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** The coarse layer back from a persisted index (≤ nlist rows). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfTopK]] against a PERSISTED index: probe each query's nprobe
+    * nearest cells, scan ONLY those cells' partitions (the probed-cell
+    * union — bounded by the cell count — is collected from the
+    * broadcast-sized query side and pushed as a partition filter), and
+    * score/rank exactly as the in-memory tier. IvfSpec pins both the
+    * result equivalence and the PartitionFilters pruning. */
+  def ivfTopKIndexed(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int, qId: String = "q_id", cId: String = "vec_id",
+      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readIvfCentroids(spark, indexDir)
+    require(centroids.nonEmpty, s"ivfTopKIndexed: empty index at $indexDir")
+    val cellScores = transform(centScores(toDoubleArr(col(qEmb))), sc =>
+      struct((-sc.getField("score")).as("negdot"),
+        sc.getField("cell").as("cell")))
+    val probed = queries
+      .crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn("__cells", slice(array_sort(cellScores), 1, nprobe))
+      .select(col(qId), col(qEmb),
+        explode(transform(col("__cells"), s => s.getField("cell")))
+          .as("cell"))
+    val probedCells = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)) // bounded: ≤ nlist values
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+    val scored = broadcast(probed).join(cells, Seq("cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score",
+        cosine(toDoubleArr(col(qEmb)), toDoubleArr(col(embCol))))
+    val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(cId), col("score"), col("rn"))
+  }
+
   /** Int8-code shortlist + full-precision re-rank — the
     * storage-bandwidth ANN tier: every candidate is scored on its int8
     * CODES with an EXACT integer dot (rank key

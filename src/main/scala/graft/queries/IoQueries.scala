@@ -778,6 +778,40 @@ object IoQueries extends QueryModule {
              |  coalesce(text, '') AS text
              |FROM documents""".stripMargin)),
 
+    // Persisted IVF index (SimilarityOps.writeIvfIndex/ivfTopKIndexed)
+    // — the ANN index as a lake artifact: centroids + corpus rows
+    // PARTITIONED BY cell, so later query batches scan only probed-cell
+    // directories (partition pruning; IvfSpec pins PartitionFilters
+    // and the nprobe<cells equivalence with the in-memory tier). The
+    // gate round-trips build→persist→load→query in exhaustive-probe
+    // configuration, so the brute-force cosine oracle applies
+    // verbatim — an index row lost in the partitioned write, a cell
+    // misassigned, or a centroid misread hash-fails.
+    QueryDef("ivf_index_topk",
+      (s, d) => {
+        import graft.llm.SimilarityOps
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cents = SimilarityOps.trainIvfCentroids(
+          emb, "vec_id", "embedding", 8)
+        val dir = s"$scratch/ivf_index"
+        SimilarityOps.writeIvfIndex(emb, dir, cents)
+        SimilarityOps.ivfTopKIndexed(queries, dir, 3, nprobe = cents.length)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Z-ordered (Morton-curve) layout — MULTI-column data skipping,
     // the dimension the single-column sorted layout above cannot
     // cover: interleaving the high bits of user_id and event_id tiles

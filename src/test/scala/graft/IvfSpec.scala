@@ -34,6 +34,38 @@ class IvfSpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe2=$r2, @8=$r8")
   }
 
+  test("persisted index: ivfTopKIndexed equals the in-memory tier at " +
+      "nprobe<cells and prunes to probed cell partitions") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfidx-${ProcessHandle.current().pid()}").toString
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 8)
+    SimilarityOps.writeIvfIndex(emb, dir, cents)
+    // round-tripped coarse layer is bit-identical
+    val back = SimilarityOps.readIvfCentroids(spark, dir)
+    assert(back.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    for (np <- Seq(2, 8)) {
+      val mem = SimilarityOps.ivfTopK(queries, emb, 3, cents, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(t => (t._1, t._4))
+      val idx = SimilarityOps.ivfTopKIndexed(queries, dir, 3, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(t => (t._1, t._4))
+      assert(idx.toSeq === mem.toSeq, s"nprobe=$np diverged from memory tier")
+    }
+    // partition pruning: the cells scan carries a PartitionFilters
+    // entry on the cell id (the on-disk analog of the cell join)
+    val plan = SimilarityOps.ivfTopKIndexed(queries, dir, 3, 2)
+      .queryExecution.executedPlan.toString
+    // several scans carry a PartitionFilters entry (the query-side
+    // parquet scan has an empty one) — the CELLS scan is the one whose
+    // filter list actually names the cell partition column
+    val pfs = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .toSeq
+    assert(pfs.exists(l => l.contains("cell#") &&
+        !l.contains("PartitionFilters: []")),
+      s"no scan prunes on cell:\n${pfs.mkString("\n")}")
+  }
+
   test("quantizedTopK: corpus-covering shortlist equals brute force " +
       "bit-exactly; small shortlists trade recall, scores stay exact") {
     val brute = SimilarityOps.bruteForceTopK(queries, emb, 3)
