@@ -171,6 +171,42 @@ object Bench {
         TextStatsOps.bpeTokenCount(col("text"), trained).as("n"))
     }
 
+    /** Z-order layout rewrite wall-clock (late r13): Morton-key the
+      * events table on (user_id, event_id) and rewrite it across 8
+      * files. Cost model under witness: one bounded min/max agg + a
+      * scan-local interleave projection + ONE range exchange + the
+      * write — the same bill as the plain sorted-layout rewrite, with
+      * multi-column skipping bought for it. A regression that turns
+      * the interleave into a non-codegen path or adds a shuffle shows
+      * up here directly. */
+    def zorderStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-zorder-${ProcessHandle.current().pid()}").toString
+      val ev = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "value")
+      graft.sources.ZOrder.writeZOrdered(ev, dir,
+        Seq("user_id", "event_id"), bits = 16, nFiles = 8)
+    }
+
+    /** Classifier-training wall-clock (late r13): two full-batch
+      * hard-sigmoid GD steps over this SF's documents at 64 buckets —
+      * per step a zero-shuffle logit pass and ONE map-side-combined
+      * bucket-gradient aggregation; the timed unit ends scoring the
+      * corpus with the trained weights. Iterative-driver-loop shape
+      * like bpe_train_stress: cost must stay steps × one job. */
+    def classifierTrainStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.ClassifierOps
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("text"), (col("lang") === "en").cast("int").as("y"))
+      val w = ClassifierOps.trainHardLogistic(docs, "text", "y",
+        buckets = 64, iters = 2, lrDen = 100L)
+      docs.select(col("doc_id"),
+        ClassifierOps.logitMicro(col("text"), w.take(64).toSeq, w(64))
+          .as("logit_micro"))
+    }
+
     /** Multimodal kernel throughput witness: per document, ENCODE and
       * DECODE a real PNG (two ImageIO passes), a real WAV (AudioSystem
       * both ways + exact sample stats), and an MP4 with a sample table
@@ -665,6 +701,84 @@ object Bench {
       try streamNearDupIngestBody(tag)
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
+
+    /** foreachBatch witness for CDC TABLE MAINTENANCE (late r13,
+      * beside the ingest witnesses): the orders change feed (key =
+      * o_custkey, seq = the globally-unique o_orderkey, every 7th key
+      * streaming deletes) arrives in FOUR seq-ordered micro-batches;
+      * each batch rewrites the maintained state table with
+      * MergeOps.applyChanges against the PREVIOUS state — the
+      * read-modify-swap loop a parquet lake actually runs under CDC
+      * (state dirs alternate per batch; immutable storage has no
+      * in-place update). Because batches partition the feed in
+      * nondecreasing seq ranges, the incremental fold must equal
+      * ONE-SHOT applyChanges over the whole feed by the operator's
+      * latest-wins contract — the final state is diffed against
+      * exactly that, so a tie-break or keep-semantics drift between
+      * the incremental and batch paths reports -1 instead of a
+      * timing. */
+    def streamCdcApplyWitness(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try streamCdcApplyBody(tag)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    def streamCdcApplyBody(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      val root = s"${sys.props("java.io.tmpdir")}/graft-bench-scdc-" +
+        ProcessHandle.current().pid()
+      val staged = s"$root/changes"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val target = Tables.customer(spark, sfDir).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+      val changes = Tables.orders(spark, sfDir).select(
+        col("o_custkey").as("k"),
+        concat(lit("ord-"), col("o_orderkey")).as("name"),
+        col("o_totalprice").as("bal"),
+        when(pmod(col("o_custkey"), lit(7)) === 0, "D")
+          .otherwise("U").as("op"),
+        col("o_orderkey").as("seq"))
+      changes.repartitionByRange(16, col("seq"))
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4).parquet(staged)
+      // state-dir handoff: each batch reads state i, writes state i+1
+      var statePath: Option[String] = None
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev = statePath.map(spark.read.parquet(_)).getOrElse(target)
+          val next = s"$root/state_$batchId"
+          graft.operators.MergeOps
+            .applyChanges(prev, batch, Seq("k"), "op", "seq")
+            .write.mode("overwrite").parquet(next)
+          statePath = Some(next)
+        }
+        .queryName("graft_stream_cdc_" + tag).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(statePath.getOrElse(
+        sys.error("stream_cdc_apply: no batch ran")))
+      val batchTwin = graft.operators.MergeOps.applyChanges(
+        target, spark.read.parquet(staged), Seq("k"), "op", "seq")
+      val diff = streamed.exceptAll(batchTwin).count() +
+        batchTwin.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_cdc_apply: $diff rows differ " +
+          "between incremental and one-shot applyChanges — reporting -1")
+        -1.0
+      } else secs
+    }
     def streamNearDupIngestBody(tag: String): Double = {
       import org.apache.spark.sql.functions._
       val root = s"${sys.props("java.io.tmpdir")}/graft-bench-snear-" +
@@ -745,7 +859,9 @@ object Bench {
         "lm_stress_hot_bigram" -> (() => lmStressHotBigram()),
         "multimodal_stress" -> (() => multimodalStress()),
         "bpe_train_stress" -> (() => bpeTrainStress()),
-        "wet_ingest_stress" -> (() => wetIngestStress()))
+        "wet_ingest_stress" -> (() => wetIngestStress()),
+        "zorder_stress" -> (() => zorderStress()),
+        "classifier_train_stress" -> (() => classifierTrainStress()))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood
@@ -885,13 +1001,31 @@ object Bench {
       "stream_join_interval" -> (streamJoinWitness _),
       "stream_join_left_outer" -> (streamJoinOuterWitness _),
       "stream_incremental_ingest" -> (streamIncrementalIngestWitness _),
-      "stream_near_dup_ingest" -> (streamNearDupIngestWitness _))
+      "stream_near_dup_ingest" -> (streamNearDupIngestWitness _),
+      "stream_cdc_apply" -> (streamCdcApplyWitness _))
     // One-time witness fixtures (the WET shard write) materialize
     // OUTSIDE the timed reps — otherwise rep 1 carries setup, the
     // rep split trips the 3× noise detector, and min-of-reps silently
     // absorbs a cost that was never ingest throughput.
     val wetSetupDir: String = wetShards._1
     System.err.println(s"[bench] wet shards staged at $wetSetupDir")
+    // Warm the late-r13 entry codepaths outside the timer (zorder's
+    // interleave/write path and the training loop's HOF codegen are
+    // not exercised by the headline block; first-touch JIT alone is a
+    // 3-4× rep split that would trip the noise detector).
+    locally {
+      import org.apache.spark.sql.functions._
+      val warmDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-zorder-warm-${ProcessHandle.current().pid()}").toString
+      graft.sources.ZOrder.writeZOrdered(
+        Tables.events(spark, sfDir).limit(20000)
+          .select("event_id", "ts", "user_id", "value"),
+        warmDir, Seq("user_id", "event_id"), bits = 16, nFiles = 2)
+      graft.llm.ClassifierOps.trainHardLogistic(
+        Tables.documents(spark, sfDir).limit(200).select(col("doc_id"),
+          col("text"), (col("lang") === "en").cast("int").as("y")),
+        "text", "y", buckets = 8, iters = 1, lrDen = 100L)
+    }
     val stressResults: Seq[(String, Vector[Double])] =
       stressEntries.map { case (n, f) =>
         (n, stressReps(() => runOnce(n, f)))
