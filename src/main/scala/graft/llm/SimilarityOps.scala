@@ -279,6 +279,56 @@ object SimilarityOps {
       .select(col(qId), col(cId), col("score"), col("rn"))
   }
 
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) —
+    * DIVERSIFIED retrieval: greedily pick the candidate maximizing
+    * λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so the
+    * result set trades pure relevance for coverage (the shape RAG
+    * context selection and eval-set curation want; plain top-k returns
+    * k near-duplicates of the best hit on a redundant corpus).
+    *
+    * Distributed shape: k rounds, each ONE corpus scan ending in a
+    * TakeOrderedAndProject of a single row — the selected set (≤ k
+    * embeddings) rides the plan as literals, the running
+    * max-similarity column grows one `greatest` term per round, and
+    * nothing but k winner rows ever reaches the driver. k is a
+    * result-page size (≤ tens); for k beyond that, pre-shortlist with
+    * [[bruteForceTopK]]/[[ivfTopK]] and run MMR on the shortlist. */
+  def mmrTopK(corpus: DataFrame, queryEmb: Array[Double], k: Int,
+      lambda: Double = 0.5, cId: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrTopK: k must be >= 1: $k")
+    require(lambda >= 0 && lambda <= 1, s"mmrTopK: lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    val e = toDoubleArr(col(embCol))
+    val qLit = typedLit(queryEmb.toSeq)
+    val simQ = cosine(e, qLit)
+    var selected = Vector.empty[(Long, Seq[Double], Double)]
+    var done = false
+    while (selected.length < k && !done) {
+      val penalty = selected.map(s => cosine(e, typedLit(s._2)))
+        .reduceOption(greatest(_, _))
+      val mmr = penalty match {
+        case None => simQ * lambda
+        case Some(m) => simQ * lambda - m * (1 - lambda)
+      }
+      val excluded = selected.map(_._1)
+      val cand = (if (excluded.isEmpty) corpus
+        else corpus.filter(!col(cId).isin(excluded: _*)))
+        .select(col(cId).cast("long").as("id"), e.as("emb"), mmr.as("s"))
+        .orderBy(col("s").desc, col("id").asc)
+        .limit(1).collect() // bounded: one winner row per round
+      if (cand.isEmpty) done = true
+      else {
+        val r = cand(0)
+        selected :+= ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      }
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("rank", cId, "mmr_score")
+  }
+
   /** Int8-code shortlist + full-precision re-rank — the
     * storage-bandwidth ANN tier: every candidate is scored on its int8
     * CODES with an EXACT integer dot (rank key

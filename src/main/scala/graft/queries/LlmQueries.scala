@@ -2404,6 +2404,48 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
+    // marginal relevance: each of the 3 rounds is one corpus scan
+    // ending in a 1-row TakeOrderedAndProject, the selected embeddings
+    // ride the plan as literals, and the penalty column grows one
+    // `greatest` term per round. The oracle replays all three greedy
+    // rounds as chained LIMIT-1 CTEs with the identical IEEE
+    // arithmetic (λ = 0.5 — dyadic, so λ·sim and (1−λ)·penalty are
+    // exact), ties to the lowest id on both sides.
+    QueryDef("mmr_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(SimilarityOps.toDoubleArr(col("embedding")))
+          .collect()(0).getSeq[Double](0).toArray // one query vector
+        SimilarityOps.mmrTopK(emb.filter(col("vec_id") =!= 0), q, 3, 0.5)
+          .select(col("rank"), col("vec_id"),
+            round(col("mmr_score"), 6).as("mmr_score"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+             |base AS (SELECT vec_id, e,
+             |    list_dot_product(e, qe) /
+             |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS sq
+             |  FROM c, q WHERE vec_id != 0),
+             |s1 AS (SELECT vec_id, e, sq, sq * 0.5 AS sc FROM base
+             |  ORDER BY sq * 0.5 DESC, vec_id LIMIT 1),
+             |b2 AS (SELECT b.vec_id, b.e, b.sq,
+             |    list_dot_product(b.e, s1.e) /
+             |    (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(s1.e, s1.e))) AS m
+             |  FROM base b, s1 WHERE b.vec_id != s1.vec_id),
+             |s2 AS (SELECT vec_id, e, sq, m, sq * 0.5 - m * 0.5 AS sc FROM b2
+             |  ORDER BY sq * 0.5 - m * 0.5 DESC, vec_id LIMIT 1),
+             |b3 AS (SELECT b.vec_id, b.sq,
+             |    greatest(b.m, list_dot_product(b.e, s2.e) /
+             |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(s2.e, s2.e)))) AS m
+             |  FROM b2 b, s2 WHERE b.vec_id != s2.vec_id),
+             |s3 AS (SELECT vec_id, sq * 0.5 - m * 0.5 AS sc FROM b3
+             |  ORDER BY sq * 0.5 - m * 0.5 DESC, vec_id LIMIT 1)
+             |SELECT 1 AS rank, vec_id, round(sc, 6) AS mmr_score FROM s1
+             |UNION ALL SELECT 2, vec_id, round(sc, 6) FROM s2
+             |UNION ALL SELECT 3, vec_id, round(sc, 6) FROM s3""".stripMargin)),
+
     QueryDef("embedding_stats",
       (s, d) => {
         val e = SimilarityOps.toDoubleArr(col("embedding"))

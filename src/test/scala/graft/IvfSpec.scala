@@ -66,6 +66,31 @@ class IvfSpec extends SparkSpec {
       s"no scan prunes on cell:\n${pfs.mkString("\n")}")
   }
 
+  test("mmrTopK diversifies across clusters where plain top-k returns " +
+      "near-duplicates") {
+    import spark.implicits._
+    // two tight clusters in 3-d; query points at cluster A
+    val rows = Seq(
+      (1L, Seq(1.00f, 0.01f, 0.0f)), (2L, Seq(1.00f, 0.02f, 0.0f)),
+      (3L, Seq(0.99f, 0.03f, 0.0f)),                       // cluster A
+      (10L, Seq(0.0f, 0.01f, 1.00f)), (11L, Seq(0.0f, 0.02f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val brute = SimilarityOps.bruteForceTopK(
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_emb"), rows, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(brute.subsetOf(Set(1L, 2L, 3L)), s"brute picked $brute")
+    val mmr = SimilarityOps.mmrTopK(rows, q, 2, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(Set(1L, 2L, 3L).contains(mmr(0)), s"rank 1 not relevant: ${mmr(0)}")
+    assert(Set(10L, 11L).contains(mmr(1)),
+      s"rank 2 should cross clusters, got ${mmr(1)}")
+    // deterministic under relayout
+    val again = SimilarityOps.mmrTopK(rows.repartition(5), q, 2, 0.5)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(again.toSeq === mmr.toSeq)
+  }
+
   test("quantizedTopK: corpus-covering shortlist equals brute force " +
       "bit-exactly; small shortlists trade recall, scores stay exact") {
     val brute = SimilarityOps.bruteForceTopK(queries, emb, 3)
