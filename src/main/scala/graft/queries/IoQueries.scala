@@ -778,6 +778,83 @@ object IoQueries extends QueryModule {
              |  coalesce(text, '') AS text
              |FROM documents""".stripMargin)),
 
+    // Schema EVOLUTION read (mergeSchema) — the lake reality the
+    // static-schema gates skip: a directory accumulates files written
+    // under different schema versions (v1 lacks the bal column), and
+    // the merged read must surface the union schema with NULLs for
+    // files that predate a column. The oracle states the same union
+    // from the flat table; a dropped v1 row, a misaligned column, or
+    // a NULL leaking into v2 rows hash-fails.
+    QueryDef("parquet_merge_schema",
+      (s, d) => {
+        val path = s"$scratch/evolve"
+        // fresh dir per run: append mode accumulates across runs
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val t = T.customer(s, d).select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        t.filter(pmod(col("k"), lit(2)) === 0).drop("bal")
+          .write.mode("append").parquet(path) // schema v1
+        t.filter(pmod(col("k"), lit(2)) === 1)
+          .write.mode("append").parquet(path) // schema v2 adds bal
+        s.read.option("mergeSchema", "true").parquet(path)
+          .select("k", "name", "bal")
+      },
+      Some("""SELECT c_custkey AS k, c_name AS name,
+             |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS bal
+             |FROM customer""".stripMargin)),
+
+    // PERMISSIVE corrupt-record capture — the reference's
+    // error-tolerant ingestion (read_json lines with bad rows, the
+    // errors='coerce' family): every 5th document's JSON payload is
+    // truncated mid-object; the parse must keep the row, null the
+    // fields, and surface the raw text in the corrupt column instead
+    // of throwing or silently dropping (dropping would bias the
+    // corpus exactly like silently dropping unparseable URLs).
+    QueryDef("json_corrupt_records",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val docs = T.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("{\"a\": "), col("doc_id").cast("string")))
+            .otherwise(concat(lit("{\"a\": "), col("doc_id").cast("string"),
+              lit("}"))).as("js"))
+        val schema = StructType(Seq(StructField("a", LongType),
+          StructField("_bad", StringType)))
+        docs.select(col("doc_id"),
+          from_json(col("js"), schema, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")).as("p"))
+          .select(col("doc_id"), col("p.a").as("a"),
+            col("p._bad").isNotNull.as("corrupt"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 5 <> 0 THEN doc_id END AS a,
+             |  doc_id % 5 = 0 AS corrupt
+             |FROM documents""".stripMargin)),
+
+    // Parquet BLOOM-FILTER point lookup — the file-skipping index for
+    // high-cardinality equality predicates (min/max stats are useless
+    // when every file spans the full key range; a bloom filter skips
+    // row groups that provably lack the key). The write enables the
+    // filter on user_id; the gate reads a point lookup back and the
+    // oracle states the same slice — BloomFilterIoSpec asserts the
+    // filter bytes actually landed in the footer metadata (the gate
+    // alone can't see inside parquet-mr's reader).
+    QueryDef("parquet_bloom_lookup",
+      (s, d) => {
+        val path = s"$scratch/bloom_events"
+        T.events(s, d).select("event_id", "ts", "user_id", "value")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#user_id", "true")
+          .parquet(path)
+        s.read.parquet(path).filter(col("user_id") === 7)
+          .select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE user_id = 7""".stripMargin)),
+
     // Persisted IVF index (SimilarityOps.writeIvfIndex/ivfTopKIndexed)
     // — the ANN index as a lake artifact: centroids + corpus rows
     // PARTITIONED BY cell, so later query batches scan only probed-cell
