@@ -81,4 +81,5 @@ object ClassifierOps {
     }
     w
   }
+
 }

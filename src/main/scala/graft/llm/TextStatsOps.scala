@@ -951,4 +951,48 @@ object TextStatsOps {
         k => array_join(slice(words, k * step + 1, lit(maxWords)), " "))))
       .select(col(idCol), col("pos").as("chunk_id"), col("col").as("chunk"))
   }
+
+  /** Compression-ratio quality signal (the Dolma/CCNet-family zlib
+    * heuristic): deflate each document's UTF-8 bytes at a FIXED level
+    * and report (utf8_len, deflate_len, ratio). Highly repetitive or
+    * boilerplate text compresses far below natural prose, and
+    * near-random noise barely compresses at all — both tails are
+    * removal candidates. Deflate output is deterministic for a fixed
+    * level and input, so the spec replays it driver-side byte-exactly;
+    * no SQL engine ships zlib, which is why this is a rare spec-pinned
+    * (not oracle-gated) operator, like the image codecs. Shape:
+    * mapPartitions codec kernel (one Deflater reused per partition),
+    * zero shuffle — scan throughput at any scale. NULL text reports
+    * (0, 0, NULL). */
+  def compressionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, level: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    require(level >= 1 && level <= 9,
+      s"compressionStats: deflate level in [1,9]: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, t) =>
+          if (t == null) (id, 0L, 0L, Option.empty[Double])
+          else {
+            val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var outLen = 0L
+            while (!deflater.finished())
+              outLen += deflater.deflate(buf)
+            val ratio = if (in.length == 0) None
+              else Some(outLen.toDouble / in.length)
+            (id, in.length.toLong, outLen, ratio)
+          }
+        }
+      }
+      .toDF("id", "utf8_len", "deflate_len", "ratio")
+      .withColumnRenamed("id", idCol)
+  }
 }
