@@ -218,6 +218,29 @@ class PlanAuditSpec extends SparkSpec {
       s"time bounds not pushed to the parquet scan: $pf")
   }
 
+  test("cdc_apply_changes: latest-wins compaction is a map-side-" +
+      "combinable aggregate, never a row_number window") {
+    val p = plan("cdc_apply_changes")
+    assert(!p.contains("Window"),
+      s"CDC compaction regressed to a window (hot entities would " +
+        s"funnel through one reducer):\n${p.take(3000)}")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 2,
+      s"no partial+final aggregate pair:\n${p.take(3000)}")
+  }
+
+  test("epoch_shuffle: distributed ranking — no unpartitioned window") {
+    val p = plan("epoch_shuffle")
+    // DistScan windows partition by the range-bucket id; a global
+    // ORDER BY rn window here would single-thread the whole epoch
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Window") &&
+        !l.contains("partitionBy") && l.contains("ORDER BY")),
+      p.take(2000))
+    assert(p.contains("Exchange rangepartitioning"),
+      s"epoch ranking lost its range exchange:\n${p.take(3000)}")
+  }
+
   test("parquet_zorder_layout: BOTH dimension predicates reach the " +
       "scan as PushedFilters (multi-column skipping over the Morton layout)") {
     val p = plan("parquet_zorder_layout")
