@@ -952,6 +952,62 @@ object TextStatsOps {
       .select(col(idCol), col("pos").as("chunk_id"), col("col").as("chunk"))
   }
 
+  /** Unigram-LM tokenizer inference (the SentencePiece family —
+    * Kudo 2018 — the OTHER production tokenizer beside BPE): per word,
+    * the VITERBI segmentation maximizing the sum of token log-probs,
+    * as a row-local HOF dynamic program — zero shuffle, the vocabulary
+    * rides the plan as one map literal.
+    *
+    * `vocab` maps token → log-prob in NEGATIVE micro units (higher =
+    * likelier); unknown single chars fall back to `unkCharMicro`
+    * (choose it far below every vocab entry); a candidate token longer
+    * than `maxTokenLen` is never considered, so vocabulary entries
+    * beyond that length are unreachable — size the bound to the
+    * longest vocab entry. Integer scores make the DP exact and
+    * layout/engine-invariant (the DSIR/classifier discipline). Ties on
+    * total score resolve to the FEWEST tokens (then the DP's
+    * lexicographic struct max, which is deterministic).
+    *
+    * DP state: best (score, −ntok) per prefix, appended position by
+    * position via `aggregate` over the char index — O(len·maxTokenLen)
+    * work per word, all inside codegen'd HOFs like the BPE fixpoint.
+    * Returns the best-path token COUNT (what budget sampling
+    * consumes); NULL/empty words count 0. */
+  def unigramTokenCount(w: Column, vocab: Map[String, Long],
+      unkCharMicro: Long, maxTokenLen: Int = 8): Column = {
+    require(vocab.nonEmpty, "unigramTokenCount: empty vocabulary")
+    require(maxTokenLen >= 1, "unigramTokenCount: maxTokenLen >= 1")
+    val vlit = typedLit(vocab)
+    val negInf = -(1L << 50) // headroom: never overflows when summed
+    val n = length(w)
+    val state = aggregate(
+      sequence(lit(1), greatest(n, lit(1))), // n=0 guarded below
+      array(struct(lit(0L).as("score"), lit(0).as("negntok"))),
+      (acc, i) => {
+        val jStart = greatest(i - maxTokenLen, lit(0))
+        val cands = transform(sequence(jStart, i - 1), j => {
+          val tok = w.substr(j + 1, i - j)
+          val prev = element_at(acc, j + 1)
+          val tokScore = coalesce(element_at(vlit, tok),
+            when(i - j === 1, lit(unkCharMicro)).otherwise(lit(negInf)))
+          struct((prev.getField("score") + tokScore).as("score"),
+            (prev.getField("negntok") - 1).as("negntok"))
+        })
+        concat(acc, array(array_max(cands)))
+      },
+      acc => element_at(acc, -1))
+    when(w.isNull || n === 0, lit(0))
+      .otherwise(-state.getField("negntok"))
+  }
+
+  /** Document-level unigram token count: [[unigramTokenCount]] summed
+    * over whitespace words — still one row-local expression. */
+  def unigramTokenCountDoc(text: Column, vocab: Map[String, Long],
+      unkCharMicro: Long, maxTokenLen: Int = 8): Column =
+    aggregate(words(text), lit(0L),
+      (a, w) => a + unigramTokenCount(w, vocab, unkCharMicro, maxTokenLen))
+      .cast("long")
+
   /** Compression-ratio quality signal (the Dolma/CCNet-family zlib
     * heuristic): deflate each document's UTF-8 bytes at a FIXED level
     * and report (utf8_len, deflate_len, ratio). Highly repetitive or

@@ -2404,6 +2404,51 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Unigram-LM (SentencePiece-family) tokenizer inference — the
+    // Viterbi DP runs for real in the engine (row-local HOF dynamic
+    // program, vocabulary as one map literal, zero shuffle); the gate
+    // corpus is planted from SEVEN words whose optimal segmentations
+    // are hand-derived below (the bpe_train_encode closed-form trick),
+    // so the oracle states counts without replaying the DP:
+    //   theory   → 1 (whole −1.5e6 beats the+ory −2.2e6)
+    //   thematic → 2 (the+matic −2.1e6; no whole-word entry)
+    //   cats     → 2 (cat+s −1.7e6)
+    //   dog      → 3 (OOV → per-char fallback)
+    //   ab       → 1 (whole −2e6 TIES a+b −2e6 → fewer tokens wins)
+    //   theorys  → 2 (theory+s −2.3e6 beats the+ory+s −3.0e6)
+    //   zq       → 2 (OOV)
+    // A DP bug — wrong tie-break, off-by-one window, bad fallback —
+    // flips a count and hash-fails.
+    QueryDef("unigram_tokenize", {
+      val vocab = Map(
+        "the" -> -1000000L, "theory" -> -1500000L, "ory" -> -1200000L,
+        "matic" -> -1100000L, "cat" -> -900000L, "s" -> -800000L,
+        "ab" -> -2000000L, "a" -> -1000000L, "b" -> -1000000L)
+      val wl = Seq("theory", "thematic", "cats", "dog", "ab",
+        "theorys", "zq")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          concat_ws(" ",
+            element_at(wlit, pmod(col("doc_id"), lit(7)).cast("int") + 1),
+            element_at(wlit, pmod(col("doc_id") + 3, lit(7)).cast("int") + 1),
+            element_at(wlit,
+              pmod(col("doc_id") * 2 + 1, lit(7)).cast("int") + 1))
+            .as("text"))
+        docs.select(col("doc_id"),
+          TextStatsOps.unigramTokenCountDoc(col("text"), vocab,
+            unkCharMicro = -10000000L).as("n_tokens"))
+      }
+    },
+      Some("""WITH cc AS (SELECT i, c FROM (VALUES
+             |    (0, 1), (1, 2), (2, 2), (3, 3), (4, 1), (5, 2), (6, 2))
+             |    t(i, c))
+             |SELECT d.doc_id, CAST(c1.c + c2.c + c3.c AS BIGINT) AS n_tokens
+             |FROM documents d
+             |JOIN cc c1 ON c1.i = d.doc_id % 7
+             |JOIN cc c2 ON c2.i = (d.doc_id + 3) % 7
+             |JOIN cc c3 ON c3.i = (d.doc_id * 2 + 1) % 7""".stripMargin)),
+
     // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
     // marginal relevance: each of the 3 rounds is one corpus scan
     // ending in a 1-row TakeOrderedAndProject, the selected embeddings
