@@ -777,4 +777,107 @@ object MultimodalOps {
         })
       }.toDF("asset_id", "payload")
   }
+
+  /** 64-bit DCT perceptual hash of one decoded image — the classic
+    * pHash recipe: integer area-average to a 32×32 gray grid (pure
+    * int arithmetic — no Graphics2D resampling, whose interpolation is
+    * implementation-defined), 2-D DCT-II via StrictMath (bit-identical
+    * across JVMs/platforms, unlike Math intrinsics), take the low-
+    * frequency 8×8 block, threshold each coefficient against the
+    * median of the 63 non-DC terms. Perceptually-similar images land
+    * within small Hamming distance; unrelated images differ in ~32
+    * bits. */
+  private[llm] def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val G = 32
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Double](G, G)
+    var gy = 0
+    while (gy < G) {
+      val y0 = gy * h / G; val y1 = math.max((gy + 1) * h / G, y0 + 1)
+      var gx = 0
+      while (gx < G) {
+        val x0 = gx * w / G; val x1 = math.max((gx + 1) * w / G, x0 + 1)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        gray(gy)(gx) = if (n == 0) 0.0 else sum.toDouble / (3 * n)
+        gx += 1
+      }
+      gy += 1
+    }
+    // separable 2-D DCT-II, only the 8×8 low-frequency corner needed
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < G) {
+          var x = 0
+          while (x < G) {
+            acc += gray(y)(x) *
+              StrictMath.cos((2 * y + 1) * u * StrictMath.PI / (2 * G)) *
+              StrictMath.cos((2 * x + 1) * v * StrictMath.PI / (2 * G))
+            x += 1
+          }
+          y += 1
+        }
+        dct(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val coeffs = (for { u <- 0 until 8; v <- 0 until 8
+      if u != 0 || v != 0 } yield dct(u)(v)).toArray
+    val sorted = coeffs.sorted
+    val median = (sorted(30) + sorted(31)) / 2 // 63 terms: mid pair
+    var bits = 0L; var i = 0
+    var u2 = 0
+    while (u2 < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        if ((u2 != 0 || v2 != 0) && dct(u2)(v2) > median)
+          bits |= 1L << i
+        i += 1; v2 += 1
+      }
+      u2 += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash column for a binary image payload column — the
+    * image near-dup tier of the curation pipeline (exact-byte dedup
+    * misses re-encodes and resizes; pHash groups them). Batched
+    * mapPartitions codec kernel like [[decodeImageMeta]], zero
+    * shuffle; undecodable payloads yield ok=false with phash 0 so
+    * callers route them instead of losing rows. Dedup downstream is a
+    * plain groupBy(phash) — or a banded Hamming join via
+    * the SimHash machinery for near-match tolerance. */
+  def imagePHash(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload", batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col(idCol).cast("long").as("id"), col(payloadCol).as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case Some(img) => (id, pHash64(img), true)
+            case None => (id, 0L, false)
+          }
+        })
+      }
+      .toDF("id", "phash", "ok")
+      .withColumnRenamed("id", idCol)
+  }
 }

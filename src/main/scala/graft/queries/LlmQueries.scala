@@ -2404,6 +2404,38 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Image NEAR-dup tier (MultimodalOps.imagePHash): the DCT
+    // perceptual hash groups re-encodes/resizes exact-byte dedup
+    // misses. Each document renders one of FIVE structurally distinct
+    // base images (different dims change the synthetic gradient's
+    // wrap frequency — PHashSpec proves the five hash apart, and that
+    // brightness shifts/resizes of one base collide as pHash must);
+    // the gate groups by the hash and emits each document's duplicate-
+    // class size. The oracle knows the planted equivalence classes
+    // (doc_id % 5) without ever computing a hash — a collision between
+    // bases, a split within a base, or a dropped undecodable row all
+    // hash-fail. Codec kernel is batched mapPartitions (zero shuffle);
+    // the class count is one partitioned window.
+    QueryDef("image_phash_groups",
+      (s, d) => {
+        import s.implicits._
+        import graft.llm.MultimodalOps
+        val dims = Seq((16, 16), (48, 16), (16, 48), (64, 32), (20, 40))
+        val assets = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = (id % 5).toInt
+            (id, MultimodalOps.syntheticPng(dims(k)._1, dims(k)._2,
+              seed = k.toLong))
+          }).toDF("doc_id", "png")
+        val hashed = MultimodalOps.imagePHash(assets, "doc_id", "png")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+        hashed.select(col("doc_id"),
+          count(lit(1)).over(w).as("n_same"))
+      },
+      Some("""SELECT doc_id,
+             |  count(*) OVER (PARTITION BY doc_id % 5) AS n_same
+             |FROM documents""".stripMargin)),
+
     // Unigram-LM (SentencePiece-family) tokenizer inference — the
     // Viterbi DP runs for real in the engine (row-local HOF dynamic
     // program, vocabulary as one map literal, zero shuffle); the gate
