@@ -801,4 +801,49 @@ object TextDedupOps {
     base.join(dupStarts, Seq(idCol), "left")
       .select(col(idCol), array_join(kept, " ").as(cleanCol))
   }
+
+  /** FUZZY pair matching (edit distance ≤ `maxDist`) — the
+    * record-linkage tier for short strings (titles, names, URLs after
+    * canonicalization) where near-dup means TYPOS, not shared
+    * shingles: character-`n`-gram BLOCKING proposes candidate pairs
+    * (only strings sharing at least one ≤-cap n-gram ever meet — the
+    * [[jaccardPairs]] shape, never all-pairs), then exact
+    * `levenshtein` keeps pairs within the distance budget. Both
+    * engines ship the same unit-cost edit distance, so the whole
+    * operator faces the oracle.
+    *
+    * `maxGramDocs` is the same hot-key ceiling as maxShingleDocs: an
+    * n-gram shared by b strings emits b·(b−1)/2 candidates, so
+    * ubiquitous grams ("the", "ing") must be dropped from blocking —
+    * they carry no discriminative signal. Blocking recall is
+    * corpus-dependent by construction (a pair whose every shared gram
+    * is above the cap is not proposed); that is the standard
+    * blocking trade and it is replayed identically by the oracle.
+    * Returns (id_a, id_b, dist) with id_a < id_b. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, n: Int = 3,
+      maxGramDocs: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, s"fuzzyPairs: maxDist must be >= 0: $maxDist")
+    require(n >= 1, s"fuzzyPairs: n-gram size must be >= 1: $n")
+    val s = col(strCol)
+    val grams = df.select(col(idCol).as("id"), s.as("s"))
+      .filter(s.isNotNull && length(s) >= n)
+      .select(col("id"), col("s"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("s")) - (n - 1)),
+          i => col("s").substr(i, lit(n))))).as("g"))
+    val blocked = if (maxGramDocs == Int.MaxValue) grams else {
+      val keep = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxGramDocs).select("g")
+      grams.join(keep, Seq("g"), "left_semi")
+    }
+    blocked.select(col("id").as("id_a"), col("s").as("s_a"), col("g"))
+      .join(blocked.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .filter(levenshtein(col("s_a"), col("s_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+  }
 }

@@ -2404,6 +2404,42 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Fuzzy pair matching (TextDedupOps.fuzzyPairs) — record linkage
+    // for short strings: trigram BLOCKING (hot grams above the df cap
+    // dropped — the jaccardPairs ceiling; 'item' fragments block at
+    // every SF, group-number grams stay under it) proposes candidates,
+    // exact levenshtein <= 1 keeps typo pairs. Planted titles: groups
+    // of 4 share 'item K' with {-,x,y,-} suffix variants (all
+    // within-group distances <= 1); near-number cross matches ('item
+    // 12' vs 'item 123', distance 1) are real fuzzy hits and the
+    // oracle — which replays blocking cap AND distance with DuckDB's
+    // identical unit-cost levenshtein — finds exactly the same set.
+    QueryDef("fuzzy_pairs",
+      (s, d) => {
+        val t = T.documents(s, d).select(col("doc_id"),
+          concat(lit("item "), expr("doc_id div 4"),
+            when(pmod(col("doc_id"), lit(4)) === 1, "x")
+              .when(pmod(col("doc_id"), lit(4)) === 2, "y")
+              .otherwise("")).as("title"))
+        TextDedupOps.fuzzyPairs(t, "doc_id", "title",
+          maxDist = 1, n = 3, maxGramDocs = 100)
+      },
+      Some("""WITH t AS (SELECT doc_id, 'item ' || CAST(doc_id // 4 AS VARCHAR) ||
+             |    CASE doc_id % 4 WHEN 1 THEN 'x' WHEN 2 THEN 'y' ELSE '' END AS s
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id, s, gram FROM (
+             |    SELECT doc_id, s, unnest(list_transform(range(1, len(s) - 1),
+             |      i -> substr(s, i, 3))) AS gram FROM t)),
+             |keep AS (SELECT gram FROM (SELECT gram, count(*) AS c
+             |    FROM g GROUP BY gram) WHERE c <= 100),
+             |gb AS (SELECT * FROM g WHERE gram IN (SELECT gram FROM keep)),
+             |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.s AS s_a, b.s AS s_b
+             |  FROM gb a JOIN gb b ON a.gram = b.gram
+             |    AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+             |FROM p WHERE levenshtein(s_a, s_b) <= 1""".stripMargin)),
+
     // Image NEAR-dup tier (MultimodalOps.imagePHash): the DCT
     // perceptual hash groups re-encodes/resizes exact-byte dedup
     // misses. Each document renders one of FIVE structurally distinct
