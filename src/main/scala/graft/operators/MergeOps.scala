@@ -132,4 +132,36 @@ object MergeOps {
     closed.unionByName(
       versions.select(dimCols.map(col): _*), allowMissingColumns = false)
   }
+
+  /** Incremental MATERIALIZED-ROLLUP maintenance (insert-only IVM):
+    * `state` holds the aggregated view `(keys…, cntCol, sumCols…)`;
+    * a `delta` of RAW rows folds in with ONE map-side-combinable
+    * delta aggregation plus a full-outer merge on the keys — the view
+    * is maintained without ever rescanning history, which is the whole
+    * point at 100 TB (re-aggregating a year of events to absorb an
+    * hour of new ones is the anti-pattern this replaces). Count and
+    * sums are additive, so incremental ≡ full re-aggregation exactly
+    * when the sums are exact (feed decimal-cast columns; float sums
+    * would drift by merge order). Retractions are out of scope here —
+    * route deletions through [[applyChanges]] upstream or maintain a
+    * signed-weight variant. */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], cntCol: String = "cnt"): DataFrame = {
+    require(keys.nonEmpty, "mergeAggState: need at least one key")
+    val expect = (keys ++ Seq(cntCol) ++ sumCols).toSet
+    require(state.columns.toSet == expect,
+      s"mergeAggState: state columns ${state.columns.mkString(", ")} " +
+        s"must be exactly keys + $cntCol + sums")
+    val dAgg = delta.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as(cntCol),
+      sumCols.map(c => sum(col(c)).as(c)): _*)
+    val t = state.alias("t"); val dl = dAgg.alias("d")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"d.$k")).reduce(_ && _)
+    t.join(dl, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"t.$k"), col(s"d.$k")).as(k)) ++
+        Seq((coalesce(col(s"t.$cntCol"), lit(0L)) +
+          coalesce(col(s"d.$cntCol"), lit(0L))).as(cntCol)) ++
+        sumCols.map(c => (coalesce(col(s"t.$c"), lit(0)) +
+          coalesce(col(s"d.$c"), lit(0))).as(c)): _*)
+  }
 }

@@ -109,6 +109,33 @@ object MergeQueries extends QueryModule {
              |SELECT d.k, d.name, d.valid_from,
              |  coalesce(f.first_ts, d.valid_to) AS valid_to
              |FROM dim d LEFT JOIN f ON d.k = f.k
-             |UNION ALL SELECT k, name, valid_from, valid_to FROM v""".stripMargin))
+             |UNION ALL SELECT k, name, valid_from, valid_to FROM v""".stripMargin)),
+
+    // Incremental materialized-rollup maintenance (insert-only IVM,
+    // MergeOps.mergeAggState): the per-customer order rollup is
+    // materialized over the FIRST 60% of orders (by orderkey), then
+    // the remaining 40% folds in as a delta — one delta aggregation +
+    // one full-outer merge, history never rescanned. The oracle is
+    // the FULL re-aggregation over all orders: incremental must equal
+    // it exactly (exact decimal sums; a float state would drift), so
+    // a lost key, a double-counted delta, or a NULL-poisoned merge
+    // hash-fails.
+    QueryDef("agg_state_merge",
+      (s, d) => {
+        val ords = T.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey").as("k"),
+          col("o_totalprice").cast("decimal(12,2)").as("v"))
+        val maxKey = ords.agg(max("o_orderkey")).collect()(0).getLong(0)
+        val split = maxKey * 3 / 5
+        val state = ords.filter(col("o_orderkey") <= split)
+          .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("v"))
+        val delta = ords.filter(col("o_orderkey") > split)
+          .select("k", "v")
+        MergeOps.mergeAggState(state, delta, Seq("k"), Seq("v"))
+          .select(col("k"), col("cnt"), col("v").cast("double").as("total"))
+      },
+      Some("""SELECT o_custkey AS k, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_custkey""".stripMargin))
   )
 }

@@ -59,6 +59,27 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("bal"))
   }
 
+  test("mergeAggState folds deltas exactly: new keys insert, untouched " +
+    "keys persist, schema mismatch rejected") {
+    val state = Seq((1L, 2L, BigDecimal("10.50")), (2L, 1L, BigDecimal("5.00")))
+      .toDF("k", "cnt", "v")
+    val delta = Seq((1L, BigDecimal("1.25")), (1L, BigDecimal("2.25")),
+      (9L, BigDecimal("7.00"))).toDF("k", "v")
+    val out = MergeOps.mergeAggState(state, delta, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    assert(out === Map(1L -> (4L, 14.0), 2L -> (1L, 5.0), 9L -> (1L, 7.0)))
+    // empty delta: state unchanged
+    val same = MergeOps.mergeAggState(state, delta.limit(0), Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    assert(same === Map(1L -> (2L, 10.5), 2L -> (1L, 5.0)))
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.mergeAggState(state.drop("cnt"), delta, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("state columns"))
+  }
+
   test("scd2Apply chains versions and rejects out-of-order updates") {
     val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
       .withColumn("valid_from", lit("2020-01-01 00:00:00").cast("timestamp"))
