@@ -778,6 +778,35 @@ object IoQueries extends QueryModule {
              |  coalesce(text, '') AS text
              |FROM documents""".stripMargin)),
 
+    // Footer-manifest scan planning (Manifest.build/prunedRead) — the
+    // Iceberg/Delta metadata idea without a table format: the events
+    // table is laid out in 8 event_id ranges, the manifest is built
+    // from FOOTERS ONLY (distributed over the file list, no data
+    // pages), and a range query consults the manifest to read just
+    // the intersecting files. The gate requires the pruning actually
+    // happened (files read < files total — a manifest that keeps
+    // everything is a no-op) and the oracle states the slice from the
+    // flat table, so both the planning and the residual filter are
+    // under test. ManifestSpec pins the per-file stats themselves.
+    QueryDef("manifest_pruned_read",
+      (s, d) => {
+        val path = s"$scratch/manifest_events"
+        T.events(s, d).select("event_id", "ts", "user_id", "value")
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(path)
+        val mf = graft.sources.Manifest.build(s, path, Seq("event_id"))
+        val total = mf.select("file").distinct().count()
+        val pruned = graft.sources.Manifest.prunedRead(
+          s, mf, "event_id", 1000L, 4000L)
+        val readFiles = pruned.select(input_file_name()).distinct().count()
+        require(readFiles < total,
+          s"manifest pruned nothing: $readFiles of $total files read")
+        pruned.select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE event_id BETWEEN 1000 AND 4000""".stripMargin)),
+
     // Schema EVOLUTION read (mergeSchema) — the lake reality the
     // static-schema gates skip: a directory accumulates files written
     // under different schema versions (v1 lacks the bal column), and
