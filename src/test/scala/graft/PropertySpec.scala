@@ -473,6 +473,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("applyChanges equals a sequential driver-side fold on random " +
+    "change feeds") {
+    import graft.operators.MergeOps
+    val feedGen: Gen[List[(Long, String, String, Long)]] =
+      Gen.chooseNum(1, 30).flatMap { n =>
+        Gen.listOfN(n, for {
+          k <- Gen.chooseNum(0L, 6L)
+          op <- Gen.oneOf("U", "U", "U", "D") // deletes rarer
+          v <- Gen.chooseNum(0, 99)
+        } yield (k, s"v$v", op, 0L))
+      }
+    (0 until 6).foreach { i =>
+      val raw = feedGen.pureApply(Gen.Parameters.default, Seed(900L + i))
+        .zipWithIndex.map { case ((k, v, op, _), seq) => (k, v, op, seq.toLong) }
+      val target = (0L to 3L).map(k => (k, s"init$k")).toDF("k", "name")
+      val changes = raw.toDF("k", "name", "op", "seq")
+      val got = MergeOps.applyChanges(target, changes, Seq("k"), "op", "seq")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: fold the feed in seq order over the target map
+      val expect = raw.sortBy(_._4).foldLeft(
+        (0L to 3L).map(k => k -> s"init$k").toMap) {
+        case (m, (k, v, op, _)) =>
+          if (op == "D") m - k else m + (k -> v)
+      }
+      assert(got === expect, s"sample $i")
+    }
+  }
+
   test("epochShuffle: layout-invariant permutation, seeds decorrelate, " +
     "shards exactly equal") {
     import graft.operators.SampleOps
