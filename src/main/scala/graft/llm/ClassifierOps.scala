@@ -61,8 +61,13 @@ object ClassifierOps {
     val n = df.count() // one scalar: the corpus row count
     require(n > 0, "trainHardLogistic: empty corpus")
     val w = Array.fill(buckets + 1)(0L) // [word buckets..., bias]
+    // NULL text reads as empty: words(NULL) is NULL and would
+    // null-propagate through array_append, dropping the row's bias
+    // sentinel from the gradient while n still counts it — and
+    // diverging from the oracle, which emits a bias row per document
+    val txt = coalesce(col(textCol), lit(""))
     for (_ <- 1 to iters) {
-      val z = logitMicro(col(textCol), w.take(buckets).toSeq, w(buckets))
+      val z = logitMicro(txt, w.take(buckets).toSeq, w(buckets))
       val err = (hardSigmoidMicro(z) -
         col(labelCol).cast("long") * Micro).as("__err")
       // one exchange: per-occurrence bucket ids + a sentinel bias
@@ -70,7 +75,7 @@ object ClassifierOps {
       // same map-side-combined aggregation
       val g = df.select(err,
           explode(array_append(
-            transform(TextStatsOps.words(col(textCol)),
+            transform(TextStatsOps.words(txt),
               t => TextStatsOps.md5Bucket(t, buckets)),
             lit(buckets.toLong))).as("__b"))
         .groupBy("__b").agg(sum("__err").as("__g"))

@@ -842,8 +842,10 @@ object TextDedupOps {
         col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      // materialize the distance ONCE: Catalyst does not CSE across
+      // Filter and Project, and the O(|a|·|b|) DP is the hot kernel
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
   }
 }

@@ -1031,6 +1031,12 @@ object TextStatsOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the native zlib buffers when the task ends — one
+        // Deflater per task whose off-heap state waited for GC would
+        // accumulate native memory outside JVM heap accounting on a
+        // wide scan
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, t) =>
           if (t == null) (id, 0L, 0L, Option.empty[Double])

@@ -27,10 +27,27 @@ object MergeOps {
 
   /** MERGE upsert: source rows REPLACE whole matching target rows on
     * `keys`; unmatched source rows insert; unmatched target rows
-    * persist. Schemas must align (enforced by unionByName). */
+    * persist. Schemas must align (enforced by unionByName).
+    *
+    * PRECONDITION: the source carries at most one row per key — a real
+    * MERGE errors on multiple matches, and an uncompacted CDC batch
+    * here would silently emit duplicate rows (compact it with
+    * [[applyChanges]] first). `validate = true` enforces the
+    * precondition loudly at the cost of one extra aggregation job;
+    * the default trusts the caller, the right trade for a 100 TB
+    * changeset that is distinct by construction. */
   def upsert(target: DataFrame, source: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], validate: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "upsert: need at least one key column")
+    if (validate) {
+      val dup = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert: source has multiple rows for key " +
+          s"${dup.headOption.map(_.toString).getOrElse("")} — compact " +
+          "the changeset (applyChanges) before upserting")
+    }
     target.join(source.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
       .unionByName(source)
@@ -45,17 +62,23 @@ object MergeOps {
   def mergeUpdate(target: DataFrame, source: DataFrame, keys: Seq[String],
       updateCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "mergeUpdate: need at least one key column")
-    val t = target.alias("t"); val s = source.alias("s")
+    // explicit presence marker: "keep the target value on match" must
+    // hold even when that value is NULL — a bare coalesce(t, s) would
+    // silently overwrite a matched row's legitimate NULL with the
+    // source value (it exists only to serve unmatched-source inserts)
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s = source.alias("s")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val matched = col("t.__t_present").isNotNull
     val proj = target.columns.toSeq.map { c =>
       if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
       else if (updateCols.contains(c)) {
         // matched-or-insert: source wins; target-only rows fall back.
-        // A matched source NULL would "miss" the update here — that is
-        // the documented coalesce semantics (matching combine_first),
-        // callers wanting NULL-overwrite should model it as a sentinel.
+        // A matched source NULL "misses" the update — the documented
+        // combine_first semantics; callers wanting NULL-overwrite
+        // should model it as a sentinel.
         coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-      } else coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+      } else when(matched, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
     }
     t.join(s, cond, "full_outer").select(proj: _*)
   }

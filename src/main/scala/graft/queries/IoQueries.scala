@@ -799,7 +799,10 @@ object IoQueries extends QueryModule {
         val total = mf.select("file").distinct().count()
         val pruned = graft.sources.Manifest.prunedRead(
           s, mf, "event_id", 1000L, 4000L)
-        val readFiles = pruned.select(input_file_name()).distinct().count()
+        // inputFiles = the SCAN's file set (pre-filter) — counting
+        // files that survive the residual filter would pass even if
+        // pruning regressed to reading everything
+        val readFiles = pruned.inputFiles.length
         require(readFiles < total,
           s"manifest pruned nothing: $readFiles of $total files read")
         pruned.select("event_id", "ts", "user_id", "value")

@@ -51,8 +51,12 @@ object Manifest {
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f), conf))
           try {
+            // (rows, nulls, min, max, every-row-group-had-stats): one
+            // row group WITHOUT stats must poison the file's min/max
+            // to None — folding it into the other groups' bounds
+            // would let prunedRead skip rows that group may contain
             val perCol = scala.collection.mutable.Map[String,
-              (Long, Long, Option[Long], Option[Long])]()
+              (Long, Long, Option[Long], Option[Long], Boolean)]()
             reader.getRowGroups.asScala.foreach { rg =>
               rg.getColumns.asScala.foreach { c =>
                 val name = c.getPath.toDotString
@@ -69,16 +73,20 @@ object Manifest {
                       (Some(s.getMin.toLong), Some(s.getMax.toLong))
                     case _ => (None, None)
                   }
-                  val prev = perCol.getOrElse(name, (0L, 0L, None, None))
+                  val prev = perCol.getOrElse(name,
+                    (0L, 0L, Option.empty[Long], Option.empty[Long], true))
                   perCol(name) = (prev._1 + rows, prev._2 + nulls,
-                    minOpt(prev._3, mm._1), maxOpt(prev._4, mm._2))
+                    minOpt(prev._3, mm._1), maxOpt(prev._4, mm._2),
+                    prev._5 && mm._1.isDefined)
                 }
               }
             }
             want.toSeq.sorted.map { c =>
-              val (r, n, mn, mx) =
-                perCol.getOrElse(c, (0L, 0L, None, None))
-              ColStats(f, c, r, n, mn, mx)
+              val (r, n, mn, mx, allStats) =
+                perCol.getOrElse(c, (0L, 0L, Option.empty[Long],
+                  Option.empty[Long], true))
+              if (allStats) ColStats(f, c, r, n, mn, mx)
+              else ColStats(f, c, r, n, None, None)
             }
           } finally reader.close()
         }

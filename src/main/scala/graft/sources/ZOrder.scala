@@ -85,13 +85,10 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, outPath: String, zCols: Seq[String],
       bits: Int = 16, nFiles: Int = 8): DataFrame = {
     require(zCols.nonEmpty, "writeZOrdered: need at least one z column")
-    val stats = df.agg(
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).head,
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*)
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
       .collect()(0) // bounded: exactly one row, 2·|zCols| doubles
     val ranges = zCols.indices.map { i =>
       // an all-null column yields null min/max → degenerate (0, 0)

@@ -35,6 +35,28 @@ class MergeSpec extends SparkSpec {
       3L -> ("c", 30.0), 9L -> ("z", 1.0)))
   }
 
+  test("mergeUpdate keeps a matched target's legitimate NULL in " +
+    "non-update columns (no coalesce overwrite)") {
+    val t = Seq[(Long, String, java.lang.Double)]((2L, null, 20.0))
+      .toDF("k", "name", "bal")
+    val src = Seq((2L, "X", 99.0)).toDF("k", "name", "bal")
+    val out = MergeOps.mergeUpdate(t, src, Seq("k"), Seq("bal"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(1), "matched target NULL was overwritten")
+    assert(out(0).getDouble(2) === 99.0)
+  }
+
+  test("upsert(validate = true) rejects an uncompacted changeset") {
+    val src = Seq((2L, "v1", 1.0), (2L, "v2", 2.0)).toDF("k", "name", "bal")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.upsert(target, src, Seq("k"), validate = true)
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    // default trusts the caller (documented precondition)
+    assert(MergeOps.upsert(target, src, Seq("k")).count() === 4)
+  }
+
   test("applyChanges: latest-wins per key, same-seq tie favors the " +
     "delete, deletes drop keys, new keys insert") {
     val ch = Seq(
