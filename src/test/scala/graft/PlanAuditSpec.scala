@@ -436,6 +436,9 @@ class PlanAuditSpec extends SparkSpec {
       "sample_weights",        // broadcast scalar weight-total row
       "str_levenshtein_pairs", // explicit bounded id×id pair set
       "cosine_topk", "cosine_topk_native", "cosine_ivf_topk",
+      "ivf_index_topk",        // persisted-index probe: the same
+                               // broadcast-centroid shape as cosine_ivf_topk
+                               // over the cell-partitioned scan
       "cosine_topk_quantized", // int8 shortlist: same broadcast-query shape
       "cosine_pq_topk",        // PQ-ADC shortlist: same broadcast-query shape
       "embedding_near_dup",    // broadcast query/centroid side over the
