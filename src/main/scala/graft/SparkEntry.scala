@@ -30,7 +30,8 @@ object SparkEntry {
     qmod.ApplyQueries,
     qmod.OffsetQueries,
     qmod.IoQueries,
-    qmod.MergeQueries
+    qmod.MergeQueries,
+    qmod.FrameCompareQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -37,4 +37,37 @@ object SetOps {
   /** equals: exact multiset equality (reference: generic.py:1383). */
   def frameEquals(a: DataFrame, b: DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** DataFrame.compare (reference frame.py:7599, pandas ≥1.1): align
+    * `a` (self) and `b` (other) on `keys` and emit one row per
+    * DIFFERING cell in tidy long form — (keys…, column, self, other),
+    * values rendered as strings so heterogeneous column types share
+    * one frame (the Spark-native equivalent of pandas' MultiIndex
+    * column pairs). Both-NULL cells are EQUAL (pandas' NaN==NaN
+    * convention, via null-safe <=>); a row missing on one side
+    * surfaces every compared column with NULL on the absent side.
+    * pandas raises on label mismatch — distributed frames have no
+    * shared row labels, so the outer join IS the alignment.
+    *
+    * Shape: ONE key-clustered full-outer join, then a row-local
+    * filtered explode of per-column (column, self, other) structs —
+    * no shuffle beyond the join at any scale. */
+  def frameCompare(a: DataFrame, b: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "frameCompare: need at least one key column")
+    require(compareCols.nonEmpty, "frameCompare: need compare columns")
+    val l = a.alias("l"); val r = b.alias("r")
+    val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val diffs = array(compareCols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"l.$c").cast("string").as("self"),
+        col(s"r.$c").cast("string").as("other"))
+    }: _*)
+    l.join(r, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+
+        explode(filter(diffs,
+          d => !(d.getField("self") <=> d.getField("other")))).as("__d"): _*)
+      .select(keys.map(col) :+ col("__d.column").as("column") :+
+        col("__d.self").as("self") :+ col("__d.other").as("other"): _*)
+  }
 }

@@ -112,3 +112,46 @@ object SetOpQueries extends QueryModule {
       Some("SELECT TRUE AS eq_same, FALSE AS eq_diff"))
   )
 }
+
+/** DataFrame.compare in tidy long form (SetOps.frameCompare) — one row
+  * per differing CELL after key alignment. Planted differences: every
+  * 7th customer's balance shifts, every 11th's name is rewritten,
+  * every 13th row is missing from the other side (surfacing both
+  * compared columns with a NULL other). Both-NULL-equal and
+  * missing-row semantics ride the same null-safe comparison the
+  * oracle replays with IS NOT DISTINCT FROM; string rendering of the
+  * shifted doubles is shortest-round-trip in both engines. */
+object FrameCompareQueries extends QueryModule {
+  private val T = Tables
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("frame_compare",
+      (s, d) => {
+        val a = T.customer(s, d).select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val b = a.filter(pmod(col("k"), lit(13)) =!= 0)
+          .select(col("k"),
+            when(pmod(col("k"), lit(11)) === 0,
+              concat(lit("X-"), col("name"))).otherwise(col("name"))
+              .as("name"),
+            when(pmod(col("k"), lit(7)) === 0, col("bal") + 10)
+              .otherwise(col("bal")).as("bal"))
+        SetOps.frameCompare(a, b, Seq("k"), Seq("name", "bal"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, c_name AS name,
+             |    c_acctbal AS bal FROM customer),
+             |b AS (SELECT k,
+             |    CASE WHEN k % 11 = 0 THEN 'X-' || name ELSE name END AS name,
+             |    CASE WHEN k % 7 = 0 THEN bal + 10 ELSE bal END AS bal
+             |  FROM a WHERE k % 13 <> 0),
+             |j AS (SELECT a.k, a.name AS ln, a.bal AS lb,
+             |    b.name AS rn, b.bal AS rb
+             |  FROM a LEFT JOIN b ON a.k = b.k)
+             |SELECT k, 'name' AS "column", CAST(ln AS VARCHAR) AS self,
+             |  CAST(rn AS VARCHAR) AS other
+             |FROM j WHERE NOT (ln IS NOT DISTINCT FROM rn)
+             |UNION ALL
+             |SELECT k, 'bal', CAST(lb AS VARCHAR), CAST(rb AS VARCHAR)
+             |FROM j WHERE NOT (CAST(lb AS VARCHAR) IS NOT DISTINCT
+             |  FROM CAST(rb AS VARCHAR))""".stripMargin))
+  )
+}

@@ -100,6 +100,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(JoinOps.validateKeys(dup.limit(1), Seq("k"), unique = true))
   }
 
+  test("frameCompare: differing cells only, both-NULL equal, missing " +
+    "rows surface every compared column") {
+    import graft.operators.SetOps
+    val a = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 1.0), (2L, null, 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val b = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 9.0),   // v differs
+      (2L, null, 2.0)   // identical incl. both-null s
+      // k=3 missing
+    ).toDF("k", "s", "v")
+    val got = SetOps.frameCompare(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got === Map(
+      (1L, "v") -> (Some("1.0"), Some("9.0")),
+      (3L, "s") -> (Some("c"), None),
+      (3L, "v") -> (Some("3.0"), None)))
+  }
+
   test("linearFit recovers an exact line; degenerate groups are NULL") {
     import graft.operators.GroupOps
     val pts = Seq(
