@@ -837,15 +837,18 @@ object TextDedupOps {
         .filter(col("__df") <= maxGramDocs).select("g")
       grams.join(keep, Seq("g"), "left_semi")
     }
+    // candidate FILTER runs the banded O(len·maxDist) early-exit
+    // expression (graft.functions.LevenshteinWithin — registration is
+    // idempotent); the builtin full-DP levenshtein prices only the
+    // SURVIVORS' reported distance
+    graft.functions.LevenshteinWithin.register(df.sparkSession)
     blocked.select(col("id").as("id_a"), col("s").as("s_a"), col("g"))
       .join(blocked.select(col("id").as("id_b"), col("s").as("s_b"),
         col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      // materialize the distance ONCE: Catalyst does not CSE across
-      // Filter and Project, and the O(|a|·|b|) DP is the hot kernel
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .filter(expr(s"levenshtein_within(s_a, s_b, $maxDist)"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
   }
 }
