@@ -102,12 +102,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      new FunctionIdentifier(LevenshteinWithin.fnName),
-      new ExpressionInfo(classOf[LevenshteinWithin].getName,
-        LevenshteinWithin.fnName),
-      (exprs: Seq[Expression]) =>
-        LevenshteinWithin(exprs(0), exprs(1), exprs(2))))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

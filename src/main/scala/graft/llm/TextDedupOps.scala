@@ -837,18 +837,19 @@ object TextDedupOps {
         .filter(col("__df") <= maxGramDocs).select("g")
       grams.join(keep, Seq("g"), "left_semi")
     }
-    // candidate FILTER runs the banded O(len·maxDist) early-exit
-    // expression (graft.functions.LevenshteinWithin — registration is
-    // idempotent); the builtin full-DP levenshtein prices only the
-    // SURVIVORS' reported distance
-    graft.functions.LevenshteinWithin.register(df.sparkSession)
+    // Spark's THRESHOLDED levenshtein (3-arg, since 3.5) runs the
+    // banded early-exit DP — O(len·maxDist), returns −1 above the
+    // threshold — so ONE evaluation both filters candidates and
+    // prices survivors, in code-POINT units matching DuckDB's
+    // levenshtein on the oracle side
     blocked.select(col("id").as("id_a"), col("s").as("s_a"), col("g"))
       .join(blocked.select(col("id").as("id_b"), col("s").as("s_b"),
         col("g")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .filter(expr(s"levenshtein_within(s_a, s_b, $maxDist)"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
   }
 }

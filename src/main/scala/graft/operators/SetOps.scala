@@ -41,11 +41,15 @@ object SetOps {
   /** DataFrame.compare (reference frame.py:7599, pandas ≥1.1): align
     * `a` (self) and `b` (other) on `keys` and emit one row per
     * DIFFERING cell in tidy long form — (keys…, column, self, other),
-    * values rendered as strings so heterogeneous column types share
-    * one frame (the Spark-native equivalent of pandas' MultiIndex
-    * column pairs). Both-NULL cells are EQUAL (pandas' NaN==NaN
-    * convention, via null-safe <=>); a row missing on one side
-    * surfaces every compared column with NULL on the absent side.
+    * values rendered as strings for OUTPUT only, so heterogeneous
+    * column types share one frame (the Spark-native equivalent of
+    * pandas' MultiIndex column pairs). Difference is decided on the
+    * NATIVE values with null-safe <=>: both-NULL cells are equal
+    * (pandas' NaN==NaN convention) and −0.0 equals 0.0, where a
+    * string-rendered comparison would report a spurious diff. A row
+    * missing on one side surfaces EVERY compared column — presence is
+    * tracked with explicit markers, so a present-side NULL cell still
+    * surfaces the missing row instead of vanishing into NULL<=>NULL.
     * pandas raises on label mismatch — distributed frames have no
     * shared row labels, so the outer join IS the alignment.
     *
@@ -56,17 +60,19 @@ object SetOps {
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "frameCompare: need at least one key column")
     require(compareCols.nonEmpty, "frameCompare: need compare columns")
-    val l = a.alias("l"); val r = b.alias("r")
+    val l = a.withColumn("__lp", lit(true)).alias("l")
+    val r = b.withColumn("__rp", lit(true)).alias("r")
     val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val bothPresent = col("l.__lp").isNotNull && col("r.__rp").isNotNull
     val diffs = array(compareCols.map { c =>
       struct(lit(c).as("column"),
         col(s"l.$c").cast("string").as("self"),
-        col(s"r.$c").cast("string").as("other"))
+        col(s"r.$c").cast("string").as("other"),
+        (!bothPresent || !(col(s"l.$c") <=> col(s"r.$c"))).as("__diff"))
     }: _*)
     l.join(r, cond, "full_outer")
       .select(keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+
-        explode(filter(diffs,
-          d => !(d.getField("self") <=> d.getField("other")))).as("__d"): _*)
+        explode(filter(diffs, d => d.getField("__diff"))).as("__d"): _*)
       .select(keys.map(col) :+ col("__d.column").as("column") :+
         col("__d.self").as("self") :+ col("__d.other").as("other"): _*)
   }

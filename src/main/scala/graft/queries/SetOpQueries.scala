@@ -144,14 +144,13 @@ object FrameCompareQueries extends QueryModule {
              |    CASE WHEN k % 7 = 0 THEN bal + 10 ELSE bal END AS bal
              |  FROM a WHERE k % 13 <> 0),
              |j AS (SELECT a.k, a.name AS ln, a.bal AS lb,
-             |    b.name AS rn, b.bal AS rb
+             |    b.name AS rn, b.bal AS rb, b.k AS bk
              |  FROM a LEFT JOIN b ON a.k = b.k)
              |SELECT k, 'name' AS "column", CAST(ln AS VARCHAR) AS self,
              |  CAST(rn AS VARCHAR) AS other
-             |FROM j WHERE NOT (ln IS NOT DISTINCT FROM rn)
+             |FROM j WHERE bk IS NULL OR NOT (ln IS NOT DISTINCT FROM rn)
              |UNION ALL
              |SELECT k, 'bal', CAST(lb AS VARCHAR), CAST(rb AS VARCHAR)
-             |FROM j WHERE NOT (CAST(lb AS VARCHAR) IS NOT DISTINCT
-             |  FROM CAST(rb AS VARCHAR))""".stripMargin))
+             |FROM j WHERE bk IS NULL OR NOT (lb IS NOT DISTINCT FROM rb)""".stripMargin))
   )
 }

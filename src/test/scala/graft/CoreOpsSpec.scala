@@ -117,6 +117,20 @@ class CoreOpsSpec extends SparkSpec {
       (1L, "v") -> (Some("1.0"), Some("9.0")),
       (3L, "s") -> (Some("c"), None),
       (3L, "v") -> (Some("3.0"), None)))
+
+    // a missing row surfaces even columns where the present side is
+    // NULL (presence markers, not NULL<=>NULL), and -0.0 == 0.0 is
+    // NOT a diff (native comparison; string rendering would differ)
+    val a2 = Seq[(Long, String, java.lang.Double)](
+      (4L, null, 4.0), (5L, "e", -0.0)).toDF("k", "s", "v")
+    val b2 = Seq[(Long, String, java.lang.Double)](
+      (5L, "e", 0.0)).toDF("k", "s", "v")
+    val got2 = SetOps.frameCompare(a2, b2, Seq("k"), Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got2 === Map(
+      (4L, "s") -> (None, None), // missing row, present side NULL
+      (4L, "v") -> (Some("4.0"), None)))
   }
 
   test("linearFit recovers an exact line; degenerate groups are NULL") {
