@@ -501,6 +501,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs (uncapped) equals brute-force levenshtein filtering " +
+    "on random corpora whenever a shared gram exists") {
+    import graft.llm.TextDedupOps
+    val strGen: Gen[List[String]] = Gen.chooseNum(3, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(3, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)))
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    def grams(s: String): Set[String] =
+      (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    (0 until 5).foreach { it =>
+      val strs = strGen.pureApply(Gen.Parameters.default, Seed(7100L + it))
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = TextDedupOps.fuzzyPairs(strs.toDF("id", "s"), "id", "s",
+        maxDist = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && grams(sa).intersect(grams(sb)).nonEmpty
+        d = lev(sa, sb) if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === expect, s"sample $it")
+    }
+  }
+
   test("epochShuffle: layout-invariant permutation, seeds decorrelate, " +
     "shards exactly equal") {
     import graft.operators.SampleOps
