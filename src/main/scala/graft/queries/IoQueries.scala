@@ -778,6 +778,31 @@ object IoQueries extends QueryModule {
              |  coalesce(text, '') AS text
              |FROM documents""".stripMargin)),
 
+    // Gzipped JSONL shard round-trip — the interchange format the
+    // open-data training ecosystem actually ships (HF datasets, Dolma,
+    // RedPajama releases are .jsonl.gz): deterministic hash-assigned
+    // shards via the training-shard writer's column, text JSON lines,
+    // gzip per file. Whole-file gzip is honestly non-splittable on
+    // read (one task per shard — the WET trade, documented there);
+    // the shard count IS the read parallelism, which is why releases
+    // ship thousands of shards. A row lost in the JSON round-trip, a
+    // mangled unicode escape, or a shard misassignment hash-fails.
+    QueryDef("jsonl_shards_roundtrip",
+      (s, d) => {
+        val path = s"$scratch/jsonl_shards"
+        val docs = T.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+        docs.withColumn("shard",
+            graft.operators.SampleOps.shardCol(col("doc_id"), 8))
+          .repartition(8, col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .option("compression", "gzip").json(path)
+        s.read.json(path)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+            col("lang"), col("source"))
+      },
+      Some("SELECT doc_id, text, lang, source FROM documents")),
+
     // Footer-manifest scan planning (Manifest.build/prunedRead) — the
     // Iceberg/Delta metadata idea without a table format: the events
     // table is laid out in 8 event_id ranges, the manifest is built
