@@ -44,9 +44,11 @@ object ClassifierOps {
 
   /** Micro-unit logit for `text` under word-bucket weights `w` (size
     * buckets) plus bias `wb`: Σ_occurrences w[bucket(word)] + wb.
-    * Row-local, zero shuffle. */
+    * Row-local, zero shuffle. NULL text scores as empty (bias-only
+    * logit) — the same treatment training gives it, so a NULL-text
+    * document cannot train as one thing and score as another. */
   def logitMicro(text: Column, w: Seq[Long], wb: Long): Column =
-    TextStatsOps.hashedClassifierLogit(text, w) + lit(wb)
+    TextStatsOps.hashedClassifierLogit(coalesce(text, lit("")), w) + lit(wb)
 
   /** Train `iters` full-batch hard-sigmoid logistic steps on
     * (`textCol`, `labelCol` ∈ {0,1}); returns buckets word weights

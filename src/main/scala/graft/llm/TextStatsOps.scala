@@ -1001,10 +1001,12 @@ object TextStatsOps {
   }
 
   /** Document-level unigram token count: [[unigramTokenCount]] summed
-    * over whitespace words — still one row-local expression. */
+    * over whitespace words — still one row-local expression. NULL text
+    * counts 0 (the documented NULL/empty contract): words(NULL) is
+    * NULL and aggregate() would null-propagate without the coalesce. */
   def unigramTokenCountDoc(text: Column, vocab: Map[String, Long],
       unkCharMicro: Long, maxTokenLen: Int = 8): Column =
-    aggregate(words(text), lit(0L),
+    aggregate(words(coalesce(text, lit(""))), lit(0L),
       (a, w) => a + unigramTokenCount(w, vocab, unkCharMicro, maxTokenLen))
       .cast("long")
 

@@ -32,12 +32,19 @@ object GraphOps {
     * pre-aggregate upstream if link multiplicity shouldn't weight.
     *
     * Plans chain across rounds (round k's plan contains k joins) —
-    * fine for the 2-4 rounds a quality prior needs; checkpoint between
-    * rounds if you push iters higher on a big graph. */
+    * fine for the 2-4 rounds a quality prior needs; for deeper runs
+    * set `checkpointEvery` > 0 to truncate rank lineage every
+    * that-many rounds (eager localCheckpoint; `reliable` = true uses
+    * the fault-tolerant checkpoint(true) — needs a checkpoint dir —
+    * trading speed for executor-loss recovery, the same dial
+    * connectedComponents exposes for the same reason). */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 3, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 0,
+      reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1: $iters")
+    require(!reliable || checkpointEvery > 0,
+      "reliable checkpointing needs checkpointEvery > 0")
     require(dampingPct > 0 && dampingPct < 100,
       s"pageRank: dampingPct must be in (0, 100): $dampingPct")
     val src = col(srcCol); val dst = col(dstCol)
@@ -48,7 +55,7 @@ object GraphOps {
     val base = scale / n
     val deg = edges.groupBy(src.as("__src")).agg(count(lit(1)).as("__deg"))
     var ranks = nodes.withColumn("rank", lit(base))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", srcCol), srcCol)
         .join(deg, col(srcCol) === col("__src"))
@@ -59,11 +66,16 @@ object GraphOps {
       // Column-side `/` would return DOUBLE (Spark long division) —
       // keep everything in `div`.
       val teleport = (100L - dampingPct) * base / 100
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val step = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(__s, 0L)) div 100"))
             .as("rank"))
+      ranks =
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+          (if (reliable) step.checkpoint(true)
+           else step.localCheckpoint(true))
+        else step
     }
     ranks
   }

@@ -835,6 +835,39 @@ object IoQueries extends QueryModule {
       Some("""SELECT event_id, ts, user_id, value FROM events
              |WHERE event_id BETWEEN 1000 AND 4000""".stripMargin)),
 
+    // Manifest v2 STRING-key pruning — real lake pruning keys are as
+    // often strings (dates-as-strings, URL prefixes, hex ids) as
+    // integers: the same footer manifest records truncated UTF-8
+    // min/max (lower bound truncates, upper bound
+    // truncates-and-increments — Iceberg's convention) and a string
+    // range query must skip non-intersecting files. The layout keys a
+    // zero-padded string so byte order == numeric order; the gate
+    // requires files-read < files-total (planning proof) and the
+    // oracle states the identical slice from the flat table
+    // (correctness proof).
+    QueryDef("manifest_pruned_read_str",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_str"
+        T.events(s, d)
+          .select(lpad(col("event_id").cast("string"), 8, "0").as("ek"),
+            col("ts"), col("user_id"), col("value"))
+          .repartitionByRange(8, col("ek"))
+          .sortWithinPartitions("ek")
+          .write.mode("overwrite").parquet(path)
+        val mf = graft.sources.Manifest.build(s, path, Seq("ek"))
+        val total = mf.select("file").distinct().count()
+        val pruned = graft.sources.Manifest.prunedReadString(
+          s, mf, "ek", "00001000", "00004000")
+        val readFiles = pruned.inputFiles.length
+        require(readFiles < total,
+          s"string manifest pruned nothing: $readFiles of $total files")
+        pruned.select("ek", "ts", "user_id", "value")
+      },
+      Some("""SELECT lpad(cast(event_id AS varchar), 8, '0') AS ek,
+             |  ts, user_id, value FROM events
+             |WHERE lpad(cast(event_id AS varchar), 8, '0')
+             |  BETWEEN '00001000' AND '00004000'""".stripMargin)),
+
     // Schema EVOLUTION read (mergeSchema) — the lake reality the
     // static-schema gates skip: a directory accumulates files written
     // under different schema versions (v1 lacks the bal column), and

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
 import scala.jdk.CollectionConverters._
 
 /** Parquet footer MANIFEST — the Iceberg/Delta metadata idea without a
@@ -15,14 +16,30 @@ import scala.jdk.CollectionConverters._
   *
   * Footers are read DISTRIBUTED: the file list parallelizes across
   * executors (manifest build cost scales with file count / cluster
-  * width, not data volume). v1 records stats for INTEGER-typed
-  * (int32/int64) columns — the usual pruning keys (ids, timestamps
-  * stored as micros); other types appear with NULL stats so callers
-  * can see they are unindexed rather than silently unprunable. */
+  * width, not data volume), and the executors read under the JOB's
+  * Hadoop configuration (broadcast — object-store credentials and
+  * fs.* settings arrive via spark.hadoop.*; a default Configuration
+  * would drop them on exactly the 100 TB deployment this targets).
+  *
+  * v2 stats cover the real pruning keys: int32/int64 (`min`/`max`),
+  * float/double (`min_d`/`max_d`), and UTF-8 strings
+  * (`min_s`/`max_s`, truncated to [[Manifest.StringStatCap]] chars —
+  * lower bounds truncate plainly; upper bounds truncate-and-increment
+  * so they remain valid upper bounds, the Iceberg convention). Other
+  * types appear with NULL stats so callers can see they are
+  * unindexed rather than silently unprunable. A null count is NULL
+  * when any row group omitted it (parquet writers may skip num_nulls;
+  * a -1 sentinel must read as unknown, not as a count). */
 object Manifest {
 
+  /** Truncation cap for string min/max — long URL/text keys would
+    * otherwise bloat a metadata-only artifact. */
+  val StringStatCap = 64
+
   case class ColStats(file: String, column: String, rows: Long,
-      nulls: Long, min: Option[Long], max: Option[Long])
+      nulls: Option[Long], min: Option[Long], max: Option[Long],
+      min_d: Option[Double], max_d: Option[Double],
+      min_s: Option[String], max_s: Option[String])
 
   private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -30,6 +47,42 @@ object Manifest {
     fs.listStatus(p).toSeq.map(_.getPath)
       .filter(f => f.getName.startsWith("part-"))
       .map(_.toString)
+  }
+
+  /** A truncated string is a valid LOWER bound as-is (prefixes sort
+    * before their extensions). */
+  private[graft] def truncLower(s: String): String =
+    if (s.length <= StringStatCap) s else s.substring(0, StringStatCap)
+
+  /** A truncated string is NOT a valid upper bound — increment the
+    * last incrementable code unit of the kept prefix (the Iceberg
+    * upper-bound convention); None if every kept unit is ￿
+    * (poison → unprunable, conservative). */
+  private[graft] def truncUpper(s: String): Option[String] =
+    if (s.length <= StringStatCap) Some(s)
+    else {
+      val p = s.substring(0, StringStatCap).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    }
+
+  // One row group's usable stats, by physical type
+  private sealed trait Mm
+  private case class MmL(mn: Long, mx: Long) extends Mm
+  private case class MmD(mn: Double, mx: Double) extends Mm
+  private case class MmS(mn: String, mx: String) extends Mm
+  private case object MmNone extends Mm
+
+  private final class Acc {
+    var rows = 0L
+    var nulls = 0L
+    var nullsKnown = true
+    var allStats = true
+    var l: Option[(Long, Long)] = None
+    var d: Option[(Double, Double)] = None
+    var s: Option[(String, String)] = None
   }
 
   /** Build the manifest for every `part-` file under `dir`. */
@@ -40,53 +93,90 @@ object Manifest {
     val files = dataFiles(spark, dir)
     require(files.nonEmpty, s"Manifest.build: no part- files under $dir")
     val want = cols.toSet
+    // the JOB conf, not a classpath-default Configuration: S3A/ABFS
+    // credentials and custom fs.* schemes ride spark.hadoop.* and
+    // must reach the executor-side footer opens (WetIo idiom)
+    val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files)
       .repartition(math.min(files.size, 64))
       .mapPartitions { it =>
-        // executor-local default Hadoop conf: footer reads only need
-        // the filesystem, which the path URI selects
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bConf.value.value
         it.flatMap { f =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f), conf))
           try {
-            // (rows, nulls, min, max, every-row-group-had-stats): one
-            // row group WITHOUT stats must poison the file's min/max
-            // to None — folding it into the other groups' bounds
-            // would let prunedRead skip rows that group may contain
-            val perCol = scala.collection.mutable.Map[String,
-              (Long, Long, Option[Long], Option[Long], Boolean)]()
+            // one row group WITHOUT stats must poison the file's
+            // min/max to None — folding it into the other groups'
+            // bounds would let prunedRead skip rows it may contain
+            val perCol = scala.collection.mutable.Map[String, Acc]()
             reader.getRowGroups.asScala.foreach { rg =>
               rg.getColumns.asScala.foreach { c =>
                 val name = c.getPath.toDotString
                 if (want.contains(name)) {
                   val st = c.getStatistics
-                  val rows = rg.getRowCount
-                  val nulls = if (st == null) 0L else st.getNumNulls
-                  val mm: (Option[Long], Option[Long]) = st match {
-                    case s: org.apache.parquet.column.statistics
-                        .LongStatistics if !s.isEmpty =>
-                      (Some(s.getMin), Some(s.getMax))
-                    case s: org.apache.parquet.column.statistics
-                        .IntStatistics if !s.isEmpty =>
-                      (Some(s.getMin.toLong), Some(s.getMax.toLong))
-                    case _ => (None, None)
+                  val mm: Mm =
+                    if (st == null || !st.hasNonNullValue) MmNone
+                    else st match {
+                      case s: org.apache.parquet.column.statistics
+                          .LongStatistics => MmL(s.getMin, s.getMax)
+                      case s: org.apache.parquet.column.statistics
+                          .IntStatistics =>
+                        MmL(s.getMin.toLong, s.getMax.toLong)
+                      case s: org.apache.parquet.column.statistics
+                          .DoubleStatistics => MmD(s.getMin, s.getMax)
+                      case s: org.apache.parquet.column.statistics
+                          .FloatStatistics =>
+                        MmD(s.getMin.toDouble, s.getMax.toDouble)
+                      case s: org.apache.parquet.column.statistics
+                          .BinaryStatistics =>
+                        MmS(new String(s.getMinBytes, UTF_8),
+                          new String(s.getMaxBytes, UTF_8))
+                      case _ => MmNone
+                    }
+                  val a = perCol.getOrElseUpdate(name, new Acc)
+                  a.rows += rg.getRowCount
+                  // writers may omit num_nulls; the API's -1 sentinel
+                  // is "unknown", never a count
+                  if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                    a.nulls += st.getNumNulls
+                  else a.nullsKnown = false
+                  mm match {
+                    case MmL(mn, mx) => a.l = Some(a.l.fold((mn, mx))(p =>
+                      (p._1 min mn, p._2 max mx)))
+                    case MmD(mn, mx) => a.d = Some(a.d.fold((mn, mx))(p =>
+                      (p._1 min mn, p._2 max mx)))
+                    case MmS(mn, mx) => a.s = Some(a.s.fold((mn, mx))(p =>
+                      (if (p._1 <= mn) p._1 else mn,
+                       if (p._2 >= mx) p._2 else mx)))
+                    case MmNone => a.allStats = false
                   }
-                  val prev = perCol.getOrElse(name,
-                    (0L, 0L, Option.empty[Long], Option.empty[Long], true))
-                  perCol(name) = (prev._1 + rows, prev._2 + nulls,
-                    minOpt(prev._3, mm._1), maxOpt(prev._4, mm._2),
-                    prev._5 && mm._1.isDefined)
                 }
               }
             }
             want.toSeq.sorted.map { c =>
-              val (r, n, mn, mx, allStats) =
-                perCol.getOrElse(c, (0L, 0L, Option.empty[Long],
-                  Option.empty[Long], true))
-              if (allStats) ColStats(f, c, r, n, mn, mx)
-              else ColStats(f, c, r, n, None, None)
+              perCol.get(c) match {
+                case Some(a) if a.allStats =>
+                  val su = a.s.flatMap(p => truncUpper(p._2))
+                  ColStats(f, c, a.rows,
+                    if (a.nullsKnown) Some(a.nulls) else None,
+                    a.l.map(_._1), a.l.map(_._2),
+                    a.d.map(_._1), a.d.map(_._2),
+                    // upper-bound truncation can poison: then BOTH
+                    // bounds drop (a one-sided bound would still
+                    // prune, but keeping the pair honest is simpler
+                    // and the cap makes this vanishingly rare)
+                    a.s.map(p => truncLower(p._1)).filter(_ => su.isDefined),
+                    su)
+                case Some(a) =>
+                  ColStats(f, c, a.rows,
+                    if (a.nullsKnown) Some(a.nulls) else None,
+                    None, None, None, None, None, None)
+                case None =>
+                  ColStats(f, c, 0L, Some(0L),
+                    None, None, None, None, None, None)
+              }
             }
           } finally reader.close()
         }
@@ -94,36 +184,60 @@ object Manifest {
       .toDF()
   }
 
-  private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
-    (a ++ b).reduceOption(_ min _)
-  private def maxOpt(a: Option[Long], b: Option[Long]): Option[Long] =
-    (a ++ b).reduceOption(_ max _)
-
-  /** Range-pruned read: consult `manifest` for the files whose
-    * [min, max] on `column` intersects [lo, hi] (files with NULL
-    * stats are conservatively KEPT — unindexed must not mean
-    * invisible), read only those, and apply the residual filter.
-    * The manifest collect is bounded by the file count — the planning
-    * data, not the data. */
-  def prunedRead(spark: SparkSession, manifest: DataFrame,
-      column: String, lo: Long, hi: Long): DataFrame = {
-    val keep = manifest
+  /** Files whose [minC, maxC] could intersect [lo, hi]; NULL-stat
+    * files are conservatively KEPT — unindexed must not mean
+    * invisible. The collect is bounded by the file count — the
+    * planning data, not the data. */
+  private def keepFiles(manifest: DataFrame, column: String,
+      minC: String, maxC: String,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): Array[String] =
+    manifest
       .filter(col("column") === column)
-      .filter(col("min").isNull || col("max").isNull ||
-        !(col("max") < lo || col("min") > hi))
+      .filter(col(minC).isNull || col(maxC).isNull ||
+        !(col(maxC) < lo || col(minC) > hi))
       .select("file").distinct()
       .collect().map(_.getString(0)) // bounded: file paths only
+
+  private def readKept(spark: SparkSession, manifest: DataFrame,
+      keep: Array[String],
+      residual: org.apache.spark.sql.Column): DataFrame =
     if (keep.nonEmpty)
-      spark.read.parquet(keep.toIndexedSeq: _*)
-        .filter(col(column) >= lo && col(column) <= hi)
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(residual)
     else {
       // every file provably misses the range: an EMPTY result with
       // the table's schema (read zero rows of any one file), not an
       // error — an empty slice is a legitimate answer
       val any = manifest.select("file").limit(1).collect()
       require(any.nonEmpty, "prunedRead: empty manifest")
-      spark.read.parquet(any(0).getString(0)).limit(0)
-        .filter(col(column) >= lo && col(column) <= hi)
+      spark.read.parquet(any(0).getString(0)).limit(0).filter(residual)
     }
+
+  /** Range-pruned read on an integer-typed column. */
+  def prunedRead(spark: SparkSession, manifest: DataFrame,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val keep = keepFiles(manifest, column, "min", "max", lit(lo), lit(hi))
+    readKept(spark, manifest, keep,
+      col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Range-pruned read on a string-typed column. Footer bounds use
+    * parquet's unsigned-byte UTF-8 order and Spark compares UTF-16
+    * code units — identical on ASCII and BMP text, which covers the
+    * real pruning keys (dates-as-strings, URLs, hex ids); the
+    * residual filter keeps the result exact regardless. */
+  def prunedReadString(spark: SparkSession, manifest: DataFrame,
+      column: String, lo: String, hi: String): DataFrame = {
+    val keep = keepFiles(manifest, column, "min_s", "max_s", lit(lo), lit(hi))
+    readKept(spark, manifest, keep,
+      col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Range-pruned read on a float/double-typed column. */
+  def prunedReadDouble(spark: SparkSession, manifest: DataFrame,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val keep = keepFiles(manifest, column, "min_d", "max_d", lit(lo), lit(hi))
+    readKept(spark, manifest, keep,
+      col(column) >= lo && col(column) <= hi)
   }
 }

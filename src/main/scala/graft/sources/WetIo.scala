@@ -47,6 +47,11 @@ object WetIo {
   /** Read a .wet / .wet.gz file or a directory of them. */
   def read(spark: SparkSession, path: String,
       maxRecordBytes: Long = 64L << 20): DataFrame = {
+    // payloads materialize as one Array[Byte]: a cap beyond
+    // Int.MaxValue would let a >2 GB Content-Length overflow the
+    // toInt allocation into an opaque NegativeArraySizeException
+    require(maxRecordBytes > 0 && maxRecordBytes <= Int.MaxValue,
+      s"maxRecordBytes must be in (0, Int.MaxValue]: $maxRecordBytes")
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)

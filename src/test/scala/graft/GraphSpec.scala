@@ -34,6 +34,24 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("checkpointEvery: deep iteration matches unchunked lineage and " +
+    "bounds plan depth") {
+    val e = (0L until 200L)
+      .map(i => (i % 23, (i * 13 + 5) % 23)).toDF("src", "dst")
+    val plain = GraphOps.pageRank(e, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ck = GraphOps.pageRank(e, iters = 8, checkpointEvery = 2)
+    val got = ck.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === plain) // checkpointing must not change the math
+    // round-8 plan depth stays bounded: the lineage behind the final
+    // result contains only the joins SINCE the last checkpoint (rounds
+    // 7-8 → 2 rounds × 3 joins), not 8 rounds' worth (24)
+    val joins = ck.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    assert(joins <= 6, s"checkpointed plan still nests $joins joins")
+  }
+
   test("guards: empty edges and bad damping fail loudly") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] { GraphOps.pageRank(empty) }

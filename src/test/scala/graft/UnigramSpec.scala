@@ -62,7 +62,7 @@ class UnigramSpec extends SparkSpec {
       TextStatsOps.unigramTokenCountDoc(col("t"), vocab, Unk).as("n"))
       .collect().map(r => r.getLong(0) -> r.get(1)).toMap
     assert(got(1L) === 6L) // 1 + 2 + 3
-    assert(got(2L) === null || got(2L) === 0L) // null text: no words
+    assert(got(2L) === 0L) // null text counts 0, never NULL
     assert(got(3L) === 0L)
   }
 }
