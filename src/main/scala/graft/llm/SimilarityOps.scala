@@ -512,21 +512,31 @@ object SimilarityOps {
   // than float32), with search over code lookups instead of vector
   // arithmetic. ─────
 
-  private def litArr(a: Array[Double]): Column = array(a.toSeq.map(lit): _*)
+  /** One-row frame carrying codebooks as array<array<array<double>>>
+    * (m × ksub × sub) — broadcast-joined like [[centroidsFrame]] so
+    * plan size and codegen stay O(1) in m·ksub. The previous
+    * plan-literal encoding built ~4k expression nodes PER SUBSPACE at
+    * ksub=256 (21 MiB task binaries, codegen-hostile) — the same
+    * pitfall centroidsFrame's comment records for the coarse layer. */
+  private def codebooksFrame(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    Seq(codebooks.toSeq.map(_.toSeq.map(_.toSeq))).toDF("__cbs")
+  }
 
-  /** L2-argmin code for a staged subvector column against one literal
-    * codebook: argmax over k of (2·x·cₖ − ‖cₖ‖²) — equal to argmin
-    * ‖x−cₖ‖² with the row-constant ‖x‖² dropped, and the ONLY sound
-    * geometry for PQ (a dot-argmax quantizer assigns the zero
-    * subvector to an arbitrary centroid and reconstruction collapses —
-    * caught by PqSpec's planted-cluster fixture). ‖cₖ‖² folds to a
-    * driver-computed literal; strict-greater fold keeps the LOWEST
-    * code on exact ties. */
-  private def l2Code(sub: Column, cb: Array[Array[Double]]): Column = {
-    val scores = array(cb.zipWithIndex.map { case (c, k) =>
-      val cNormSq = c.map(x => x * x).sum
-      struct((dot(sub, litArr(c)) * 2 - lit(cNormSq)).as("score"),
-        lit(k).as("cell")) }.toSeq: _*)
+  /** L2-argmin code for a staged subvector column against one
+    * codebook array column (a slot of the broadcast `__cbs` frame):
+    * argmax over k of (2·x·cₖ − ‖cₖ‖²) — equal to argmin ‖x−cₖ‖² with
+    * the row-constant ‖x‖² dropped, and the ONLY sound geometry for PQ
+    * (a dot-argmax quantizer assigns the zero subvector to an
+    * arbitrary centroid and reconstruction collapses — caught by
+    * PqSpec's planted-cluster fixture). Strict-greater fold keeps the
+    * LOWEST code on exact ties; ‖cₖ‖² is the same sequential-fold sum
+    * the literal encoding folded driver-side, so codes are
+    * bit-identical to it. */
+  private def l2Code(sub: Column, cbm: Column): Column = {
+    val scores = transform(cbm, (c, k) =>
+      struct((dot(sub, c) * 2 - dot(c, c)).as("score"), k.as("cell")))
     val cell = aggregate(scores,
       struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
       (a, s) => when(s.getField("score") > a.getField("score"), s)
@@ -642,8 +652,11 @@ object SimilarityOps {
       try {
         var cents = seedL2Maximin(sliced, cId, "__sub", ksub)
         for (_ <- 0 until iters) {
+          val spark = sliced.sparkSession
           val sums = sliced
-            .withColumn("__cell", l2Code(col("__sub"), cents))
+            .crossJoin(broadcast(codebooksFrame(spark, Array(cents))))
+            .withColumn("__cell",
+              l2Code(col("__sub"), element_at(col("__cbs"), 1)))
             .groupBy("__cell")
             .agg(count(lit(1)).as("n"),
               array((0 until sub).map(i =>
@@ -676,11 +689,12 @@ object SimilarityOps {
     val sub = codebooks(0)(0).length
     val (staged, stagingCols) =
       stageSubvectors(df, embCol, codebooks.length, sub, "__pqs")
-    val codes = codebooks.zipWithIndex.map { case (cb, mi) =>
-      l2Code(col(s"__pqs$mi"), cb)
+    val codes = codebooks.indices.map { mi =>
+      l2Code(col(s"__pqs$mi"), element_at(col("__cbs"), mi + 1))
     }
-    staged.withColumn(outCol, array(codes.toSeq: _*))
-      .drop(stagingCols: _*)
+    staged.crossJoin(broadcast(codebooksFrame(df.sparkSession, codebooks)))
+      .withColumn(outCol, array(codes.toSeq: _*))
+      .drop(stagingCols: _*).drop("__cbs")
   }
 
   /** PQ asymmetric-distance top-k: each (broadcast-sized) query builds
@@ -706,27 +720,186 @@ object SimilarityOps {
       qId: String = "q_id", cId: String = "vec_id",
       qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    val spark = queries.sparkSession
     val sub = codebooks(0)(0).length
     val (qStaged, qStagingCols) =
       stageSubvectors(queries, qEmb, codebooks.length, sub, "__pqq")
-    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      array(cb.toSeq.map(c => dot(col(s"__pqq$mi"), litArr(c))): _*)
-    }.toSeq: _*)
-    val qc = broadcast(qStaged.withColumn("__lut", lut)
-      .drop(qStagingCols: _*))
-    // reconstructed ‖·‖² per candidate: one literal-table lookup sum at
-    // encode time, reused across every query
-    val normLut = array(codebooks.map(cb =>
-      array(cb.toSeq.map(c => lit(c.map(x => x * x).sum)): _*)).toSeq: _*)
+    val lut = array(codebooks.indices.map { mi =>
+      transform(element_at(col("__cbs"), mi + 1),
+        c => dot(col(s"__pqq$mi"), c))
+    }: _*)
+    val qc = broadcast(qStaged
+      .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
+      .withColumn("__lut", lut)
+      .drop(qStagingCols: _*).drop("__cbs"))
+    // reconstructed ‖·‖² per candidate: per-code ‖cₖ‖² summed at encode
+    // time over the broadcast codebook frame, reused across every query
     val cc = pqEncode(corpus, embCol, codebooks)
+      .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
       .withColumn("__cnormsq", aggregate(
-        zip_with(normLut, col("pq_codes"),
-          (l, c) => element_at(l, c + 1)),
+        zip_with(col("__cbs"), col("pq_codes"),
+          (cbm, cd) => dot(element_at(cbm, cd + 1), element_at(cbm, cd + 1))),
         lit(0.0), (a, x) => a + x))
+      .drop("__cbs")
     val approx = qc.crossJoin(cc)
       .filter(col(qId) =!= col(cId))
       .withColumn("__adot", aggregate(
         zip_with(col("__lut"), col("pq_codes"),
+          (l, c) => element_at(l, c + 1)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("__ascore",
+        when(col("__cnormsq") > 0, col("__adot") / sqrt(col("__cnormsq")))
+          .otherwise(lit(Double.NegativeInfinity)))
+    val wa = Window.partitionBy(qId)
+      .orderBy(col("__ascore").desc, col(cId).asc)
+    val shortlist = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= rerankFactor.toLong * k)
+    val rescored = shortlist.withColumn("score",
+      cosine(toDoubleArr(col(qEmb)), toDoubleArr(col(embCol))))
+    val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(cId), col("score"), col("rn"))
+  }
+
+  // ───── IVF-PQ with RESIDUAL encoding (the IVFADC layout of Jégou,
+  // Douze & Schmid 2011 §IV): PQ quantizes r = x − c(x), the residual
+  // from the coarse cell centroid, not x itself. Residuals concentrate
+  // around the origin with variance ≤ the raw data's (the coarse
+  // quantizer has absorbed the cell-level structure), so the SAME code
+  // budget spends its centroids on a tighter distribution — on
+  // clustered corpora this is the difference between codes that carry
+  // rank signal and codes that don't. On ISOTROPIC data (e.g. the
+  // synthetic bench embeddings) the coarse quantizer absorbs little
+  // and the code BIT BUDGET is the binding constraint — measured in
+  // the bench recall block: at 32 bits (m=8 ksub=16) no encoding
+  // reaches recall 0.7, at 64 bits (m=8 ksub=256, FAISS's standard
+  // 8-byte PQ8 config) plain PQ ≈ 0.78 and residual IVF-PQ ≈ 0.81. ─────
+
+  /** Nearest cell + that cell's centroid embedding as columns — the
+    * shared front of the residual paths. Cell i sits at array slot
+    * i+1 of the broadcast centroid frame by construction. A null or
+    * wrong-dimension embedding leaves the −1 sentinel and must fail
+    * HERE (the l2Code convention), not as an opaque invalid array
+    * index downstream. */
+  private def withCellAndCentroid(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]], cellCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val best = aggregate(centScores(toDoubleArr(col(embCol))),
+      struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
+      (acc, sc) => when(sc.getField("score") > acc.getField("score"), sc)
+        .otherwise(acc)).getField("cell")
+    df.crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn(cellCol,
+        when(best === -1,
+          raise_error(lit("ivfpq: null or wrong-dimension embedding")))
+          .otherwise(best))
+      .withColumn("__cemb",
+        element_at(col("__cents"), col(cellCol) + 1).getField("emb"))
+      .drop("__cents")
+  }
+
+  /** Train PQ codebooks on RESIDUALS from `centroids` (typically
+    * [[trainIvfCentroids]]' output): assign each vector to its nearest
+    * cell, subtract the centroid, and run the proven
+    * [[trainPqCodebooks]] machinery on the residual column. Null
+    * embeddings are excluded from training (they still fail loudly at
+    * encode time). */
+  def trainPqCodebooksResidual(corpus: DataFrame, cId: String,
+      embCol: String, centroids: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    require(centroids.nonEmpty, "trainPqCodebooksResidual: no centroids")
+    val res = withCellAndCentroid(
+        corpus.filter(col(embCol).isNotNull), embCol, centroids, "__cell")
+      .select(col(cId),
+        zip_with(toDoubleArr(col(embCol)), col("__cemb"),
+          (x, c) => x - c).as("__res"))
+    trainPqCodebooks(res, cId, "__res", m, ksub, iters)
+  }
+
+  /** Residual-encode: cell id, m residual codes, and the reconstructed
+    * squared norm ‖ĉ + r̂‖² per row — everything the ADC scan needs,
+    * all row-local codegen'd HOFs over the broadcast centroid frame
+    * and plan-literal codebooks (encoding 100 TB is scan throughput,
+    * zero shuffle; this triple is what a production pipeline PERSISTS
+    * next to the IVF cell layout, float vectors go cold). */
+  def pqEncodeResidual(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], cellCol: String = "cell",
+      codesCol: String = "pq_codes",
+      normSqCol: String = "recon_normsq"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val withCell = withCellAndCentroid(df, embCol, centroids, cellCol)
+      .withColumn("__res",
+        zip_with(toDoubleArr(col(embCol)), col("__cemb"), (x, c) => x - c))
+    val (staged, stagingCols) =
+      stageSubvectors(withCell, "__res", m, sub, "__pqr")
+    val codes = codebooks.indices.map { mi =>
+      l2Code(col(s"__pqr$mi"), element_at(col("__cbs"), mi + 1))
+    }
+    // reconstruction x̂ = ĉ + r̂ staged as a real column (HOF lambdas
+    // re-evaluate captured subtrees per element; dot(x̂, x̂) evaluates
+    // its args once each but staging keeps it single-eval and shared)
+    val rhat = flatten(array(codebooks.indices.map { mi =>
+      element_at(element_at(col("__cbs"), mi + 1),
+        element_at(col(codesCol), mi + 1) + 1)
+    }: _*))
+    staged.crossJoin(broadcast(codebooksFrame(df.sparkSession, codebooks)))
+      .withColumn(codesCol, array(codes.toSeq: _*))
+      .withColumn("__xhat", zip_with(col("__cemb"), rhat, (c, r) => c + r))
+      .withColumn(normSqCol, dot(col("__xhat"), col("__xhat")))
+      .drop(stagingCols: _*).drop("__res", "__cemb", "__xhat", "__cbs")
+  }
+
+  /** IVF-PQ asymmetric-distance top-k: probe the query's `nprobe`
+    * nearest cells, score every candidate in them from its m residual
+    * codes — q·x̂ = q·ĉ (EXACT, one dot per probed cell, shared by the
+    * cell's candidates) + q·r̂ (m lookups in the per-query LUT, which
+    * is CELL-INDEPENDENT because residual codebooks are shared across
+    * cells — the IVFADC property that keeps the query-side work
+    * O(m·ksub), not O(nlist·m·ksub)). Rank key is reconstructed
+    * cosine q·x̂/‖x̂‖ with ‖x̂‖² precomputed at encode time; the top
+    * `rerankFactor·k` per query re-rank with exact cosine, so emitted
+    * scores are exact and the covering configuration (nprobe = nlist,
+    * shortlist ⊇ corpus) reproduces [[bruteForceTopK]] by construction
+    * — the gate's shape; approximate-config recall is fixture-tested
+    * in PqSpec and measured in the bench recall block. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int,
+      rerankFactor: Int = 4, qId: String = "q_id", cId: String = "vec_id",
+      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val spark = queries.sparkSession
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val cc = pqEncodeResidual(corpus, embCol, centroids, codebooks,
+      "__cell", "__codes", "__cnormsq")
+    // per-query residual LUT (cell-independent) + nprobe probes, each
+    // carrying its EXACT q·ĉ
+    val (qStaged, qStagingCols) =
+      stageSubvectors(queries, qEmb, m, sub, "__pqq")
+    val lut = array(codebooks.indices.map { mi =>
+      transform(element_at(col("__cbs"), mi + 1),
+        c => dot(col(s"__pqq$mi"), c))
+    }: _*)
+    val cellScores = transform(centScores(toDoubleArr(col(qEmb))), sc =>
+      struct((-sc.getField("score")).as("negdot"),
+        sc.getField("cell").as("cell")))
+    val probed = qStaged
+      .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
+      .withColumn("__lut", lut).drop(qStagingCols: _*).drop("__cbs")
+      .crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn("__p", explode(slice(array_sort(cellScores), 1, nprobe)))
+      .select(col(qId), col(qEmb), col("__lut"),
+        col("__p").getField("cell").as("__cell"),
+        (-col("__p").getField("negdot")).as("__qc"))
+    val approx = broadcast(probed).join(cc, Seq("__cell"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("__adot", col("__qc") + aggregate(
+        zip_with(col("__lut"), col("__codes"),
           (l, c) => element_at(l, c + 1)),
         lit(0.0), (a, x) => a + x))
       .withColumn("__ascore",

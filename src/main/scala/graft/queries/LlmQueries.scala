@@ -2350,6 +2350,40 @@ object LlmQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // IVF-PQ residual tier (IVFADC — Jégou et al. 2011 §IV) in its
+    // covering configuration (nprobe = nlist, shortlist ⊇ corpus ⇒
+    // the exact-cosine re-rank reproduces brute force by construction,
+    // so the brute-force oracle applies verbatim and the gate stays
+    // hash-exact even though the trained codebooks can drift at
+    // floating-point level across partitionings). Exercises the full
+    // coarse-train → residual-codebook-train → residual-encode →
+    // q·ĉ + LUT ADC → re-rank machinery; approximate-config recall is
+    // fixture-tested in PqSpec and measured in the bench recall block.
+    QueryDef("cosine_ivfpq_topk",
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+          "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        SimilarityOps.ivfPqTopK(queries, emb, 3, cents, cbs,
+          nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // IVF tier in exhaustive-probe configuration (nprobe = #cells):
     // exercises the full train-quantizer + cell-join machinery while
     // staying EXACT, so the brute-force oracle applies verbatim. The
