@@ -698,6 +698,10 @@ object Bench {
       import org.apache.spark.sql.functions._
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // (Measured both ways after the r14 lineage-truncation fix: AQE
+      // ON wins ~2× here — its broadcast-join conversions beat the
+      // scheduler latency of its per-stage materialization once plan
+      // re-analysis is no longer the bottleneck. Keep it on.)
       try streamNearDupIngestBody(tag)
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
@@ -807,14 +811,21 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4).parquet(staged)
       import graft.llm.TextDedupOps
+      // The signature index rides BOTH stores: appended to parquet (the
+      // restart/recovery artifact a nightly job resumes from) and
+      // carried across batches as an eagerly-checkpointed Dataset so
+      // the steady-state loop never re-reads or re-plans the growing
+      // index — each batch's survivor signatures are materialized once
+      // (localCheckpoint), written from those blocks, and unioned into
+      // the in-session index (r13-verdict task: cache the index across
+      // batches; a restart would seed idxSigs from the parquet).
+      var idxSigs: Option[DataFrame] = None
       val t0 = System.nanoTime()
       val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val idx =
-            if (fs.exists(new org.apache.hadoop.fs.Path(index)))
-              spark.read.parquet(index)
-            else TextDedupOps.minHashSignatures(
-              batch.limit(0), "doc_id", "text", 3, 32)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bt0 = System.nanoTime()
+          val idx = idxSigs.getOrElse(TextDedupOps.minHashSignatures(
+            batch.limit(0), "doc_id", "text", 3, 32))
           // WithSignatures: the index rows come from the dedup's own
           // persisted signature frame (semi-join = cache hit) instead
           // of re-signaturing survivors from text — the signature
@@ -822,7 +833,11 @@ object Bench {
           val (surv, survSigs) = TextDedupOps.lshIncrementalWithSignatures(
             batch, idx, "doc_id", "text", threshold = 0.99)
           surv.write.mode("append").parquet(corpus)
-          survSigs.write.mode("append").parquet(index)
+          val ss = survSigs.localCheckpoint(true)
+          ss.write.mode("append").parquet(index)
+          idxSigs = Some(idxSigs.map(_.unionByName(ss)).getOrElse(ss))
+          System.err.println(f"[bench]   near_dup_$tag batch $bid: " +
+            f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
           ()
         }
         .queryName("graft_stream_near_" + tag).start()
@@ -851,7 +866,14 @@ object Bench {
     // break round-over-round total comparability).
     val entries: Seq[(String, () => DataFrame)] =
       names.map(n => n -> (() => queries(n)(spark, sfDir)))
-    val stressEntries: Seq[(String, () => DataFrame)] =
+    // Dev-only iteration aid: SPARK_GRAFT_STRESS_FILTER=<substring>
+    // restricts the stress + streaming-witness entries (and skips the
+    // recall block unless the filter matches "recall") so one entry
+    // can be re-timed without paying the full suite. Official runs
+    // leave it unset — the JSON contract and entry set are unchanged.
+    val stressFilter = sys.env.get("SPARK_GRAFT_STRESS_FILTER")
+    def keepStress(n: String): Boolean = stressFilter.forall(n.contains)
+    val stressEntriesAll: Seq[(String, () => DataFrame)] =
       Seq("lsh_stress_capped" -> (() => lshStressCapped()),
         "asof_stress_hot_key" -> (() => asofStressHotKey()),
         "para_dedup_stress_hot" -> (() => paraDedupStressHot()),
@@ -862,6 +884,8 @@ object Bench {
         "wet_ingest_stress" -> (() => wetIngestStress()),
         "zorder_stress" -> (() => zorderStress()),
         "classifier_train_stress" -> (() => classifierTrainStress()))
+    val stressEntries: Seq[(String, () => DataFrame)] =
+      stressEntriesAll.filter(e => keepStress(e._1))
 
     // Host-contention self-identification (the r7 lesson: one official
     // run on a loaded host reported 48 s for a 5 s suite and stood
@@ -1003,6 +1027,7 @@ object Bench {
       "stream_incremental_ingest" -> (streamIncrementalIngestWitness _),
       "stream_near_dup_ingest" -> (streamNearDupIngestWitness _),
       "stream_cdc_apply" -> (streamCdcApplyWitness _))
+      .filter(e => keepStress(e._1))
     // One-time witness fixtures (the WET shard write) materialize
     // OUTSIDE the timed reps — otherwise rep 1 carries setup, the
     // rep split trips the 3× noise detector, and min-of-reps silently
@@ -1025,6 +1050,27 @@ object Bench {
         Tables.documents(spark, sfDir).limit(200).select(col("doc_id"),
           col("text"), (col("lang") === "en").cast("int").as("y")),
         "text", "y", buckets = 8, iters = 1, lrDen = 100L)
+      // incremental near-dup loop (checkpoint + banded-join + CC
+      // codegen) — its first witness rep otherwise pays first-touch
+      // JIT that the second provider's rep never sees. Two chained
+      // iterations at a REAL batch size: a toy batch plans every join
+      // as a broadcast and leaves the witness's actual shuffle-join
+      // codegen cold.
+      locally {
+        val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val b1 = docs.filter(col("doc_id") % 4 === 0)
+        val b2 = docs.filter(col("doc_id") % 4 === 1)
+        val idx0 = graft.llm.TextDedupOps.minHashSignatures(
+          docs.limit(0), "doc_id", "text", 3, 32)
+        val (s1, g1) = graft.llm.TextDedupOps.lshIncrementalWithSignatures(
+          b1, idx0, "doc_id", "text", threshold = 0.99)
+        s1.write.format("noop").mode("overwrite").save()
+        val idx1 = g1.localCheckpoint(true)
+        val (s2, g2) = graft.llm.TextDedupOps.lshIncrementalWithSignatures(
+          b2, idx1, "doc_id", "text", threshold = 0.99)
+        s2.write.format("noop").mode("overwrite").save()
+        g2.write.format("noop").mode("overwrite").save()
+      }
     }
     val stressResults: Seq[(String, Vector[Double])] =
       stressEntries.map { case (n, f) =>
@@ -1120,8 +1166,10 @@ object Bench {
         "pq_m8k256_r4" -> pq256, "ivfpq_m8k256_np8of16" -> ivfpq8,
         "ivfpq_m8k256_np16of16" -> ivfpq16)
     }
-    val recallJson = annRecall().map { case (k, v) =>
-      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val recallJson =
+      (if (keepStress("recall")) annRecall() else Seq.empty)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
 
     val loadEnd = loadAvg()
     val at = attemptTotals.mkString("[", ",", "]")

@@ -301,14 +301,18 @@ object TextDedupOps {
     val nw = batchSigs.select(
       (col(idCol).cast("long") * 2 + 1).as(idCol), col("signature"))
     // the banded join consumes the signature frame THREE times (band
-    // explode + two pair-side re-attach joins): persist so the batch's
-    // shingle-explode + 32-way min aggregation runs once, not three
-    // times (the minhash_near_dup lesson); registered with DistScan's
-    // release queue for the application's step-boundary cleanup
-    val sigs = graft.operators.DistScan.registerCache(
-      ex.unionByName(nw)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pairs = lshCandidatePairs(sigs, idCol, bands,
+    // explode + two pair-side re-attach joins): an EAGER localCheckpoint
+    // both materializes the batch's shingle-explode + k-way min
+    // aggregation once (the minhash_near_dup persist lesson) and
+    // TRUNCATES the logical plan to an RDD scan. The truncation is the
+    // point: a persist caches execution but every downstream ACTION
+    // still re-analyzes the full nested plan, and this frame is embedded
+    // 2× per pair side × every consumer — per-batch driver time in the
+    // ingest-loop witness was dominated by Catalyst re-analysis of those
+    // nested copies, not by any Spark job. Blocks are freed when the
+    // checkpointed RDD is GC'd (the connectedComponents note).
+    val sigs = ex.unionByName(nw).localCheckpoint(true)
+    val pairs = lshCandidatePairsAsym(sigs, idCol, bands,
       threshold, maxBucketSize)
     val survivors = incrementalSurvivors(newBatch, pairs, idCol)
     val survivorSigs = sigs
@@ -318,24 +322,101 @@ object TextDedupOps {
     (survivors, survivorSigs)
   }
 
+  /** Banded candidate pairs for the INCREMENTAL path: new-side rows
+    * (odd folded ids) join against ALL rows — never old × old. An
+    * old-old pair is provably irrelevant to incremental survivorship:
+    * a batch doc dies the moment it (or a new-new-connected peer)
+    * touches ANY existing doc, so which old docs interconnect beyond
+    * that cannot change any verdict, and components that elect a
+    * min-new survivor contain no old doc at all. At 100 TB this is
+    * THE incremental win — per-batch join work scales with
+    * batch × bucket occupancy, not (index + batch)². Bucket-size caps
+    * still count the full bucket (old + new), matching
+    * [[lshCandidatePairs]]' semantics. */
+  private def lshCandidatePairsAsym(signatures: DataFrame, idCol: String,
+      bands: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bandedAll = signatures.select(col(idCol),
+      posexplode(split_band(col("signature"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("band_hash", xxhash64(col("col").cast("string")))
+      .drop("col")
+    val banded = if (maxBucketSize == Int.MaxValue) bandedAll else {
+      val keep = bandedAll.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band", "band_hash")
+      bandedAll.join(keep, Seq("band", "band_hash"), "left_semi")
+    }
+    val n = banded.filter(col(idCol).bitwiseAND(1) === 1)
+      .select(col(idCol).as("__nid"), col("band"), col("band_hash"))
+    val o = banded.select(col(idCol).as("__oid"), col("band"), col("band_hash"))
+    val pairs = n.join(o, Seq("band", "band_hash"))
+      .filter(col("__nid") =!= col("__oid"))
+      .select(least(col("__nid"), col("__oid")).as("id_a"),
+        greatest(col("__nid"), col("__oid")).as("id_b"))
+      .distinct()
+    val withSigs = pairs
+      .join(signatures.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(signatures.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => (x === y).cast("int")), v => v === 1)).cast("double") /
+      size(col("sig_a"))
+    withSigs.withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Shared survivor selection for the incremental near-dup tiers
     * ([[lshIncremental]] / [[simHashIncremental]]): given candidate
     * pairs over SIDE-FOLDED ids (existing = 2·id, batch = 2·id + 1),
     * keep the batch rows whose component touches no existing document
-    * and whose id is the component's minimum NEW id. One slim
-    * aggregation over the paired-docs-only component frame, then one
-    * anti-join on unique ids. */
+    * and whose id is the component's minimum NEW id.
+    *
+    * Components run on the NEW-NEW subgraph only — equivalent to the
+    * full graph because an existing doc is reachable from a new doc
+    * only over a new-old edge (no old-old pairs matter, see
+    * [[lshCandidatePairsAsym]]): any component member with an old
+    * neighbor damns its whole new-new component, and a component with
+    * no old contact is purely new, where the min-new doc IS the
+    * component label. Old-old pairs in the input (the simhash path
+    * still generates them) fall out of both filters. */
   private def incrementalSurvivors(newBatch: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, "id_a", "id_b")
-    val verdicts = comps.groupBy("cluster").agg(
-      max(when(col("id").bitwiseAND(1) === 0, 1).otherwise(0))
-        .as("__has_old"),
-      min(when(col("id").bitwiseAND(1) === 1, col("id"))).as("__min_new"))
-    val losers = comps.filter(col("id").bitwiseAND(1) === 1)
-      .join(verdicts, Seq("cluster"))
-      .filter(col("__has_old") === 1 || col("id") =!= col("__min_new"))
-      .select(shiftright(col("id"), 1).as(idCol))
+    // pairs feed THREE consumers (new-new edges into components,
+    // old-touched extraction, and — through losers — every downstream
+    // action on the survivor frame): an eager localCheckpoint runs the
+    // banded join once AND truncates its plan, so the loser frame's
+    // 3-way union does not embed three copies of the join tree for
+    // Catalyst to re-analyze on every action (the
+    // lshIncrementalWithSignatures rationale; post-threshold pair sets
+    // are small — the dedup savings, not the corpus)
+    val p = pairs.localCheckpoint(true)
+    val newNew = p.filter(col("id_a").bitwiseAND(1) === 1 &&
+      col("id_b").bitwiseAND(1) === 1)
+    // new ids with at least one existing neighbor
+    val oldTouched = p
+      .filter(col("id_a").bitwiseAND(1) =!= col("id_b").bitwiseAND(1))
+      .select(when(col("id_a").bitwiseAND(1) === 1, col("id_a"))
+        .otherwise(col("id_b")).as("id"))
+      .distinct()
+    // a micro-batch's pair graph is usually tiny: take the bounded
+    // union-find fast path below 64k pairs, distributed loop above
+    val comps = connectedComponents(newNew, "id_a", "id_b",
+      collectBelow = 65536)
+    // components with any old-touched member die whole
+    val compBad = comps.join(oldTouched, Seq("id"), "left_semi")
+      .select("cluster").distinct()
+    val losers = graft.operators.DistScan.registerCache(
+      comps.join(compBad, Seq("cluster"), "left_semi")
+        .select(col("id"))
+        .unionByName(comps.filter(col("id") =!= col("cluster"))
+          .select(col("id")))
+        .unionByName(oldTouched.join(comps, Seq("id"), "left_anti")
+          .select(col("id")))
+        .distinct()
+        .select(shiftright(col("id"), 1).as(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     newBatch.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -542,9 +623,46 @@ object TextDedupOps {
     * Returns (id, cluster) with cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, checkpointEvery: Int = 0,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, collectBelow: Int = 0): DataFrame = {
     require(!reliable || checkpointEvery > 0,
       "reliable checkpointing needs checkpointEvery > 0")
+    // Small-graph fast path (opt-in): a micro-batch maintenance loop's
+    // pair graph is usually tiny (pairs are the dedup savings, not the
+    // corpus) while the distributed label loop costs ~a dozen
+    // scheduler-bound jobs regardless of size. With collectBelow > 0,
+    // up to that many pairs are collected (bounded by construction:
+    // limit(cap+1), ≤ ~16 B/row) and resolved with driver union-find —
+    // identical labels (cluster = min id) by the union-by-min-root
+    // invariant. One row past the cap falls back to the distributed
+    // loop, so enabling this can never break at scale — it only
+    // removes fixed overhead when the graph is small.
+    if (collectBelow > 0) {
+      val rows = pairs
+        .select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .limit(collectBelow + 1).collect() // bounded: ≤ collectBelow+1
+      if (rows.length <= collectBelow) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return parent.keys.toSeq.sorted.map(idv => (idv, find(idv)))
+          .toDF("id", "cluster")
+      }
+    }
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable = true requires sparkContext.setCheckpointDir on " +

@@ -980,6 +980,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: collectBelow fast path matches the " +
+      "distributed loop; one pair past the cap falls back correctly") {
+    import spark.implicits._
+    // a messy graph: long path, triangle, star, isolated pair,
+    // duplicate + reversed edges
+    val pairs = (Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L), (31L, 30L), (2L, 3L)))
+      .toDF("id_a", "id_b")
+    val dist = TextDedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+        collectBelow = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"$local vs $dist")
+    // cap below the pair count: must FALL BACK to the distributed loop
+    // and still produce identical labels
+    val fallback = TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+        collectBelow = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fallback == dist, s"$fallback vs $dist")
+  }
+
   test("removeDuplicateSpans: shared span removed from both docs, " +
       "unique context kept, spans merge, short docs untouched") {
     import spark.implicits._
