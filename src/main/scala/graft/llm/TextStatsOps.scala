@@ -1010,6 +1010,135 @@ object TextStatsOps {
       (a, w) => a + unigramTokenCount(w, vocab, unkCharMicro, maxTokenLen))
       .cast("long")
 
+  /** The Viterbi segmentation ITSELF (array of pieces), not just its
+    * length — the E-step primitive of [[trainUnigramLm]]: the same DP
+    * as [[unigramTokenCount]] with the best path carried in the state,
+    * so (score, −ntok) ordering — and therefore the returned COUNT —
+    * is identical to the counting twin by construction (spec-pinned);
+    * residual full ties resolve by the path array's lexicographic
+    * order, deterministic either way. Unknown single chars appear in
+    * the output as themselves (callers see coverage gaps explicitly).
+    * O(len²) state per word — a word, not a document, bounds it. */
+  def unigramViterbiPieces(w: Column, vocab: Map[String, Long],
+      unkCharMicro: Long, maxTokenLen: Int = 8): Column = {
+    require(vocab.nonEmpty, "unigramViterbiPieces: empty vocabulary")
+    require(maxTokenLen >= 1, "unigramViterbiPieces: maxTokenLen >= 1")
+    val vlit = typedLit(vocab)
+    val negInf = -(1L << 50)
+    val n = length(w)
+    val empty = array().cast("array<string>")
+    val state = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      array(struct(lit(0L).as("score"), lit(0).as("negntok"),
+        empty.as("path"))),
+      (acc, i) => {
+        val jStart = greatest(i - maxTokenLen, lit(0))
+        val cands = transform(sequence(jStart, i - 1), j => {
+          val tok = w.substr(j + 1, i - j)
+          val prev = element_at(acc, j + 1)
+          val tokScore = coalesce(element_at(vlit, tok),
+            when(i - j === 1, lit(unkCharMicro)).otherwise(lit(negInf)))
+          struct((prev.getField("score") + tokScore).as("score"),
+            (prev.getField("negntok") - 1).as("negntok"),
+            concat(prev.getField("path"), array(tok)).as("path"))
+        })
+        concat(acc, array(array_max(cands)))
+      },
+      acc => element_at(acc, -1))
+    when(w.isNull || n === 0, empty).otherwise(state.getField("path"))
+  }
+
+  /** Unigram-LM TRAINING (hard-EM over Viterbi counts — the
+    * SentencePiece trainer's shape, Kudo 2018 §3.2, with the E-step's
+    * expected counts replaced by best-path counts so every round is
+    * integer-exact and layout-invariant; the same hard-step trade
+    * [[graft.llm.ClassifierOps.trainHardLogistic]] makes):
+    *
+    *   seed   — every word substring up to `maxTokenLen`,
+    *            occurrence-counted corpus-wide, `minCount`-filtered;
+    *            the top 4·vocabSize multi-char pieces plus ALL
+    *            single chars form the candidate table.
+    *   E-step — ONE distributed pass per round: Viterbi-segment the
+    *            unique WORDS (types, weighted by multiplicity — the
+    *            SentencePiece reduction; the corpus is never
+    *            re-scanned) under the current scores with
+    *            [[unigramViterbiPieces]] and sum piece usage.
+    *   M-step — driver-side on the ≤ 4·vocabSize-row count table (the
+    *            BPE-trainer state convention): drop zero-usage
+    *            multi-char pieces, re-rank by (usage desc, piece asc),
+    *            prune to 2·vocabSize on intermediate rounds and
+    *            vocabSize on the last; single chars are never pruned
+    *            and floor at count 1 so every string stays encodable;
+    *            re-score as micro-log-probs
+    *            round(1e6·ln(count/total)) — integers thereafter, and
+    *            computed ONCE on the driver so partitioning cannot
+    *            perturb them.
+    *
+    * Returns piece → negative micro-log-prob, the exact shape
+    * [[unigramTokenCount]]/[[unigramTokenCountDoc]] consume. Fully
+    * deterministic for a fixed corpus (exact integer counts, total
+    * orders everywhere), so a fixed training slice yields a
+    * bit-identical vocabulary at every data scale. */
+  def trainUnigramLm(corpus: org.apache.spark.sql.DataFrame,
+      textCol: String, vocabSize: Int, rounds: Int = 2,
+      maxTokenLen: Int = 8, minCount: Long = 2,
+      unkCharMicro: Long = -20000000L): Map[String, Long] = {
+    require(vocabSize >= 2, s"trainUnigramLm: vocabSize >= 2: $vocabSize")
+    require(rounds >= 1, s"trainUnigramLm: rounds >= 1: $rounds")
+    require(maxTokenLen >= 1 && minCount >= 1,
+      s"trainUnigramLm: bad maxTokenLen/minCount: $maxTokenLen/$minCount")
+    // word types + multiplicities, lineage-truncated: every round's
+    // E-step re-reads this frame, not the corpus
+    val wordCounts = corpus
+      .select(explode(words(coalesce(col(textCol), lit("")))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val pieces = flatten(transform(
+      sequence(lit(1), length(col("__w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxTokenLen), length(col("__w")) - i + 1)),
+          l => col("__w").substr(i, l))))
+    val seedCounts = wordCounts
+      .select(explode(pieces).as("p"), col("__cnt"))
+      .groupBy("p").agg(sum(col("__cnt")).as("c"))
+      .filter(col("c") >= minCount)
+      .localCheckpoint(true) // consumed twice (chars + multis)
+    val seedMultis = seedCounts.filter(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p").asc).limit(4 * vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val chars = seedCounts.filter(length(col("p")) === 1)
+      .orderBy(col("p").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(chars.nonEmpty,
+      "trainUnigramLm: no single-char piece met minCount — empty corpus?")
+    def toScores(cnts: Seq[(String, Long)]): Map[String, Long] = {
+      val total = cnts.map(_._2).sum.toDouble
+      cnts.map { case (p, c) =>
+        p -> Math.round(1e6 * math.log(c / total)) }.toMap
+    }
+    var vocabCnts: Seq[(String, Long)] = chars ++ seedMultis
+    var vocab = toScores(vocabCnts)
+    for (r <- 1 to rounds) {
+      val counted = wordCounts.select(
+          explode(unigramViterbiPieces(col("__w"), vocab, unkCharMicro,
+            maxTokenLen)).as("p"),
+          col("__cnt"))
+        .groupBy("p").agg(sum(col("__cnt")).as("c"))
+        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+      val keptChars = chars.map { case (p, _) =>
+        (p, counted.getOrElse(p, 0L) max 1L) }
+      val multis = vocabCnts.map(_._1).filter(_.length > 1)
+        .flatMap(p => counted.get(p).filter(_ > 0).map(p -> _))
+      val cap = if (r == rounds) vocabSize else 2 * vocabSize
+      val keptMultis = multis.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, cap - keptChars.length))
+      vocabCnts = keptChars ++ keptMultis
+      vocab = toScores(vocabCnts)
+    }
+    vocab
+  }
+
   /** Compression-ratio quality signal (the Dolma/CCNet-family zlib
     * heuristic): deflate each document's UTF-8 bytes at a FIXED level
     * and report (utf8_len, deflate_len, ratio). Highly repetitive or

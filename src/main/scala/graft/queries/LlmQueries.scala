@@ -2551,6 +2551,49 @@ object LlmQueries extends QueryModule {
              |JOIN cc c2 ON c2.i = (d.doc_id + 3) % 7
              |JOIN cc c3 ON c3.i = (d.doc_id * 2 + 1) % 7""".stripMargin)),
 
+    // Unigram-LM TRAINING (TextStatsOps.trainUnigramLm — hard-EM over
+    // Viterbi counts, the SentencePiece trainer's shape) + encode with
+    // the trained vocabulary. The training slice is pinned to
+    // doc_id < 500 — present IN FULL at every SF — so the trained
+    // vocabulary is bit-identical at sf0.01 and sf0.1 (exact integer
+    // counts, driver-computed micro-log scores, total orders
+    // everywhere) and the per-pattern token counts are fixed. The
+    // oracle's VALUES tables are derived INDEPENDENTLY (a from-spec
+    // simulation of seed → 2 EM rounds → prune-to-14; e.g. "banana"
+    // trains to [bana, n, a] = 3 tokens after "band"/"na" lose the
+    // final prune's exact 125-count tie to lexicographic order);
+    // every non-tie decision in the derivation carries ≥ 198 200
+    // micro-log slack, so a 1-ulp ln() disagreement cannot flip it
+    // (the DSIR margin discipline; UnigramTrainSpec re-checks the
+    // invariants in-engine).
+    QueryDef("unigram_train_encode", {
+      val wl1 = Seq("banana", "bandana", "cabana", "nacho")
+      val wl2 = Seq("anna", "cab", "nan")
+      (s, d) => {
+        val w1 = typedLit(wl1); val w2 = typedLit(wl2)
+        val docs = T.documents(s, d).filter(col("doc_id") < 500)
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(w1, pmod(col("doc_id"), lit(4)).cast("int") + 1),
+            element_at(w2, pmod(col("doc_id") + 1, lit(3)).cast("int") + 1))
+            .as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(docs, "text",
+          vocabSize = 14, rounds = 2, maxTokenLen = 4, minCount = 2,
+          unkCharMicro = -20000000L)
+        docs.select(col("doc_id"),
+          TextStatsOps.unigramTokenCountDoc(col("text"), vocab,
+            unkCharMicro = -20000000L, maxTokenLen = 4).as("n_tokens"))
+      }
+    },
+      Some("""WITH c1 AS (SELECT i, c FROM (VALUES
+             |    (0, 3), (1, 2), (2, 2), (3, 2)) t(i, c)),
+             |c2 AS (SELECT j, c FROM (VALUES
+             |    (0, 1), (1, 1), (2, 1)) t(j, c))
+             |SELECT d.doc_id, CAST(c1.c + c2.c AS BIGINT) AS n_tokens
+             |FROM documents d
+             |JOIN c1 ON c1.i = d.doc_id % 4
+             |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
+             |WHERE d.doc_id < 500""".stripMargin)),
+
     // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
     // marginal relevance: each of the 3 rounds is one corpus scan
     // ending in a 1-row TakeOrderedAndProject, the selected embeddings

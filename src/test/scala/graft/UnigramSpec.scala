@@ -65,4 +65,64 @@ class UnigramSpec extends SparkSpec {
     assert(got(2L) === 0L) // null text counts 0, never NULL
     assert(got(3L) === 0L)
   }
+
+  test("unigramViterbiPieces: path length equals unigramTokenCount and " +
+    "pieces concatenate back to the word") {
+    val ws = Seq("theory", "thematic", "cats", "dog", "ab", "theorys",
+      "abcdefghij", "zq")
+    val got = ws.toDF("w").select(col("w"),
+      TextStatsOps.unigramTokenCount(col("w"), vocab, Unk).as("n"),
+      TextStatsOps.unigramViterbiPieces(col("w"), vocab, Unk).as("p"))
+      .collect()
+    got.foreach { r =>
+      val w = r.getString(0); val n = r.getInt(1)
+      val p = r.getSeq[String](2)
+      assert(p.length === n, s"$w: path ${p.mkString("+")} vs count $n")
+      assert(p.mkString === w, s"$w: pieces don't reassemble: $p")
+    }
+    // hand-check one path: thematic = the + matic
+    val th = got.find(_.getString(0) == "thematic").get.getSeq[String](2)
+    assert(th === Seq("the", "matic"))
+  }
+
+  test("trainUnigramLm: hand corpus — frequent multi-char pieces win, " +
+    "chars always survive, deterministic, and encoding improves") {
+    // "abab" dominates: the trainer must keep a multi-char piece
+    // covering it; rare "xy" pieces must lose the prune
+    val docs = (Seq.fill(20)("abab abab") ++ Seq.fill(3)("xy") ++
+      Seq.fill(5)("cdcd")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val v1 = TextStatsOps.trainUnigramLm(docs, "text", vocabSize = 8,
+      rounds = 2, maxTokenLen = 4, minCount = 2)
+    val v2 = TextStatsOps.trainUnigramLm(docs, "text", vocabSize = 8,
+      rounds = 2, maxTokenLen = 4, minCount = 2)
+    assert(v1 === v2, "training must be deterministic")
+    // every seen char (meeting minCount) survives
+    Seq("a", "b", "c", "d", "x", "y").foreach(c =>
+      assert(v1.contains(c), s"char $c pruned: ${v1.keys}"))
+    // the dominant word trains to ONE piece
+    assert(v1.contains("abab"), s"abab missing: ${v1.keys}")
+    val n = Seq("abab").toDF("w").select(
+      TextStatsOps.unigramTokenCount(col("w"), v1, -30000000L, 4).as("n"))
+      .collect()(0).getInt(0)
+    assert(n === 1, s"abab should encode as 1 token, got $n")
+    // micro-log scores are negative and likelier pieces score higher
+    assert(v1("abab") > v1("x"), s"${v1("abab")} vs ${v1("x")}")
+    assert(v1.values.forall(_ < 0))
+  }
+
+  test("trainUnigramLm guards: bad hyperparameters and empty corpus " +
+    "fail loudly") {
+    val docs = Seq((1L, "ab")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextStatsOps.trainUnigramLm(docs, "text", vocabSize = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextStatsOps.trainUnigramLm(docs, "text", vocabSize = 4, rounds = 0)
+    }
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextStatsOps.trainUnigramLm(empty, "text", vocabSize = 4)
+    }
+  }
 }
