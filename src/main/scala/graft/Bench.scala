@@ -12,7 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   /** BASELINE.md "BENCH query set": scan+agg, 3-way join top-k, asof,
     * resample, rolling, dedup, pivot — run only those that exist in the
-    * registry so the bench degrades gracefully mid-build. */
+    * registry so the bench degrades gracefully mid-build.
+    *
+    * classifier_train joined in r14 (r13-verdict task #7): the nine
+    * legacy entries are TPC-H-shaped and frozen since r1 while the
+    * engine's center of mass moved to the curation stack, so one
+    * training-loop query (distributed gradient steps + scoring — the
+    * north-star path) now rides the timed set. Round-over-round
+    * totals therefore BREAK SERIES at r14; BENCH.md records the
+    * split (legacy-9 subtotal stays comparable). */
   val headline: Seq[String] = Seq(
     "q1_agg",
     "q3_join_topk",
@@ -22,7 +30,8 @@ object Bench {
     "dedup_keep_first",
     "pivot_table_orders",
     "minhash_near_dup",
-    "cosine_topk")
+    "cosine_topk",
+    "classifier_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

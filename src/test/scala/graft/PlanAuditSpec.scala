@@ -441,6 +441,8 @@ class PlanAuditSpec extends SparkSpec {
                                // over the cell-partitioned scan
       "cosine_topk_quantized", // int8 shortlist: same broadcast-query shape
       "cosine_pq_topk",        // PQ-ADC shortlist: same broadcast-query shape
+      "cosine_ivfpq_topk",     // residual IVFADC: broadcast centroid +
+                               // codebook frames over the corpus scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one
