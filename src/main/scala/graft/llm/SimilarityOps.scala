@@ -852,33 +852,19 @@ object SimilarityOps {
       .drop(stagingCols: _*).drop("__res", "__cemb", "__xhat", "__cbs")
   }
 
-  /** IVF-PQ asymmetric-distance top-k: probe the query's `nprobe`
-    * nearest cells, score every candidate in them from its m residual
-    * codes — q·x̂ = q·ĉ (EXACT, one dot per probed cell, shared by the
-    * cell's candidates) + q·r̂ (m lookups in the per-query LUT, which
-    * is CELL-INDEPENDENT because residual codebooks are shared across
-    * cells — the IVFADC property that keeps the query-side work
-    * O(m·ksub), not O(nlist·m·ksub)). Rank key is reconstructed
-    * cosine q·x̂/‖x̂‖ with ‖x̂‖² precomputed at encode time; the top
-    * `rerankFactor·k` per query re-rank with exact cosine, so emitted
-    * scores are exact and the covering configuration (nprobe = nlist,
-    * shortlist ⊇ corpus) reproduces [[bruteForceTopK]] by construction
-    * — the gate's shape; approximate-config recall is fixture-tested
-    * in PqSpec and measured in the bench recall block. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+  /** Query-side probe frame shared by the in-memory and persisted
+    * IVF-PQ tiers: per (query, probed cell) one row carrying the
+    * query embedding, the cell id, the EXACT q·ĉ for that cell, and
+    * the per-query residual LUT — which is CELL-INDEPENDENT because
+    * residual codebooks are shared across cells (the IVFADC property
+    * that keeps query-side work O(m·ksub), not O(nlist·m·ksub)). */
+  private def ivfPqProbe(queries: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nprobe: Int,
-      rerankFactor: Int = 4, qId: String = "q_id", cId: String = "vec_id",
-      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
-    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
-    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+      qId: String, qEmb: String): DataFrame = {
     val spark = queries.sparkSession
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    val cc = pqEncodeResidual(corpus, embCol, centroids, codebooks,
-      "__cell", "__codes", "__cnormsq")
-    // per-query residual LUT (cell-independent) + nprobe probes, each
-    // carrying its EXACT q·ĉ
     val (qStaged, qStagingCols) =
       stageSubvectors(queries, qEmb, m, sub, "__pqq")
     val lut = array(codebooks.indices.map { mi =>
@@ -888,7 +874,7 @@ object SimilarityOps {
     val cellScores = transform(centScores(toDoubleArr(col(qEmb))), sc =>
       struct((-sc.getField("score")).as("negdot"),
         sc.getField("cell").as("cell")))
-    val probed = qStaged
+    qStaged
       .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
       .withColumn("__lut", lut).drop(qStagingCols: _*).drop("__cbs")
       .crossJoin(broadcast(centroidsFrame(spark, centroids)))
@@ -896,6 +882,17 @@ object SimilarityOps {
       .select(col(qId), col(qEmb), col("__lut"),
         col("__p").getField("cell").as("__cell"),
         (-col("__p").getField("negdot")).as("__qc"))
+  }
+
+  /** ADC scoring + shortlist + exact re-rank shared by both IVF-PQ
+    * tiers. `cc` must carry (cId, __cell, __codes, __cnormsq) plus —
+    * when `rerankFrom` is None — the float `embCol` itself; with
+    * `rerankFrom` = Some(corpus) the shortlist joins the floats back
+    * BY ID (the persisted-index shape: the probe scan never touches
+    * full-precision vectors). */
+  private def ivfPqScore(probed: DataFrame, cc: DataFrame, k: Int,
+      rerankFactor: Int, rerankFrom: Option[DataFrame], qId: String,
+      cId: String, qEmb: String, embCol: String): DataFrame = {
     val approx = broadcast(probed).join(cc, Seq("__cell"))
       .filter(col(qId) =!= col(cId))
       .withColumn("__adot", col("__qc") + aggregate(
@@ -907,13 +904,115 @@ object SimilarityOps {
           .otherwise(lit(Double.NegativeInfinity)))
     val wa = Window.partitionBy(qId)
       .orderBy(col("__ascore").desc, col(cId).asc)
-    val shortlist = approx.withColumn("__arn", row_number().over(wa))
+    val short0 = approx.withColumn("__arn", row_number().over(wa))
       .filter(col("__arn") <= rerankFactor.toLong * k)
+    val shortlist = rerankFrom match {
+      case None => short0
+      case Some(corpus) => short0
+        .select(col(qId), col(qEmb), col(cId))
+        .join(corpus.select(col(cId), col(embCol)), Seq(cId))
+    }
     val rescored = shortlist.withColumn("score",
       cosine(toDoubleArr(col(qEmb)), toDoubleArr(col(embCol))))
     val w = Window.partitionBy(qId).orderBy(col("score").desc, col(cId).asc)
     rescored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(qId), col(cId), col("score"), col("rn"))
+  }
+
+  /** IVF-PQ asymmetric-distance top-k: probe the query's `nprobe`
+    * nearest cells, score every candidate in them from its m residual
+    * codes — q·x̂ = q·ĉ (EXACT, one dot per probed cell, shared by the
+    * cell's candidates) + q·r̂ (m lookups in the per-query LUT, see
+    * [[ivfPqProbe]]). Rank key is reconstructed cosine q·x̂/‖x̂‖ with
+    * ‖x̂‖² precomputed at encode time; the top `rerankFactor·k` per
+    * query re-rank with exact cosine, so emitted scores are exact and
+    * the covering configuration (nprobe = nlist, shortlist ⊇ corpus)
+    * reproduces [[bruteForceTopK]] by construction — the gate's shape;
+    * approximate-config recall is fixture-tested in PqSpec and
+    * measured in the bench recall block. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int,
+      rerankFactor: Int = 4, qId: String = "q_id", cId: String = "vec_id",
+      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val cc = pqEncodeResidual(corpus, embCol, centroids, codebooks,
+      "__cell", "__codes", "__cnormsq")
+    val probed = ivfPqProbe(queries, centroids, codebooks, nprobe,
+      qId, qEmb)
+    ivfPqScore(probed, cc, k, rerankFactor, None, qId, cId, qEmb, embCol)
+  }
+
+  /** Persist the residual IVF-PQ index (IVFADC) as a LAKE ARTIFACT —
+    * the 8-bytes-per-vector representation a 100 TB embedding store
+    * actually serves from. Layout:
+    *   - `dir/centroids`: (cell, emb) — same shape as the IVF index,
+    *     so [[readIvfCentroids]] reads it back;
+    *   - `dir/codebooks`: (m, k, emb) — the residual codebooks;
+    *   - `dir/cells`: (cId, pq_codes, recon_normsq) PARTITIONED BY
+    *     cell — NO float vectors: a probe scans only its cells'
+    *     directories (partition pruning) and only m-byte codes inside
+    *     them; the full-precision embeddings stay wherever the corpus
+    *     lives and join back for the shortlist re-rank only. */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], cId: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "emb").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.toSeq.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.toSeq.zipWithIndex.map { case (c, ki) => (mi, ki, c.toSeq) } }
+      .toDF("m", "k", "emb").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncodeResidual(corpus.select(col(cId), col(embCol)), embCol,
+        centroids, codebooks, "cell", "pq_codes", "recon_normsq")
+      .select(col(cId), col("pq_codes"), col("recon_normsq"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** The residual codebooks back from a persisted index
+    * (m · ksub rows — trainer state, driver-held by design). */
+  def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** [[ivfPqTopK]] against a PERSISTED index: probe each query's
+    * nprobe nearest cells, scan ONLY those cells' code partitions
+    * (the probed-cell union — bounded by the cell count — pushes as a
+    * partition filter, and the scan reads m-byte codes, never float
+    * vectors), ADC-score, then join the `corpus` floats back BY ID
+    * for the exact re-rank of the rerankFactor·k shortlist. PqSpec
+    * pins the pruning, the no-floats-in-scan schema, and equivalence
+    * with the in-memory tier. */
+  def ivfPqTopKIndexed(queries: DataFrame, indexDir: String,
+      corpus: DataFrame, k: Int, nprobe: Int, rerankFactor: Int = 4,
+      qId: String = "q_id", cId: String = "vec_id",
+      qEmb: String = "q_emb", embCol: String = "embedding"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val spark = queries.sparkSession
+    val centroids = readIvfCentroids(spark, indexDir)
+    val codebooks = readIvfPqCodebooks(spark, indexDir)
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      s"ivfPqTopKIndexed: empty index at $indexDir")
+    val probed = ivfPqProbe(queries, centroids, codebooks, nprobe,
+      qId, qEmb)
+    val probedCells = probed.select("__cell").distinct().collect()
+      .map(_.getInt(0)) // bounded: ≤ nlist values
+    val cc = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .select(col(cId), col("pq_codes").as("__codes"),
+        col("recon_normsq").as("__cnormsq"), col("cell").as("__cell"))
+    ivfPqScore(probed, cc, k, rerankFactor, Some(corpus), qId, cId,
+      qEmb, embCol)
   }
 }

@@ -979,6 +979,44 @@ object IoQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // Persisted residual IVF-PQ index (IVFADC as a lake artifact —
+    // SimilarityOps.writeIvfPqIndex/ivfPqTopKIndexed): centroids +
+    // residual codebooks + per-cell m-byte CODE partitions, no float
+    // vectors in the index at all — probes prune to their cells'
+    // directories and read codes; the shortlist joins the corpus
+    // floats back BY ID for the exact re-rank. Gate round-trips
+    // build→persist→load→query in the covering configuration
+    // (nprobe = nlist, shortlist ⊇ corpus ⇒ brute-force oracle applies
+    // verbatim); pruning + codes-only schema + approximate-config
+    // equivalence with the in-memory tier are PqSpec-pinned.
+    QueryDef("ivfpq_index_topk",
+      (s, d) => {
+        import graft.llm.SimilarityOps
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cents = SimilarityOps.trainIvfCentroids(
+          emb, "vec_id", "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        val dir = s"$scratch/ivfpq_index"
+        SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+        SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 3,
+          nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Z-ordered (Morton-curve) layout — MULTI-column data skipping,
     // the dimension the single-column sorted layout above cannot
     // cover: interleaving the high bits of user_id and event_id tiles

@@ -443,6 +443,8 @@ class PlanAuditSpec extends SparkSpec {
       "cosine_pq_topk",        // PQ-ADC shortlist: same broadcast-query shape
       "cosine_ivfpq_topk",     // residual IVFADC: broadcast centroid +
                                // codebook frames over the corpus scan
+      "ivfpq_index_topk",      // persisted IVFADC: same probe shape over
+                               // the cell-pruned codes scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one

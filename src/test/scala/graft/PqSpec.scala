@@ -164,6 +164,46 @@ class PqSpec extends SparkSpec {
     assert(out.length == 3 * 4)
   }
 
+  test("persisted IVF-PQ index: codes-only cells, cell pruning, and " +
+    "equivalence with the in-memory tier at every nprobe") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-idx-${ProcessHandle.current().pid()}").toString
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+    // the index stores NO float vectors: codes + recon norm + id only
+    val cellsSchema = spark.read.parquet(s"$dir/cells").columns.toSet
+    assert(cellsSchema === Set("vec_id", "pq_codes", "recon_normsq", "cell"),
+      s"index cells leak columns: $cellsSchema")
+    // codebooks round-trip exactly
+    val back = SimilarityOps.readIvfPqCodebooks(spark, dir)
+    assert(back.length == cbs.length &&
+      back.zip(cbs).forall { case (a, b) =>
+        a.zip(b).forall { case (u, v) => u.sameElements(v) } })
+    // equivalence with the in-memory tier at partial and full probe
+    for (np <- Seq(1, 2, 4)) {
+      val mem = SimilarityOps.ivfPqTopK(queries, emb, 3, cents, cbs,
+        nprobe = np, rerankFactor = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+      val idx = SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 3,
+        nprobe = np, rerankFactor = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+      assert(idx.toSeq === mem.toSeq, s"nprobe=$np diverged from memory tier")
+    }
+    // partition pruning: the cells scan prunes on the cell id
+    val plan = SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 3,
+      nprobe = 2).queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pfs.exists(l => l.contains("cell#") &&
+        !l.contains("PartitionFilters: []")),
+      s"no scan prunes on cell:\n${pfs.mkString("\n")}")
+  }
+
   test("64-bit residual codes out-rank 32-bit raw codes on the bench " +
     "fixture (the r14 recall lift, asserted as a floor)") {
     // the bench recall witness's upgraded configuration: m=8 ksub=256
