@@ -868,6 +868,43 @@ object IoQueries extends QueryModule {
              |WHERE lpad(cast(event_id AS varchar), 8, '0')
              |  BETWEEN '00001000' AND '00004000'""".stripMargin)),
 
+    // INCREMENTAL manifest maintenance (Manifest.update) — the nightly
+    // shape: a table grows by appended files; the manifest absorbs the
+    // delta (footer reads for NEW files only — delta-cost pinned in
+    // ManifestSpec with a counting FileSystem) and pruned reads over
+    // the UPDATED manifest stay exact. The gate ingests events in two
+    // waves (disjoint event_id ranges, so wave-2 files are genuinely
+    // new information), updates, requires files-read < files-total
+    // (planning proof that the union of old+new stats prunes), and
+    // states the identical slice from the flat table.
+    QueryDef("manifest_incremental_pruned",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_incr"
+        val ev = T.events(s, d).select("event_id", "ts", "user_id", "value")
+        ev.filter(col("event_id") < 3000)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(path)
+        val m1 = graft.sources.Manifest.build(s, path, Seq("event_id"))
+          .cache()
+        m1.count() // materialize wave-1 stats before the append
+        ev.filter(col("event_id") >= 3000)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("append").parquet(path)
+        val m2 = graft.sources.Manifest.update(s, path, m1, Seq("event_id"))
+        val total = m2.select("file").distinct().count()
+        val pruned = graft.sources.Manifest.prunedRead(
+          s, m2, "event_id", 1000, 2000)
+        val readFiles = pruned.inputFiles.length
+        require(readFiles < total,
+          s"incremental manifest pruned nothing: $readFiles of $total")
+        m1.unpersist()
+        pruned.select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE event_id BETWEEN 1000 AND 2000""".stripMargin)),
+
     // Schema EVOLUTION read (mergeSchema) — the lake reality the
     // static-schema gates skip: a directory accumulates files written
     // under different schema versions (v1 lacks the bal column), and

@@ -88,10 +88,45 @@ object Manifest {
   /** Build the manifest for every `part-` file under `dir`. */
   def build(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "Manifest.build: need at least one column")
-    import spark.implicits._
     val files = dataFiles(spark, dir)
     require(files.nonEmpty, s"Manifest.build: no part- files under $dir")
+    buildFiles(spark, files, cols)
+  }
+
+  /** INCREMENTAL maintenance — the nightly-ingest path: footer-read
+    * only the files under `dir` that `manifest` does not already
+    * cover, union their stats with the carried-forward rows, and drop
+    * rows for files that no longer exist (compaction/vacuum). A
+    * steady-state lake pays footer I/O proportional to the DELTA, not
+    * the table; the file-list reconciliation is bounded by file count
+    * (manifest metadata, not table data). Returns the new manifest —
+    * the caller persists it wherever the old one lived. The stat
+    * columns tracked must match the original build's `cols` (stats
+    * for a column the old manifest never recorded would silently
+    * exist for new files only and prune wrongly — same-cols is the
+    * caller's contract, checked against the carried rows). */
+  def update(spark: SparkSession, dir: String, manifest: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val current = dataFiles(spark, dir)
+    require(current.nonEmpty, s"Manifest.update: no part- files under $dir")
+    val old = manifest.select("column").distinct()
+      .collect().map(_.getString(0)).toSet // bounded: tracked columns
+    require(old == cols.toSet,
+      s"Manifest.update: cols ${cols.sorted} != manifest's ${old.toSeq.sorted}")
+    val known = manifest.select("file").distinct()
+      .collect().map(_.getString(0)).toSet // bounded: file paths only
+    val currentSet = current.toSet
+    val added = current.filterNot(known.contains)
+    val kept = manifest.filter(col("file").isin(
+      currentSet.toSeq.map(f => f: Any): _*))
+    if (added.isEmpty) kept
+    else kept.unionByName(buildFiles(spark, added, cols))
+  }
+
+  private def buildFiles(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Manifest: need at least one column")
+    import spark.implicits._
     val want = cols.toSet
     // the JOB conf, not a classpath-default Configuration: S3A/ABFS
     // credentials and custom fs.* schemes ride spark.hadoop.* and
