@@ -302,21 +302,79 @@ object TextDedupOps {
       (col(idCol).cast("long") * 2 + 1).as(idCol), col("signature"))
     // the banded join consumes the signature frame THREE times (band
     // explode + two pair-side re-attach joins): an EAGER localCheckpoint
-    // both materializes the batch's shingle-explode + k-way min
-    // aggregation once (the minhash_near_dup persist lesson) and
+    // of the BATCH side both materializes its shingle-explode + k-way
+    // min aggregation once (the minhash_near_dup persist lesson) and
     // TRUNCATES the logical plan to an RDD scan. The truncation is the
     // point: a persist caches execution but every downstream ACTION
     // still re-analyzes the full nested plan, and this frame is embedded
     // 2× per pair side × every consumer — per-batch driver time in the
     // ingest-loop witness was dominated by Catalyst re-analysis of those
-    // nested copies, not by any Spark job. Blocks are freed when the
-    // checkpointed RDD is GC'd (the connectedComponents note).
-    val sigs = ex.unionByName(nw).localCheckpoint(true)
+    // nested copies, not by any Spark job. Only the batch checkpoints:
+    // the INDEX side is caller-provided storage-backed signatures (a
+    // parquet read in steady state) whose re-scan is cheap and whose
+    // materialized copy would cost index-sized executor storage per
+    // batch. Blocks are freed when the checkpointed RDD is GC'd (the
+    // connectedComponents note).
+    val sigs = ex.unionByName(nw.localCheckpoint(true))
     val pairs = lshCandidatePairsAsym(sigs, idCol, bands,
       threshold, maxBucketSize)
     val survivors = incrementalSurvivors(newBatch, pairs, idCol)
     val survivorSigs = sigs
       .filter(col(idCol).bitwiseAND(1) === 1)
+      .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
+      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+    (survivors, survivorSigs)
+  }
+
+  /** Persist an LSH signature index PRE-BANDED — the steady-state
+    * layout for [[lshIncrementalIndexed]]:
+    *   - `dir/sigs`:  (idCol, signature) — for the est-Jaccard
+    *     re-attach and for reseeding in-memory loops;
+    *   - `dir/bands`: (idCol, band, band_hash) — 3 longs per row,
+    *     sorted within files by (band, band_hash) so row-group stats
+    *     cover the join keys. Storing the banded triple spares every
+    *     later ingest the split_band + xxhash recompute over the
+    *     WHOLE index — the per-batch index cost becomes a columnar
+    *     scan of the slim triple, nothing else.
+    * `mode` "overwrite" initializes, "append" absorbs a batch's
+    * survivor signatures (pass the SAME bands). */
+  def writeLshIndex(signatures: DataFrame, dir: String,
+      idCol: String = "doc_id", bands: Int = 8,
+      mode: String = "overwrite"): Unit = {
+    signatures.write.mode(mode).parquet(s"$dir/sigs")
+    bandFrame(signatures, idCol, bands)
+      .sortWithinPartitions("band", "band_hash")
+      .write.mode(mode).parquet(s"$dir/bands")
+  }
+
+  /** [[lshIncremental]] against a PERSISTED pre-banded index (the
+    * nightly 100 TB shape, fully storage-backed): the batch pays its
+    * own signatures (checkpointed once) + one banded join of its
+    * bands against the slim persisted triple — the index is never
+    * re-signatured, re-banded, or materialized to executor storage.
+    * Same survivor contract as [[lshIncrementalWithSignatures]]
+    * (spec-pinned equal on the same inputs); callers absorb the
+    * returned survivor signatures with
+    * [[writeLshIndex]](…, mode = "append"). */
+  def lshIncrementalIndexed(newBatch: DataFrame, indexDir: String,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val spark = newBatch.sparkSession
+    val nwSigs = minHashSignatures(newBatch, idCol, textCol, shingleN, k)
+      .select((col(idCol).cast("long") * 2 + 1).as(idCol),
+        col("signature"))
+      .localCheckpoint(true) // batch-sized; consumed 3× (see above)
+    val exSigs = spark.read.parquet(s"$indexDir/sigs")
+      .select((col(idCol).cast("long") * 2).as(idCol), col("signature"))
+    val exBands = spark.read.parquet(s"$indexDir/bands")
+      .select((col(idCol).cast("long") * 2).as(idCol),
+        col("band"), col("band_hash"))
+    val nwBands = bandFrame(nwSigs, idCol, bands)
+    val pairs = asymPairsFromBands(exBands.unionByName(nwBands), nwBands,
+      exSigs.unionByName(nwSigs), idCol, threshold, maxBucketSize)
+    val survivors = incrementalSurvivors(newBatch, pairs, idCol)
+    val survivorSigs = nwSigs
       .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
       .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     (survivors, survivorSigs)
@@ -336,21 +394,44 @@ object TextDedupOps {
   private def lshCandidatePairsAsym(signatures: DataFrame, idCol: String,
       bands: Int, threshold: Double,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val bandedAll = signatures.select(col(idCol),
+    val bandedAll = bandFrame(signatures, idCol, bands)
+    asymPairsFromBands(bandedAll,
+      bandedAll.filter(col(idCol).bitwiseAND(1) === 1), signatures,
+      idCol, threshold, maxBucketSize)
+  }
+
+  /** The slim (idCol, band, band_hash) frame the banded joins consume
+    * — also the PERSISTED layout of [[writeLshIndex]] (3 longs per
+    * row; storing it pre-banded spares every later ingest the split +
+    * hash recompute over the whole index). */
+  private def bandFrame(signatures: DataFrame, idCol: String,
+      bands: Int): DataFrame =
+    signatures.select(col(idCol),
       posexplode(split_band(col("signature"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumn("band_hash", xxhash64(col("col").cast("string")))
       .drop("col")
-    val banded = if (maxBucketSize == Int.MaxValue) bandedAll else {
-      val keep = bandedAll.groupBy("band", "band_hash")
-        .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize)
-        .select("band", "band_hash")
-      bandedAll.join(keep, Seq("band", "band_hash"), "left_semi")
-    }
-    val n = banded.filter(col(idCol).bitwiseAND(1) === 1)
-      .select(col(idCol).as("__nid"), col("band"), col("band_hash"))
-    val o = banded.select(col(idCol).as("__oid"), col("band"), col("band_hash"))
+
+  /** Asymmetric pair core over pre-banded frames: `bandedNew` must be
+    * the odd-id (new-side) subset of the id space `bandedAll` covers;
+    * bucket caps count over bandedAll (old + new together, matching
+    * [[lshCandidatePairs]]); `signatures` re-attaches for the
+    * est-Jaccard filter. */
+  private def asymPairsFromBands(bandedAll: DataFrame,
+      bandedNew: DataFrame, signatures: DataFrame, idCol: String,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val (o0, n0) =
+      if (maxBucketSize == Int.MaxValue) (bandedAll, bandedNew)
+      else {
+        val keep = bandedAll.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "band_hash")
+        (bandedAll.join(keep, Seq("band", "band_hash"), "left_semi"),
+          bandedNew.join(keep, Seq("band", "band_hash"), "left_semi"))
+      }
+    val n = n0.select(col(idCol).as("__nid"), col("band"), col("band_hash"))
+    val o = o0.select(col(idCol).as("__oid"), col("band"), col("band_hash"))
     val pairs = n.join(o, Seq("band", "band_hash"))
       .filter(col("__nid") =!= col("__oid"))
       .select(least(col("__nid"), col("__oid")).as("id_a"),

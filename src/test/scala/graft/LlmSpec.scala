@@ -1003,6 +1003,55 @@ class LlmSpec extends SparkSpec {
     assert(fallback == dist, s"$fallback vs $dist")
   }
 
+  test("lshIncrementalIndexed: the pre-banded persisted index replays " +
+      "the in-memory incremental contract and the one-shot twin") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lsh-index-${ProcessHandle.current().pid()}").toString
+    // planted corpus: every 4th doc copies doc-2's text (the witness
+    // shape); waves split at id 60
+    val wl = (0 until 19).map(i => s"w${(i * 7 + 3) % 19}")
+    def text(i: Long): String =
+      (0 until 12).map(j => wl(((i * 13 + j * 5 + 1) % 19).toInt))
+        .mkString(" ")
+    val rows = (0L until 120L).map { i =>
+      val src = if (i % 4 == 0 && i >= 2) i - 2 else i
+      (i, text(src))
+    }
+    val all = rows.toDF("doc_id", "text")
+    val w1 = all.filter(col("doc_id") < 60)
+    val w2 = all.filter(col("doc_id") >= 60)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // initialize an EMPTY index, ingest wave 1
+    val empty = TextDedupOps.minHashSignatures(
+      all.limit(0), "doc_id", "text", 3, 32)
+    TextDedupOps.writeLshIndex(empty, dir, "doc_id", bands = 8)
+    val (s1, g1) = TextDedupOps.lshIncrementalIndexed(w1, dir,
+      "doc_id", "text", threshold = 0.99)
+    val (s1m, _) = TextDedupOps.lshIncrementalWithSignatures(w1, empty,
+      "doc_id", "text", threshold = 0.99)
+    assert(ids(s1) === ids(s1m), "wave 1 diverged from the memory tier")
+    TextDedupOps.writeLshIndex(g1, dir, "doc_id", bands = 8,
+      mode = "append")
+    // wave 2: indexed vs memory tier fed the SAME persisted sigs
+    val (s2, g2) = TextDedupOps.lshIncrementalIndexed(w2, dir,
+      "doc_id", "text", threshold = 0.99)
+    val (s2m, _) = TextDedupOps.lshIncrementalWithSignatures(w2,
+      spark.read.parquet(s"$dir/sigs"), "doc_id", "text",
+      threshold = 0.99)
+    assert(ids(s2) === ids(s2m), "wave 2 diverged from the memory tier")
+    // end-to-end: two-wave replay equals the one-shot run
+    val oneShot = TextDedupOps.lshIncremental(all, empty,
+      "doc_id", "text", threshold = 0.99)
+    assert((ids(s1) ++ ids(s2)) === ids(oneShot),
+      "incremental-indexed replay diverged from one-shot")
+    // survivor sigs reassemble: index now covers every survivor
+    TextDedupOps.writeLshIndex(g2, dir, "doc_id", bands = 8,
+      mode = "append")
+    assert(ids(spark.read.parquet(s"$dir/sigs")) === ids(oneShot))
+  }
+
   test("removeDuplicateSpans: shared span removed from both docs, " +
       "unique context kept, spans merge, short docs untouched") {
     import spark.implicits._
