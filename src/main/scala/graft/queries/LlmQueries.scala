@@ -274,6 +274,54 @@ object LlmQueries extends QueryModule {
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
 
+    // The PERSISTED-index twin of near_dup_incremental
+    // (TextDedupOps.writeLshIndex / lshIncrementalIndexed): the same
+    // synthetic corpus and oracle, but the existing side round-trips
+    // through the pre-banded parquet index (sigs + slim band triples)
+    // the nightly 100 TB loop actually consumes — a banding drift
+    // between write and read, a fold/unfold error on the stored ids,
+    // or a lost index row changes the survivor set and hash-fails.
+    QueryDef("near_dup_incremental_indexed",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .withColumn("text", mk)
+        val existing = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(300, 309))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-lshidx-${ProcessHandle.current().pid()}").toString
+        TextDedupOps.writeLshIndex(
+          TextDedupOps.minHashSignatures(existing, "doc_id", "text",
+            shingleN = 3, k = 32),
+          dir, "doc_id", bands = 8)
+        TextDedupOps.lshIncrementalIndexed(batch, dir, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.99)
+          ._1.select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents),
+              |old AS (SELECT text FROM corpus WHERE doc_id < 250),
+              |newb AS (
+              |  SELECT doc_id, text FROM corpus WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 20
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 300 AND 309)
+              |SELECT b.doc_id FROM newb b
+              |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = b.text)
+              |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
+              |                  WHERE b2.text = b.text)""".stripMargin)),
+
     // Source-PRIORITY exact dedup (TextDedupOps.exactDedupBy): when
     // identical content arrives from several sources, keep the
     // highest-priority copy, not the lowest id — clones of docs 0-49
