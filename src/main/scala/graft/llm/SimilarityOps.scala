@@ -975,6 +975,28 @@ object SimilarityOps {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** INCREMENTAL index maintenance — the growing embedding store:
+    * encode `newVectors` against the index's STORED coarse centroids
+    * and residual codebooks (quantizers are trained once and shared
+    * by every generation of vectors — re-training would silently
+    * re-code nothing and mis-code everything relative to the already
+    * persisted cells) and append their code rows to the cell
+    * partitions. Cost: one zero-shuffle encode pass over the delta +
+    * a partitioned append — the table is never rewritten. Callers
+    * dedup ids upstream; the index stores what it is given. */
+  def appendIvfPqIndex(newVectors: DataFrame, dir: String,
+      cId: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, dir)
+    val codebooks = readIvfPqCodebooks(spark, dir)
+    require(centroids.nonEmpty && codebooks.nonEmpty,
+      s"appendIvfPqIndex: empty index at $dir")
+    pqEncodeResidual(newVectors.select(col(cId), col(embCol)), embCol,
+        centroids, codebooks, "cell", "pq_codes", "recon_normsq")
+      .select(col(cId), col("pq_codes"), col("recon_normsq"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** The residual codebooks back from a persisted index
     * (m · ksub rows — trainer state, driver-held by design). */
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,

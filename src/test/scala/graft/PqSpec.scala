@@ -204,6 +204,35 @@ class PqSpec extends SparkSpec {
       s"no scan prunes on cell:\n${pfs.mkString("\n")}")
   }
 
+  test("appendIvfPqIndex: incremental append equals a full rebuild") {
+    val dirA = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-app-${ProcessHandle.current().pid()}").toString
+    val dirB = dirA + "-full"
+    val wave1 = emb.filter(col("vec_id") < 300)
+    val wave2 = emb.filter(col("vec_id") >= 300)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // quantizers train on wave 1 only (the production reality: the
+    // index's codebooks predate later ingests)
+    val cents = SimilarityOps.trainIvfCentroids(wave1, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(wave1, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    SimilarityOps.writeIvfPqIndex(wave1, dirA, cents, cbs)
+    SimilarityOps.appendIvfPqIndex(wave2, dirA)
+    SimilarityOps.writeIvfPqIndex(emb, dirB, cents, cbs)
+    def run(d: String) = SimilarityOps.ivfPqTopKIndexed(queries, d, emb,
+        3, nprobe = 2, rerankFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    assert(run(dirA) === run(dirB),
+      "appended index diverged from full rebuild")
+    // appending to a missing index fails loudly
+    intercept[Exception] {
+      SimilarityOps.appendIvfPqIndex(wave2, dirA + "-missing")
+    }
+  }
+
   test("64-bit residual codes out-rank 32-bit raw codes on the bench " +
     "fixture (the r14 recall lift, asserted as a floor)") {
     // the bench recall witness's upgraded configuration: m=8 ksub=256
