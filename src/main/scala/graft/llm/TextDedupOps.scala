@@ -337,14 +337,48 @@ object TextDedupOps {
     *     WHOLE index — the per-batch index cost becomes a columnar
     *     scan of the slim triple, nothing else.
     * `mode` "overwrite" initializes, "append" absorbs a batch's
-    * survivor signatures (pass the SAME bands). */
+    * survivor signatures. The LSH parameters (bands, shingleN, and k —
+    * the signature length) are RECORDED in `dir/meta` and validated on
+    * every append and every [[lshIncrementalIndexed]] read: a silent
+    * mismatch would band new hashes into foreign buckets and MISS
+    * near-dups rather than fail — the worst possible dedup bug. */
   def writeLshIndex(signatures: DataFrame, dir: String,
       idCol: String = "doc_id", bands: Int = 8,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", shingleN: Int = 3): Unit = {
+    val spark = signatures.sparkSession
+    import spark.implicits._
+    val k = signatures.select(size(col("signature")).as("k"))
+      .filter(col("k").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0) // 0 = empty init: any k
+    if (mode == "append")
+      checkLshMeta(spark, dir, bands, shingleN, k)
     signatures.write.mode(mode).parquet(s"$dir/sigs")
     bandFrame(signatures, idCol, bands)
       .sortWithinPartitions("band", "band_hash")
       .write.mode(mode).parquet(s"$dir/bands")
+    if (mode != "append")
+      Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    else if (k > 0 && readLshMeta(spark, dir)._3 == 0)
+      // empty-initialized index learns its k from the first real rows
+      Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select("bands", "shingle_n", "k").collect()(0)
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  private def checkLshMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bands: Int, shingleN: Int, k: Int): Unit = {
+    val (b0, s0, k0) = readLshMeta(spark, dir)
+    require(b0 == bands && s0 == shingleN && (k0 == 0 || k == 0 || k0 == k),
+      s"LSH index at $dir was built with (bands=$b0, shingleN=$s0, " +
+        s"k=$k0) but this call uses (bands=$bands, shingleN=$shingleN, " +
+        s"k=$k) — a mismatch would silently MISS near-dups")
   }
 
   /** [[lshIncremental]] against a PERSISTED pre-banded index (the
@@ -361,6 +395,7 @@ object TextDedupOps {
       bands: Int = 8, threshold: Double = 0.7,
       maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val spark = newBatch.sparkSession
+    checkLshMeta(spark, indexDir, bands, shingleN, k)
     val nwSigs = minHashSignatures(newBatch, idCol, textCol, shingleN, k)
       .select((col(idCol).cast("long") * 2 + 1).as(idCol),
         col("signature"))

@@ -1050,6 +1050,20 @@ class LlmSpec extends SparkSpec {
     TextDedupOps.writeLshIndex(g2, dir, "doc_id", bands = 8,
       mode = "append")
     assert(ids(spark.read.parquet(s"$dir/sigs")) === ids(oneShot))
+    // LSH-parameter drift against the recorded meta fails LOUDLY —
+    // a silent mismatch would band into foreign buckets and MISS dups
+    intercept[IllegalArgumentException] {
+      TextDedupOps.lshIncrementalIndexed(w2, dir, "doc_id", "text",
+        bands = 4, threshold = 0.99)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedupOps.lshIncrementalIndexed(w2, dir, "doc_id", "text",
+        shingleN = 5, threshold = 0.99)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedupOps.writeLshIndex(g2, dir, "doc_id", bands = 16,
+        mode = "append")
+    }
   }
 
   test("removeDuplicateSpans: shared span removed from both docs, " +
