@@ -130,6 +130,14 @@ object ScaleWitness {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"scale_witness","factor":$factor,""" +
       s""""rows1":$n1,"rowsN":$n10,"stages":$json,"sf":"$sfDir"}""")
+    // the factor-x corpus is multi-GB at factor 100 — don't leave it
+    // accumulating under tmp across runs
+    fsOf(spark, bigDir).delete(new org.apache.hadoop.fs.Path(bigDir), true)
     spark.stop()
   }
+
+  private def fsOf(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

@@ -513,30 +513,40 @@ object SimilarityOps {
   // arithmetic. ─────
 
   /** One-row frame carrying codebooks as array<array<array<double>>>
-    * (m × ksub × sub) — broadcast-joined like [[centroidsFrame]] so
-    * plan size and codegen stay O(1) in m·ksub. The previous
-    * plan-literal encoding built ~4k expression nodes PER SUBSPACE at
-    * ksub=256 (21 MiB task binaries, codegen-hostile) — the same
-    * pitfall centroidsFrame's comment records for the coarse layer. */
+    * (m × ksub × sub) in `__cbs` plus the DRIVER-FOLDED squared norms
+    * ‖cₖ‖² (m × ksub) in `__cbn` — broadcast-joined like
+    * [[centroidsFrame]] so plan size and codegen stay O(1) in m·ksub.
+    * The previous plan-literal encoding built ~4k expression nodes
+    * PER SUBSPACE at ksub=256 (21 MiB task binaries, codegen-hostile)
+    * — the same pitfall centroidsFrame's comment records for the
+    * coarse layer. Norms ride as data, not per-row recomputation:
+    * dot(c, c) inside the assignment lambda would re-sum constant
+    * centroid elements for every row × centroid (~16k redundant FLOPs
+    * per row at m=8 ksub=256) on the encode hot path. The sequential
+    * driver fold matches dot's fold order, so scores are
+    * bit-identical either way. */
   private def codebooksFrame(spark: org.apache.spark.sql.SparkSession,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    Seq(codebooks.toSeq.map(_.toSeq.map(_.toSeq))).toDF("__cbs")
+    Seq((codebooks.toSeq.map(_.toSeq.map(_.toSeq)),
+      codebooks.toSeq.map(_.toSeq.map(c =>
+        c.foldLeft(0.0)((a, x) => a + x * x)))))
+      .toDF("__cbs", "__cbn")
   }
 
   /** L2-argmin code for a staged subvector column against one
-    * codebook array column (a slot of the broadcast `__cbs` frame):
-    * argmax over k of (2·x·cₖ − ‖cₖ‖²) — equal to argmin ‖x−cₖ‖² with
-    * the row-constant ‖x‖² dropped, and the ONLY sound geometry for PQ
-    * (a dot-argmax quantizer assigns the zero subvector to an
-    * arbitrary centroid and reconstruction collapses — caught by
-    * PqSpec's planted-cluster fixture). Strict-greater fold keeps the
-    * LOWEST code on exact ties; ‖cₖ‖² is the same sequential-fold sum
-    * the literal encoding folded driver-side, so codes are
-    * bit-identical to it. */
-  private def l2Code(sub: Column, cbm: Column): Column = {
+    * codebook array column (a slot of the broadcast `__cbs` frame,
+    * with its `__cbn` squared-norm slot): argmax over k of
+    * (2·x·cₖ − ‖cₖ‖²) — equal to argmin ‖x−cₖ‖² with the row-constant
+    * ‖x‖² dropped, and the ONLY sound geometry for PQ (a dot-argmax
+    * quantizer assigns the zero subvector to an arbitrary centroid
+    * and reconstruction collapses — caught by PqSpec's
+    * planted-cluster fixture). Strict-greater fold keeps the LOWEST
+    * code on exact ties. */
+  private def l2Code(sub: Column, cbm: Column, cbnm: Column): Column = {
     val scores = transform(cbm, (c, k) =>
-      struct((dot(sub, c) * 2 - dot(c, c)).as("score"), k.as("cell")))
+      struct((dot(sub, c) * 2 - element_at(cbnm, k + 1)).as("score"),
+        k.as("cell")))
     val cell = aggregate(scores,
       struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
       (a, s) => when(s.getField("score") > a.getField("score"), s)
@@ -656,7 +666,8 @@ object SimilarityOps {
           val sums = sliced
             .crossJoin(broadcast(codebooksFrame(spark, Array(cents))))
             .withColumn("__cell",
-              l2Code(col("__sub"), element_at(col("__cbs"), 1)))
+              l2Code(col("__sub"), element_at(col("__cbs"), 1),
+                element_at(col("__cbn"), 1)))
             .groupBy("__cell")
             .agg(count(lit(1)).as("n"),
               array((0 until sub).map(i =>
@@ -690,11 +701,12 @@ object SimilarityOps {
     val (staged, stagingCols) =
       stageSubvectors(df, embCol, codebooks.length, sub, "__pqs")
     val codes = codebooks.indices.map { mi =>
-      l2Code(col(s"__pqs$mi"), element_at(col("__cbs"), mi + 1))
+      l2Code(col(s"__pqs$mi"), element_at(col("__cbs"), mi + 1),
+        element_at(col("__cbn"), mi + 1))
     }
     staged.crossJoin(broadcast(codebooksFrame(df.sparkSession, codebooks)))
       .withColumn(outCol, array(codes.toSeq: _*))
-      .drop(stagingCols: _*).drop("__cbs")
+      .drop(stagingCols: _*).drop("__cbs", "__cbn")
   }
 
   /** PQ asymmetric-distance top-k: each (broadcast-sized) query builds
@@ -731,16 +743,16 @@ object SimilarityOps {
     val qc = broadcast(qStaged
       .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
       .withColumn("__lut", lut)
-      .drop(qStagingCols: _*).drop("__cbs"))
-    // reconstructed ‖·‖² per candidate: per-code ‖cₖ‖² summed at encode
-    // time over the broadcast codebook frame, reused across every query
+      .drop(qStagingCols: _*).drop("__cbs", "__cbn"))
+    // reconstructed ‖·‖² per candidate: per-code ‖cₖ‖² looked up from
+    // the broadcast norm table at encode time, reused across every query
     val cc = pqEncode(corpus, embCol, codebooks)
       .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
       .withColumn("__cnormsq", aggregate(
-        zip_with(col("__cbs"), col("pq_codes"),
-          (cbm, cd) => dot(element_at(cbm, cd + 1), element_at(cbm, cd + 1))),
+        zip_with(col("__cbn"), col("pq_codes"),
+          (nm, cd) => element_at(nm, cd + 1)),
         lit(0.0), (a, x) => a + x))
-      .drop("__cbs")
+      .drop("__cbs", "__cbn")
     val approx = qc.crossJoin(cc)
       .filter(col(qId) =!= col(cId))
       .withColumn("__adot", aggregate(
@@ -836,7 +848,8 @@ object SimilarityOps {
     val (staged, stagingCols) =
       stageSubvectors(withCell, "__res", m, sub, "__pqr")
     val codes = codebooks.indices.map { mi =>
-      l2Code(col(s"__pqr$mi"), element_at(col("__cbs"), mi + 1))
+      l2Code(col(s"__pqr$mi"), element_at(col("__cbs"), mi + 1),
+        element_at(col("__cbn"), mi + 1))
     }
     // reconstruction x̂ = ĉ + r̂ staged as a real column (HOF lambdas
     // re-evaluate captured subtrees per element; dot(x̂, x̂) evaluates
@@ -849,7 +862,8 @@ object SimilarityOps {
       .withColumn(codesCol, array(codes.toSeq: _*))
       .withColumn("__xhat", zip_with(col("__cemb"), rhat, (c, r) => c + r))
       .withColumn(normSqCol, dot(col("__xhat"), col("__xhat")))
-      .drop(stagingCols: _*).drop("__res", "__cemb", "__xhat", "__cbs")
+      .drop(stagingCols: _*)
+      .drop("__res", "__cemb", "__xhat", "__cbs", "__cbn")
   }
 
   /** Query-side probe frame shared by the in-memory and persisted
@@ -876,7 +890,8 @@ object SimilarityOps {
         sc.getField("cell").as("cell")))
     qStaged
       .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
-      .withColumn("__lut", lut).drop(qStagingCols: _*).drop("__cbs")
+      .withColumn("__lut", lut)
+      .drop(qStagingCols: _*).drop("__cbs", "__cbn")
       .crossJoin(broadcast(centroidsFrame(spark, centroids)))
       .withColumn("__p", explode(slice(array_sort(cellScores), 1, nprobe)))
       .select(col(qId), col(qEmb), col("__lut"),

@@ -314,7 +314,12 @@ object TextDedupOps {
     // parquet read in steady state) whose re-scan is cheap and whose
     // materialized copy would cost index-sized executor storage per
     // batch. Blocks are freed when the checkpointed RDD is GC'd (the
-    // connectedComponents note).
+    // connectedComponents note). Corollary: `existingSignatures` is
+    // RE-EXECUTED per consumer — fine for the steady state (a parquet
+    // read) and for checkpointed in-session indexes; a caller whose
+    // index is an expensive un-materialized lineage (e.g. a fresh
+    // minHashSignatures over raw text) should persist it first, or use
+    // [[lshIncrementalIndexed]] where storage IS the index.
     val sigs = ex.unionByName(nw.localCheckpoint(true))
     val pairs = lshCandidatePairsAsym(sigs, idCol, bands,
       threshold, maxBucketSize)
@@ -341,7 +346,15 @@ object TextDedupOps {
     * the signature length) are RECORDED in `dir/meta` and validated on
     * every append and every [[lshIncrementalIndexed]] read: a silent
     * mismatch would band new hashes into foreign buckets and MISS
-    * near-dups rather than fail — the worst possible dedup bug. */
+    * near-dups rather than fail — the worst possible dedup bug.
+    *
+    * The input lineage executes twice (the sigs write and the bands
+    * write) plus a bounded 1-row k probe — deliberate: an internal
+    * checkpoint would force index-sized executor storage on the
+    * one-time full-corpus initialization. Callers writing expensive
+    * batch-sized frames (the append loop) should pass a materialized
+    * frame, as [[lshIncrementalIndexed]]'s survivor output already
+    * is in the Bench loop. */
   def writeLshIndex(signatures: DataFrame, dir: String,
       idCol: String = "doc_id", bands: Int = 8,
       mode: String = "overwrite", shingleN: Int = 3): Unit = {

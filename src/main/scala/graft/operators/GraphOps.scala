@@ -45,6 +45,12 @@ object GraphOps {
     require(iters >= 1, s"pageRank: iters must be >= 1: $iters")
     require(!reliable || checkpointEvery > 0,
       "reliable checkpointing needs checkpointEvery > 0")
+    if (reliable)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable = true requires sparkContext.setCheckpointDir on " +
+          "shared storage (HDFS/object store) reachable from every " +
+          "executor — failing HERE, not after checkpointEvery rounds " +
+          "of join work (the connectedComponents guard)")
     require(dampingPct > 0 && dampingPct < 100,
       s"pageRank: dampingPct must be in (0, 100): $dampingPct")
     val src = col(srcCol); val dst = col(dstCol)

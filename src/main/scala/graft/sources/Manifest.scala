@@ -56,14 +56,27 @@ object Manifest {
 
   /** A truncated string is NOT a valid upper bound — increment the
     * last incrementable code unit of the kept prefix (the Iceberg
-    * upper-bound convention); None if every kept unit is ￿
-    * (poison → unprunable, conservative). */
+    * upper-bound convention); None if no unit is incrementable
+    * (poison → unprunable, conservative).
+    *
+    * Incrementable means the unit AND its successor are plain
+    * non-surrogate scalars: incrementing into (or from within) the
+    * surrogate range would leave an unpaired surrogate, which
+    * Catalyst's UTF-8 encoder rewrites to '?' (0x3F) — a bound that
+    * is byte-wise SMALLER than the data it must dominate, silently
+    * pruning files that contain matching rows (row LOSS, not
+    * over-scan — the one failure a residual filter cannot repair).
+    * Code-point-monotonic UTF-8 makes the per-unit increment valid
+    * under the UTF-8 byte order parquet stats and Spark's UTF8String
+    * comparisons both use. */
   private[graft] def truncUpper(s: String): Option[String] =
     if (s.length <= StringStatCap) Some(s)
     else {
       val p = s.substring(0, StringStatCap).toCharArray
+      def ok(c: Char): Boolean = c != Char.MaxValue &&
+        !Character.isSurrogate(c) && !Character.isSurrogate((c + 1).toChar)
       var i = p.length - 1
-      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      while (i >= 0 && !ok(p(i))) i -= 1
       if (i < 0) None
       else Some(new String(p, 0, i) + (p(i) + 1).toChar)
     }
@@ -107,18 +120,22 @@ object Manifest {
     * caller's contract, checked against the carried rows). */
   def update(spark: SparkSession, dir: String, manifest: DataFrame,
       cols: Seq[String]): DataFrame = {
+    import spark.implicits._
     val current = dataFiles(spark, dir)
     require(current.nonEmpty, s"Manifest.update: no part- files under $dir")
     val old = manifest.select("column").distinct()
       .collect().map(_.getString(0)).toSet // bounded: tracked columns
     require(old == cols.toSet,
       s"Manifest.update: cols ${cols.sorted} != manifest's ${old.toSeq.sorted}")
-    val known = manifest.select("file").distinct()
-      .collect().map(_.getString(0)).toSet // bounded: file paths only
-    val currentSet = current.toSet
-    val added = current.filterNot(known.contains)
-    val kept = manifest.filter(col("file").isin(
-      currentSet.toSeq.map(f => f: Any): _*))
+    // file-list reconciliation as JOINS, not plan literals: an isin of
+    // 100k file-path strings is the plan-bloat pathology the PQ
+    // broadcast-codebook fix documents. Only the DELTA is collected
+    // (the rows buildFiles needs driver-side).
+    val currentDf = spark.createDataset(current).toDF("file")
+    val added = currentDf
+      .join(manifest.select("file").distinct(), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq // bounded: the delta's paths
+    val kept = manifest.join(broadcast(currentDf), Seq("file"), "left_semi")
     if (added.isEmpty) kept
     else kept.unionByName(buildFiles(spark, added, cols))
   }
@@ -256,11 +273,14 @@ object Manifest {
       col(column) >= lo && col(column) <= hi)
   }
 
-  /** Range-pruned read on a string-typed column. Footer bounds use
-    * parquet's unsigned-byte UTF-8 order and Spark compares UTF-16
-    * code units — identical on ASCII and BMP text, which covers the
-    * real pruning keys (dates-as-strings, URLs, hex ids); the
-    * residual filter keeps the result exact regardless. */
+  /** Range-pruned read on a string-typed column. Footer bounds and
+    * Spark's UTF8String comparisons both use unsigned UTF-8 byte
+    * order, so the kept/skipped decision and the residual filter
+    * agree by construction. The residual filter keeps the SURVIVING
+    * files' rows exact (over-scan is free); correctness of the
+    * skips rests on the bounds being true bounds — which is why
+    * [[truncUpper]] poisons rather than ever emitting a bound that
+    * could undercut the data (see its surrogate note). */
   def prunedReadString(spark: SparkSession, manifest: DataFrame,
       column: String, lo: String, hi: String): DataFrame = {
     val keep = keepFiles(manifest, column, "min_s", "max_s", lit(lo), lit(hi))

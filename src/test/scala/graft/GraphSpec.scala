@@ -52,6 +52,14 @@ class GraphSpec extends SparkSpec {
     assert(joins <= 6, s"checkpointed plan still nests $joins joins")
   }
 
+  test("reliable checkpointing without a checkpoint dir fails loudly " +
+    "up front, not after rounds of join work") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(e, iters = 4, checkpointEvery = 2, reliable = true)
+    }
+  }
+
   test("guards: empty edges and bad damping fail loudly") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] { GraphOps.pageRank(empty) }

@@ -120,6 +120,25 @@ class ManifestSpec extends SparkSpec {
     // short strings pass through both untouched
     assert(Manifest.truncLower("abc") === "abc")
     assert(Manifest.truncUpper("abc") === Some("abc"))
+    // SURROGATE hazards: incrementing must never leave an unpaired
+    // surrogate (Catalyst's UTF-8 encoder rewrites those to '?', a
+    // bound SMALLER than the data — silent row loss on prune)
+    // 1. kept prefix ends on a high surrogate (truncation split an
+    //    emoji): skip it, increment the previous char
+    val emoji = "a" * (cap - 1) + new String(Character.toChars(0x1F600)) +
+      "tail"
+    val u1 = Manifest.truncUpper(emoji).get
+    assert(u1 === "a" * (cap - 2) + "b", s"got ${u1.length} chars")
+    assert(u1 > emoji.substring(0, cap - 1)) // still dominates the prefix
+    assert(!u1.exists(Character.isSurrogate))
+    // 2. char just below the surrogate range (U+D7FF): incrementing
+    //    would ENTER it — must skip left
+    val edge = "x" * (cap - 1) + '퟿' + "tail"
+    val u2 = Manifest.truncUpper(edge).get
+    assert(u2 === "x" * (cap - 2) + "y")
+    assert(!u2.exists(Character.isSurrogate))
+    // 3. nothing incrementable at all: poison
+    assert(Manifest.truncUpper("퟿" * (cap + 1)).isEmpty)
   }
 
   test("update: footer-reads ONLY the delta, equals a full rebuild, " +
