@@ -868,6 +868,49 @@ object IoQueries extends QueryModule {
              |WHERE lpad(cast(event_id AS varchar), 8, '0')
              |  BETWEEN '00001000' AND '00004000'""".stripMargin)),
 
+    // Manifest v2 TIMESTAMP-key pruning — event-time is the #1 pruning
+    // key a real lake has (daily ingest, time-windowed queries).
+    // Spark timestamps land in parquet as INT64 TIMESTAMP_MICROS, so
+    // the footer bounds ride the manifest's long slot and
+    // prunedReadTimestamp compares them against a [lo, hi] range in
+    // epoch micros, with the residual filter on the TimestampType
+    // column via timestamp_micros — the exact inverse of the stats
+    // encoding. Files-read < files-total is required in-gate (planning
+    // proof); the oracle states the identical slice from the flat
+    // table with TIMESTAMP literals (correctness proof).
+    QueryDef("manifest_pruned_read_ts",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_ts"
+        // INT96 (the legacy outputTimestampType default) carries no
+        // usable stats — pin the modern micros encoding for the layout
+        // write, and RESTORE the previous value after (a leaked session
+        // conf would change how Verify encodes every later gate's
+        // timestamp outputs and shift driver hashes)
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        val tsPrev = s.conf.getOption(tsKey)
+        s.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try T.events(s, d).select("event_id", "ts", "user_id", "value")
+          .repartitionByRange(8, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(path)
+        finally tsPrev match {
+          case Some(v) => s.conf.set(tsKey, v)
+          case None => s.conf.unset(tsKey)
+        }
+        val mf = graft.sources.Manifest.build(s, path, Seq("ts"))
+        val total = mf.select("file").distinct().count()
+        // 2024-01-05T00:00:00Z .. 2024-01-08T00:00:00Z in epoch micros
+        val pruned = graft.sources.Manifest.prunedReadTimestamp(
+          s, mf, "ts", 1704412800000000L, 1704672000000000L)
+        val readFiles = pruned.inputFiles.length
+        require(readFiles < total,
+          s"timestamp manifest pruned nothing: $readFiles of $total files")
+        pruned.select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)),
+
     // INCREMENTAL manifest maintenance (Manifest.update) — the nightly
     // shape: a table grows by appended files; the manifest absorbs the
     // delta (footer reads for NEW files only — delta-cost pinned in

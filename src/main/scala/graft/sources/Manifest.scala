@@ -21,15 +21,32 @@ import scala.jdk.CollectionConverters._
   * fs.* settings arrive via spark.hadoop.*; a default Configuration
   * would drop them on exactly the 100 TB deployment this targets).
   *
-  * v2 stats cover the real pruning keys: int32/int64 (`min`/`max`),
+  * v2 stats cover the real pruning keys: int32/int64 (`min`/`max` —
+  * which also carry TIMESTAMP_MICROS, see [[prunedReadTimestamp]]),
   * float/double (`min_d`/`max_d`), and UTF-8 strings
   * (`min_s`/`max_s`, truncated to [[Manifest.StringStatCap]] chars —
   * lower bounds truncate plainly; upper bounds truncate-and-increment
-  * so they remain valid upper bounds, the Iceberg convention). Other
-  * types appear with NULL stats so callers can see they are
-  * unindexed rather than silently unprunable. A null count is NULL
-  * when any row group omitted it (parquet writers may skip num_nulls;
-  * a -1 sentinel must read as unknown, not as a count). */
+  * so they remain valid upper bounds, the Iceberg convention). String
+  * bounds accumulate as RAW STAT BYTES merged in unsigned UTF-8 byte
+  * order — the order parquet's UTF8 comparator and Spark's UTF8String
+  * comparisons both use; merging decoded java.lang.Strings would
+  * compare UTF-16 code units, which DISAGREES with byte order for
+  * supplementary code points vs BMP chars in [U+E000,U+FFFF] and can
+  * store a max_s byte-wise SMALLER than the file's data (silent row
+  * loss on prune — the one failure a residual filter cannot repair).
+  * Stat bytes that are not well-formed UTF-8 (writer-side truncation
+  * mid code point, or a non-string binary column) poison the bounds
+  * to NULL rather than decode to U+FFFD replacement chars that could
+  * undercut the data. Other types appear with NULL stats so callers
+  * can see they are unindexed rather than silently unprunable. A null
+  * count is NULL when any row group omitted it (parquet writers may
+  * skip num_nulls; a -1 sentinel must read as unknown, not a count).
+  *
+  * Each row also records the file's LENGTH and MODIFICATION TIME:
+  * [[update]] re-footer-reads a file whose length or mtime changed
+  * under an unchanged path, so a data file rewritten in place (a
+  * non-Spark writer reusing part names) cannot keep stale
+  * carried-forward stats. */
 object Manifest {
 
   /** Truncation cap for string min/max — long URL/text keys would
@@ -39,14 +56,17 @@ object Manifest {
   case class ColStats(file: String, column: String, rows: Long,
       nulls: Option[Long], min: Option[Long], max: Option[Long],
       min_d: Option[Double], max_d: Option[Double],
-      min_s: Option[String], max_s: Option[String])
+      min_s: Option[String], max_s: Option[String],
+      flen: Long, mtime: Long)
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private case class FileRef(path: String, flen: Long, mtime: Long)
+
+  private def dataFiles(spark: SparkSession, dir: String): Seq[FileRef] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(f => f.getName.startsWith("part-"))
-      .map(_.toString)
+    fs.listStatus(p).toSeq
+      .filter(f => f.getPath.getName.startsWith("part-"))
+      .map(f => FileRef(f.getPath.toString, f.getLen, f.getModificationTime))
   }
 
   /** A truncated string is a valid LOWER bound as-is (prefixes sort
@@ -81,11 +101,42 @@ object Manifest {
       else Some(new String(p, 0, i) + (p(i) + 1).toChar)
     }
 
+  /** Unsigned lexicographic byte order — the order parquet UTF8 stats
+    * are computed under and the order Spark's UTF8String compares in.
+    * String-bound merges MUST use this, never java.lang.String
+    * ordering (UTF-16 code units): for supplementary code points
+    * (surrogate pairs, 0xD800-0xDFFF in UTF-16 but 0xF0-lead 4-byte
+    * sequences in UTF-8) vs BMP chars in [U+E000,U+FFFF] (0xEE/0xEF
+    * lead) the two orders DISAGREE. */
+  private[graft] def utf8Lte(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length <= b.length
+  }
+
+  /** Strict UTF-8 decode: None when the bytes are not well-formed
+    * (writer-side stat truncation mid code point, or a binary column
+    * that never held text). A lenient decode would rewrite malformed
+    * sequences to U+FFFD — possibly turning an upper bound into
+    * something byte-wise SMALLER than the data it must dominate. */
+  private[graft] def decodeUtf8Strict(b: Array[Byte]): Option[String] = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
   // One row group's usable stats, by physical type
   private sealed trait Mm
   private case class MmL(mn: Long, mx: Long) extends Mm
   private case class MmD(mn: Double, mx: Double) extends Mm
-  private case class MmS(mn: String, mx: String) extends Mm
+  private case class MmB(mn: Array[Byte], mx: Array[Byte]) extends Mm
   private case object MmNone extends Mm
 
   private final class Acc {
@@ -95,7 +146,7 @@ object Manifest {
     var allStats = true
     var l: Option[(Long, Long)] = None
     var d: Option[(Double, Double)] = None
-    var s: Option[(String, String)] = None
+    var b: Option[(Array[Byte], Array[Byte])] = None
   }
 
   /** Build the manifest for every `part-` file under `dir`. */
@@ -112,12 +163,16 @@ object Manifest {
     * rows for files that no longer exist (compaction/vacuum). A
     * steady-state lake pays footer I/O proportional to the DELTA, not
     * the table; the file-list reconciliation is bounded by file count
-    * (manifest metadata, not table data). Returns the new manifest —
-    * the caller persists it wherever the old one lived. The stat
-    * columns tracked must match the original build's `cols` (stats
-    * for a column the old manifest never recorded would silently
-    * exist for new files only and prune wrongly — same-cols is the
-    * caller's contract, checked against the carried rows). */
+    * (manifest metadata, not table data). A file whose LENGTH or
+    * MODIFICATION TIME differs from the manifest's recorded values is
+    * treated as new — its stale rows drop and its footer re-reads —
+    * so in-place rewrites under a reused path (non-Spark writers)
+    * cannot silently keep dead stats. Returns the new manifest — the
+    * caller persists it wherever the old one lived. The stat columns
+    * tracked must match the original build's `cols` (stats for a
+    * column the old manifest never recorded would silently exist for
+    * new files only and prune wrongly — same-cols is the caller's
+    * contract, checked against the carried rows). */
   def update(spark: SparkSession, dir: String, manifest: DataFrame,
       cols: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -130,17 +185,25 @@ object Manifest {
     // file-list reconciliation as JOINS, not plan literals: an isin of
     // 100k file-path strings is the plan-bloat pathology the PQ
     // broadcast-codebook fix documents. Only the DELTA is collected
-    // (the rows buildFiles needs driver-side).
-    val currentDf = spark.createDataset(current).toDF("file")
+    // (the rows buildFiles needs driver-side). Carried-forward rows
+    // must match on (file, flen, mtime) — a path-only match would keep
+    // stale stats for a file rewritten in place under the same name.
+    val currentDf = spark.createDataset(current.map(f =>
+      (f.path, f.flen, f.mtime))).toDF("file", "flen", "mtime")
     val added = currentDf
-      .join(manifest.select("file").distinct(), Seq("file"), "left_anti")
-      .collect().map(_.getString(0)).toSeq // bounded: the delta's paths
-    val kept = manifest.join(broadcast(currentDf), Seq("file"), "left_semi")
+      .join(manifest.select("file", "flen", "mtime").distinct(),
+        Seq("file", "flen", "mtime"), "left_anti")
+      .select("file").collect().map(_.getString(0)).toSet // bounded: delta
+    val kept = manifest.join(broadcast(currentDf),
+        Seq("file", "flen", "mtime"), "left_semi")
+      .select(manifest.columns.map(col).toIndexedSeq: _*) // using-join
+      // moves key columns to the front; restore the build order
     if (added.isEmpty) kept
-    else kept.unionByName(buildFiles(spark, added, cols))
+    else kept.unionByName(
+      buildFiles(spark, current.filter(f => added.contains(f.path)), cols))
   }
 
-  private def buildFiles(spark: SparkSession, files: Seq[String],
+  private def buildFiles(spark: SparkSession, files: Seq[FileRef],
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "Manifest: need at least one column")
     import spark.implicits._
@@ -150,11 +213,11 @@ object Manifest {
     // must reach the executor-side footer opens (WetIo idiom)
     val bConf = spark.sparkContext.broadcast(new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(files)
+    spark.createDataset(files.map(f => (f.path, f.flen, f.mtime)))
       .repartition(math.min(files.size, 64))
       .mapPartitions { it =>
         val conf = bConf.value.value
-        it.flatMap { f =>
+        it.flatMap { case (f, flen, mtime) =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f), conf))
@@ -183,8 +246,7 @@ object Manifest {
                         MmD(s.getMin.toDouble, s.getMax.toDouble)
                       case s: org.apache.parquet.column.statistics
                           .BinaryStatistics =>
-                        MmS(new String(s.getMinBytes, UTF_8),
-                          new String(s.getMaxBytes, UTF_8))
+                        MmB(s.getMinBytes, s.getMaxBytes)
                       case _ => MmNone
                     }
                   val a = perCol.getOrElseUpdate(name, new Acc)
@@ -199,9 +261,11 @@ object Manifest {
                       (p._1 min mn, p._2 max mx)))
                     case MmD(mn, mx) => a.d = Some(a.d.fold((mn, mx))(p =>
                       (p._1 min mn, p._2 max mx)))
-                    case MmS(mn, mx) => a.s = Some(a.s.fold((mn, mx))(p =>
-                      (if (p._1 <= mn) p._1 else mn,
-                       if (p._2 >= mx) p._2 else mx)))
+                    // RAW bytes, unsigned byte order (see scaladoc) —
+                    // decoding happens once, validated, at emit time
+                    case MmB(mn, mx) => a.b = Some(a.b.fold((mn, mx))(p =>
+                      (if (utf8Lte(p._1, mn)) p._1 else mn,
+                       if (utf8Lte(mx, p._2)) p._2 else mx)))
                     case MmNone => a.allStats = false
                   }
                 }
@@ -210,24 +274,28 @@ object Manifest {
             want.toSeq.sorted.map { c =>
               perCol.get(c) match {
                 case Some(a) if a.allStats =>
-                  val su = a.s.flatMap(p => truncUpper(p._2))
+                  // strict-decode both bounds; malformed bytes poison
+                  // the PAIR (a U+FFFD-rewritten bound could undercut
+                  // the data — row loss, not over-scan)
+                  val sPair = a.b.flatMap { case (mnB, mxB) =>
+                    for {
+                      mn <- decodeUtf8Strict(mnB)
+                      mx <- decodeUtf8Strict(mxB)
+                      up <- truncUpper(mx)
+                    } yield (truncLower(mn), up)
+                  }
                   ColStats(f, c, a.rows,
                     if (a.nullsKnown) Some(a.nulls) else None,
                     a.l.map(_._1), a.l.map(_._2),
                     a.d.map(_._1), a.d.map(_._2),
-                    // upper-bound truncation can poison: then BOTH
-                    // bounds drop (a one-sided bound would still
-                    // prune, but keeping the pair honest is simpler
-                    // and the cap makes this vanishingly rare)
-                    a.s.map(p => truncLower(p._1)).filter(_ => su.isDefined),
-                    su)
+                    sPair.map(_._1), sPair.map(_._2), flen, mtime)
                 case Some(a) =>
                   ColStats(f, c, a.rows,
                     if (a.nullsKnown) Some(a.nulls) else None,
-                    None, None, None, None, None, None)
+                    None, None, None, None, None, None, flen, mtime)
                 case None =>
                   ColStats(f, c, 0L, Some(0L),
-                    None, None, None, None, None, None)
+                    None, None, None, None, None, None, flen, mtime)
               }
             }
           } finally reader.close()
@@ -280,7 +348,12 @@ object Manifest {
     * files' rows exact (over-scan is free); correctness of the
     * skips rests on the bounds being true bounds — which is why
     * [[truncUpper]] poisons rather than ever emitting a bound that
-    * could undercut the data (see its surrogate note). */
+    * could undercut the data (see its surrogate note), and why the
+    * manifest merges bounds in raw UTF-8 byte order.
+    *
+    * NOTE the manifest-side keep/skip compares min_s/max_s with
+    * Spark's own string ordering (UTF8String byte order) against the
+    * [lo, hi] literals — the same order the bounds were merged in. */
   def prunedReadString(spark: SparkSession, manifest: DataFrame,
       column: String, lo: String, hi: String): DataFrame = {
     val keep = keepFiles(manifest, column, "min_s", "max_s", lit(lo), lit(hi))
@@ -294,5 +367,25 @@ object Manifest {
     val keep = keepFiles(manifest, column, "min_d", "max_d", lit(lo), lit(hi))
     readKept(spark, manifest, keep,
       col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Range-pruned read on a TIMESTAMP column — event-time is the #1
+    * pruning key a lake has. Parquet stores Spark timestamps as INT64
+    * TIMESTAMP_MICROS (LongStatistics), so the bounds already live in
+    * the manifest's long slot; the [lo, hi] range is given in
+    * MICROSECONDS since the epoch (UTC) and the residual filter
+    * compares the TimestampType column against `timestamp_micros`
+    * literals — the exact inverse of the stats encoding, so keep/skip
+    * and residual agree by construction. (INT96 timestamps — the
+    * legacy `spark.sql.parquet.outputTimestampType` — carry no usable
+    * stats and surface as NULL bounds: conservatively kept, never
+    * wrongly pruned.) */
+  def prunedReadTimestamp(spark: SparkSession, manifest: DataFrame,
+      column: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    val keep = keepFiles(manifest, column, "min", "max",
+      lit(loMicros), lit(hiMicros))
+    readKept(spark, manifest, keep,
+      col(column) >= timestamp_micros(lit(loMicros)) &&
+        col(column) <= timestamp_micros(lit(hiMicros)))
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.Manifest
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** A LocalFileSystem under a custom scheme that ONLY resolves when the
   * job's Hadoop conf (which maps fs.graftest.impl to this class)
@@ -211,6 +212,131 @@ class ManifestSpec extends SparkSpec {
       Manifest.update(spark, d2, m4, Seq("k", "v"))
     }
     m1.unpersist(); m2.unpersist(); ()
+  }
+
+  test("string bounds merge in UTF-8 byte order across row groups: " +
+    "supplementary vs high-BMP data cannot undercut the max") {
+    // UTF-16 code-unit order (java.lang.String) puts the surrogate
+    // pair of U+1F600 (0xD83D...) BELOW U+F000, but UTF-8 byte order
+    // (parquet stats, Spark UTF8String) puts the 4-byte U+1F600
+    // (0xF0 lead) ABOVE the 3-byte U+F000 (0xEF lead). A String-order
+    // merge across row groups would store max_s = "..." while
+    // the file CONTAINS byte-wise larger emoji rows — and a pruned
+    // read for those rows would silently skip the file (row loss).
+    val d3 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-supp-${ProcessHandle.current().pid()}").toString
+    val emoji = new String(Character.toChars(0x1F600)) // 😀 U+1F600
+    val pad = "p" * 1024 // big rows + tiny block size => >1 row group
+    spark.range(300)
+      .select(col("id").as("k"),
+        when(col("id") < 150, concat(lit("\uF000"), lit(pad)))
+          .otherwise(concat(lit(emoji), lit(pad))).as("s"))
+      .orderBy("id").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", "1024")
+      .option("parquet.page.size", "1024")
+      .parquet(d3)
+    // precondition: the single file really has multiple row groups
+    // (otherwise this test degrades to the single-group case)
+    val f = new java.io.File(d3).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString),
+        spark.sparkContext.hadoopConfiguration))
+    val nGroups = try reader.getRowGroups.size() finally reader.close()
+    assert(nGroups >= 2, s"fixture needs >=2 row groups, got $nGroups")
+    val mf = Manifest.build(spark, d3, Seq("s"))
+    val row = mf.filter(col("column") === "s").collect()(0)
+    val maxS = row.getString(9)
+    // byte-order max starts with the emoji; UTF-16-order would have
+    // picked the  rows
+    assert(maxS.startsWith(emoji),
+      s"max_s merged in the wrong order: ${maxS.take(4).toList}")
+    assert(row.getString(8).startsWith("\uF000")) // min is the BMP row
+    // and the pruned read for the emoji rows finds them (no row loss)
+    val hit = Manifest.prunedReadString(spark, mf, "s",
+      emoji, emoji + "￿")
+    assert(hit.count() === 150)
+  }
+
+  test("strict UTF-8 decode poisons malformed stat bytes; byte order " +
+    "is unsigned") {
+    // well-formed round-trips
+    assert(Manifest.decodeUtf8Strict("abc".getBytes(UTF_8)) === Some("abc"))
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Manifest.decodeUtf8Strict(emoji.getBytes(UTF_8)) === Some(emoji))
+    // a 4-byte sequence truncated mid code point (writer-side stat
+    // truncation) must poison, not decode to U+FFFD
+    val full = emoji.getBytes(UTF_8)
+    assert(Manifest.decodeUtf8Strict(full.take(2)) === None)
+    // a lone 0xFF (never valid UTF-8) poisons
+    assert(Manifest.decodeUtf8Strict(Array(0xFF.toByte)) === None)
+    // unsigned order: 0xF0-lead sorts ABOVE 0x7F ASCII despite being
+    // negative as a signed byte
+    assert(Manifest.utf8Lte("a".getBytes(UTF_8), full))
+    assert(!Manifest.utf8Lte(full, "a".getBytes(UTF_8)))
+    // prefix sorts below its extension; equal arrays are <=
+    assert(Manifest.utf8Lte("ab".getBytes(UTF_8), "abc".getBytes(UTF_8)))
+    assert(Manifest.utf8Lte("ab".getBytes(UTF_8), "ab".getBytes(UTF_8)))
+  }
+
+  test("timestamp pruning reads only intersecting files and keeps the " +
+    "exact slice") {
+    val d4 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-ts-${ProcessHandle.current().pid()}").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    // 1000 rows, one per hour from 2024-01-01T00:00Z, 4 range files
+    spark.range(1000)
+      .select(col("id").as("k"),
+        timestamp_micros(lit(1704067200000000L) +
+          col("id") * 3600000000L).as("ts"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(d4)
+    val mf = Manifest.build(spark, d4, Seq("ts"))
+    // hours 100..200 live in the first of 4 files
+    val lo = 1704067200000000L + 100L * 3600000000L
+    val hi = 1704067200000000L + 200L * 3600000000L
+    val one = Manifest.prunedReadTimestamp(spark, mf, "ts", lo, hi)
+    assert(one.inputFiles.length === 1)
+    assert(one.count() === 101)
+    // out-of-range: empty, never a throw
+    val none = Manifest.prunedReadTimestamp(spark, mf, "ts",
+      1804067200000000L, 1804167200000000L)
+    assert(none.count() === 0)
+  }
+
+  test("update re-footer-reads a file rewritten in place under the " +
+    "same name") {
+    val d5 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-rewrite-${ProcessHandle.current().pid()}").toString
+    spark.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(d5)
+    val m1 = Manifest.build(spark, d5, Seq("k")).cache()
+    assert(m1.count() === 1)
+    assert(m1.collect()(0).getLong(4) === 0L) // min k
+    // rewrite the SAME part file with different data (a non-Spark
+    // writer reusing the path): write elsewhere, copy bytes over
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-rewrite-src-${ProcessHandle.current().pid()}")
+    spark.range(500, 777).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val victim = new java.io.File(d5).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val src = tmp.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(src.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale LocalFileSystem checksum shadow — a real
+    // non-Spark in-place writer wouldn't leave one behind either
+    new java.io.File(victim.getParentFile, "." + victim.getName + ".crc")
+      .delete()
+    // path unchanged, content changed — update must re-read, not carry
+    val m2 = Manifest.update(spark, d5, m1, Seq("k"))
+    val row = m2.collect()(0)
+    assert(row.getLong(4) === 500L && row.getLong(5) === 776L,
+      s"stale stats carried forward: ${row.toSeq}")
+    m1.unpersist(); ()
   }
 
   test("executor footer reads use the JOB Hadoop conf, not a default " +
