@@ -335,12 +335,15 @@ object TextDedupOps {
     * layout for [[lshIncrementalIndexed]]:
     *   - `dir/sigs`:  (idCol, signature) — for the est-Jaccard
     *     re-attach and for reseeding in-memory loops;
-    *   - `dir/bands`: (idCol, band, band_hash) — 3 longs per row,
-    *     sorted within files by (band, band_hash) so row-group stats
-    *     cover the join keys. Storing the banded triple spares every
+    *   - `dir/bands`: (idCol, band_hash) PARTITIONED BY band and
+    *     range-laid-out on (band, band_hash), so each band is an
+    *     independently scannable/compactable directory (a filter on
+    *     `band` pushes as a PartitionFilter — pinned in LlmSpec) and
+    *     every file's row groups carry tight band_hash bounds for
+    *     min/max skipping. Storing the banded triple spares every
     *     later ingest the split_band + xxhash recompute over the
     *     WHOLE index — the per-batch index cost becomes a columnar
-    *     scan of the slim triple, nothing else.
+    *     scan of the slim pairs, nothing else.
     * `mode` "overwrite" initializes, "append" absorbs a batch's
     * survivor signatures. The LSH parameters (bands, shingleN, and k —
     * the signature length) are RECORDED in `dir/meta` and validated on
@@ -348,7 +351,15 @@ object TextDedupOps {
     * mismatch would band new hashes into foreign buckets and MISS
     * near-dups rather than fail — the worst possible dedup bug.
     *
-    * The input lineage executes twice (the sigs write and the bands
+    * WRITE ORDER: bands commit BEFORE sigs. The two writes are
+    * separate non-atomic parquet commits, so a failure between them
+    * must leave the SAFE orphan: an orphan band row merely
+    * over-generates candidate pairs, which the est-Jaccard filter
+    * (inner-joined against sigs) discards; the reverse orphan — sigs
+    * without bands — would make the affected docs permanently
+    * invisible to banding and silently MISS their future near-dups.
+    *
+    * The input lineage executes twice (the bands write and the sigs
     * write) plus a bounded 1-row k probe — deliberate: an internal
     * checkpoint would force index-sized executor storage on the
     * one-time full-corpus initialization. Callers writing expensive
@@ -365,10 +376,18 @@ object TextDedupOps {
       .headOption.map(_.getInt(0)).getOrElse(0) // 0 = empty init: any k
     if (mode == "append")
       checkLshMeta(spark, dir, bands, shingleN, k)
+    // init gets the full range layout (tight per-file band_hash runs —
+    // one-time, corpus-sized, worth a shuffle); appends skip the range
+    // repartition: its SAMPLING pass re-executes the batch lineage and
+    // its shuffle is pure per-batch overhead for batch-sized frames,
+    // and the local sort alone already gives sorted row groups within
+    // each appended file (compaction restores the global layout)
+    val banded0 = bandFrame(signatures, idCol, bands)
+    val banded = if (mode == "append") banded0
+      else banded0.repartitionByRange(col("band"), col("band_hash"))
+    banded.sortWithinPartitions("band", "band_hash")
+      .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
     signatures.write.mode(mode).parquet(s"$dir/sigs")
-    bandFrame(signatures, idCol, bands)
-      .sortWithinPartitions("band", "band_hash")
-      .write.mode(mode).parquet(s"$dir/bands")
     if (mode != "append")
       Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -415,7 +434,18 @@ object TextDedupOps {
       .localCheckpoint(true) // batch-sized; consumed 3× (see above)
     val exSigs = spark.read.parquet(s"$indexDir/sigs")
       .select((col(idCol).cast("long") * 2).as(idCol), col("signature"))
-    val exBands = spark.read.parquet(s"$indexDir/bands")
+    // explicit schema: a band-partitioned EMPTY index (fresh init) has
+    // no data files to infer from, and the partition column must read
+    // back typed either way
+    val exBands = spark.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band_hash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType))))
+      .parquet(s"$indexDir/bands")
       .select((col(idCol).cast("long") * 2).as(idCol),
         col("band"), col("band_hash"))
     val nwBands = bandFrame(nwSigs, idCol, bands)

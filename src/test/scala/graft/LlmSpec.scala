@@ -1064,6 +1064,24 @@ class LlmSpec extends SparkSpec {
       TextDedupOps.writeLshIndex(g2, dir, "doc_id", bands = 16,
         mode = "append")
     }
+    // bands persist PARTITIONED BY band: each band is its own
+    // directory, and a band filter pushes as a PartitionFilter that
+    // prunes the scan's file set to that directory — the layout a
+    // band-parallel compactor or a partial re-banding maintains
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(bandDirs === (0 until 8).map(b => s"band=$b").toSet, bandDirs)
+    val oneBand = spark.read.parquet(s"$dir/bands")
+      .filter(col("band") === 3)
+    val scan = oneBand.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters:[^\\]]*band#\\d+ = 3".r.findFirstIn(
+        scan.replaceAll("\\s+", " ")).isDefined,
+      s"band filter did not push as a PartitionFilter:\n$scan")
+    // row-level proof the pruned scan equals the band directory itself
+    // (inputFiles lists the unpruned FileIndex, so compare contents)
+    val direct = spark.read.parquet(s"$dir/bands/band=3")
+    assert(oneBand.count() === direct.count() && oneBand.count() > 0)
   }
 
   test("removeDuplicateSpans: shared span removed from both docs, " +
