@@ -180,6 +180,27 @@ object Bench {
         TextStatsOps.bpeTokenCount(col("text"), trained).as("n"))
     }
 
+    /** Production-table token-counting throughput (r14 verdict task
+      * #1's witness): rank-table BPE count over this SF's documents
+      * with a 33 024-entry merge table (24 demo rules + 33 000
+      * synthetic pads — bpePadMerges) riding a broadcast HashMap.
+      * This is the single most common daily operation of a
+      * training-data pipeline — budget accounting with the REAL
+      * tokenizer table — and the cost model under witness is pure
+      * scan throughput: zero shuffle, O(1) hash lookups per adjacent
+      * pair, table shipped once per executor (never in task binaries
+      * or plan literals — the plan stays O(1) in table size). */
+    def bpeRankCountStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextStatsOps
+      val merges = TextStatsOps.BpeDemoMerges ++
+        TextStatsOps.bpePadMerges(33000)
+      TextStatsOps.bpeTokenCountRanked(
+          Tables.documents(spark, sfDir), "doc_id", "text", merges)
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          count(lit(1)).as("n_docs"))
+    }
+
     /** Z-order layout rewrite wall-clock (late r13): Morton-key the
       * events table on (user_id, event_id) and rewrite it across 8
       * files. Cost model under witness: one bounded min/max agg + a
@@ -884,6 +905,7 @@ object Bench {
         "lm_stress_hot_bigram" -> (() => lmStressHotBigram()),
         "multimodal_stress" -> (() => multimodalStress()),
         "bpe_train_stress" -> (() => bpeTrainStress()),
+        "bpe_rank_count_stress" -> (() => bpeRankCountStress()),
         "wet_ingest_stress" -> (() => wetIngestStress()),
         "zorder_stress" -> (() => zorderStress()),
         "classifier_train_stress" -> (() => classifierTrainStress()))

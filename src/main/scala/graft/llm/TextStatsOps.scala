@@ -317,6 +317,233 @@ object TextStatsOps {
           .otherwise(element_at(vocab, col("token"))).cast("int"))
   }
 
+  // ───── PRODUCTION-SCALE tokenizer encode (r14 verdict task #1):
+  // the regexp-fixpoint encoder above re-scans its merge table as a
+  // plan-literal array per step — O(M·len) per step, unusable past toy
+  // tables (and fenced at 32 rules by the demo id scheme). The rank-
+  // table kernel below is the actual GPT-2/tiktoken-family algorithm
+  // (Radford et al. 2019 encoder.py `bpe()`): per word, repeatedly
+  // find the LOWEST-RANK adjacent symbol pair via O(1) hash lookups
+  // and merge its non-overlapping occurrences left-to-right — same
+  // fixpoint, O(len) scan per step. The table rides a REAL broadcast
+  // variable (one copy per executor, never in task binaries or plan
+  // literals), so a 50k-merge production table costs what it weighs:
+  // one ~MB broadcast. Batched mapPartitions, zero shuffle — token
+  // counting 100 TB is scan throughput. Spec-pinned exactly equal to
+  // the regexp-fixpoint tier on shared configurations. ─────
+
+  /** Split into code points (the unit the column tier's substr(i, 1)
+    * iterates) — identical symbols for any input, incl. emoji. */
+  private def splitCodePoints(s: String): Array[String] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[String](n)
+    var i = 0; var o = 0
+    while (o < n) {
+      val cp = s.codePointAt(i)
+      val l = Character.charCount(cp)
+      out(o) = s.substring(i, i + l)
+      i += l; o += 1
+    }
+    out
+  }
+
+  /** JVM-side twin of [[byteMark]] (same 6-char translate table). */
+  private def byteMarkStr(tok: String): String = {
+    val sb = new java.lang.StringBuilder(tok.length)
+    var i = 0
+    while (i < tok.length) {
+      sb.append(tok.charAt(i) match {
+        case ' ' => 'Ġ'; case '\t' => 'ĉ'
+        case '\n' => 'Ċ'; case '\u000B' => 'ċ'
+        case '\u000C' => 'Č'; case '\r' => 'č'
+        case c => c
+      })
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One word's rank-table BPE fixpoint: find the lowest-rank adjacent
+    * pair (hash lookups on "a b" keys — symbols never contain spaces,
+    * the same delimiter argument the string-state tier makes), merge
+    * every non-overlapping occurrence left-to-right, repeat until no
+    * rule applies. Exactly [[bpeWordSymbols]]' semantics (spec-pinned
+    * equal): "lowest rank whose pair occurs" ≡ "first rule whose
+    * pattern is contained", and the L2R replace is shared. */
+  private[graft] def bpeMergeRanked(syms0: Array[String],
+      rank: java.util.HashMap[String, Integer]): Array[String] = {
+    var syms = syms0
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r.intValue < best) best = r.intValue
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // locate the winning pair's symbols from any occurrence
+        var bi = -1
+        var j = 0
+        while (bi < 0 && j < syms.length - 1) {
+          val r = rank.get(syms(j) + " " + syms(j + 1))
+          if (r != null && r.intValue == best) bi = j
+          j += 1
+        }
+        val a = syms(bi); val b = syms(bi + 1)
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          syms.length)
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == a && syms(p + 1) == b) {
+            out += a + b; p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  private def rankMap(merges: Seq[(String, String)])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // first (lowest) rank wins duplicate pairs — a later duplicate
+      // can never fire in the fixpoint (the earlier rule empties it)
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i)); ()
+    }
+    m
+  }
+
+  /** Deterministic vocabulary for LARGE merge tables: single code
+    * points keep their codepoint id (≤ 0x10FFFF) and the i-th merge's
+    * result gets 1 000 000 + i — collision-free for any table under
+    * ~114k merges over real text (a PRODUCTION tokenizer ships its own
+    * vocab file; this is the in-repo stand-in with the same shape). */
+  def bpeVocabWide(merges: Seq[(String, String)]): Map[String, Int] =
+    merges.zipWithIndex.map { case ((a, b), i) =>
+      (a + b) -> (1000000 + i) }.toMap
+
+  /** Synthetic PAD merge table for exercising production-size tables:
+    * `n` distinct single-codepoint pairs over a 20 000-char CJK
+    * alphabet (U+4E00.., all \p{L} so the GPT-2 pretokenizer keeps
+    * runs intact). Pads cannot fire on ASCII corpora (their chars
+    * never occur), so a demo-table prefix keeps its oracle while the
+    * kernel carries the full table — and planted CJK rows exercise
+    * deep ranks for real. Pair uniqueness: equal first chars differ in
+    * the i/20000 term of the second. */
+  def bpePadMerges(n: Int): Seq[(String, String)] = {
+    require(n <= 20000 * 20000, s"bpePadMerges: $n")
+    (0 until n).map { i =>
+      val a = new String(Character.toChars(0x4E00 + i % 20000))
+      val b = new String(Character.toChars(
+        0x4E00 + ((i.toLong * 7 + i / 20000 + 13) % 20000).toInt))
+      (a, b)
+    }
+  }
+
+  /** Rank-table BPE token-ID ENCODING over a broadcast merge table —
+    * the no-fence replacement for [[bpeEncodeTokensBytes]] (which is
+    * id-fenced at 32 rules): one row per surviving symbol,
+    * (idCol, tok_idx, sym_idx, token, token_id); `byteLevel` selects
+    * GPT-2 pretokens + byte-marking (true) or whitespace words
+    * (false). Ids: single code points price at their codepoint (the
+    * shared demo convention; byte markers Ġ/ĉ/Ċ included), multi-char
+    * symbols look up `vocabIds` (miss → NULL, matching the column
+    * tier's element_at). Zero shuffle; the table is an executor-side
+    * broadcast HashMap, plan size O(1) in the table. */
+  def bpeEncodeRanked(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int], byteLevel: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vids = new java.util.HashMap[String, Integer](vocabIds.size * 2)
+    vocabIds.foreach { case (t, i) => vids.put(t, Integer.valueOf(i)); () }
+    val bRank = spark.sparkContext.broadcast(rankMap(merges))
+    val bVids = spark.sparkContext.broadcast(vids)
+    val re = Gpt2PretokenRe
+    val bl = byteLevel
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bRank.value; val vv = bVids.value
+        val pat = java.util.regex.Pattern.compile(re)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks =
+              if (bl) {
+                val m = pat.matcher(text)
+                val buf = scala.collection.mutable.ArrayBuffer[String]()
+                while (m.find()) buf += m.group
+                buf
+              } else scala.collection.mutable.ArrayBuffer[String](
+                text.split("\\s+").filter(_.nonEmpty).toIndexedSeq: _*)
+            toks.iterator.zipWithIndex.flatMap { case (tok0, ti) =>
+              val tok = if (bl) byteMarkStr(tok0) else tok0
+              bpeMergeRanked(splitCodePoints(tok), rk)
+                .iterator.zipWithIndex.map { case (s, si) =>
+                  val tid =
+                    if (s.codePointCount(0, s.length) == 1)
+                      Integer.valueOf(s.codePointAt(0))
+                    else vv.get(s)
+                  (id, ti, si, s, Option(tid).map(_.intValue))
+                }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "tok_idx", "sym_idx", "token", "token_id")
+  }
+
+  /** Rank-table BPE token COUNT — (idCol, n_bpe) per document, the
+    * budget-accounting pass a training pipeline runs daily over its
+    * whole corpus with its REAL tokenizer table. Same kernel as
+    * [[bpeEncodeRanked]], counting instead of materializing; NULL
+    * text counts 0. Zero shuffle, broadcast table, scan throughput. */
+  def bpeTokenCountRanked(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      byteLevel: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bRank = spark.sparkContext.broadcast(rankMap(merges))
+    val re = Gpt2PretokenRe
+    val bl = byteLevel
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bRank.value
+        val pat = java.util.regex.Pattern.compile(re)
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L)
+          else {
+            var n = 0L
+            if (bl) {
+              val m = pat.matcher(text)
+              while (m.find())
+                n += bpeMergeRanked(
+                  splitCodePoints(byteMarkStr(m.group)), rk).length
+            } else {
+              val ws = text.split("\\s+")
+              var i = 0
+              while (i < ws.length) {
+                if (ws(i).nonEmpty)
+                  n += bpeMergeRanked(splitCodePoints(ws(i)), rk).length
+                i += 1
+              }
+            }
+            (id, n)
+          }
+        }
+      }
+      .toDF(idCol, "n_bpe")
+  }
+
   /** TRAIN a BPE merge table from a corpus — the training side of the
     * tokenizer stack ([[bpeTokenCount]] / [[bpeEncodeTokens]] apply
     * it): the classic Sennrich et al. 2016 loop. Repeat `numMerges`
@@ -336,13 +563,18 @@ object TextStatsOps {
     * round is one hash aggregation over the exploded adjacent pairs of
     * the unique-word states plus a 1-row TakeOrdered collect — the
     * ONLY driver traffic is the winning pair per round. The state
-    * frame re-persists per round (one `replace` projection), so plans
-    * stay shallow for any `numMerges`. Training stops early if no
-    * multi-symbol word remains. */
+    * frame re-materializes per round (one `replace` projection) via an
+    * eager localCheckpoint, which TRUNCATES the logical plan — a
+    * persist alone caches execution but leaves each round's plan
+    * nested one `replace` deeper, and at production merge counts
+    * (numMerges ≥ 1000) the O(rounds²) driver-side plan
+    * analysis/explain work OOMs the driver long before any executor
+    * breaks a sweat (the same Catalyst re-analysis pathology the
+    * incremental-dedup loop hit; spec-pinned trainable at 1000).
+    * Training stops early if no multi-symbol word remains. */
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges: $numMerges")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var state = df
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
@@ -350,7 +582,7 @@ object TextStatsOps {
         array_join(transform(sequence(lit(1), length(col("__w"))),
           i => col("__w").substr(i, lit(1))), " "), lit(" ")).as("__st"),
         col("__f"))
-      .persist(lvl)
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var done = false
     while (merges.size < numMerges && !done) {
@@ -370,16 +602,14 @@ object TextStatsOps {
         val pat = top(0).getString(0) // " a b "
         val parts = pat.trim.split(" ")
         merges += ((parts(0), parts(1)))
-        val next = state.select(
+        // eager + truncated; the superseded round's blocks are
+        // reference-cleaned by the ContextCleaner
+        state = state.select(
           replace(col("__st"), lit(pat), lit(s" ${parts(0)}${parts(1)} "))
             .as("__st"), col("__f"))
-          .persist(lvl)
-        next.count() // materialize before releasing the parent
-        state.unpersist()
-        state = next
+          .localCheckpoint(true)
       }
     }
-    state.unpersist()
     merges.toSeq
   }
 
@@ -1048,6 +1278,156 @@ object TextStatsOps {
     when(w.isNull || n === 0, empty).otherwise(state.getField("path"))
   }
 
+  // ───── Broadcast-vocab unigram kernel (r14 verdict task #1, the
+  // vocab-axis twin of the rank-table BPE kernel): the column DP above
+  // rides its vocabulary as a typedLit MAP LITERAL, and Catalyst's
+  // GetMapValue on a literal map is a LINEAR scan — at a production
+  // 32–64k-piece vocabulary that is both a per-task plan-binary tax
+  // and an O(|vocab|) cost per lookup. The kernel below is the SAME
+  // integer-exact Viterbi DP as a JVM loop over a broadcast HashMap:
+  // O(1) lookups, one executor-side copy of the table, zero shuffle.
+  // Tie-breaking replicates the column tier bit-for-bit — (score,
+  // −ntok, path) lexicographic max with path compared in UTF-8 byte
+  // order (Spark's array<string> ordering) — and UnigramKernelSpec
+  // pins kernel ≡ column on shared vocabularies. ─────
+
+  /** Unsigned UTF-8 byte compare — Spark's string ordering. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** `a` path lexicographically greater than `b` (element-wise UTF-8
+    * byte order; shorter prefix sorts first — array ordering). */
+  private def pathGt(a: List[String], b: List[String]): Boolean = {
+    var x = a; var y = b
+    while (x.nonEmpty && y.nonEmpty) {
+      val c = utf8Cmp(x.head, y.head)
+      if (c != 0) return c > 0
+      x = x.tail; y = y.tail
+    }
+    x.nonEmpty
+  }
+
+  /** One word's Viterbi segmentation over a HashMap vocabulary — the
+    * kernel twin of [[unigramViterbiPieces]] (same DP, same
+    * (score, −ntok, path) tie order, same unk-char fallback; pieces
+    * are code points exactly like the column tier's substr). */
+  private[graft] def viterbiSegment(w: String,
+      vocab: java.util.HashMap[String, java.lang.Long],
+      unkCharMicro: Long, maxTokenLen: Int): Array[String] = {
+    val cps = splitCodePoints(w)
+    val n = cps.length
+    if (n == 0) return Array.empty
+    val negInf = -(1L << 50)
+    // prefix sums of char offsets not needed: build substring from cps
+    val score = new Array[Long](n + 1)
+    val ntok = new Array[Int](n + 1)
+    val path = new Array[List[String]](n + 1)
+    path(0) = Nil
+    var i = 1
+    while (i <= n) {
+      var bestS = Long.MinValue; var bestN = 0
+      var bestP: List[String] = null
+      var j = math.max(i - maxTokenLen, 0)
+      while (j < i) {
+        val tok = cps.slice(j, i).mkString
+        val v = vocab.get(tok)
+        val ts =
+          if (v != null) v.longValue
+          else if (i - j == 1) unkCharMicro
+          else negInf
+        val s = score(j) + ts
+        val nt = ntok(j) + 1
+        // lexicographic max on (score, −ntok, path): strictly greater
+        // wins; the column tier's array_max keeps the first of equals,
+        // which can only differ in path — compare it third
+        val better =
+          s > bestS || (s == bestS && (-nt > -bestN ||
+            (nt == bestN && bestP != null &&
+              pathGt(path(j) :+ tok, bestP))))
+        if (bestP == null || better) {
+          bestS = s; bestN = nt; bestP = path(j) :+ tok
+        }
+        j += 1
+      }
+      score(i) = bestS; ntok(i) = bestN; path(i) = bestP
+      i += 1
+    }
+    path(n).toArray
+  }
+
+  private def vocabHashMap(vocab: Map[String, Long])
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) =>
+      m.put(k, java.lang.Long.valueOf(v)); () }
+    m
+  }
+
+  /** Document-level unigram ENCODE REPORT over a broadcast vocabulary
+    * — per document: word count, char count (code points over words),
+    * Viterbi token count, unk-char fallback count (pieces outside the
+    * vocabulary — by construction single chars), and the
+    * space-rejoined piece reconstruction (which must equal the
+    * whitespace-normalized text: the oracle-checkable no-corruption
+    * invariant). The unk fraction n_unk_chars/n_chars is THE encoding-
+    * drift signal a curation pipeline watches — a vocabulary trained
+    * last month scoring today's crawl. Zero shuffle; vocabulary is an
+    * executor-side broadcast HashMap (the PQ-codebook discipline on
+    * the vocab axis). */
+  def unigramEncodeDocsKernel(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, vocab: Map[String, Long],
+      unkCharMicro: Long, maxTokenLen: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "unigramEncodeDocsKernel: empty vocabulary")
+    require(maxTokenLen >= 1, "unigramEncodeDocsKernel: maxTokenLen >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
+    val mtl = maxTokenLen
+    val unk = unkCharMicro
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vm = bVocab.value
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, 0L, 0L, "")
+          else {
+            val ws = text.split("\\s+").filter(_.nonEmpty)
+            var nw = 0L; var nc = 0L; var nt = 0L; var nu = 0L
+            val sb = new java.lang.StringBuilder(text.length)
+            var i = 0
+            while (i < ws.length) {
+              val pieces = viterbiSegment(ws(i), vm, unk, mtl)
+              nw += 1
+              nc += ws(i).codePointCount(0, ws(i).length)
+              nt += pieces.length
+              var p = 0
+              while (p < pieces.length) {
+                if (!vm.containsKey(pieces(p))) nu += 1
+                sb.append(pieces(p))
+                p += 1
+              }
+              if (i < ws.length - 1) sb.append(' ')
+              i += 1
+            }
+            (id, nw, nc, nt, nu, sb.toString)
+          }
+        }
+      }
+      .toDF(idCol, "n_words", "n_chars", "n_tokens", "n_unk_chars",
+        "recon")
+  }
+
   /** Unigram-LM TRAINING (hard-EM over Viterbi counts — the
     * SentencePiece trainer's shape, Kudo 2018 §3.2, with the E-step's
     * expected counts replaced by best-path counts so every round is
@@ -1082,7 +1462,8 @@ object TextStatsOps {
   def trainUnigramLm(corpus: org.apache.spark.sql.DataFrame,
       textCol: String, vocabSize: Int, rounds: Int = 2,
       maxTokenLen: Int = 8, minCount: Long = 2,
-      unkCharMicro: Long = -20000000L): Map[String, Long] = {
+      unkCharMicro: Long = -20000000L,
+      kernelThreshold: Int = 512): Map[String, Long] = {
     require(vocabSize >= 2, s"trainUnigramLm: vocabSize >= 2: $vocabSize")
     require(rounds >= 1, s"trainUnigramLm: rounds >= 1: $rounds")
     require(maxTokenLen >= 1 && minCount >= 1,
@@ -1119,11 +1500,32 @@ object TextStatsOps {
     }
     var vocabCnts: Seq[(String, Long)] = chars ++ seedMultis
     var vocab = toScores(vocabCnts)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     for (r <- 1 to rounds) {
-      val counted = wordCounts.select(
+      // E-step: above `kernelThreshold` vocabulary entries the column
+      // DP's typedLit map becomes a per-task plan literal with LINEAR
+      // lookups — switch to the broadcast-HashMap kernel (spec-pinned
+      // bit-identical to the column tier, so the threshold can never
+      // change a trained vocabulary, only its cost)
+      val counted =
+        (if (vocab.size > kernelThreshold) {
+          val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
+          val mtl = maxTokenLen; val unk = unkCharMicro
+          wordCounts.select(col("__w").cast("string"), col("__cnt"))
+            .as[(String, Long)]
+            .mapPartitions { it =>
+              val vm = bVocab.value
+              it.flatMap { case (w, cnt) =>
+                viterbiSegment(w, vm, unk, mtl).iterator.map(p =>
+                  (p, cnt))
+              }
+            }
+            .toDF("p", "__cnt")
+        } else wordCounts.select(
           explode(unigramViterbiPieces(col("__w"), vocab, unkCharMicro,
             maxTokenLen)).as("p"),
-          col("__cnt"))
+          col("__cnt")))
         .groupBy("p").agg(sum(col("__cnt")).as("c"))
         .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
       val keptChars = chars.map { case (p, _) =>

@@ -23,6 +23,78 @@ object LlmQueries extends QueryModule {
   private def normSql(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** The byte-level BPE fixpoint oracle skeleton (the bpe_byte_encode
+    * CTE, parameterized): GPT-2 pretokenize via the SAME RE2-safe
+    * regex, byte-mark via chr(), run the recursive lowest-rank
+    * replace() fixpoint with the 24 DEMO merges over DISTINCT
+    * pretokens, and re-join per-document occurrences. `vocabRows`
+    * supplies the (tok, tid) VALUES (the id scheme varies by gate);
+    * `plantedValues` appends closed-form rows for planted documents
+    * whose encodings are hand-derived (rules outside the demo table —
+    * which can never fire on the ASCII corpus — are stated as
+    * expectations, never replayed). */
+  private def bpeByteFixpointOracle(vocabRows: String, corpusSql: String,
+      plantedValues: Option[String]): String = {
+    val mergeRows = TextStatsOps
+      .bpeMergePatterns(TextStatsOps.BpeDemoMerges).zipWithIndex
+      .map { case ((pat, rep), i) => s"(${i + 1}, '$pat', '$rep')" }
+      .mkString(",\n    ")
+    val reSql = "'" + TextStatsOps.Gpt2PretokenRe.replace("'", "''") + "'"
+    val base =
+      s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES
+         |    $mergeRows),
+         |vocab(tok, tid) AS (VALUES
+         |    $vocabRows),
+         |corpus AS ($corpusSql),
+         |t AS (SELECT doc_id,
+         |    regexp_extract_all(text, $reSql, 0) AS ws
+         |  FROM corpus),
+         |wi AS (SELECT doc_id, ws,
+         |    unnest(generate_series(0, len(ws) - 1)) AS tok_idx FROM t),
+         |wr AS (SELECT doc_id, CAST(tok_idx AS INTEGER) AS tok_idx,
+         |    translate(ws[tok_idx + 1],
+         |      ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13),
+         |      chr(288) || chr(265) || chr(266) || chr(267) || chr(268)
+         |        || chr(269)) AS word FROM wi),
+         |uw AS (SELECT DISTINCT word FROM wr),
+         |init AS (SELECT word, ' ' || array_to_string(
+         |    list_transform(range(1, length(word) + 1),
+         |      i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS state
+         |  FROM uw),
+         |rec AS (
+         |  SELECT word, state FROM init
+         |  UNION ALL
+         |  SELECT x.word, replace(x.state, m.pat, m.rep)
+         |  FROM (SELECT r.word, r.state,
+         |      (SELECT min(m2.rank) FROM merges m2
+         |       WHERE contains(r.state, m2.pat)) AS br
+         |    FROM rec r) x
+         |  JOIN merges m ON m.rank = x.br),
+         |fin AS (SELECT word, string_split(trim(state, ' '), ' ') AS syms
+         |  FROM rec r
+         |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+         |                    WHERE contains(r.state, m.pat))),
+         |fe AS (SELECT word, syms,
+         |    unnest(generate_series(0, len(syms) - 1)) AS sym_idx FROM fin),
+         |ft AS (SELECT word, CAST(sym_idx AS INTEGER) AS sym_idx,
+         |    syms[sym_idx + 1] AS token FROM fe)
+         |SELECT w.doc_id, w.tok_idx, f.sym_idx, f.token,
+         |  CAST(CASE WHEN length(f.token) = 1 THEN ascii(f.token)
+         |       ELSE v.tid END AS INTEGER) AS token_id
+         |FROM wr w JOIN ft f USING (word)
+         |LEFT JOIN vocab v ON v.tok = f.token""".stripMargin
+    plantedValues match {
+      case None => base
+      case Some(v) => base +
+        s"""
+           |UNION ALL
+           |SELECT CAST(doc_id AS BIGINT), CAST(tok_idx AS INTEGER),
+           |  CAST(sym_idx AS INTEGER), token, CAST(token_id AS INTEGER)
+           |FROM (VALUES
+           |$v) p(doc_id, tok_idx, sym_idx, token, token_id)""".stripMargin
+    }
+  }
+
   /** Planted lang_id gate corpus: one natural LOWERCASE sentence per
     * profiled language, in LangCodes (alphabetical) order — lowercase
     * keeps `lower()` an identity on both engines (sidestepping any
@@ -1342,6 +1414,103 @@ object LlmQueries extends QueryModule {
              |  (3, 'the', 258), (4, 'thee', 261), (5, 'cat', 259))
              |  v(word_idx, token, token_id)""".stripMargin)),
 
+    // RANK-TABLE BPE encoder (TextStatsOps.bpeEncodeRanked — the
+    // GPT-2/tiktoken-family kernel over a broadcast merge-rank map,
+    // replacing the regexp-fixpoint's 32-rule fence) run on the SAME
+    // corpus + planted pretokenizer rows as bpe_byte_encode and
+    // differentially checked against the SAME independent DuckDB
+    // recursive-CTE fixpoint: a rank-priority bug, a wrong L2R merge,
+    // a pretokenizer or byte-marking drift, or an id drift each
+    // hash-fail. BpeRankSpec additionally pins ranked ≡ regexp-
+    // fixpoint in-engine on both the byte-level and whitespace tiers.
+    QueryDef("bpe_rank_encode",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, "it's the-end. don't stop!"),
+          (900002L, "she'll they've we're i'm you'd can't say so"),
+          (900003L, "x42,y7 (a-b) [c] 3.14 100x"),
+          (900004L, "  double  spaced  and trailing ")
+        ).toDF("doc_id", "text")
+        TextStatsOps.bpeEncodeRanked(
+          T.documents(s, d).select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", TextStatsOps.BpeDemoMerges,
+          TextStatsOps.bpeVocab())
+      },
+      Some(bpeByteFixpointOracle(
+        vocabRows = TextStatsOps.bpeVocab().toSeq.sortBy(_._2)
+          .map { case (tok, tid) => s"('$tok', $tid)" }.mkString(",\n    "),
+        corpusSql = """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT * FROM (VALUES
+          |    (900001, 'it''s the-end. don''t stop!'),
+          |    (900002, 'she''ll they''ve we''re i''m you''d can''t say so'),
+          |    (900003, 'x42,y7 (a-b) [c] 3.14 100x'),
+          |    (900004, '  double  spaced  and trailing ')) v(doc_id, text)"""
+          .stripMargin,
+        plantedValues = None))),
+
+    // PRODUCTION-SIZE merge table (r14 verdict task #1's "done" bar):
+    // the ranked encoder carries a 33 024-entry table — the 24 demo
+    // rules plus 33 000 synthetic single-codepoint CJK pads
+    // (bpePadMerges) that CANNOT fire on the ASCII corpus (their
+    // alphabet never occurs), so the corpus branch keeps the
+    // independent 24-rule DuckDB fixpoint oracle while the kernel
+    // demonstrably carries the full table (an un-broadcast or
+    // plan-literal table would be a 33k-entry task tax; the 32-rule
+    // fence would throw). Three planted CJK rows make DEEP ranks fire
+    // for real, with hand-derived closed-form expectations:
+    //   pad 5000  = (A, B), rank 5024, id 1 005 024
+    //     where A = U+4E00+5000, B = U+4E00+((7·5000+13) mod 20000 =
+    //     15013) — "AB" merges to ONE symbol;
+    //   pad 12141 = (X, A), rank 12165, where 7·12141+13 ≡ 5000
+    //     (mod 20000) makes its second element exactly A. In "XAB"
+    //     BOTH pads match; (A,B) at rank 5024 OUTRANKS (X,A) at
+    //     12165, so the correct result is [X, AB] — a leftmost-first
+    //     (rather than lowest-rank-first) implementation produces
+    //     [XA, B] and hash-fails;
+    //   "the AB": demo merges apply inside "the" (→ id 1 000 000,
+    //     wide id of merge 0) while " AB" byte-marks to "ĠAB" and
+    //     merges to [Ġ(288), AB] — demo and pad ranks coexist.
+    QueryDef("bpe_rank_encode_big", {
+      val pads = TextStatsOps.bpePadMerges(33000)
+      val merges = TextStatsOps.BpeDemoMerges ++ pads
+      val (aCh, bCh) = pads(5000)
+      val (xCh, xb) = pads(12141)
+      require(xb == aCh && merges.size == 33024,
+        s"pad derivation drifted: $xb vs $aCh, ${merges.size}")
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (910001L, aCh + bCh),
+          (910002L, xCh + aCh + bCh),
+          (910003L, "the " + aCh + bCh)
+        ).toDF("doc_id", "text")
+        TextStatsOps.bpeEncodeRanked(
+          T.documents(s, d).select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", merges, TextStatsOps.bpeVocabWide(merges))
+      }
+    },
+      Some {
+        val pads = TextStatsOps.bpePadMerges(33000)
+        val (aCh, bCh) = pads(5000)
+        val xCh = pads(12141)._1
+        val ab = aCh + bCh
+        val xCp = xCh.codePointAt(0) // 0x4E00 + 12141 = 32109
+        bpeByteFixpointOracle(
+          vocabRows = TextStatsOps.BpeDemoMerges.zipWithIndex
+            .map { case ((a, b), i) => s"('$a$b', ${1000000 + i})" }
+            .mkString(",\n    "),
+          corpusSql = "SELECT doc_id, text FROM documents",
+          plantedValues = Some(
+            s"""  (910001, 0, 0, '$ab', 1005024),
+               |  (910002, 0, 0, '$xCh', $xCp),
+               |  (910002, 0, 1, '$ab', 1005024),
+               |  (910003, 0, 0, 'the', 1000000),
+               |  (910003, 1, 0, 'Ġ', 288),
+               |  (910003, 1, 1, '$ab', 1005024)""".stripMargin))
+      }),
+
     // Scalable n-gram Jaccard: explode + join on shingle — never an
     // all-pairs cross join.
     QueryDef("ngram_jaccard_pairs",
@@ -2641,6 +2810,93 @@ object LlmQueries extends QueryModule {
              |JOIN c1 ON c1.i = d.doc_id % 4
              |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
              |WHERE d.doc_id < 500""".stripMargin)),
+
+    // Unigram COVERAGE report (the encoding-drift signal a curation
+    // pipeline watches: the fraction of characters falling back to the
+    // unk-char score — a vocabulary trained last month scoring today's
+    // crawl): per document, Viterbi token count, unk-char count, and
+    // char count, over the SAME planted 7-word corpus and vocabulary
+    // as unigram_tokenize, so every number is hand-derived:
+    //   theory→[theory](0 unk), thematic→[the,matic](0),
+    //   cats→[cat,s](0), dog→[d,o,g](3 of 3 chars unk), ab→[ab](0),
+    //   theorys→[theory,s](0), zq→[z,q](2 of 2 unk).
+    // This gate runs the broadcast-HashMap KERNEL
+    // (unigramEncodeDocsKernel), so it doubles as the kernel's own
+    // closed-form DP gate next to the column tier's unigram_tokenize —
+    // the two tiers are additionally pinned equal in UnigramKernelSpec.
+    QueryDef("unigram_coverage", {
+      val vocab = Map(
+        "the" -> -1000000L, "theory" -> -1500000L, "ory" -> -1200000L,
+        "matic" -> -1100000L, "cat" -> -900000L, "s" -> -800000L,
+        "ab" -> -2000000L, "a" -> -1000000L, "b" -> -1000000L)
+      val wl = Seq("theory", "thematic", "cats", "dog", "ab",
+        "theorys", "zq")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          concat_ws(" ",
+            element_at(wlit, pmod(col("doc_id"), lit(7)).cast("int") + 1),
+            element_at(wlit, pmod(col("doc_id") + 3, lit(7)).cast("int") + 1),
+            element_at(wlit,
+              pmod(col("doc_id") * 2 + 1, lit(7)).cast("int") + 1))
+            .as("text"))
+        TextStatsOps.unigramEncodeDocsKernel(docs, "doc_id", "text",
+            vocab, unkCharMicro = -10000000L)
+          .select("doc_id", "n_tokens", "n_unk_chars", "n_chars")
+      }
+    },
+      Some("""WITH cc AS (SELECT i, c, u, ch FROM (VALUES
+             |    (0, 1, 0, 6), (1, 2, 0, 8), (2, 2, 0, 4), (3, 3, 3, 3),
+             |    (4, 1, 0, 2), (5, 2, 0, 7), (6, 2, 2, 2))
+             |    t(i, c, u, ch))
+             |SELECT d.doc_id,
+             |  CAST(c1.c + c2.c + c3.c AS BIGINT) AS n_tokens,
+             |  CAST(c1.u + c2.u + c3.u AS BIGINT) AS n_unk_chars,
+             |  CAST(c1.ch + c2.ch + c3.ch AS BIGINT) AS n_chars
+             |FROM documents d
+             |JOIN cc c1 ON c1.i = d.doc_id % 7
+             |JOIN cc c2 ON c2.i = (d.doc_id + 3) % 7
+             |JOIN cc c3 ON c3.i = (d.doc_id * 2 + 1) % 7""".stripMargin)),
+
+    // ≥32k-entry TRAINED vocabulary end-to-end (r14 verdict task #1's
+    // vocab axis): trainUnigramLm at vocabSize=32768 over a synthetic
+    // SF-invariant corpus of 50 000 distinct 4-char words (base-26
+    // encodings of 0..49999 — enough distinct Viterbi-used pieces that
+    // the final prune fills the full 32 768; require()d in-gate), then
+    // the broadcast-HashMap kernel encodes the REAL documents table
+    // with it. The trainer's E-steps themselves run the kernel path
+    // (vocab > 512 entries). The oracle pins the vocab-independent
+    // no-corruption contract — every word's pieces concatenate back to
+    // the word, in order, with counts — which is exactly what a
+    // 33k-entry typedLit plan literal or a lost/duplicated piece row
+    // would break; segmentation OPTIMALITY at this scale is pinned by
+    // unigram_coverage (closed-form kernel gate) and
+    // UnigramKernelSpec's kernel ≡ column equality.
+    QueryDef("unigram_train_32k",
+      (s, d) => {
+        val corpus = s.range(50000).select(expr(
+          "char(97 + (id DIV 17576) % 26) || char(97 + (id DIV 676) % 26)" +
+            " || char(97 + (id DIV 26) % 26) || char(97 + id % 26)")
+          .as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(corpus, "text",
+          vocabSize = 32768, rounds = 1, maxTokenLen = 4, minCount = 1,
+          unkCharMicro = -20000000L)
+        require(vocab.size >= 32768,
+          s"trained vocabulary too small: ${vocab.size} < 32768")
+        TextStatsOps.unigramEncodeDocsKernel(T.documents(s, d),
+            "doc_id", "text", vocab, unkCharMicro = -20000000L,
+            maxTokenLen = 4)
+          .select("doc_id", "n_words", "n_chars", "recon")
+      },
+      Some("""WITH wl AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |      x -> x <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))),
+             |    0) AS BIGINT) AS n_chars,
+             |  array_to_string(ws, ' ') AS recon
+             |FROM wl""".stripMargin)),
 
     // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
     // marginal relevance: each of the 3 rounds is one corpus scan
