@@ -866,16 +866,25 @@ object SimilarityOps {
       .drop("__res", "__cemb", "__xhat", "__cbs", "__cbn")
   }
 
-  /** Query-side probe frame shared by the in-memory and persisted
-    * IVF-PQ tiers: per (query, probed cell) one row carrying the
-    * query embedding, the cell id, the EXACT q·ĉ for that cell, and
-    * the per-query residual LUT — which is CELL-INDEPENDENT because
-    * residual codebooks are shared across cells (the IVFADC property
-    * that keeps query-side work O(m·ksub), not O(nlist·m·ksub)). */
-  private def ivfPqProbe(queries: DataFrame,
+  /** Query-side probe frames shared by the in-memory and persisted
+    * IVF-PQ tiers — returned as a PAIR so each piece broadcasts at
+    * its own cardinality:
+    *   - probes: one SLIM row per (query, probed cell) — (qId,
+    *     __cell, __qc) with the EXACT q·ĉ for that cell; 3 scalars,
+    *     O(queries·nprobe) rows but O(1) row width;
+    *   - qlut:   ONE row per query — (qId, qEmb, __lut) carrying the
+    *     m×ksub residual LUT and the float embedding (re-rank input).
+    * The LUT is CELL-INDEPENDENT because residual codebooks are
+    * shared across cells (the IVFADC property that keeps query-side
+    * work O(m·ksub), not O(nlist·m·ksub)) — so carrying it on the
+    * per-(query, cell) frame would broadcast it nprobe× over (at 1k
+    * queries × nprobe 16 × ~16 KB LUT ≈ 256 MB vs 16 MB; the r14
+    * verdict's one residual inefficiency). [[ivfPqScore]] joins the
+    * LUT back BY QUERY after the cell join. */
+  private[graft] def ivfPqProbe(queries: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nprobe: Int,
-      qId: String, qEmb: String): DataFrame = {
+      qId: String, qEmb: String): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     val m = codebooks.length
     val sub = codebooks(0)(0).length
@@ -885,18 +894,20 @@ object SimilarityOps {
       transform(element_at(col("__cbs"), mi + 1),
         c => dot(col(s"__pqq$mi"), c))
     }: _*)
-    val cellScores = transform(centScores(toDoubleArr(col(qEmb))), sc =>
-      struct((-sc.getField("score")).as("negdot"),
-        sc.getField("cell").as("cell")))
-    qStaged
+    val qlut = qStaged
       .crossJoin(broadcast(codebooksFrame(spark, codebooks)))
       .withColumn("__lut", lut)
       .drop(qStagingCols: _*).drop("__cbs", "__cbn")
+    val cellScores = transform(centScores(toDoubleArr(col(qEmb))), sc =>
+      struct((-sc.getField("score")).as("negdot"),
+        sc.getField("cell").as("cell")))
+    val probes = queries
       .crossJoin(broadcast(centroidsFrame(spark, centroids)))
       .withColumn("__p", explode(slice(array_sort(cellScores), 1, nprobe)))
-      .select(col(qId), col(qEmb), col("__lut"),
+      .select(col(qId),
         col("__p").getField("cell").as("__cell"),
         (-col("__p").getField("negdot")).as("__qc"))
+    (probes, qlut)
   }
 
   /** ADC scoring + shortlist + exact re-rank shared by both IVF-PQ
@@ -905,10 +916,15 @@ object SimilarityOps {
     * `rerankFrom` = Some(corpus) the shortlist joins the floats back
     * BY ID (the persisted-index shape: the probe scan never touches
     * full-precision vectors). */
-  private def ivfPqScore(probed: DataFrame, cc: DataFrame, k: Int,
+  private def ivfPqScore(probed: DataFrame, qlut: DataFrame,
+      cc: DataFrame, k: Int,
       rerankFactor: Int, rerankFrom: Option[DataFrame], qId: String,
       cId: String, qEmb: String, embCol: String): DataFrame = {
+    // slim probe rows select the candidates; the per-QUERY LUT frame
+    // joins after the cell join, so the big broadcast is O(queries),
+    // never O(queries·nprobe) (see ivfPqProbe)
     val approx = broadcast(probed).join(cc, Seq("__cell"))
+      .join(broadcast(qlut), Seq(qId))
       .filter(col(qId) =!= col(cId))
       .withColumn("__adot", col("__qc") + aggregate(
         zip_with(col("__lut"), col("__codes"),
@@ -955,9 +971,10 @@ object SimilarityOps {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val cc = pqEncodeResidual(corpus, embCol, centroids, codebooks,
       "__cell", "__codes", "__cnormsq")
-    val probed = ivfPqProbe(queries, centroids, codebooks, nprobe,
-      qId, qEmb)
-    ivfPqScore(probed, cc, k, rerankFactor, None, qId, cId, qEmb, embCol)
+    val (probed, qlut) = ivfPqProbe(queries, centroids, codebooks,
+      nprobe, qId, qEmb)
+    ivfPqScore(probed, qlut, cc, k, rerankFactor, None, qId, cId,
+      qEmb, embCol)
   }
 
   /** Persist the residual IVF-PQ index (IVFADC) as a LAKE ARTIFACT —
@@ -1041,15 +1058,15 @@ object SimilarityOps {
     val codebooks = readIvfPqCodebooks(spark, indexDir)
     require(centroids.nonEmpty && codebooks.nonEmpty,
       s"ivfPqTopKIndexed: empty index at $indexDir")
-    val probed = ivfPqProbe(queries, centroids, codebooks, nprobe,
-      qId, qEmb)
+    val (probed, qlut) = ivfPqProbe(queries, centroids, codebooks,
+      nprobe, qId, qEmb)
     val probedCells = probed.select("__cell").distinct().collect()
       .map(_.getInt(0)) // bounded: ≤ nlist values
     val cc = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
       .select(col(cId), col("pq_codes").as("__codes"),
         col("recon_normsq").as("__cnormsq"), col("cell").as("__cell"))
-    ivfPqScore(probed, cc, k, rerankFactor, Some(corpus), qId, cId,
-      qEmb, embCol)
+    ivfPqScore(probed, qlut, cc, k, rerankFactor, Some(corpus), qId,
+      cId, qEmb, embCol)
   }
 }

@@ -103,6 +103,27 @@ class PqSpec extends SparkSpec {
     assertFrameEqual(out, brute)
   }
 
+  test("ivfPqProbe broadcasts are O(queries): slim (qId, cell, q·ĉ) " +
+    "probe rows, LUT once per query — never per (query, cell)") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    val (probes, qlut) = SimilarityOps.ivfPqProbe(queries, cents, cbs,
+      nprobe = 3, "q_id", "q_emb")
+    // the per-(query, cell) frame carries NO LUT and NO float
+    // embedding — the r14 finding was exactly these riding nprobe×
+    assert(probes.columns.toSet === Set("q_id", "__cell", "__qc"),
+      probes.columns.toSeq.toString)
+    assert(probes.count() === 5L * 3)
+    // the LUT frame is one row per QUERY
+    assert(qlut.columns.toSet === Set("q_id", "q_emb", "__lut"))
+    assert(qlut.count() === 5)
+    assert(qlut.select("q_id").distinct().count() === 5)
+  }
+
   test("pqEncodeResidual: codes in range, recon norm positive, " +
     "identical vectors get identical codes and cells") {
     val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", 4)
