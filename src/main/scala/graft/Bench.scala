@@ -1097,14 +1097,24 @@ object Bench {
         g2.write.format("noop").mode("overwrite").save()
       }
     }
+    // Streaming witnesses get the SAME min-of-2-reps treatment the
+    // non-streaming stress entries got in r13 (r14 verdict task #8:
+    // the official single-rep stream_join numbers ran 19-21 s where
+    // an idle-host re-run measured 5-7 s — contention-dominated, so
+    // single-rep round-over-round comparison was noise-limited). Tags
+    // stay unique per rep: queryNames/temp tables are tag-derived.
     val stressResults: Seq[(String, Vector[Double])] =
       stressEntries.map { case (n, f) =>
         (n, stressReps(() => runOnce(n, f)))
       } ++
       streamWitnesses.flatMap { case (n, w) =>
         Seq(
-          n -> Vector(withStateProvider(None)(w("h"))),
-          (n + "_rocksdb") -> Vector(withStateProvider(Some(RocksDb))(w("r"))))
+          n -> Vector(
+            withStateProvider(None)(w("h1")),
+            withStateProvider(None)(w("h2"))),
+          (n + "_rocksdb") -> Vector(
+            withStateProvider(Some(RocksDb))(w("r1")),
+            withStateProvider(Some(RocksDb))(w("r2"))))
       }
     def minOrFail(ts: Vector[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else ts.min
@@ -1112,12 +1122,11 @@ object Bench {
     // exceeds 3× its best) AND across each streaming witness's
     // provider pair — the two provider runs do near-identical work
     // (RocksDB commit overhead stays well under 2× of HDFS here), so
-    // a >3× split between them is host contention, which single-rep
-    // streaming entries could otherwise never self-report.
+    // a >3× split between the pair's best reps is host contention.
     val stressByName = stressResults.toMap
     val providerPairNoisy = streamWitnesses.exists { case (n, _) =>
-      val pair = Seq(n, n + "_rocksdb")
-        .flatMap(stressByName.get).flatten.filter(_ > 0)
+      val pair = Seq(n, n + "_rocksdb").flatMap(stressByName.get)
+        .map(_.filter(_ > 0)).filter(_.nonEmpty).map(_.min)
       pair.size == 2 && pair.max / pair.min > 3.0
     }
     val stressNoisy = providerPairNoisy || stressResults.exists {
@@ -1187,9 +1196,57 @@ object Bench {
       val ivfpq16 = recallOf(SimilarityOps.ivfPqTopK(queries, emb, k,
         cents, rcbs, nprobe = 16, rerankFactor = 4))
       exact.unpersist(false)
+      // CLUSTERED-corpus recall (r14 verdict task #5): the isotropic
+      // numbers above are the residual encoding's worst case — the
+      // coarse quantizer absorbs nothing. Real embedding corpora are
+      // clustered, so measure the SAME 8-byte config on a
+      // mixture-of-16-Gaussians synthetic over the same 64 dims
+      // (deterministic hash-noise; centers spread ±1, points ±0.15
+      // around them). Here the coarse centroid absorbs the cluster
+      // structure and the residual codes spend their budget on the
+      // tight remainder — the "residual coding is worth far more on
+      // clustered corpora" claim, previously spec-only, as a measured
+      // bench number beside its isotropic twin.
+      val dim = 64
+      import org.apache.spark.sql.Column
+      def h(seed: Column): Column =
+        (sin(seed) * 43758.5453) - floor(sin(seed) * 43758.5453)
+      val cl = spark.range(4096).select(col("id").cast("long").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), dd => {
+          val j = pmod(col("id"), lit(16)).cast("double")
+          val center = h(j * 12.9898 + dd.cast("double") * 78.233) * 2 - 1
+          val noise = h(col("id").cast("double") * 7.919 +
+            dd.cast("double") * 104.729 + 0.5) * 2 - 1
+          center + noise * 0.15
+        }).as("embedding")).persist()
+      cl.count()
+      val clQueries = cl.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val clExact = SimilarityOps.bruteForceTopK(clQueries, cl, k)
+        .select("q_id", "vec_id").persist()
+      val nClExact = clExact.count().toDouble
+      def clRecallOf(approx: DataFrame): Double = {
+        val hit = approx.select("q_id", "vec_id")
+          .join(clExact, Seq("q_id", "vec_id"), "left_semi").count()
+        math.rint(hit / nClExact * 10000) / 10000
+      }
+      val clCents = SimilarityOps.trainIvfCentroids(cl, "vec_id",
+        "embedding", 16)
+      val clRcbs = SimilarityOps.trainPqCodebooksResidual(cl, "vec_id",
+        "embedding", clCents, m = 8, ksub = 256, iters = 2)
+      val clIvfpq8 = clRecallOf(SimilarityOps.ivfPqTopK(clQueries, cl, k,
+        clCents, clRcbs, nprobe = 8, rerankFactor = 4))
+      val clCbs256 = SimilarityOps.trainPqCodebooks(cl, "vec_id",
+        "embedding", m = 8, ksub = 256, iters = 2)
+      val clPq256 = clRecallOf(SimilarityOps.pqTopK(clQueries, cl, k,
+        clCbs256, rerankFactor = 4))
+      clExact.unpersist(false)
+      cl.unpersist(false)
       Seq("pq_m8k16_r4" -> pq, "ivf_probe4of16" -> ivf, "int8_r2" -> int8,
         "pq_m8k256_r4" -> pq256, "ivfpq_m8k256_np8of16" -> ivfpq8,
-        "ivfpq_m8k256_np16of16" -> ivfpq16)
+        "ivfpq_m8k256_np16of16" -> ivfpq16,
+        "ivfpq_clustered_np8" -> clIvfpq8,
+        "pq256_clustered_r4" -> clPq256)
     }
     val recallJson =
       (if (keepStress("recall")) annRecall() else Seq.empty)
