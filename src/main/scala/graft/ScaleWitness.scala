@@ -102,6 +102,53 @@ object ScaleWitness {
           .as("logit_micro"))
     }
 
+    // STORAGE-BACKED loops (r14 verdict task #6 — the 100× witness
+    // covered one-shot paths only): the indexed incremental near-dup
+    // ingest (THE nightly shape) and the persisted IVF-PQ index
+    // build + probe. Both write real lake artifacts under tmp and are
+    // deleted at the end.
+    var stageSeq = 0
+    def freshDir(tagName: String): String = {
+      stageSeq += 1
+      s"${sys.props("java.io.tmpdir")}/graft-scale-$tagName-" +
+        s"${ProcessHandle.current().pid()}-$stageSeq"
+    }
+    val cleanup = scala.collection.mutable.ArrayBuffer[String]()
+    def dedupIndexed(docs: DataFrame): DataFrame = {
+      val dir = freshDir("lshidx"); cleanup += dir
+      val d = docs.select("doc_id", "text")
+      val empty = TextDedupOps.minHashSignatures(
+        d.limit(0), "doc_id", "text", 3, 32)
+      TextDedupOps.writeLshIndex(empty, dir, "doc_id", bands = 8)
+      var last: DataFrame = d.limit(0)
+      // 4 ingest batches against the growing persisted index — the
+      // witness times signatures + banded join + survivor append, all
+      // storage-backed
+      (0 until 4).foreach { b =>
+        val batch = d.filter(pmod(col("doc_id"), lit(4)) === b)
+        val (surv, survSigs) = TextDedupOps.lshIncrementalIndexed(
+          batch, dir, "doc_id", "text", threshold = 0.8,
+          maxBucketSize = 64)
+        TextDedupOps.writeLshIndex(survSigs.localCheckpoint(true), dir,
+          "doc_id", bands = 8, mode = "append")
+        last = surv
+      }
+      last
+    }
+    def ivfPqIndexStage(emb: DataFrame): DataFrame = {
+      import graft.llm.SimilarityOps
+      val dir = freshDir("ivfpq"); cleanup += dir
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", 16)
+      val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+        "embedding", cents, m = 8, ksub = 64, iters = 1)
+      SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+      val queries = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, k = 10,
+        nprobe = 4)
+    }
+
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()
@@ -111,14 +158,45 @@ object ScaleWitness {
     val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dedup_capped_lsh_cc" -> (dedup _),
       "curation_gopher_paradedup" -> (curation _),
-      "classifier_train_2step" -> (classifier _))
+      "classifier_train_2step" -> (classifier _),
+      "dedup_incremental_indexed" -> (dedupIndexed _))
+    // factor× embeddings: copy k shifts vec_id by k·n and perturbs
+    // every component with deterministic hash noise (identical copies
+    // would degenerate the top-k; cost is unaffected either way)
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.llm.SimilarityOps.toDoubleArr(col("embedding"))
+          .as("embedding"))
+    val nEmb = embBase.count()
+    val embDir = s"${sys.props("java.io.tmpdir")}/graft-scale-emb-" +
+      s"${ProcessHandle.current().pid()}"
+    (0 until factor).map { k =>
+      if (k == 0) embBase
+      else embBase.select((col("vec_id") + lit(k.toLong * nEmb))
+          .as("vec_id"),
+        transform(col("embedding"), x => {
+          val seed = col("vec_id") * 0.7919 + lit(k * 104.729)
+          x + ((sin(seed) * 43758.5453) -
+            floor(sin(seed) * 43758.5453)) * 0.02 - 0.01
+        }).as("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(embDir)
+    val embScaled = spark.read.parquet(embDir)
+    System.err.println(s"[scale] embeddings: $nEmb -> " +
+      s"${embScaled.count()} rows (factor $factor)")
+
     // warm every codepath once (JIT/codegen) before any timed run;
     // scaled runs FIRST so residual warm-up can only inflate the ratio
     stages.foreach { case (_, f) => time(() => f(base)) }
+    time(() => ivfPqIndexStage(embBase))
     val rows = stages.map { case (name, f) =>
       val t10 = time(() => f(scaled))
       val t1 = time(() => f(base))
       (name, t1, t10, t10 / t1)
+    } :+ locally {
+      val t10 = time(() => ivfPqIndexStage(embScaled))
+      val t1 = time(() => ivfPqIndexStage(embBase))
+      ("ivfpq_index_build_probe", t1, t10, t10 / t1)
     }
     rows.foreach { case (name, t1, t10, r) =>
       System.err.println(
@@ -130,9 +208,11 @@ object ScaleWitness {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"scale_witness","factor":$factor,""" +
       s""""rows1":$n1,"rowsN":$n10,"stages":$json,"sf":"$sfDir"}""")
-    // the factor-x corpus is multi-GB at factor 100 — don't leave it
-    // accumulating under tmp across runs
-    fsOf(spark, bigDir).delete(new org.apache.hadoop.fs.Path(bigDir), true)
+    // the factor-x corpora are multi-GB at factor 100 — don't leave
+    // them (or the stage artifacts) accumulating under tmp across runs
+    (Seq(bigDir, embDir) ++ cleanup).foreach { d =>
+      fsOf(spark, d).delete(new org.apache.hadoop.fs.Path(d), true); ()
+    }
     spark.stop()
   }
 

@@ -1365,6 +1365,93 @@ object TextStatsOps {
     path(n).toArray
   }
 
+  /** SOFT-EM expected piece counts for one word (the SentencePiece
+    * E-step proper — Kudo 2018 §3.2's forward-backward — where the
+    * hard tier substitutes best-path counts): with α(j)/β(i) the
+    * log-space prefix/suffix segmentation masses under the current
+    * scores, a candidate piece tok spanning (j, i] carries posterior
+    * exp(α(j) + lp(tok) + β(i) − α(n)). Per WORD the posteriors are
+    * rounded to integer MICRO-counts — doubles never cross a row
+    * boundary, so the corpus-wide aggregation is an integer sum and
+    * the trained vocabulary stays partitioning/layout-invariant (the
+    * same discipline that keeps the hard tier bit-exact). Unknown
+    * single chars participate at `unkCharMicro`, exactly like the
+    * Viterbi tier. Returns (piece, microExpectedCount) pairs,
+    * zero-posterior pieces dropped. */
+  private[graft] def softExpectedCounts(w: String,
+      vocab: java.util.HashMap[String, java.lang.Long],
+      unkCharMicro: Long, maxTokenLen: Int): Seq[(String, Long)] = {
+    val cps = splitCodePoints(w)
+    val n = cps.length
+    if (n == 0) return Nil
+    // lp(j, i): natural-log prob of cps[j, i) as one piece; NaN = none
+    def lp(j: Int, i: Int, tok: String): Double = {
+      val v = vocab.get(tok)
+      if (v != null) v.longValue / 1e6
+      else if (i - j == 1) unkCharMicro / 1e6
+      else Double.NaN
+    }
+    def lse(xs: Array[Double], m: Int): Double = {
+      var mx = Double.NegativeInfinity
+      var i = 0
+      while (i < m) { if (xs(i) > mx) mx = xs(i); i += 1 }
+      if (mx == Double.NegativeInfinity) return mx
+      var s = 0.0
+      i = 0
+      while (i < m) { s += math.exp(xs(i) - mx); i += 1 }
+      mx + math.log(s)
+    }
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    val buf = new Array[Double](maxTokenLen)
+    var i = 1
+    while (i <= n) {
+      var m = 0
+      var j = math.max(i - maxTokenLen, 0)
+      while (j < i) {
+        val l = lp(j, i, cps.slice(j, i).mkString)
+        if (!l.isNaN) { buf(m) = alpha(j) + l; m += 1 }
+        j += 1
+      }
+      alpha(i) = lse(buf, m)
+      i += 1
+    }
+    beta(n) = 0.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var m = 0
+      var i2 = j2 + 1
+      while (i2 <= math.min(j2 + maxTokenLen, n)) {
+        val l = lp(j2, i2, cps.slice(j2, i2).mkString)
+        if (!l.isNaN) { buf(m) = l + beta(i2); m += 1 }
+        i2 += 1
+      }
+      beta(j2) = lse(buf, m)
+      j2 -= 1
+    }
+    val z = alpha(n)
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var j3 = 0
+    while (j3 < n) {
+      var i3 = j3 + 1
+      while (i3 <= math.min(j3 + maxTokenLen, n)) {
+        val tok = cps.slice(j3, i3).mkString
+        val l = lp(j3, i3, tok)
+        if (!l.isNaN) {
+          val post = math.exp(alpha(j3) + l + beta(i3) - z)
+          if (post > 0)
+            acc.update(tok, acc.getOrElse(tok, 0.0) + post)
+        }
+        i3 += 1
+      }
+      j3 += 1
+    }
+    acc.iterator
+      .map { case (t, e) => (t, math.round(e * 1e6)) }
+      .filter(_._2 > 0)
+      .toSeq
+  }
+
   private def vocabHashMap(vocab: Map[String, Long])
       : java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
@@ -1463,7 +1550,8 @@ object TextStatsOps {
       textCol: String, vocabSize: Int, rounds: Int = 2,
       maxTokenLen: Int = 8, minCount: Long = 2,
       unkCharMicro: Long = -20000000L,
-      kernelThreshold: Int = 512): Map[String, Long] = {
+      kernelThreshold: Int = 512, em: String = "hard"): Map[String, Long] = {
+    require(em == "hard" || em == "soft", s"trainUnigramLm: em=$em")
     require(vocabSize >= 2, s"trainUnigramLm: vocabSize >= 2: $vocabSize")
     require(rounds >= 1, s"trainUnigramLm: rounds >= 1: $rounds")
     require(maxTokenLen >= 1 && minCount >= 1,
@@ -1509,7 +1597,27 @@ object TextStatsOps {
       // bit-identical to the column tier, so the threshold can never
       // change a trained vocabulary, only its cost)
       val counted =
-        (if (vocab.size > kernelThreshold) {
+        (if (em == "soft") {
+          // SOFT E-step (em = "soft"): forward-backward expected
+          // counts instead of best-path counts — SentencePiece's
+          // actual E-step, which trains low-probability pieces the
+          // Viterbi counts starve. Per-word micro-integer rounding
+          // keeps the aggregation layout-invariant (see
+          // softExpectedCounts); counts flow through the SAME M-step
+          // in micro units (ratios cancel in the log re-score).
+          val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
+          val mtl = maxTokenLen; val unk = unkCharMicro
+          wordCounts.select(col("__w").cast("string"), col("__cnt"))
+            .as[(String, Long)]
+            .mapPartitions { it =>
+              val vm = bVocab.value
+              it.flatMap { case (w, cnt) =>
+                softExpectedCounts(w, vm, unk, mtl).iterator.map {
+                  case (p, micro) => (p, micro * cnt) }
+              }
+            }
+            .toDF("p", "__cnt")
+        } else if (vocab.size > kernelThreshold) {
           val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
           val mtl = maxTokenLen; val unk = unkCharMicro
           wordCounts.select(col("__w").cast("string"), col("__cnt"))

@@ -2811,6 +2811,53 @@ object LlmQueries extends QueryModule {
              |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
              |WHERE d.doc_id < 500""".stripMargin)),
 
+    // SOFT-EM unigram training (em = "soft" — the r14 verdict stretch
+    // task): the E-step uses forward-backward EXPECTED counts
+    // (SentencePiece's actual E-step, Kudo 2018 §3.2) instead of
+    // best-path counts, with per-word micro-integer rounding so the
+    // corpus aggregation stays an integer sum (layout-invariant).
+    // SAME corpus and config as unigram_train_encode, so the two
+    // gates differ ONLY in the E-step — and the results demonstrate
+    // why soft-EM exists: winner-take-all Viterbi counts elect
+    // acho/bana (hard trains banana → [bana, n, a] = 3, nacho → 2)
+    // while posterior mass spread over ALL segmentations keeps na/ban
+    // scored (soft trains banana → [ban, ana] = 2, nacho → 4 — the
+    // per-word totals FLIP between the tiers). The oracle's VALUES are
+    // an INDEPENDENT from-spec simulation (seed → 2 soft-EM rounds →
+    // prune-to-14 → Viterbi encode):
+    //   banana→2  bandana→2  cabana→2  nacho→4 ; anna→1 cab→1 nan→1
+    // with the smallest ranking decision at 52 875 micro (round-1
+    // prune cut nac vs nach) and the smallest encode margin at
+    // 1 457 733 micro (nan) — a 1-ulp exp/log disagreement moves a
+    // micro count by ±1 and cannot flip any of them.
+    QueryDef("unigram_train_soft", {
+      val wl1 = Seq("banana", "bandana", "cabana", "nacho")
+      val wl2 = Seq("anna", "cab", "nan")
+      (s, d) => {
+        val w1 = typedLit(wl1); val w2 = typedLit(wl2)
+        val docs = T.documents(s, d).filter(col("doc_id") < 500)
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(w1, pmod(col("doc_id"), lit(4)).cast("int") + 1),
+            element_at(w2, pmod(col("doc_id") + 1, lit(3)).cast("int") + 1))
+            .as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(docs, "text",
+          vocabSize = 14, rounds = 2, maxTokenLen = 4, minCount = 2,
+          unkCharMicro = -20000000L, em = "soft")
+        docs.select(col("doc_id"),
+          TextStatsOps.unigramTokenCountDoc(col("text"), vocab,
+            unkCharMicro = -20000000L, maxTokenLen = 4).as("n_tokens"))
+      }
+    },
+      Some("""WITH c1 AS (SELECT i, c FROM (VALUES
+             |    (0, 2), (1, 2), (2, 2), (3, 4)) t(i, c)),
+             |c2 AS (SELECT j, c FROM (VALUES
+             |    (0, 1), (1, 1), (2, 1)) t(j, c))
+             |SELECT d.doc_id, CAST(c1.c + c2.c AS BIGINT) AS n_tokens
+             |FROM documents d
+             |JOIN c1 ON c1.i = d.doc_id % 4
+             |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
+             |WHERE d.doc_id < 500""".stripMargin)),
+
     // Unigram COVERAGE report (the encoding-drift signal a curation
     // pipeline watches: the fraction of characters falling back to the
     // unk-char score — a vocabulary trained last month scoring today's

@@ -187,6 +187,41 @@ class TokenizerKernelSpec extends SparkSpec {
     assertFrameEqual(kern.select("doc_id", "n_unk_chars"), colUnk)
   }
 
+  test("trainUnigramLm em=soft: expected counts train pieces Viterbi " +
+    "counts starve, and the vocabulary is partitioning-invariant") {
+    val wl1 = Seq("banana", "bandana", "cabana", "nacho")
+    val wl2 = Seq("anna", "cab", "nan")
+    val docs = (0 until 500).map { i =>
+      (i.toLong, wl1(i % 4) + " " + wl2((i + 1) % 3))
+    }.toDF("doc_id", "text")
+    def train(df: org.apache.spark.sql.DataFrame, mode: String) =
+      TextStatsOps.trainUnigramLm(df, "text", vocabSize = 14,
+        rounds = 2, maxTokenLen = 4, minCount = 2,
+        unkCharMicro = -20000000L, em = mode)
+    val hard = train(docs, "hard")
+    val soft = train(docs, "soft")
+    // the soft E-step's raison d'être: posterior mass spreads over
+    // ALL segmentations, so the trained vocabulary and scores differ
+    // from winner-take-all Viterbi counts — here soft keeps na/ban
+    // alive (hard's all-or-nothing counts elect acho/bana instead)
+    // and banana segments 2 ([ban, ana]) instead of 3 ([bana, n, a])
+    assert(soft !== hard)
+    assert(soft.contains("na") && !hard.contains("na"),
+      s"soft=${soft.keys.toSeq.sorted} hard=${hard.keys.toSeq.sorted}")
+    def count(v: Map[String, Long], w: String): Int =
+      TextStatsOps.viterbiSegment(w,
+        { val m = new java.util.HashMap[String, java.lang.Long]()
+          v.foreach { case (k, x) => m.put(k, java.lang.Long.valueOf(x)) }
+          m }, -20000000L, 4).length
+    assert(count(soft, "banana") === 2 && count(hard, "banana") === 3)
+    // per-word micro rounding before the integer sum makes the trained
+    // vocabulary independent of data layout
+    val repart = train(docs.repartition(17), "soft")
+    assert(repart === soft)
+    val coalesced = train(docs.coalesce(1), "soft")
+    assert(coalesced === soft)
+  }
+
   test("trainUnigramLm: kernel E-step (threshold 0) trains the " +
     "bit-identical vocabulary to the column E-step") {
     val wl1 = Seq("banana", "bandana", "cabana", "nacho")
