@@ -911,6 +911,35 @@ object IoQueries extends QueryModule {
              |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
              |  AND ts <= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)),
 
+    // Manifest v2 DATE-key pruning — the daily-partition twin of the
+    // timestamp gate: Spark dates land in parquet as INT32 days since
+    // epoch (IntStatistics → the long slot), prunedReadDate takes the
+    // range in epoch days and compares the DateType column against
+    // date_from_unix_date literals. 2024-01-05 = day 19727,
+    // 2024-01-08 = day 19730.
+    QueryDef("manifest_pruned_read_date",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_date"
+        T.events(s, d).select(col("event_id"),
+            col("ts").cast("date").as("day"), col("user_id"),
+            col("value"))
+          .repartitionByRange(8, col("day"), col("event_id"))
+          .sortWithinPartitions("day")
+          .write.mode("overwrite").parquet(path)
+        val mf = graft.sources.Manifest.build(s, path, Seq("day"))
+        val total = mf.select("file").distinct().count()
+        val pruned = graft.sources.Manifest.prunedReadDate(
+          s, mf, "day", 19727, 19730)
+        val readFiles = pruned.inputFiles.length
+        require(readFiles < total,
+          s"date manifest pruned nothing: $readFiles of $total files")
+        pruned.select("event_id", "day", "user_id", "value")
+      },
+      Some("""SELECT event_id, CAST(ts AS DATE) AS day, user_id, value
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+             |  AND CAST(ts AS DATE) <= DATE '2024-01-08'""".stripMargin)),
+
     // INCREMENTAL manifest maintenance (Manifest.update) — the nightly
     // shape: a table grows by appended files; the manifest absorbs the
     // delta (footer reads for NEW files only — delta-cost pinned in

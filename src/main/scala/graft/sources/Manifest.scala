@@ -388,4 +388,19 @@ object Manifest {
       col(column) >= timestamp_micros(lit(loMicros)) &&
         col(column) <= timestamp_micros(lit(hiMicros)))
   }
+
+  /** Range-pruned read on a DATE column — the daily-partition
+    * pruning key. Parquet stores Spark dates as INT32 days since the
+    * epoch (IntStatistics), so the bounds already live in the long
+    * slot; [lo, hi] is given in epoch DAYS and the residual compares
+    * the DateType column against `date_from_unix_date` literals —
+    * the exact inverse of the stats encoding. */
+  def prunedReadDate(spark: SparkSession, manifest: DataFrame,
+      column: String, loDays: Int, hiDays: Int): DataFrame = {
+    val keep = keepFiles(manifest, column, "min", "max",
+      lit(loDays.toLong), lit(hiDays.toLong))
+    readKept(spark, manifest, keep,
+      col(column) >= date_from_unix_date(lit(loDays)) &&
+        col(column) <= date_from_unix_date(lit(hiDays)))
+  }
 }
