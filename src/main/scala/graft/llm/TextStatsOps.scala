@@ -1649,6 +1649,56 @@ object TextStatsOps {
     vocab
   }
 
+  // ───── Tokenizer tables as LAKE ARTIFACTS: a production pipeline
+  // trains ONCE and encodes everywhere — the table must round-trip
+  // through storage exactly (a drifted score or rank silently changes
+  // every downstream token count). Tiny driver-held frames, the
+  // centroids/codebooks convention of the IVF-PQ index. ─────
+
+  /** Persist a unigram vocabulary (piece → negative micro-log-prob)
+    * with its maxTokenLen recorded — encode with a different window
+    * than the table was trained for would silently mis-segment. */
+  def writeUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vocab: Map[String, Long], maxTokenLen: Int): Unit = {
+    import spark.implicits._
+    require(vocab.nonEmpty, "writeUnigramVocab: empty vocabulary")
+    vocab.toSeq.map { case (p, s) => (p, s, maxTokenLen) }
+      .toDF("piece", "score_micro", "max_token_len")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a persisted unigram vocabulary back: (vocab, maxTokenLen).
+    * Bit-exact round-trip (integer scores) — spec-pinned. */
+  def readUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Map[String, Long], Int) = {
+    val rows = spark.read.parquet(dir)
+      .select("piece", "score_micro", "max_token_len").collect()
+    require(rows.nonEmpty, s"readUnigramVocab: empty table at $dir")
+    val mtl = rows(0).getInt(2)
+    (rows.map(r => r.getString(0) -> r.getLong(1)).toMap, mtl)
+  }
+
+  /** Persist a BPE merge table in RANK ORDER (rank is the contract —
+    * a reordered table is a different tokenizer). */
+  def writeBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String, merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "writeBpeMerges: empty table")
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a persisted merge table back in rank order. */
+  def readBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(dir)
+      .select("rank", "left", "right").collect()
+    require(rows.nonEmpty, s"readBpeMerges: empty table at $dir")
+    rows.sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Compression-ratio quality signal (the Dolma/CCNet-family zlib
     * heuristic): deflate each document's UTF-8 bytes at a FIXED level
     * and report (utf8_len, deflate_len, ratio). Highly repetitive or

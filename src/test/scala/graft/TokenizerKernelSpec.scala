@@ -222,6 +222,34 @@ class TokenizerKernelSpec extends SparkSpec {
     assert(coalesced === soft)
   }
 
+  test("tokenizer tables round-trip through storage bit-exactly and " +
+    "feed the encoders unchanged") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tok-artifacts-${ProcessHandle.current().pid()}").toString
+    // unigram vocab: integer scores, maxTokenLen recorded
+    val vocab = Map("the" -> -1000000L, "cat" -> -900000L,
+      "s" -> -800000L, "a" -> -1000000L)
+    TextStatsOps.writeUnigramVocab(spark, s"$dir/uv", vocab, 5)
+    val (v2, mtl) = TextStatsOps.readUnigramVocab(spark, s"$dir/uv")
+    assert(v2 === vocab && mtl === 5)
+    // BPE merges: rank order is the contract
+    val merges = TextStatsOps.BpeDemoMerges
+    TextStatsOps.writeBpeMerges(spark, s"$dir/bm", merges)
+    assert(TextStatsOps.readBpeMerges(spark, s"$dir/bm") === merges)
+    // and the loaded table encodes identically to the in-memory one
+    val df = lcgTexts(50).toDF("doc_id", "text")
+    assertFrameEqual(
+      TextStatsOps.bpeEncodeRanked(df, "doc_id", "text",
+        TextStatsOps.readBpeMerges(spark, s"$dir/bm"),
+        TextStatsOps.bpeVocab()),
+      TextStatsOps.bpeEncodeRanked(df, "doc_id", "text", merges,
+        TextStatsOps.bpeVocab()))
+    // empty reads/writes are loud
+    intercept[IllegalArgumentException] {
+      TextStatsOps.writeBpeMerges(spark, s"$dir/bm2", Nil)
+    }
+  }
+
   test("trainUnigramLm: kernel E-step (threshold 0) trains the " +
     "bit-identical vocabulary to the column E-step") {
     val wl1 = Seq("banana", "bandana", "cabana", "nacho")
