@@ -307,6 +307,40 @@ object Bench {
       (dir, st.getLong(0), st.getLong(1))
     }
 
+    /** One-time persisted IVF-PQ index fixture for the ANN serving
+      * witness: trained + written ONCE outside the timed reps (the
+      * wetShards discipline — quantizer training is index BUILD cost,
+      * already scale-witnessed; the serving path is what needs a
+      * wall-clock number). */
+    lazy val ivfPqIndexDir: String = {
+      import graft.llm.SimilarityOps
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-ivfpq-" +
+        ProcessHandle.current().pid()
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+        "embedding", 16)
+      val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+        "embedding", cents, m = 8, ksub = 64, iters = 1)
+      SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+      dir
+    }
+
+    /** ANN SERVING witness: a 256-query batch probed against the
+      * persisted IVF-PQ index at nprobe 8/16 — cell-partition-pruned
+      * codes-only scans, ADC scoring, exact re-rank on floats joined
+      * back by id. This is the query-side wall-clock of the lake
+      * embedding store (the recall block measures quality; this
+      * measures speed). */
+    def ivfPqProbeStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.SimilarityOps
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      SimilarityOps.ivfPqTopKIndexed(queries, ivfPqIndexDir, emb,
+        k = 10, nprobe = 8)
+    }
+
     /** WET ingest throughput witness (r13): parse the 8 gzipped shards
       * back per-file-parallel and aggregate — wall-clock is the record
       * parser + gzip + aggregation path a crawl ingest runs. The diff
@@ -906,6 +940,7 @@ object Bench {
         "multimodal_stress" -> (() => multimodalStress()),
         "bpe_train_stress" -> (() => bpeTrainStress()),
         "bpe_rank_count_stress" -> (() => bpeRankCountStress()),
+        "ivfpq_probe_stress" -> (() => ivfPqProbeStress()),
         "wet_ingest_stress" -> (() => wetIngestStress()),
         "zorder_stress" -> (() => zorderStress()),
         "classifier_train_stress" -> (() => classifierTrainStress()))
@@ -1059,6 +1094,11 @@ object Bench {
     // absorbs a cost that was never ingest throughput.
     val wetSetupDir: String = wetShards._1
     System.err.println(s"[bench] wet shards staged at $wetSetupDir")
+    if (keepStress("ivfpq_probe_stress")) {
+      // index build (quantizer training + write) is fixture cost, not
+      // serving cost — force it outside the timed reps
+      System.err.println(s"[bench] ivfpq index staged at $ivfPqIndexDir")
+    }
     // Warm the late-r13 entry codepaths outside the timer (zorder's
     // interleave/write path and the training loop's HOF codegen are
     // not exercised by the headline block; first-touch JIT alone is a
