@@ -1515,6 +1515,41 @@ object TextStatsOps {
         "recon")
   }
 
+  /** Unigram token ENCODING rows — the artifact a training pipeline
+    * materializes (the doc-level report above only budgets it): one
+    * row per Viterbi piece, (idCol, word_idx, piece_idx, piece,
+    * in_vocab), 0-based positions over the whitespace word stream;
+    * in_vocab=false marks unk-char fallbacks (single code points by
+    * construction). Same broadcast-HashMap kernel, zero shuffle. */
+  def unigramEncodeRowsKernel(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, vocab: Map[String, Long],
+      unkCharMicro: Long, maxTokenLen: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "unigramEncodeRowsKernel: empty vocabulary")
+    require(maxTokenLen >= 1, "unigramEncodeRowsKernel: maxTokenLen >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
+    val mtl = maxTokenLen
+    val unk = unkCharMicro
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vm = bVocab.value
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else text.split("\\s+").iterator.filter(_.nonEmpty)
+            .zipWithIndex.flatMap { case (w, wi) =>
+              viterbiSegment(w, vm, unk, mtl).iterator.zipWithIndex
+                .map { case (p, pi) =>
+                  (id, wi, pi, p, vm.containsKey(p))
+                }
+            }
+        }
+      }
+      .toDF(idCol, "word_idx", "piece_idx", "piece", "in_vocab")
+  }
+
   /** Unigram-LM TRAINING (hard-EM over Viterbi counts — the
     * SentencePiece trainer's shape, Kudo 2018 §3.2, with the E-step's
     * expected counts replaced by best-path counts so every round is

@@ -2905,6 +2905,55 @@ object LlmQueries extends QueryModule {
              |JOIN cc c2 ON c2.i = (d.doc_id + 3) % 7
              |JOIN cc c3 ON c3.i = (d.doc_id * 2 + 1) % 7""".stripMargin)),
 
+    // Unigram ENCODING ROWS (unigramEncodeRowsKernel) — the
+    // materialized segmentation artifact, one row per Viterbi piece
+    // with 0-based word/piece positions and the unk flag. Same
+    // planted corpus and vocabulary as unigram_tokenize/_coverage, so
+    // the oracle states every piece row closed-form from the 7
+    // hand-derived segmentations: theory→[theory], thematic→
+    // [the,matic], cats→[cat,s], dog→[d,o,g] (all unk), ab→[ab],
+    // theorys→[theory,s], zq→[z,q] (all unk) — a shifted position, a
+    // dropped piece, a wrong tie-break, or a mislabeled fallback each
+    // change rows and hash-fail.
+    QueryDef("unigram_encode_pieces", {
+      val vocab = Map(
+        "the" -> -1000000L, "theory" -> -1500000L, "ory" -> -1200000L,
+        "matic" -> -1100000L, "cat" -> -900000L, "s" -> -800000L,
+        "ab" -> -2000000L, "a" -> -1000000L, "b" -> -1000000L)
+      val wl = Seq("theory", "thematic", "cats", "dog", "ab",
+        "theorys", "zq")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          concat_ws(" ",
+            element_at(wlit, pmod(col("doc_id"), lit(7)).cast("int") + 1),
+            element_at(wlit, pmod(col("doc_id") + 3, lit(7)).cast("int") + 1),
+            element_at(wlit,
+              pmod(col("doc_id") * 2 + 1, lit(7)).cast("int") + 1))
+            .as("text"))
+        TextStatsOps.unigramEncodeRowsKernel(docs, "doc_id", "text",
+          vocab, unkCharMicro = -10000000L)
+      }
+    },
+      Some("""WITH seg AS (SELECT i, pi, piece, iv FROM (VALUES
+             |    (0, 0, 'theory', true),
+             |    (1, 0, 'the', true), (1, 1, 'matic', true),
+             |    (2, 0, 'cat', true), (2, 1, 's', true),
+             |    (3, 0, 'd', false), (3, 1, 'o', false), (3, 2, 'g', false),
+             |    (4, 0, 'ab', true),
+             |    (5, 0, 'theory', true), (5, 1, 's', true),
+             |    (6, 0, 'z', false), (6, 1, 'q', false))
+             |    t(i, pi, piece, iv)),
+             |w AS (SELECT doc_id, 0 AS word_idx, doc_id % 7 AS i
+             |    FROM documents
+             |  UNION ALL SELECT doc_id, 1, (doc_id + 3) % 7 FROM documents
+             |  UNION ALL SELECT doc_id, 2, (doc_id * 2 + 1) % 7
+             |    FROM documents)
+             |SELECT w.doc_id, CAST(w.word_idx AS INTEGER) AS word_idx,
+             |  CAST(s.pi AS INTEGER) AS piece_idx, s.piece,
+             |  s.iv AS in_vocab
+             |FROM w JOIN seg s ON s.i = w.i""".stripMargin)),
+
     // ≥32k-entry TRAINED vocabulary end-to-end (r14 verdict task #1's
     // vocab axis): trainUnigramLm at vocabSize=32768 over a synthetic
     // SF-invariant corpus of 50 000 distinct 4-char words (base-26
