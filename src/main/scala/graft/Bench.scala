@@ -1293,6 +1293,14 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
+    // the IVF-PQ fixture is a full per-cell code layout under tmp —
+    // don't leave it accumulating across runs (pid-keyed dirs pile up)
+    if (keepStress("ivfpq_probe_stress")) {
+      val p = new org.apache.hadoop.fs.Path(ivfPqIndexDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true); ()
+    }
+
     val loadEnd = loadAvg()
     val at = attemptTotals.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"attempts":$at,"sf":"$sfDir"}""")

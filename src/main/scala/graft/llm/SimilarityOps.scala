@@ -881,10 +881,15 @@ object SimilarityOps {
     * queries × nprobe 16 × ~16 KB LUT ≈ 256 MB vs 16 MB; the r14
     * verdict's one residual inefficiency). [[ivfPqScore]] joins the
     * LUT back BY QUERY after the cell join. */
-  private[graft] def ivfPqProbe(queries: DataFrame,
+  private[graft] def ivfPqProbe(queries0: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nprobe: Int,
       qId: String, qEmb: String): (DataFrame, DataFrame) = {
+    // the query frame feeds BOTH returned frames (and, in the indexed
+    // tier, a probed-cells collect) — checkpoint it once so a caller's
+    // non-trivial query lineage doesn't re-execute per consumer; the
+    // frame is broadcast-sized by the tier's contract
+    val queries = queries0.localCheckpoint(true)
     val spark = queries.sparkSession
     val m = codebooks.length
     val sub = codebooks(0)(0).length

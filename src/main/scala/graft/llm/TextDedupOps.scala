@@ -359,6 +359,15 @@ object TextDedupOps {
     * without bands — would make the affected docs permanently
     * invisible to banding and silently MISS their future near-dups.
     *
+    * CRASH-RETRY contract: re-running an append after a mid-write
+    * failure duplicates the batch's already-committed band rows —
+    * harmless to pair generation (distinct() downstream) EXCEPT that
+    * duplicate rows inflate `maxBucketSize` bucket counts, which can
+    * silently suppress real candidates near the cap. After a crashed
+    * append, run [[lshIndexOrphans]] and re-initialize (or
+    * de-duplicate dir/bands) if it reports orphans, rather than
+    * blindly retrying.
+    *
     * The input lineage executes twice (the bands write and the sigs
     * write) plus a bounded 1-row k probe — deliberate: an internal
     * checkpoint would force index-sized executor storage on the
@@ -382,7 +391,11 @@ object TextDedupOps {
     // its shuffle is pure per-batch overhead for batch-sized frames,
     // and the local sort alone already gives sorted row groups within
     // each appended file (compaction restores the global layout)
+    // ids persist as LONG in the bands layout (the incremental
+    // reader's explicit schema — int-typed caller ids must not make
+    // an index unreadable)
     val banded0 = bandFrame(signatures, idCol, bands)
+      .withColumn(idCol, col(idCol).cast("long"))
     val banded = if (mode == "append") banded0
       else banded0.repartitionByRange(col("band"), col("band_hash"))
     banded.sortWithinPartitions("band", "band_hash")
@@ -395,6 +408,28 @@ object TextDedupOps {
       // empty-initialized index learns its k from the first real rows
       Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Post-crash index reconciliation: (ids only in bands, ids only in
+    * sigs, band rows above the per-id expectation). A clean index
+    * reports (0, 0, 0); nonzero orphans mean an append died between
+    * its two commits (see [[writeLshIndex]]'s crash-retry contract) —
+    * bands-only ids are the safe orphan (pairs die at the sig join)
+    * but still inflate bucket-cap counts, so re-initialize or
+    * de-duplicate before resuming high-volume ingest. Cost: one
+    * metadata-light aggregation over each layout. */
+  def lshIndexOrphans(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): (Long, Long, Long) = {
+    val (bands, _, _) = readLshMeta(spark, dir)
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .select(col(idCol).cast("long").as(idCol)).distinct()
+    val bandAgg = spark.read.parquet(s"$dir/bands")
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(count(lit(1)).as("__n"))
+    val bandsOnly = bandAgg.join(sigIds, Seq(idCol), "left_anti").count()
+    val sigsOnly = sigIds.join(bandAgg, Seq(idCol), "left_anti").count()
+    val dupBandRows = bandAgg.filter(col("__n") =!= bands).count()
+    (bandsOnly, sigsOnly, dupBandRows)
   }
 
   private def readLshMeta(spark: org.apache.spark.sql.SparkSession,

@@ -420,13 +420,15 @@ object TextStatsOps {
   }
 
   /** Deterministic vocabulary for LARGE merge tables: single code
-    * points keep their codepoint id (≤ 0x10FFFF) and the i-th merge's
-    * result gets 1 000 000 + i — collision-free for any table under
-    * ~114k merges over real text (a PRODUCTION tokenizer ships its own
-    * vocab file; this is the in-repo stand-in with the same shape). */
+    * points keep their codepoint id and the i-th merge's result gets
+    * 2 000 000 + i — ABOVE the Unicode ceiling (0x10FFFF = 1 114 111),
+    * so no code point in ANY plane (incl. plane-15/16 private use,
+    * which real crawl text does contain) can collide with a merge id
+    * (a PRODUCTION tokenizer ships its own vocab file; this is the
+    * in-repo stand-in with the same shape). */
   def bpeVocabWide(merges: Seq[(String, String)]): Map[String, Int] =
     merges.zipWithIndex.map { case ((a, b), i) =>
-      (a + b) -> (1000000 + i) }.toMap
+      (a + b) -> (2000000 + i) }.toMap
 
   /** Synthetic PAD merge table for exercising production-size tables:
     * `n` distinct single-codepoint pairs over a 20 000-char CJK
@@ -563,18 +565,27 @@ object TextStatsOps {
     * round is one hash aggregation over the exploded adjacent pairs of
     * the unique-word states plus a 1-row TakeOrdered collect — the
     * ONLY driver traffic is the winning pair per round. The state
-    * frame re-materializes per round (one `replace` projection) via an
-    * eager localCheckpoint, which TRUNCATES the logical plan — a
-    * persist alone caches execution but leaves each round's plan
-    * nested one `replace` deeper, and at production merge counts
-    * (numMerges ≥ 1000) the O(rounds²) driver-side plan
-    * analysis/explain work OOMs the driver long before any executor
-    * breaks a sweat (the same Catalyst re-analysis pathology the
-    * incremental-dedup loop hit; spec-pinned trainable at 1000).
+    * frame re-persists per round (one `replace` projection, parent
+    * unpersisted after materializing — at most 2 live copies) and
+    * every [[BpeCheckpointEvery]] rounds an eager localCheckpoint
+    * TRUNCATES the logical plan: persist alone caches execution but
+    * leaves each round's plan nested one `replace` deeper, and at
+    * production merge counts (numMerges ≥ 1000) the O(rounds²)
+    * driver-side plan analysis/explain work OOMs the driver long
+    * before any executor breaks a sweat (the Catalyst re-analysis
+    * pathology the incremental-dedup loop hit; spec-pinned trainable
+    * at 1000). Checkpoint copies are reference-cleaned by the
+    * ContextCleaner; the cadence bounds how many can be live at once.
     * Training stops early if no multi-symbol word remains. */
+  /** Lineage-truncation cadence for [[bpeTrainMerges]] — small enough
+    * that plan depth never matters, large enough that stale
+    * checkpoint copies (freed by reference, not eagerly) stay few. */
+  val BpeCheckpointEvery = 16
+
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges: $numMerges")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var state = df
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
@@ -602,14 +613,28 @@ object TextStatsOps {
         val pat = top(0).getString(0) // " a b "
         val parts = pat.trim.split(" ")
         merges += ((parts(0), parts(1)))
-        // eager + truncated; the superseded round's blocks are
-        // reference-cleaned by the ContextCleaner
-        state = state.select(
-          replace(col("__st"), lit(pat), lit(s" ${parts(0)}${parts(1)} "))
-            .as("__st"), col("__f"))
-          .localCheckpoint(true)
+        if (merges.size % BpeCheckpointEvery == 0) {
+          // truncate lineage (eager); the superseded checkpoint
+          // copies are reference-cleaned — the cadence bounds how
+          // many can be live at once
+          val next = state.select(
+            replace(col("__st"), lit(pat), lit(s" ${parts(0)}${parts(1)} "))
+              .as("__st"), col("__f"))
+            .localCheckpoint(true)
+          state.unpersist() // frees the persisted parent (no-op on a
+          state = next      // checkpointed one)
+        } else {
+          val next = state.select(
+            replace(col("__st"), lit(pat), lit(s" ${parts(0)}${parts(1)} "))
+              .as("__st"), col("__f"))
+            .persist(lvl)
+          next.count() // materialize before releasing the parent
+          state.unpersist()
+          state = next
+        }
       }
     }
+    state.unpersist()
     merges.toSeq
   }
 
@@ -1671,8 +1696,13 @@ object TextStatsOps {
           col("__cnt")))
         .groupBy("p").agg(sum(col("__cnt")).as("c"))
         .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+      // the "never unencodable" floor is ONE OBSERVATION — in soft
+      // mode counts are micro-scaled, so the floor must scale too (a
+      // raw 1L would price an unused char at ln(1e-6/total), ~13.8
+      // log units below the intent and possibly below unkCharMicro)
+      val floorOne = if (em == "soft") 1000000L else 1L
       val keptChars = chars.map { case (p, _) =>
-        (p, counted.getOrElse(p, 0L) max 1L) }
+        (p, counted.getOrElse(p, 0L) max floorOne) }
       val multis = vocabCnts.map(_._1).filter(_.length > 1)
         .flatMap(p => counted.get(p).filter(_ > 0).map(p -> _))
       val cap = if (r == rounds) vocabSize else 2 * vocabSize

@@ -1460,7 +1460,7 @@ object LlmQueries extends QueryModule {
     // plan-literal table would be a 33k-entry task tax; the 32-rule
     // fence would throw). Three planted CJK rows make DEEP ranks fire
     // for real, with hand-derived closed-form expectations:
-    //   pad 5000  = (A, B), rank 5024, id 1 005 024
+    //   pad 5000  = (A, B), rank 5024, id 2 005 024
     //     where A = U+4E00+5000, B = U+4E00+((7·5000+13) mod 20000 =
     //     15013) — "AB" merges to ONE symbol;
     //   pad 12141 = (X, A), rank 12165, where 7·12141+13 ≡ 5000
@@ -1469,7 +1469,7 @@ object LlmQueries extends QueryModule {
     //     12165, so the correct result is [X, AB] — a leftmost-first
     //     (rather than lowest-rank-first) implementation produces
     //     [XA, B] and hash-fails;
-    //   "the AB": demo merges apply inside "the" (→ id 1 000 000,
+    //   "the AB": demo merges apply inside "the" (→ id 2 000 000,
     //     wide id of merge 0) while " AB" byte-marks to "ĠAB" and
     //     merges to [Ġ(288), AB] — demo and pad ranks coexist.
     QueryDef("bpe_rank_encode_big", {
@@ -1499,16 +1499,16 @@ object LlmQueries extends QueryModule {
         val xCp = xCh.codePointAt(0) // 0x4E00 + 12141 = 32109
         bpeByteFixpointOracle(
           vocabRows = TextStatsOps.BpeDemoMerges.zipWithIndex
-            .map { case ((a, b), i) => s"('$a$b', ${1000000 + i})" }
+            .map { case ((a, b), i) => s"('$a$b', ${2000000 + i})" }
             .mkString(",\n    "),
           corpusSql = "SELECT doc_id, text FROM documents",
           plantedValues = Some(
-            s"""  (910001, 0, 0, '$ab', 1005024),
+            s"""  (910001, 0, 0, '$ab', 2005024),
                |  (910002, 0, 0, '$xCh', $xCp),
-               |  (910002, 0, 1, '$ab', 1005024),
-               |  (910003, 0, 0, 'the', 1000000),
+               |  (910002, 0, 1, '$ab', 2005024),
+               |  (910003, 0, 0, 'the', 2000000),
                |  (910003, 1, 0, 'Ġ', 288),
-               |  (910003, 1, 1, '$ab', 1005024)""".stripMargin))
+               |  (910003, 1, 1, '$ab', 2005024)""".stripMargin))
       }),
 
     // Scalable n-gram Jaccard: explode + join on shingle — never an

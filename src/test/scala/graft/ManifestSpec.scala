@@ -285,15 +285,23 @@ class ManifestSpec extends SparkSpec {
     "exact slice") {
     val d4 = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-manifest-ts-${ProcessHandle.current().pid()}").toString
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
+    // pin micros for the fixture write, restore after (the session is
+    // shared across suites — a leaked conf would change how every
+    // later test encodes timestamps)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     // 1000 rows, one per hour from 2024-01-01T00:00Z, 4 range files
-    spark.range(1000)
+    try spark.range(1000)
       .select(col("id").as("k"),
         timestamp_micros(lit(1704067200000000L) +
           col("id") * 3600000000L).as("ts"))
       .repartitionByRange(4, col("k")).sortWithinPartitions("k")
       .write.mode("overwrite").parquet(d4)
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val mf = Manifest.build(spark, d4, Seq("ts"))
     // hours 100..200 live in the first of 4 files
     val lo = 1704067200000000L + 100L * 3600000000L
