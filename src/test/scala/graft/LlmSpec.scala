@@ -1082,6 +1082,41 @@ class LlmSpec extends SparkSpec {
     // (inputFiles lists the unpruned FileIndex, so compare contents)
     val direct = spark.read.parquet(s"$dir/bands/band=3")
     assert(oneBand.count() === direct.count() && oneBand.count() > 0)
+    // a clean index reconciles to (0, 0, 0)
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // a crashed append (bands committed, sigs not — the safe orphan
+    // order) is DETECTED: simulate by appending one doc's band rows
+    // under a fresh id with no matching sigs row
+    val dir2 = dir + "-crashed"
+    TextDedupOps.writeLshIndex(spark.read.parquet(s"$dir/sigs"), dir2,
+      "doc_id", bands = 8)
+    spark.read.parquet(s"$dir2/bands")
+      .filter(col("doc_id") === 0)
+      .select(lit(900001L).as("doc_id"), col("band_hash"), col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$dir2/bands")
+    val (bandsOnly, sigsOnly, dup) =
+      TextDedupOps.lshIndexOrphans(spark, dir2)
+    assert(bandsOnly === 1L && sigsOnly === 0L && dup === 0L,
+      s"($bandsOnly, $sigsOnly, $dup)")
+  }
+
+  test("writeLshIndex: INT-typed caller ids persist as long and the " +
+      "indexed read replays the long-id index exactly") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lsh-intid-${ProcessHandle.current().pid()}").toString
+    val docs = (0 until 40).map(i =>
+      (i, s"t${i % 5} u${(i * 3) % 7} v${(i * 5) % 11} w$i x y z a b c d e"))
+      .toDF("doc_id", "text") // doc_id is INT here
+    val sigsInt = TextDedupOps.minHashSignatures(
+      docs.filter(col("doc_id") < 20), "doc_id", "text", 3, 32)
+    TextDedupOps.writeLshIndex(sigsInt, dir, "doc_id", bands = 8)
+    // readable: schema-pinned long read + an ingest against it works
+    val batch = docs.filter(col("doc_id") >= 20)
+    val (surv, _) = TextDedupOps.lshIncrementalIndexed(batch, dir,
+      "doc_id", "text", threshold = 0.99)
+    assert(surv.count() === 20) // no clones planted: all survive
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
   }
 
   test("removeDuplicateSpans: shared span removed from both docs, " +
