@@ -201,6 +201,29 @@ object Bench {
           count(lit(1)).as("n_docs"))
     }
 
+    /** Unigram token-counting throughput at a production vocabulary
+      * size: the broadcast-HashMap Viterbi kernel over this SF's
+      * documents with a 32 794-entry vocabulary (26 chars + 32 768
+      * procedural 4-char pieces — the TRAINED path is gated in
+      * unigram_train_32k; this times the steady-state daily count).
+      * Zero shuffle, O(len·maxTokenLen) hash lookups per word. */
+    def unigramCountStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextStatsOps
+      val vocab = (('a' to 'z').map(c => c.toString -> -3000000L) ++
+        (0 until 32768).map { i =>
+          val w = new String(Array(
+            ('a' + i / 17576 % 26).toChar, ('a' + i / 676 % 26).toChar,
+            ('a' + i / 26 % 26).toChar, ('a' + i % 26).toChar))
+          w -> -14000000L
+        }).toMap
+      TextStatsOps.unigramEncodeDocsKernel(
+          Tables.documents(spark, sfDir), "doc_id", "text", vocab,
+          unkCharMicro = -20000000L, maxTokenLen = 4)
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_unk_chars")).as("total_unk"))
+    }
+
     /** Z-order layout rewrite wall-clock (late r13): Morton-key the
       * events table on (user_id, event_id) and rewrite it across 8
       * files. Cost model under witness: one bounded min/max agg + a
@@ -941,6 +964,7 @@ object Bench {
         "bpe_train_stress" -> (() => bpeTrainStress()),
         "bpe_rank_count_stress" -> (() => bpeRankCountStress()),
         "ivfpq_probe_stress" -> (() => ivfPqProbeStress()),
+        "unigram_count_stress" -> (() => unigramCountStress()),
         "wet_ingest_stress" -> (() => wetIngestStress()),
         "zorder_stress" -> (() => zorderStress()),
         "classifier_train_stress" -> (() => classifierTrainStress()))
