@@ -911,6 +911,41 @@ object IoQueries extends QueryModule {
              |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
              |  AND ts <= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin)),
 
+    // Manifest NULL-count pruning (prunedReadNotNull) — the
+    // Iceberg-style all-null file skip: a sparse optional column
+    // (here: value nulled for the LOWER HALF of the id range — a
+    // late-arriving enrichment shape, and SF-relative so roughly half
+    // of the 8 ranged files are all-NULL at every scale) leaves whole
+    // files all-NULL under a ranged layout, and an IS NOT NULL scan
+    // must read only files whose footer says a value can exist.
+    // Type-agnostic (null counts need no min/max), files-read <
+    // files-total required in-gate, oracle states the identical
+    // non-null slice with the same max/2 cut.
+    QueryDef("manifest_pruned_notnull",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_nn"
+        val cut = T.events(s, d).agg(max(col("event_id"))).collect()(0)
+          .getLong(0) / 2 // bounded: one scalar
+        T.events(s, d).select(col("event_id"),
+            when(col("event_id") < cut, lit(null).cast("double"))
+              .otherwise(col("value")).as("value"),
+            col("user_id"))
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(path)
+        val mf = graft.sources.Manifest.build(s, path, Seq("value"))
+        val total = mf.select("file").distinct().count()
+        val pruned = graft.sources.Manifest.prunedReadNotNull(
+          s, mf, "value")
+        val readFiles = pruned.inputFiles.length
+        require(readFiles < total,
+          s"null manifest pruned nothing: $readFiles of $total files")
+        pruned.select("event_id", "value", "user_id")
+      },
+      Some("""SELECT event_id, value, user_id FROM events
+             |WHERE event_id >= (SELECT max(event_id) // 2 FROM events)
+             |  AND value IS NOT NULL""".stripMargin)),
+
     // Manifest v2 DATE-key pruning — the daily-partition twin of the
     // timestamp gate: Spark dates land in parquet as INT32 days since
     // epoch (IntStatistics → the long slot), prunedReadDate takes the

@@ -389,6 +389,24 @@ object Manifest {
         col(column) <= timestamp_micros(lit(hiMicros)))
   }
 
+  /** NULL-pruned read: skip files whose footer null count equals
+    * their row count — `IS NOT NULL` scans (the probe side of every
+    * left join cleanup, sparse optional columns, late-arriving
+    * enrichments) read only files that can contain a value. Works for
+    * ANY column type (the null count is type-agnostic), including
+    * types whose min/max the manifest leaves NULL; files with UNKNOWN
+    * null counts (writer omitted num_nulls) are conservatively
+    * kept. */
+  def prunedReadNotNull(spark: SparkSession, manifest: DataFrame,
+      column: String): DataFrame = {
+    val keep = manifest
+      .filter(col("column") === column)
+      .filter(col("nulls").isNull || col("nulls") < col("rows"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)) // bounded: file paths only
+    readKept(spark, manifest, keep, col(column).isNotNull)
+  }
+
   /** Range-pruned read on a DATE column — the daily-partition
     * pruning key. Parquet stores Spark dates as INT32 days since the
     * epoch (IntStatistics), so the bounds already live in the long
