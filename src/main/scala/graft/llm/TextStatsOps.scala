@@ -1267,13 +1267,20 @@ object TextStatsOps {
 
   /** The Viterbi segmentation ITSELF (array of pieces), not just its
     * length — the E-step primitive of [[trainUnigramLm]]: the same DP
-    * as [[unigramTokenCount]] with the best path carried in the state,
-    * so (score, −ntok) ordering — and therefore the returned COUNT —
-    * is identical to the counting twin by construction (spec-pinned);
-    * residual full ties resolve by the path array's lexicographic
-    * order, deterministic either way. Unknown single chars appear in
-    * the output as themselves (callers see coverage gaps explicitly).
-    * O(len²) state per word — a word, not a document, bounds it. */
+    * as [[unigramTokenCount]] with a BACKPOINTER (the split position
+    * `j` of the best last token) carried per prefix instead of the
+    * path itself, so the state is O(len) and each step O(maxTokenLen)
+    * — O(len·maxTokenLen) per word total, which is what makes a
+    * space-free (CJK/Thai) document, where `\s+`-splitting yields ONE
+    * multi-kilochar "word", linear instead of quadratic. The (score,
+    * −ntok) ordering — and therefore the returned COUNT — is identical
+    * to the counting twin by construction (spec-pinned); residual full
+    * ties resolve to the LARGEST split position (the shortest final
+    * token at each cell), the deterministic O(1)-comparable rule both
+    * tiers and [[viterbiSegment]] share. Unknown single chars appear
+    * in the output as themselves (callers see coverage gaps
+    * explicitly). The pieces are reconstructed by a second aggregate
+    * walking the backpointer chain from the end. */
   def unigramViterbiPieces(w: Column, vocab: Map[String, Long],
       unkCharMicro: Long, maxTokenLen: Int = 8): Column = {
     require(vocab.nonEmpty, "unigramViterbiPieces: empty vocabulary")
@@ -1282,10 +1289,15 @@ object TextStatsOps {
     val negInf = -(1L << 50)
     val n = length(w)
     val empty = array().cast("array<string>")
-    val state = aggregate(
+    val emptyCuts = array().cast("array<int>")
+    // ONE aggregate whose finish lambda owns the whole pipeline, so
+    // the forward DP array is bound once (a repeated Column reference
+    // would re-run the DP per use)
+    val pieces = aggregate(
       sequence(lit(1), greatest(n, lit(1))),
+      // forward DP: acc(i+1) = best (score, −ntok, bp) for prefix [0, i)
       array(struct(lit(0L).as("score"), lit(0).as("negntok"),
-        empty.as("path"))),
+        lit(0).as("bp"))),
       (acc, i) => {
         val jStart = greatest(i - maxTokenLen, lit(0))
         val cands = transform(sequence(jStart, i - 1), j => {
@@ -1295,12 +1307,36 @@ object TextStatsOps {
             when(i - j === 1, lit(unkCharMicro)).otherwise(lit(negInf)))
           struct((prev.getField("score") + tokScore).as("score"),
             (prev.getField("negntok") - 1).as("negntok"),
-            concat(prev.getField("path"), array(tok)).as("path"))
+            j.cast("int").as("bp"))
         })
         concat(acc, array(array_max(cands)))
       },
-      acc => element_at(acc, -1))
-    when(w.isNull || n === 0, empty).otherwise(state.getField("path"))
+      acc => {
+        // backward walk: cut positions n, bp(n), bp(bp(n)), … — exactly
+        // ntok hops reach 0, so the walk iterates ntok times and the
+        // growing cuts array costs O(ntok²) shallow int copies with
+        // O(len) live memory (vs the pre-r16 O(len²) string state);
+        // cuts come out ascending and end at n
+        val ntokN = -element_at(acc, -1).getField("negntok")
+        val cuts = aggregate(
+          sequence(lit(1), greatest(ntokN, lit(1))),
+          struct(n.as("pos"), emptyCuts.as("cuts")),
+          (s, _) => {
+            val pos = s.getField("pos")
+            when(pos > 0, struct(
+              element_at(acc, pos + 1).getField("bp").as("pos"),
+              concat(array(pos), s.getField("cuts")).as("cuts")))
+              .otherwise(s)
+          },
+          s => s.getField("cuts"))
+        // bind bounds = 0 ++ cuts once via a 1-element transform, then
+        // slice the word piece by piece
+        flatten(transform(array(concat(array(lit(0)), cuts)), bs =>
+          transform(sequence(lit(1), size(bs) - 1), k =>
+            w.substr(element_at(bs, k) + 1,
+              element_at(bs, k + 1) - element_at(bs, k)))))
+      })
+    when(w.isNull || n === 0, empty).otherwise(pieces)
   }
 
   // ───── Broadcast-vocab unigram kernel (r14 verdict task #1, the
@@ -1316,36 +1352,15 @@ object TextStatsOps {
   // order (Spark's array<string> ordering) — and UnigramKernelSpec
   // pins kernel ≡ column on shared vocabularies. ─────
 
-  /** Unsigned UTF-8 byte compare — Spark's string ordering. */
-  private def utf8Cmp(a: String, b: String): Int = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(ab.length, bb.length)
-    var i = 0
-    while (i < n) {
-      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    ab.length - bb.length
-  }
-
-  /** `a` path lexicographically greater than `b` (element-wise UTF-8
-    * byte order; shorter prefix sorts first — array ordering). */
-  private def pathGt(a: List[String], b: List[String]): Boolean = {
-    var x = a; var y = b
-    while (x.nonEmpty && y.nonEmpty) {
-      val c = utf8Cmp(x.head, y.head)
-      if (c != 0) return c > 0
-      x = x.tail; y = y.tail
-    }
-    x.nonEmpty
-  }
-
   /** One word's Viterbi segmentation over a HashMap vocabulary — the
     * kernel twin of [[unigramViterbiPieces]] (same DP, same
-    * (score, −ntok, path) tie order, same unk-char fallback; pieces
-    * are code points exactly like the column tier's substr). */
+    * (score, −ntok, max split position) tie order, same unk-char
+    * fallback; pieces are code points exactly like the column tier's
+    * substr). Backpointer DP: O(n·maxTokenLen) time and O(n) memory
+    * per word, so a space-free (CJK/Thai) document that survives
+    * `\s+`-splitting as ONE multi-kilochar word costs linear, not
+    * quadratic, work — the production property the r15 path-copying
+    * version lacked. */
   private[graft] def viterbiSegment(w: String,
       vocab: java.util.HashMap[String, java.lang.Long],
       unkCharMicro: Long, maxTokenLen: Int): Array[String] = {
@@ -1353,18 +1368,21 @@ object TextStatsOps {
     val n = cps.length
     if (n == 0) return Array.empty
     val negInf = -(1L << 50)
-    // prefix sums of char offsets not needed: build substring from cps
     val score = new Array[Long](n + 1)
     val ntok = new Array[Int](n + 1)
-    val path = new Array[List[String]](n + 1)
-    path(0) = Nil
+    val bp = new Array[Int](n + 1)
+    val sb = new java.lang.StringBuilder(maxTokenLen * 2)
     var i = 1
     while (i <= n) {
-      var bestS = Long.MinValue; var bestN = 0
-      var bestP: List[String] = null
-      var j = math.max(i - maxTokenLen, 0)
-      while (j < i) {
-        val tok = cps.slice(j, i).mkString
+      var bestS = Long.MinValue; var bestN = 0; var bestJ = -1
+      // build candidate tokens by PREPENDING code points as j walks
+      // down from i−1, so each candidate costs O(1) appends total
+      var j = i - 1
+      sb.setLength(0)
+      val lo = math.max(i - maxTokenLen, 0)
+      while (j >= lo) {
+        sb.insert(0, cps(j))
+        val tok = sb.toString
         val v = vocab.get(tok)
         val ts =
           if (v != null) v.longValue
@@ -1372,22 +1390,31 @@ object TextStatsOps {
           else negInf
         val s = score(j) + ts
         val nt = ntok(j) + 1
-        // lexicographic max on (score, −ntok, path): strictly greater
-        // wins; the column tier's array_max keeps the first of equals,
-        // which can only differ in path — compare it third
+        // lexicographic max on (score, −ntok, j): j descends, so a
+        // FULL tie keeps the incumbent (the larger j) — identical to
+        // the column tier's array_max over struct(score, negntok, bp)
         val better =
-          s > bestS || (s == bestS && (-nt > -bestN ||
-            (nt == bestN && bestP != null &&
-              pathGt(path(j) :+ tok, bestP))))
-        if (bestP == null || better) {
-          bestS = s; bestN = nt; bestP = path(j) :+ tok
-        }
-        j += 1
+          s > bestS || (s == bestS && nt < bestN)
+        if (bestJ < 0 || better) { bestS = s; bestN = nt; bestJ = j }
+        j -= 1
       }
-      score(i) = bestS; ntok(i) = bestN; path(i) = bestP
+      score(i) = bestS; ntok(i) = bestN; bp(i) = bestJ
       i += 1
     }
-    path(n).toArray
+    // walk backpointers from n — ntok(n) pieces, filled right to left
+    val out = new Array[String](ntok(n))
+    var pos = n
+    var k = ntok(n) - 1
+    while (pos > 0) {
+      val from = bp(pos)
+      val psb = new java.lang.StringBuilder()
+      var c = from
+      while (c < pos) { psb.append(cps(c)); c += 1 }
+      out(k) = psb.toString
+      k -= 1
+      pos = from
+    }
+    out
   }
 
   /** SOFT-EM expected piece counts for one word (the SentencePiece

@@ -111,6 +111,34 @@ class UnigramSpec extends SparkSpec {
     assert(v1.values.forall(_ < 0))
   }
 
+  test("space-free 10k-char document encodes in linear time " +
+    "(backpointer Viterbi fence)") {
+    // a CJK-style crawl document survives \s+-splitting as ONE word;
+    // the r15 path-copying DP was O(n²·mtl) time and O(n²) memory on
+    // it — the backpointer kernel must stay well under 2 s (measured
+    // ~10 ms) and reassemble the text exactly
+    val cjkVocab = Map("日本" -> -1000000L, "日本語" -> -1200000L,
+      "語学" -> -900000L, "学生" -> -800000L, "日" -> -2000000L,
+      "本" -> -2000000L, "語" -> -2000000L, "学" -> -2000000L,
+      "生" -> -2000000L)
+    val vm = new java.util.HashMap[String, java.lang.Long]()
+    cjkVocab.foreach { case (k, v) =>
+      vm.put(k, java.lang.Long.valueOf(v)) }
+    val alphabet = "日本語学生猫犬"
+    var st = 7L
+    val doc = new String((0 until 10000).map { _ =>
+      st = st * 6364136223846793005L + 1442695040888963407L
+      alphabet((((st >>> 40) % 7 + 7) % 7).toInt)
+    }.toArray)
+    val t0 = System.nanoTime()
+    val pieces = graft.llm.TextStatsOps.viterbiSegment(doc, vm,
+      -10000000L, 8)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(pieces.mkString === doc, "pieces must reassemble the doc")
+    assert(pieces.length > 3000 && pieces.length < 10000)
+    assert(ms < 2000.0, s"10k-char space-free Viterbi took $ms ms")
+  }
+
   test("trainUnigramLm guards: bad hyperparameters and empty corpus " +
     "fail loudly") {
     val docs = Seq((1L, "ab")).toDF("id", "text")
