@@ -975,6 +975,48 @@ object IoQueries extends QueryModule {
              |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
              |  AND CAST(ts AS DATE) <= DATE '2024-01-08'""".stripMargin)),
 
+    // CONJUNCTIVE (multi-column) manifest pruning — the
+    // (event_date AND user_key) scan every lake runs daily: under a
+    // Z-ORDERED layout both columns carry pruning power, and
+    // prunedReadMulti intersects the per-column keep-sets, so the
+    // 2-D box reads STRICTLY fewer files than either single-column
+    // prune — required in-gate against both 1-D plans (and < total).
+    // Bounds are SF-relative (max/4 of each key, computed from one
+    // bounded aggregate) so the box stays a quarter-by-quarter corner
+    // at every scale; the oracle states the identical slice with the
+    // same max//4 subselects.
+    QueryDef("manifest_pruned_multi",
+      (s, d) => {
+        val path = s"$scratch/manifest_events_multi"
+        val in = T.events(s, d)
+          .select("event_id", "ts", "user_id", "value")
+        graft.sources.ZOrder.writeZOrdered(
+          in, path, Seq("user_id", "event_id"), bits = 16, nFiles = 16)
+        val mx = T.events(s, d)
+          .agg(max(col("user_id")), max(col("event_id"))).collect()(0)
+        val (uHi, eHi) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+        val mf = graft.sources.Manifest.build(
+          s, path, Seq("user_id", "event_id"))
+        val total = mf.select("file").distinct().count()
+        val both = graft.sources.Manifest.prunedReadMulti(s, mf, Seq(
+          graft.sources.Manifest.LongRange("user_id", 0L, uHi),
+          graft.sources.Manifest.LongRange("event_id", 0L, eHi)))
+        val nBoth = both.inputFiles.length
+        val nU = graft.sources.Manifest.prunedRead(
+          s, mf, "user_id", 0L, uHi).inputFiles.length
+        val nE = graft.sources.Manifest.prunedRead(
+          s, mf, "event_id", 0L, eHi).inputFiles.length
+        require(nBoth < nU && nBoth < nE && nBoth < total,
+          s"conjunctive prune not strictly better: both=$nBoth " +
+            s"user=$nU event=$nE total=$total")
+        both.select("event_id", "ts", "user_id", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE user_id BETWEEN 0
+             |    AND (SELECT max(user_id) // 4 FROM events)
+             |  AND event_id BETWEEN 0
+             |    AND (SELECT max(event_id) // 4 FROM events)""".stripMargin)),
+
     // INCREMENTAL manifest maintenance (Manifest.update) — the nightly
     // shape: a table grows by appended files; the manifest absorbs the
     // delta (footer reads for NEW files only — delta-cost pinned in

@@ -42,11 +42,27 @@ import scala.jdk.CollectionConverters._
   * count is NULL when any row group omitted it (parquet writers may
   * skip num_nulls; a -1 sentinel must read as unknown, not a count).
   *
+  * INT64 timestamp stats are normalized to MICROSECONDS at build
+  * time from the column's parquet logical-type annotation —
+  * TIMESTAMP(MILLIS) bounds multiply (a TIMESTAMP_MILLIS writer's
+  * millis would otherwise be compared against micro ranges and skip
+  * nearly every file: silent row loss), TIMESTAMP(NANOS) bounds
+  * divide widened outward, and an overflowing conversion poisons the
+  * bounds to NULL (conservatively kept). [[prunedReadTimestamp]]
+  * therefore always compares micros against micros regardless of the
+  * writer's unit.
+  *
   * Each row also records the file's LENGTH and MODIFICATION TIME:
   * [[update]] re-footer-reads a file whose length or mtime changed
   * under an unchanged path, so a data file rewritten in place (a
   * non-Spark writer reusing part names) cannot keep stale
-  * carried-forward stats. */
+  * carried-forward stats — for rewrites VISIBLE in length or mtime,
+  * that is: a same-length in-place rewrite within the filesystem's
+  * mtime granularity (second-granularity object stores) is
+  * undetectable from metadata alone; record a content checksum
+  * upstream if that writer pattern exists. This (flen, mtime) schema
+  * is the r15+ manifest format — [[update]] rejects a manifest
+  * persisted by an older build with an explicit rebuild message. */
 object Manifest {
 
   /** Truncation cap for string min/max — long URL/text keys would
@@ -139,6 +155,32 @@ object Manifest {
   private case class MmB(mn: Array[Byte], mx: Array[Byte]) extends Mm
   private case object MmNone extends Mm
 
+  /** Normalize INT64 timestamp bounds to MICROS per the column's
+    * logical-type annotation (the manifest's canonical unit —
+    * [[prunedReadTimestamp]] compares micros): MILLIS multiply
+    * (exact, overflow-checked), NANOS divide WIDENED outward (a
+    * narrowed bound could skip a file containing matches — row loss),
+    * anything else (including no annotation) passes through as a
+    * plain integer. None = poison, conservatively kept. */
+  private def normalizeLongBounds(
+      lta: org.apache.parquet.schema.LogicalTypeAnnotation,
+      mn: Long, mx: Long): Option[(Long, Long)] = lta match {
+    case t: org.apache.parquet.schema.LogicalTypeAnnotation
+        .TimestampLogicalTypeAnnotation =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      t.getUnit match {
+        case TimeUnit.MICROS => Some((mn, mx))
+        case TimeUnit.MILLIS =>
+          if (mn < Long.MinValue / 1000 || mx > Long.MaxValue / 1000) None
+          else Some((mn * 1000, mx * 1000))
+        case TimeUnit.NANOS => Some((Math.floorDiv(mn, 1000),
+          Math.floorDiv(mx, 1000) +
+            (if (Math.floorMod(mx, 1000) != 0) 1L else 0L)))
+        case _ => None
+      }
+    case _ => Some((mn, mx))
+  }
+
   private final class Acc {
     var rows = 0L
     var nulls = 0L
@@ -176,6 +218,14 @@ object Manifest {
   def update(spark: SparkSession, dir: String, manifest: DataFrame,
       cols: Seq[String]): DataFrame = {
     import spark.implicits._
+    // explicit format check, not an AnalysisException from the join
+    // below: a manifest persisted by a pre-flen/mtime build carries no
+    // rewrite-detection columns, and silently treating its rows as
+    // current would be exactly the stale-stats hazard the columns exist
+    // to close — fail with the remedy instead
+    require(Set("flen", "mtime").subsetOf(manifest.columns.toSet),
+      "Manifest.update: manifest lacks flen/mtime (written by a " +
+        "pre-r15 build) — rebuild it with Manifest.build")
     val current = dataFiles(spark, dir)
     require(current.nonEmpty, s"Manifest.update: no part- files under $dir")
     val old = manifest.select("column").distinct()
@@ -235,7 +285,17 @@ object Manifest {
                     if (st == null || !st.hasNonNullValue) MmNone
                     else st match {
                       case s: org.apache.parquet.column.statistics
-                          .LongStatistics => MmL(s.getMin, s.getMax)
+                          .LongStatistics =>
+                        // the manifest records no logical type, so
+                        // INT64 timestamps normalize to micros HERE —
+                        // a TIMESTAMP_MILLIS writer's bounds compared
+                        // raw against a micro range would skip nearly
+                        // every file (silent row loss)
+                        normalizeLongBounds(
+                          c.getPrimitiveType.getLogicalTypeAnnotation,
+                          s.getMin, s.getMax)
+                          .fold[Mm](MmNone) { case (mn, mx) =>
+                            MmL(mn, mx) }
                       case s: org.apache.parquet.column.statistics
                           .IntStatistics =>
                         MmL(s.getMin.toLong, s.getMax.toLong)
@@ -333,13 +393,85 @@ object Manifest {
       spark.read.parquet(any(0).getString(0)).limit(0).filter(residual)
     }
 
+  // ───── Conjunctive (multi-column) pruning: the (event_date AND
+  // user_key) scan every lake runs daily. One Pred per conjunct; the
+  // keep-set is the INTERSECTION of the per-column keep-sets (a file
+  // must be able to contain a match on EVERY conjunct to be read) and
+  // the residual is the AND of the per-column residuals. Under a
+  // 2-D-aware layout (z-order) the intersection reads strictly fewer
+  // files than either single-column prune — the gate's requirement. ─────
+
+  /** One conjunct of [[prunedReadMulti]] — a typed range (or
+    * not-null) condition on one manifest-tracked column. */
+  sealed trait Pred { def column: String }
+  /** Integer range, inclusive. */
+  final case class LongRange(column: String, lo: Long, hi: Long)
+    extends Pred
+  /** String range, inclusive (UTF-8 byte order on both sides). */
+  final case class StringRange(column: String, lo: String, hi: String)
+    extends Pred
+  /** Float/double range, inclusive. */
+  final case class DoubleRange(column: String, lo: Double, hi: Double)
+    extends Pred
+  /** Timestamp range in epoch MICROS, inclusive (see
+    * [[prunedReadTimestamp]]). */
+  final case class TimestampRange(column: String, loMicros: Long,
+      hiMicros: Long) extends Pred
+  /** Date range in epoch DAYS, inclusive (see [[prunedReadDate]]). */
+  final case class DateRange(column: String, loDays: Int, hiDays: Int)
+    extends Pred
+  /** `IS NOT NULL` (see [[prunedReadNotNull]]). */
+  final case class NotNull(column: String) extends Pred
+
+  private def keepSet(manifest: DataFrame, p: Pred): Set[String] =
+    (p match {
+      case LongRange(c, lo, hi) =>
+        keepFiles(manifest, c, "min", "max", lit(lo), lit(hi))
+      case StringRange(c, lo, hi) =>
+        keepFiles(manifest, c, "min_s", "max_s", lit(lo), lit(hi))
+      case DoubleRange(c, lo, hi) =>
+        keepFiles(manifest, c, "min_d", "max_d", lit(lo), lit(hi))
+      case TimestampRange(c, lo, hi) =>
+        keepFiles(manifest, c, "min", "max", lit(lo), lit(hi))
+      case DateRange(c, lo, hi) =>
+        keepFiles(manifest, c, "min", "max", lit(lo.toLong), lit(hi.toLong))
+      case NotNull(c) =>
+        manifest.filter(col("column") === c)
+          .filter(col("nulls").isNull || col("nulls") < col("rows"))
+          .select("file").distinct()
+          .collect().map(_.getString(0)) // bounded: file paths only
+    }).toSet
+
+  private def residualOf(p: Pred): org.apache.spark.sql.Column =
+    p match {
+      case LongRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StringRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case DoubleRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case TimestampRange(c, lo, hi) =>
+        col(c) >= timestamp_micros(lit(lo)) &&
+          col(c) <= timestamp_micros(lit(hi))
+      case DateRange(c, lo, hi) =>
+        col(c) >= date_from_unix_date(lit(lo)) &&
+          col(c) <= date_from_unix_date(lit(hi))
+      case NotNull(c) => col(c).isNotNull
+    }
+
+  /** Conjunctive pruned read: intersect the per-conjunct keep-sets,
+    * read the survivors once, apply ONE combined residual. Per-pred
+    * planning cost is a metadata scan each — bounded by the manifest,
+    * not the table. */
+  def prunedReadMulti(spark: SparkSession, manifest: DataFrame,
+      preds: Seq[Pred]): DataFrame = {
+    require(preds.nonEmpty, "prunedReadMulti: need at least one predicate")
+    val keep = preds.map(keepSet(manifest, _)).reduce(_ intersect _)
+    readKept(spark, manifest, keep.toArray,
+      preds.map(residualOf).reduce(_ && _))
+  }
+
   /** Range-pruned read on an integer-typed column. */
   def prunedRead(spark: SparkSession, manifest: DataFrame,
-      column: String, lo: Long, hi: Long): DataFrame = {
-    val keep = keepFiles(manifest, column, "min", "max", lit(lo), lit(hi))
-    readKept(spark, manifest, keep,
-      col(column) >= lo && col(column) <= hi)
-  }
+      column: String, lo: Long, hi: Long): DataFrame =
+    prunedReadMulti(spark, manifest, Seq(LongRange(column, lo, hi)))
 
   /** Range-pruned read on a string-typed column. Footer bounds and
     * Spark's UTF8String comparisons both use unsigned UTF-8 byte
@@ -355,19 +487,13 @@ object Manifest {
     * Spark's own string ordering (UTF8String byte order) against the
     * [lo, hi] literals — the same order the bounds were merged in. */
   def prunedReadString(spark: SparkSession, manifest: DataFrame,
-      column: String, lo: String, hi: String): DataFrame = {
-    val keep = keepFiles(manifest, column, "min_s", "max_s", lit(lo), lit(hi))
-    readKept(spark, manifest, keep,
-      col(column) >= lo && col(column) <= hi)
-  }
+      column: String, lo: String, hi: String): DataFrame =
+    prunedReadMulti(spark, manifest, Seq(StringRange(column, lo, hi)))
 
   /** Range-pruned read on a float/double-typed column. */
   def prunedReadDouble(spark: SparkSession, manifest: DataFrame,
-      column: String, lo: Double, hi: Double): DataFrame = {
-    val keep = keepFiles(manifest, column, "min_d", "max_d", lit(lo), lit(hi))
-    readKept(spark, manifest, keep,
-      col(column) >= lo && col(column) <= hi)
-  }
+      column: String, lo: Double, hi: Double): DataFrame =
+    prunedReadMulti(spark, manifest, Seq(DoubleRange(column, lo, hi)))
 
   /** Range-pruned read on a TIMESTAMP column — event-time is the #1
     * pruning key a lake has. Parquet stores Spark timestamps as INT64
@@ -381,13 +507,9 @@ object Manifest {
     * stats and surface as NULL bounds: conservatively kept, never
     * wrongly pruned.) */
   def prunedReadTimestamp(spark: SparkSession, manifest: DataFrame,
-      column: String, loMicros: Long, hiMicros: Long): DataFrame = {
-    val keep = keepFiles(manifest, column, "min", "max",
-      lit(loMicros), lit(hiMicros))
-    readKept(spark, manifest, keep,
-      col(column) >= timestamp_micros(lit(loMicros)) &&
-        col(column) <= timestamp_micros(lit(hiMicros)))
-  }
+      column: String, loMicros: Long, hiMicros: Long): DataFrame =
+    prunedReadMulti(spark, manifest,
+      Seq(TimestampRange(column, loMicros, hiMicros)))
 
   /** NULL-pruned read: skip files whose footer null count equals
     * their row count — `IS NOT NULL` scans (the probe side of every
@@ -398,14 +520,8 @@ object Manifest {
     * null counts (writer omitted num_nulls) are conservatively
     * kept. */
   def prunedReadNotNull(spark: SparkSession, manifest: DataFrame,
-      column: String): DataFrame = {
-    val keep = manifest
-      .filter(col("column") === column)
-      .filter(col("nulls").isNull || col("nulls") < col("rows"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)) // bounded: file paths only
-    readKept(spark, manifest, keep, col(column).isNotNull)
-  }
+      column: String): DataFrame =
+    prunedReadMulti(spark, manifest, Seq(NotNull(column)))
 
   /** Range-pruned read on a DATE column — the daily-partition
     * pruning key. Parquet stores Spark dates as INT32 days since the
@@ -414,11 +530,7 @@ object Manifest {
     * the DateType column against `date_from_unix_date` literals —
     * the exact inverse of the stats encoding. */
   def prunedReadDate(spark: SparkSession, manifest: DataFrame,
-      column: String, loDays: Int, hiDays: Int): DataFrame = {
-    val keep = keepFiles(manifest, column, "min", "max",
-      lit(loDays.toLong), lit(hiDays.toLong))
-    readKept(spark, manifest, keep,
-      col(column) >= date_from_unix_date(lit(loDays)) &&
-        col(column) <= date_from_unix_date(lit(hiDays)))
-  }
+      column: String, loDays: Int, hiDays: Int): DataFrame =
+    prunedReadMulti(spark, manifest,
+      Seq(DateRange(column, loDays, hiDays)))
 }

@@ -315,6 +315,101 @@ class ManifestSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("TIMESTAMP_MILLIS bounds normalize to micros: pruning keeps " +
+    "the right files instead of skipping nearly everything") {
+    val dm = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-tsmillis-${ProcessHandle.current().pid()}").toString
+    // a non-default writer unit (outputTimestampType=TIMESTAMP_MILLIS):
+    // footer INT64 stats are in MILLIS; before the normalization fix
+    // the manifest compared them raw against MICRO ranges and skipped
+    // ~every file — silent row loss the residual can't repair
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
+    try spark.range(1000)
+      .select(col("id").as("k"),
+        timestamp_micros(lit(1704067200000000L) +
+          col("id") * 3600000000L).as("ts"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dm)
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val mf = Manifest.build(spark, dm, Seq("ts"))
+    // bounds must be micros: hour 0 .. hour 999
+    val mn = mf.agg(min("min")).collect()(0).getLong(0)
+    val mx = mf.agg(max("max")).collect()(0).getLong(0)
+    assert(mn === 1704067200000000L, s"min not micro-normalized: $mn")
+    assert(mx === 1704067200000000L + 999L * 3600000000L)
+    // the micros range for hours 100..200 must keep exactly 1 of 4
+    // files and return the exact slice
+    val lo = 1704067200000000L + 100L * 3600000000L
+    val hi = 1704067200000000L + 200L * 3600000000L
+    val one = Manifest.prunedReadTimestamp(spark, mf, "ts", lo, hi)
+    assert(one.inputFiles.length === 1)
+    assert(one.count() === 101)
+  }
+
+  test("update rejects a pre-flen/mtime manifest with an explicit " +
+    "rebuild message") {
+    val legacy = spark.range(4).select(
+      concat(lit("file:///x/part-"), col("id")).as("file"),
+      lit("k").as("column"), lit(10L).as("rows"),
+      lit(0L).as("nulls"), lit(0L).as("min"), lit(9L).as("max"),
+      lit(null).cast("double").as("min_d"),
+      lit(null).cast("double").as("max_d"),
+      lit(null).cast("string").as("min_s"),
+      lit(null).cast("string").as("max_s"))
+    val e = intercept[IllegalArgumentException] {
+      Manifest.update(spark, dir, legacy, Seq("k"))
+    }
+    assert(e.getMessage.contains("rebuild"),
+      s"no rebuild hint: ${e.getMessage}")
+  }
+
+  test("prunedReadMulti intersects keep-sets and ANDs residuals") {
+    val d6 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-manifest-multi-${ProcessHandle.current().pid()}").toString
+    // grid layout: 4 files = 2 k-ranges × 2 g-values, so each single
+    // column prunes to 2 files and the conjunction to exactly 1
+    spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 2).as("g"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"))
+      .withColumn("cell", (col("k") >= 500).cast("int") * 2 + col("g"))
+      .repartitionByRange(4, col("cell"))
+      .sortWithinPartitions("k")
+      .drop("cell")
+      .write.mode("overwrite").parquet(d6)
+    val mf = Manifest.build(spark, d6, Seq("k", "g", "v"))
+    assert(mf.select("file").distinct().count() === 4)
+    val both = Manifest.prunedReadMulti(spark, mf, Seq(
+      Manifest.LongRange("k", 0L, 499L), Manifest.LongRange("g", 1L, 1L)))
+    assert(both.inputFiles.length === 1, "conjunction must reach 1 file")
+    assert(both.count() ===
+      spark.read.parquet(d6)
+        .filter(col("k") <= 499 && col("g") === 1).count())
+    // single-column prunes each keep 2 files — strictly worse
+    assert(Manifest.prunedRead(spark, mf, "k", 0L, 499L)
+      .inputFiles.length === 2)
+    assert(Manifest.prunedRead(spark, mf, "g", 1L, 1L)
+      .inputFiles.length === 2)
+    // mixing a NotNull conjunct: same file set, nulls filtered
+    val nn = Manifest.prunedReadMulti(spark, mf, Seq(
+      Manifest.LongRange("k", 0L, 499L), Manifest.LongRange("g", 1L, 1L),
+      Manifest.NotNull("v")))
+    assert(nn.count() ===
+      spark.read.parquet(d6).filter(col("k") <= 499 && col("g") === 1 &&
+        col("v").isNotNull).count())
+    // disjoint conjunction: empty result with the table's schema
+    val none = Manifest.prunedReadMulti(spark, mf, Seq(
+      Manifest.LongRange("k", 0L, 10L),
+      Manifest.LongRange("k", 900L, 999L)))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("k", "g", "v"))
+  }
+
   test("update re-footer-reads a file rewritten in place under the " +
     "same name") {
     val d5 = new java.io.File(sys.props("java.io.tmpdir"),
