@@ -886,10 +886,17 @@ object SimilarityOps {
       codebooks: Array[Array[Array[Double]]], nprobe: Int,
       qId: String, qEmb: String): (DataFrame, DataFrame) = {
     // the query frame feeds BOTH returned frames (and, in the indexed
-    // tier, a probed-cells collect) — checkpoint it once so a caller's
-    // non-trivial query lineage doesn't re-execute per consumer; the
-    // frame is broadcast-sized by the tier's contract
-    val queries = queries0.localCheckpoint(true)
+    // tier, a probed-cells collect) — cache it so a caller's
+    // non-trivial query lineage doesn't re-execute per consumer. A
+    // LAZY persist, not localCheckpoint: an eager checkpoint would run
+    // a Spark job even if the caller never executes the result, and
+    // checkpointed partitions live in non-replicated executor storage,
+    // so one executor loss would fail the whole query instead of
+    // recomputing lineage. The frame is broadcast-sized by the tier's
+    // contract, so the cache entry is small (and LRU-evictable —
+    // recompute is always possible).
+    val queries = queries0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = queries.sparkSession
     val m = codebooks.length
     val sub = codebooks(0)(0).length
@@ -1034,6 +1041,63 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Mark `ids` DELETED in a persisted IVF-PQ index — the curation
+    * primitive: a dropped vector must stop surfacing as a neighbor
+    * immediately, without rewriting the cell partitions. Appends the
+    * ids to `dir/tombstones` (one slim long column); indexed serving
+    * ([[ivfPqTopKIndexed]]) anti-joins them out of the probed code
+    * scan (broadcast — deletes-sized, not index-sized), and
+    * [[vacuumIvfPqIndex]] folds them into a physical rewrite.
+    * Deleting an unindexed id is a harmless no-op. */
+  def deleteFromIvfPqIndex(ids: DataFrame, dir: String,
+      cId: String = "vec_id"): Unit =
+    ids.select(col(cId).cast("long").as(cId)).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def ivfPqTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cId: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString)
+        .select(col(cId).cast("long").as(cId)).distinct())
+    else None
+  }
+
+  private def minusTombstones(df: DataFrame, tomb: Option[DataFrame],
+      cId: String): DataFrame =
+    tomb.fold(df) { t =>
+      df.join(broadcast(t.withColumnRenamed(cId, "__tomb_id")),
+        df(cId).cast("long") === col("__tomb_id"), "left_anti")
+    }
+
+  /** Fold accumulated tombstones into a PHYSICAL rewrite of
+    * `dir/cells` (the only id-carrying layout — centroids and
+    * codebooks are trainer state, untouched), preserving the
+    * partition-by-cell serving layout; tombstones clear LAST, so a
+    * crash mid-vacuum leaves them in place and a re-run completes the
+    * job. Swap is write-temp + rename, never a read-and-overwrite of
+    * the live directory. Run with the append writer paused. */
+  def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cId: String = "vec_id"): Unit = {
+    val tomb = ivfPqTombstones(spark, dir, cId)
+    if (tomb.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.cells.compact")
+    val fs = live.getFileSystem(conf)
+    fs.delete(tmp, true)
+    minusTombstones(spark.read.parquet(live.toString), tomb, cId)
+      .write.partitionBy("cell").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"vacuumIvfPqIndex: rename $tmp -> $live failed")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    tombPath.getFileSystem(conf).delete(tombPath, true)
+    ()
+  }
+
   /** The residual codebooks back from a persisted index
     * (m · ksub rows — trainer state, driver-held by design). */
   def readIvfPqCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -1067,8 +1131,13 @@ object SimilarityOps {
       nprobe, qId, qEmb)
     val probedCells = probed.select("__cell").distinct().collect()
       .map(_.getInt(0)) // bounded: ≤ nlist values
-    val cc = spark.read.parquet(s"$indexDir/cells")
-      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+    // tombstoned ids (deleteFromIvfPqIndex) leave the scan logically —
+    // a deleted vector must not reach the ADC shortlist, exactly as
+    // if vacuumed; the anti-join rides the partition-pruned code scan
+    val cc = minusTombstones(
+        spark.read.parquet(s"$indexDir/cells")
+          .filter(col("cell").isin(probedCells.map(c => c: Any): _*)),
+        ivfPqTombstones(spark, indexDir, cId), cId)
       .select(col(cId), col("pq_codes").as("__codes"),
         col("recon_normsq").as("__cnormsq"), col("cell").as("__cell"))
     ivfPqScore(probed, qlut, cc, k, rerankFactor, Some(corpus), qId,

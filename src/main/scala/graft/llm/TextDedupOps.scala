@@ -402,12 +402,106 @@ object TextDedupOps {
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
     signatures.write.mode(mode).parquet(s"$dir/sigs")
     if (mode != "append")
-      Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
+      Seq((bands, shingleN, k, LshIndexFormat))
+        .toDF("bands", "shingle_n", "k", "format")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     else if (k > 0 && readLshMeta(spark, dir)._3 == 0)
       // empty-initialized index learns its k from the first real rows
-      Seq((bands, shingleN, k)).toDF("bands", "shingle_n", "k")
+      Seq((bands, shingleN, k, LshIndexFormat))
+        .toDF("bands", "shingle_n", "k", "format")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persisted-LSH-index layout version. 2 = the r15+ layout (bands
+    * PARTITIONED BY band, ids stored as long) plus the r16 tombstone
+    * contract; a meta without the column reads as 1 (the unpartitioned
+    * caller-typed-id layout) and every append/read fails with a
+    * rebuild message rather than misreading the old triple. */
+  val LshIndexFormat = 2
+
+  /** Mark `ids` DELETED in a persisted LSH index — the curation-loop
+    * primitive: a dropped document must stop matching as a near-dup
+    * immediately, without rewriting a 100 TB index. Appends the ids to
+    * `dir/tombstones` (one slim long column); every indexed read
+    * ([[lshIncrementalIndexed]], [[lshIndexOrphans]]) anti-joins the
+    * tombstones before use, and [[vacuumLshIndex]] folds them into a
+    * physical rewrite when enough accumulate. Deleting an id that was
+    * never indexed is a harmless no-op (the anti-join misses). */
+  def deleteFromLshIndex(ids: DataFrame, dir: String,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1) // deletes are metadata-sized next to the index
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def lshTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString)
+        .select(col(idCol).cast("long").as(idCol)).distinct())
+    else None
+  }
+
+  /** Anti-join `df` against the index's tombstones on `idCol` (cast
+    * to long on both sides — the stored layout's id type). Broadcast:
+    * a tombstone set is deletes-sized, not index-sized. */
+  private def minusTombstones(df: DataFrame,
+      tomb: Option[DataFrame], idCol: String): DataFrame =
+    tomb.fold(df) { t =>
+      df.join(broadcast(t.withColumnRenamed(idCol, "__tomb_id")),
+        df(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    }
+
+  /** Fold accumulated tombstones into a PHYSICAL rewrite — the
+    * compaction half of the delete contract: rewrite `dir/bands`
+    * (restoring the init-time range layout) and `dir/sigs` without
+    * the deleted ids, then drop the tombstone set. Commit order is
+    * crash-safe by the same reasoning as [[writeLshIndex]]'s: bands
+    * swap FIRST (a crash then leaves deleted ids sigs-only — invisible
+    * to banding, which is the goal — with tombstones still present,
+    * so re-running the vacuum completes the job); tombstones clear
+    * LAST. Each layout swaps via write-temp + rename, never a
+    * read-and-overwrite of a live directory. No-op without
+    * tombstones. Run with the append writer paused (vacuum and append
+    * racing would lose the appended rows in the swap). */
+  def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): Unit = {
+    val tomb = lshTombstones(spark, dir, idCol)
+    if (tomb.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$sub.compact")
+      val fs = live.getFileSystem(conf)
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"vacuumLshIndex: rename $tmp -> $live failed")
+    }
+    val exBands = spark.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band_hash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType))))
+      .parquet(s"$dir/bands")
+    swapIn("bands") { tmp =>
+      minusTombstones(exBands, tomb, idCol)
+        .repartitionByRange(col("band"), col("band_hash"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.partitionBy("band").parquet(tmp)
+    }
+    val exSigs = spark.read.parquet(s"$dir/sigs")
+    swapIn("sigs") { tmp =>
+      minusTombstones(exSigs, tomb, idCol).write.parquet(tmp)
+    }
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    tombPath.getFileSystem(conf).delete(tombPath, true)
+    ()
   }
 
   /** Post-crash index reconciliation: (ids only in bands, ids only in
@@ -421,9 +515,15 @@ object TextDedupOps {
   def lshIndexOrphans(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String = "doc_id"): (Long, Long, Long) = {
     val (bands, _, _) = readLshMeta(spark, dir)
-    val sigIds = spark.read.parquet(s"$dir/sigs")
+    // tombstoned ids are LOGICALLY deleted — a crashed vacuum (bands
+    // swapped, sigs not yet) must not read as sig-orphans; the ids
+    // are gone either way
+    val tomb = lshTombstones(spark, dir, idCol)
+    val sigIds = minusTombstones(
+        spark.read.parquet(s"$dir/sigs"), tomb, idCol)
       .select(col(idCol).cast("long").as(idCol)).distinct()
-    val bandAgg = spark.read.parquet(s"$dir/bands")
+    val bandAgg = minusTombstones(
+        spark.read.parquet(s"$dir/bands"), tomb, idCol)
       .groupBy(col(idCol).cast("long").as(idCol))
       .agg(count(lit(1)).as("__n"))
     val bandsOnly = bandAgg.join(sigIds, Seq(idCol), "left_anti").count()
@@ -434,8 +534,19 @@ object TextDedupOps {
 
   private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta")
-      .select("bands", "shingle_n", "k").collect()(0)
+    val df = spark.read.parquet(s"$dir/meta")
+    // layout/format guard, mirroring the bands/shingleN/k mismatch
+    // guard: a meta WITHOUT the format column was written by the
+    // pre-r15 layout (unpartitioned band triple, caller-typed ids) —
+    // the partitioned long-id reader would misread or fail on it, so
+    // reject with the remedy instead of guessing
+    val fmt = if (df.columns.contains("format"))
+      df.select("format").collect()(0).getInt(0) else 1
+    require(fmt == LshIndexFormat,
+      s"LSH index at $dir has layout format $fmt; this build reads " +
+        s"format $LshIndexFormat (bands partitioned by band, long ids, " +
+        "tombstone deletes) — rebuild the index with writeLshIndex")
+    val r = df.select("bands", "shingle_n", "k").collect()(0)
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
@@ -467,7 +578,12 @@ object TextDedupOps {
       .select((col(idCol).cast("long") * 2 + 1).as(idCol),
         col("signature"))
       .localCheckpoint(true) // batch-sized; consumed 3× (see above)
-    val exSigs = spark.read.parquet(s"$indexDir/sigs")
+    // tombstoned ids (deleteFromLshIndex) leave both layouts logically
+    // BEFORE the fold — a deleted doc must neither band-match nor
+    // est-jaccard-join, exactly as if vacuumed
+    val tomb = lshTombstones(spark, indexDir, idCol)
+    val exSigs = minusTombstones(
+        spark.read.parquet(s"$indexDir/sigs"), tomb, idCol)
       .select((col(idCol).cast("long") * 2).as(idCol), col("signature"))
     // explicit schema: a band-partitioned EMPTY index (fresh init) has
     // no data files to infer from, and the partition column must read
@@ -481,11 +597,13 @@ object TextDedupOps {
           org.apache.spark.sql.types.StructField("band",
             org.apache.spark.sql.types.IntegerType))))
       .parquet(s"$indexDir/bands")
+    val exBandsLive = minusTombstones(exBands, tomb, idCol)
       .select((col(idCol).cast("long") * 2).as(idCol),
         col("band"), col("band_hash"))
     val nwBands = bandFrame(nwSigs, idCol, bands)
-    val pairs = asymPairsFromBands(exBands.unionByName(nwBands), nwBands,
-      exSigs.unionByName(nwSigs), idCol, threshold, maxBucketSize)
+    val pairs = asymPairsFromBands(exBandsLive.unionByName(nwBands),
+      nwBands, exSigs.unionByName(nwSigs), idCol, threshold,
+      maxBucketSize)
     val survivors = incrementalSurvivors(newBatch, pairs, idCol)
     val survivorSigs = nwSigs
       .select(shiftright(col(idCol), 1).as(idCol), col("signature"))

@@ -1203,6 +1203,57 @@ object IoQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // DELETE support for the persisted IVF-PQ index
+    // (deleteFromIvfPqIndex / vacuumIvfPqIndex): vectors dropped by a
+    // curation loop must stop surfacing as neighbors while survivors
+    // keep their ranks. Same covering configuration as
+    // ivfpq_index_topk (nprobe = nlist, shortlist ⊇ corpus, so the
+    // brute-force oracle applies verbatim); vec_id % 10 == 7 is
+    // deleted (SF-invariant), the query runs once against TOMBSTONES
+    // and once after VACUUM, and the gate requires the two result
+    // sets identical in-gate — tombstone-filtering ≡ compaction. The
+    // oracle excludes the deleted ids from the brute-force ranking.
+    QueryDef("ivfpq_index_delete",
+      (s, d) => {
+        import graft.llm.SimilarityOps
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cents = SimilarityOps.trainIvfCentroids(
+          emb, "vec_id", "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        val dir = s"$scratch/ivfpq_index_del"
+        SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+        SimilarityOps.deleteFromIvfPqIndex(
+          emb.filter(col("vec_id") % 10 === 7).select("vec_id"), dir)
+        def run() = SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 3,
+            nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+        val viaTombstones = run().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        SimilarityOps.vacuumIvfPqIndex(s, dir)
+        val afterVacuum = run()
+        val av = afterVacuum.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        require(av == viaTombstones,
+          s"vacuum changed neighbors: ${av.diff(viaTombstones)} / " +
+            s"${viaTombstones.diff(av)}")
+        afterVacuum
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c
+             |  WHERE vec_id != q_id AND vec_id % 10 != 7)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Z-ordered (Morton-curve) layout — MULTI-column data skipping,
     // the dimension the single-column sorted layout above cannot
     // cover: interleaving the high bits of user_id and event_id tiles

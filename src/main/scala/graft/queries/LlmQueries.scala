@@ -394,6 +394,68 @@ object LlmQueries extends QueryModule {
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
 
+    // DELETE support for the persisted LSH index (deleteFromLshIndex /
+    // vacuumLshIndex) — the curation-loop primitive: documents dropped
+    // from the corpus must stop matching as near-dups while survivors
+    // keep their clusters. Same synthetic corpus as the indexed gate:
+    // the index holds docs 0..249, then docs 0..19 are DELETED; the
+    // batch carries clones of 0..19 (+10000 — twins now dead, so they
+    // must SURVIVE) and clones of 20..39 (+20000 — twins live, so they
+    // must die). The incremental runs once against TOMBSTONES and once
+    // after VACUUM (physical rewrite); the gate requires the two
+    // survivor sets identical in-gate, pinning tombstone-filtering ≡
+    // compaction. The oracle states survivorship against the post-
+    // delete corpus closed-form.
+    QueryDef("near_dup_index_delete",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .withColumn("text", mk)
+        val existing = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(20, 39))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-lshdel-${ProcessHandle.current().pid()}").toString
+        TextDedupOps.writeLshIndex(
+          TextDedupOps.minHashSignatures(existing, "doc_id", "text",
+            shingleN = 3, k = 32),
+          dir, "doc_id", bands = 8)
+        import s.implicits._
+        TextDedupOps.deleteFromLshIndex(
+          s.range(20).select(col("id").as("doc_id")), dir)
+        def run() = TextDedupOps.lshIncrementalIndexed(batch, dir,
+          "doc_id", "text", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.99)._1.select("doc_id")
+        val viaTombstones = run().collect().map(_.getLong(0)).toSet
+        TextDedupOps.vacuumLshIndex(s, dir)
+        val afterVacuum = run()
+        val av = afterVacuum.collect().map(_.getLong(0)).toSet
+        require(av == viaTombstones,
+          s"vacuum changed survivors: tombstones=$viaTombstones " +
+            s"vacuumed=$av")
+        afterVacuum
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents),
+              |old AS (SELECT text FROM corpus
+              |  WHERE doc_id BETWEEN 20 AND 249),
+              |newb AS (
+              |  SELECT doc_id + 10000 AS doc_id, text
+              |  FROM corpus WHERE doc_id < 20
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 20 AND 39)
+              |SELECT b.doc_id FROM newb b
+              |WHERE NOT EXISTS (SELECT 1 FROM old o
+              |                  WHERE o.text = b.text)""".stripMargin)),
+
     // Source-PRIORITY exact dedup (TextDedupOps.exactDedupBy): when
     // identical content arrives from several sources, keep the
     // highest-priority copy, not the lowest id — clones of docs 0-49

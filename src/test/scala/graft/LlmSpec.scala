@@ -1119,6 +1119,88 @@ class LlmSpec extends SparkSpec {
     assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
   }
 
+  test("LSH index deletes: tombstones filter reads and reconciliation, " +
+      "vacuum rewrites physically, a crashed vacuum re-runs to done") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lsh-del-${ProcessHandle.current().pid()}").toString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"t${i % 5} u${(i * 3) % 7} v${(i * 5) % 11} w$i x y z a b"))
+      .toDF("doc_id", "text")
+    TextDedupOps.writeLshIndex(
+      TextDedupOps.minHashSignatures(docs, "doc_id", "text", 3, 32),
+      dir, "doc_id", bands = 8)
+    // delete 0..9: tombstoned, not yet compacted
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(10).select(col("id").as("doc_id")), dir)
+    // a batch cloning doc 3's text must SURVIVE (its twin is deleted);
+    // one cloning doc 15's must die
+    val batch = docs.filter(col("doc_id").isin(3, 15))
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val (surv, _) = TextDedupOps.lshIncrementalIndexed(batch, dir,
+      "doc_id", "text", threshold = 0.99)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1003L), "tombstoned twin must not match")
+    // reconciliation sees the logical state: still clean
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // physical rows still present pre-vacuum, gone after
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") < 10).count() === 10)
+    TextDedupOps.vacuumLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") < 10).count() === 0)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") < 10).count() === 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // band-partitioned layout survives the rewrite
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(bandDirs === (0 until 8).map(b => s"band=$b").toSet)
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // post-vacuum ingest sees the same survivor verdicts
+    val (surv2, _) = TextDedupOps.lshIncrementalIndexed(
+      batch.select((col("doc_id") + 1000).as("doc_id"), col("text")),
+      dir, "doc_id", "text", threshold = 0.99)
+    assert(surv2.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(2003L))
+    // CRASHED vacuum (bands swapped, sigs not, tombstones intact):
+    // orphan report stays clean (tombstones subtract the sigs-only
+    // rows) and re-running the vacuum completes the job
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(10, 15).select(col("id").as("doc_id")), dir)
+    val exBands = spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") >= 15)
+      .select("doc_id", "band_hash", "band").cache()
+    exBands.count()
+    val bandsDir = new java.io.File(s"$dir/bands")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(bandsDir)
+    exBands.write.partitionBy("band").parquet(s"$dir/bands")
+    exBands.unpersist()
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)),
+      "mid-vacuum state must not report orphans")
+    TextDedupOps.vacuumLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") < 15).count() === 0)
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // FORMAT guard: a pre-r15 meta (no format column) is rejected
+    // with the rebuild remedy, never misread
+    val legacyDir = dir + "-legacy"
+    TextDedupOps.writeLshIndex(
+      TextDedupOps.minHashSignatures(docs, "doc_id", "text", 3, 32),
+      legacyDir, "doc_id", bands = 8)
+    Seq((8, 3, 32)).toDF("bands", "shingle_n", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacyDir/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextDedupOps.lshIncrementalIndexed(batch, legacyDir,
+        "doc_id", "text", threshold = 0.99)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("removeDuplicateSpans: shared span removed from both docs, " +
       "unique context kept, spans merge, short docs untouched") {
     import spark.implicits._

@@ -254,6 +254,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index deletes: tombstoned ids leave the shortlist, " +
+    "vacuum rewrites cells physically and preserves the layout") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-del-${ProcessHandle.current().pid()}").toString
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+    // baseline neighbors, full probe + covering re-rank = exact
+    def run() = SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 5,
+        nprobe = 4, rerankFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val before = run()
+    // delete every current neighbor — none may resurface
+    val victims = before.map(_._2).distinct
+    SimilarityOps.deleteFromIvfPqIndex(
+      victims.toDF("vec_id"), dir)
+    val after = run()
+    assert(after.map(_._2).toSet.intersect(victims.toSet).isEmpty,
+      s"deleted ids still served: $after")
+    assert(after.map(_._1).distinct.size === 3,
+      "every query must still get neighbors from the survivors")
+    // vacuum: physical removal, same answers, layout intact
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(victims: _*)).count() > 0)
+    SimilarityOps.vacuumIvfPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id").isin(victims: _*)).count() === 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(run() === after, "vacuum changed the served neighbors")
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")))
+    // idempotent: vacuum with no tombstones is a no-op
+    SimilarityOps.vacuumIvfPqIndex(spark, dir)
+    assert(run() === after)
+  }
+
   test("64-bit residual codes out-rank 32-bit raw codes on the bench " +
     "fixture (the r14 recall lift, asserted as a floor)") {
     // the bench recall witness's upgraded configuration: m=8 ksub=256
