@@ -36,8 +36,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scratch (shuffle files, RocksDB state-store working dirs) pins
+    // to tmpfs when present — the disk-weather fix's second half (the
+    // first is the witness checkpoint base below): with checkpoints on
+    // tmpfs but spark.local.dir on /tmp, a background fsync load still
+    // inflated the RocksDB join witness 160-195 s (its SST/WAL writes
+    // ride the local dir) while the HDFS provider sat at 4.7-6.3 s.
+    // Bench working sets are MBs at sf0.1 — tmpfs is safe; a real
+    // cluster sizes local dirs deliberately, which is exactly why the
+    // bench must not measure this host's disk instead of the engine.
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm,
+          s"graft-bench-local-${ProcessHandle.current().pid()}")
+        d.mkdirs(); d.toString
+      } else sys.props("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -392,6 +410,61 @@ object Bench {
       * decimal-exact, so micro-batch partial-aggregation order cannot
       * move it: any nonzero diff is a real streaming-semantics bug and
       * reports as -1. */
+    // Per-run decomposition of the stream-join witnesses (r15 verdict
+    // task #4: two same-host chains measured 4-6 s vs 15-18 s with
+    // reps AGREEING — something fixed-cost or I/O-mode-dependent, not
+    // rep noise): wall = query start → processAllAvailable returns;
+    // batch_sum = Σ per-trigger triggerExecution from the progress
+    // log; overhead = wall − batch_sum (stream startup, source
+    // listing, final no-data trigger). state_commit = Σ per-trigger
+    // stateOperators commit times — the disk-placement-sensitive
+    // slice (checkpoint state commits under java.io.tmpdir, which is
+    // DISK-backed here; CPU loadavg cannot see disk weather). The
+    // pair is printed per rep and shipped in the bench JSON so a
+    // divergent official run can be attributed without a re-run.
+    // Witness CHECKPOINTS pin to tmpfs (/dev/shm) when present — the
+    // r15 verdict's 3× stream-join mode, reproduced here under an
+    // fsync disk load on /tmp (CPU loadavg ~4): HDFS-provider walls
+    // inflate 2-3× plus ~10 s of post-stop checkpoint cleanup, and
+    // RocksDB goes 113-164 s — the witness was measuring the VM's
+    // DISK WEATHER, which CPU loadavg cannot see. These witnesses
+    // exist to compare the ENGINE round over round; production state
+    // durability lives on a distributed store with its own SLO. State
+    // size here is MBs (bounded by watermark), so tmpfs is safe; the
+    // per-batch/state_commit decomposition still records the commit
+    // cost honestly. Falls back to java.io.tmpdir when no tmpfs.
+    val ckptBase = {
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite)
+        new java.io.File(shm,
+          s"graft-bench-ckpt-${ProcessHandle.current().pid()}")
+      else new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-ckpt-${ProcessHandle.current().pid()}")
+      base.mkdirs()
+      base.toString
+    }
+    val streamDecomp =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    def recordStreamDecomp(name: String, tag: String, t0: Long,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      import scala.jdk.CollectionConverters._
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq
+      def r2(x: Double) = math.rint(x * 100) / 100
+      val batches = prog.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .fold(0.0)(_.toDouble / 1000))
+      val commit = prog.flatMap(_.stateOperators.toSeq)
+        .map(o => o.allUpdatesTimeMs + o.commitTimeMs).sum / 1000.0
+      val batchSum = batches.sum
+      val entry = s"""{"wall":${r2(wall)},"batch_sum":${r2(batchSum)},""" +
+        s""""overhead":${r2(wall - batchSum)},""" +
+        s""""state_commit":${r2(commit)},""" +
+        s""""batches":[${batches.map(r2).mkString(",")}]}"""
+      streamDecomp(s"${name}_$tag") = entry
+      System.err.println(s"[bench] decomp ${name}_$tag: $entry")
+    }
+
     def streamResampleWitness(tag: String): Double = {
       import org.apache.spark.sql.functions._
       import graft.queries.Q
@@ -407,6 +480,7 @@ object Bench {
         .select(col("window.start").as("bucket"), col("cnt"), col("sum_value"))
       val t0 = System.nanoTime()
       val q = agg.writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", s"$ckptBase/resample_$tag")
         .queryName("graft_stream_resample_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -462,6 +536,7 @@ object Bench {
         .dropDuplicatesWithinWatermark("event_id")
       val t0 = System.nanoTime()
       val q = dedup.writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", s"$ckptBase/dedup_$tag")
         .queryName("graft_stream_dedup_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -514,6 +589,7 @@ object Bench {
           col("session_window.end").as("e"), col("n"), col("sum_value"))
       val t0 = System.nanoTime()
       val q = sess.writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", s"$ckptBase/session_$tag")
         .queryName("graft_stream_session_" + tag).start()
       try { q.processAllAvailable() } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -593,8 +669,11 @@ object Bench {
         side(even = false, src()).withWatermark("rts", "1 hour"))
       val t0 = System.nanoTime()
       val q = sj.writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", s"$ckptBase/join_$tag")
         .queryName("graft_stream_join_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordStreamDecomp("stream_join_interval", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.table("graft_stream_join_" + tag)
       val batchSrc = spark.read.parquet(staged)
@@ -657,8 +736,11 @@ object Bench {
         .select(col("user_id"), col("lid"), col("rid"))
       val t0 = System.nanoTime()
       val q = sj.writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", s"$ckptBase/ojoin_$tag")
         .queryName("graft_stream_ojoin_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordStreamDecomp("stream_join_left_outer", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.table("graft_stream_ojoin_" + tag)
       val batchSrc = spark.read.parquet(staged)
@@ -728,6 +810,7 @@ object Bench {
         .option("maxFilesPerTrigger", 2).parquet(staged)
       val t0 = System.nanoTime()
       val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckptBase/ingest_$tag")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val existing =
             if (fs.exists(new org.apache.hadoop.fs.Path(corpus)))
@@ -847,6 +930,7 @@ object Bench {
       var statePath: Option[String] = None
       val t0 = System.nanoTime()
       val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckptBase/cdc_$tag")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val prev = statePath.map(spark.read.parquet(_)).getOrElse(target)
           val next = s"$root/state_$batchId"
@@ -910,6 +994,7 @@ object Bench {
         index, "doc_id", bands = 8)
       val t0 = System.nanoTime()
       val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckptBase/neardup_$tag")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val bt0 = System.nanoTime()
           val (surv, survSigs) = TextDedupOps.lshIncrementalIndexed(
@@ -979,7 +1064,27 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val loadStart = loadAvg()
+    // Pre-run HOST GUARD (r15 verdict task #5: the official run
+    // recorded 11.19 s at loadavg 13.46 and `noisy` did not trip
+    // because BOTH reps were equally loaded — the run must gate
+    // ITSELF, not just its rep spread): when the 1-minute load
+    // already exceeds ~2× cores/8 before any timing starts, wait
+    // once for the transient to drain and re-sample; a still-busy
+    // host proceeds (the driver needs a number) but the JSON carries
+    // host_busy=true so the series marks the contaminated point even
+    // when rep splits cannot see it.
+    val busyThreshold = math.max(2.0,
+      Runtime.getRuntime.availableProcessors() / 4.0)
+    val loadFirst = loadAvg()
+    val loadStart =
+      if (loadFirst > busyThreshold) {
+        System.err.println(f"[bench] loadavg $loadFirst%.2f > " +
+          f"$busyThreshold%.1f before start — sleeping 60s for the " +
+          "transient to drain")
+        Thread.sleep(60000)
+        loadAvg()
+      } else loadFirst
+    val hostBusyAtStart = loadStart > busyThreshold
 
     // NOTE: DistScan.releaseCaches() is deliberately NOT called between
     // warmup and measurement — Spark's CacheManager matches persisted
@@ -1325,9 +1430,59 @@ object Bench {
         .delete(p, true); ()
     }
 
+    // tmpfs checkpoint litter is RAM — always clean it up (the
+    // spark.local.dir tree under /dev/shm is cleaned after
+    // spark.stop() below; Spark holds it until shutdown)
+    locally {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(ckptBase))
+    }
     val loadEnd = loadAvg()
     val at = attemptTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"attempts":$at,"sf":"$sfDir"}""")
+    // Previous-run comparison (r15 verdict task #5's second half):
+    // a >1.5× total jump joins the load guard in host_busy — the flag
+    // that says "read this point with suspicion", distinct from
+    // `noisy` (intra-run rep spread, which equal load on both reps
+    // cannot trip). The series is SELF-OWNED (BENCH_HISTORY.jsonl in
+    // the working directory, appended only by official-shape runs —
+    // default reps, no stress filter): the driver's BENCH_r*.json
+    // files left-truncate the output line, so the prior total is not
+    // recoverable from them. Same-sf entries only.
+    val historyFile = new java.io.File("BENCH_HISTORY.jsonl")
+    val officialShape = stressFilter.isEmpty && reps == 3
+    val prevTotal: Option[Double] = try {
+      if (!historyFile.exists()) None
+      else scala.io.Source.fromFile(historyFile).getLines().toSeq
+        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .lastOption
+        .flatMap(l => "\"total\":([0-9.]+)".r.findFirstMatchIn(l)
+          .map(_.group(1).toDouble))
+    } catch { case _: Throwable => None }
+    if (officialShape) try {
+      val w = new java.io.FileWriter(historyFile, true)
+      try w.write(s"""{"epoch_ms":${System.currentTimeMillis()},""" +
+        s""""total":$total,"noisy":$noisy,"sf":"$sfDir"}\n""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    val vsPrev = prevTotal.filter(_ > 0).map(p => total / p)
+    val hostBusy = hostBusyAtStart || loadEnd > busyThreshold ||
+      vsPrev.exists(_ > 1.5)
+    val vsPrevJson = vsPrev.map(r => (math.rint(r * 100) / 100).toString)
+      .getOrElse("null")
+    val decompJson = streamDecomp
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}""")
     spark.stop()
+    if (localDir.startsWith("/dev/shm")) {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(localDir))
+    }
   }
 }

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * [[resizeImages]] run actual codecs inside the batched mapPartitions
   * path. AUDIO decode/decimate are REAL too (JDK `javax.sound.sampled`
   * — the WAV/PCM container codec ships with the JRE):
-  * [[decodeAudioMeta]] and [[decimateAudio]]. Only VIDEO kernels remain
-  * STUBBED with a deterministic fake (no video codec exists in the JRE
-  * or this container), but everything Spark-side is real throughout:
+  * [[decodeAudioMeta]] and [[decimateAudio]]. VIDEO container parsing
+  * is REAL too (ISO-BMFF/MP4 box walking, sample tables, MJPEG frame
+  * decode via ImageIO); only non-MJPEG PIXEL decode remains honestly
+  * stubbed (no inter-frame video codec exists in the JRE or this
+  * container — see [[decodeVideoFrames]]'s status column). Everything
+  * Spark-side is real throughout:
   * the schema convention, the batched mapPartitions shape (the Scala
   * analog of mapInPandas: one iterator per partition, amortized
   * per-batch setup), and the partitioning story (payloads never shuffle

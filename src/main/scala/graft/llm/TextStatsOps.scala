@@ -457,10 +457,23 @@ object TextStatsOps {
     * shared demo convention; byte markers Ġ/ĉ/Ċ included), multi-char
     * symbols look up `vocabIds` (miss → NULL, matching the column
     * tier's element_at). Zero shuffle; the table is an executor-side
-    * broadcast HashMap, plan size O(1) in the table. */
+    * broadcast HashMap, plan size O(1) in the table.
+    *
+    * `byteFallback = true` switches single-code-point pricing to the
+    * 256-byte BASE-ALPHABET mode production byte-level vocabs use
+    * (every token decomposes to base bytes — no unk is possible):
+    * a single-cp symbol looks up `vocabIds` first; on a miss, a
+    * byte-MARKER cp (256+b, the Ġ/ĉ/Ċ convention) emits its real
+    * byte id b, a 1-byte cp emits its byte value, and a multi-byte
+    * cp (emoji, CJK outside the table) EXPANDS to one row per UTF-8
+    * byte with token `<0xNN>` and id NN — the SentencePiece
+    * byte-fallback shape; sym_idx re-indexes over the expanded rows.
+    * Multi-char symbols still price from `vocabIds` (a miss is table
+    * drift and stays NULL — honest, never guessed). */
   def bpeEncodeRanked(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)],
-      vocabIds: Map[String, Int], byteLevel: Boolean = true)
+      vocabIds: Map[String, Int], byteLevel: Boolean = true,
+      byteFallback: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -470,6 +483,7 @@ object TextStatsOps {
     val bVids = spark.sparkContext.broadcast(vids)
     val re = Gpt2PretokenRe
     val bl = byteLevel
+    val bf = byteFallback
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -488,14 +502,38 @@ object TextStatsOps {
                 text.split("\\s+").filter(_.nonEmpty).toIndexedSeq: _*)
             toks.iterator.zipWithIndex.flatMap { case (tok0, ti) =>
               val tok = if (bl) byteMarkStr(tok0) else tok0
-              bpeMergeRanked(splitCodePoints(tok), rk)
-                .iterator.zipWithIndex.map { case (s, si) =>
+              val syms = bpeMergeRanked(splitCodePoints(tok), rk)
+              val rows: Iterator[(String, Option[Int])] =
+                if (!bf) syms.iterator.map { s =>
                   val tid =
                     if (s.codePointCount(0, s.length) == 1)
                       Integer.valueOf(s.codePointAt(0))
                     else vv.get(s)
-                  (id, ti, si, s, Option(tid).map(_.intValue))
+                  (s, Option(tid).map(_.intValue))
                 }
+                else syms.iterator.flatMap { s =>
+                  if (s.codePointCount(0, s.length) > 1)
+                    Iterator((s, Option(vv.get(s)).map(_.intValue)))
+                  else {
+                    val v = vv.get(s)
+                    val cp = s.codePointAt(0)
+                    if (v != null) Iterator((s, Some(v.intValue)))
+                    else if (cp >= 256 && cp < 512)
+                      // byte-marker cp encodes ORIGINAL byte cp−256
+                      Iterator((s, Some(cp - 256)))
+                    else {
+                      val bs = s.getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8)
+                      if (bs.length == 1)
+                        Iterator((s, Some(bs(0) & 0xff)))
+                      else bs.iterator.map(b =>
+                        (f"<0x${b & 0xff}%02X>", Some(b & 0xff)))
+                    }
+                  }
+                }
+              rows.zipWithIndex.map { case ((s, tid), si) =>
+                (id, ti, si, s, tid)
+              }
             }
           }
         }

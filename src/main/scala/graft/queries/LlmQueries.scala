@@ -1512,6 +1512,45 @@ object LlmQueries extends QueryModule {
           .stripMargin,
         plantedValues = None))),
 
+    // BYTE-FALLBACK id mode (bpeEncodeRanked byteFallback = true) —
+    // the production byte-level vocab convention where every token
+    // decomposes to the 256-byte base alphabet and no unk is possible:
+    // single-cp symbols price from the vocab; on a miss a byte-marker
+    // cp (256+b) emits its real byte id, a 1-byte cp its byte value,
+    // and a multi-byte cp (here an OUTSIDE-VOCAB emoji) expands to one
+    // row per UTF-8 byte as <0xNN>. Planted 3-string corpus, every
+    // encoding hand-derived:
+    //   hi😀  → [hi(502)] + 😀 → <0xF0>240 <0x9F>159 <0x98>152 <0x80>128
+    //   hi x  → [hi(502)] + [Ġ(32 — marker 288−256), x(120)]
+    //   ii    → [i(501), i(501)]  (no (i,i) merge rule)
+    // A raw-codepoint fallback (the demo convention) would emit
+    // 128512 for the emoji and 288 for Ġ and hash-fail.
+    QueryDef("bpe_byte_fallback", {
+      val merges = Seq(("h", "i"))
+      val vocab = Map("hi" -> 502, "h" -> 500, "i" -> 501)
+      val wl = Seq("hi😀", "hi x", "ii")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          element_at(wlit, pmod(col("doc_id"), lit(3)).cast("int") + 1)
+            .as("text"))
+        TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text", merges,
+          vocab, byteLevel = true, byteFallback = true)
+      }
+    },
+      Some("""WITH seg AS (SELECT i, ti, si, tok, tid FROM (VALUES
+             |    (0, 0, 0, 'hi', 502),
+             |    (0, 1, 0, '<0xF0>', 240), (0, 1, 1, '<0x9F>', 159),
+             |    (0, 1, 2, '<0x98>', 152), (0, 1, 3, '<0x80>', 128),
+             |    (1, 0, 0, 'hi', 502),
+             |    (1, 1, 0, chr(288), 32), (1, 1, 1, 'x', 120),
+             |    (2, 0, 0, 'i', 501), (2, 0, 1, 'i', 501))
+             |    t(i, ti, si, tok, tid))
+             |SELECT d.doc_id, CAST(s.ti AS INTEGER) AS tok_idx,
+             |  CAST(s.si AS INTEGER) AS sym_idx, s.tok AS token,
+             |  CAST(s.tid AS INTEGER) AS token_id
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
+
     // PRODUCTION-SIZE merge table (r14 verdict task #1's "done" bar):
     // the ranked encoder carries a 33 024-entry table — the 24 demo
     // rules plus 33 000 synthetic single-codepoint CJK pads
@@ -2872,6 +2911,72 @@ object LlmQueries extends QueryModule {
              |JOIN c1 ON c1.i = d.doc_id % 4
              |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
              |WHERE d.doc_id < 500""".stripMargin)),
+
+    // STORAGE-COMPOSED unigram encode (r15 verdict task #6): the
+    // round-trips writeUnigramVocab/readUnigramVocab are spec-pinned,
+    // but the hole the tables-as-artifacts work exists for is
+    // train → WRITE → READ-from-lake → ENCODE — a drifted score, a
+    // lost piece row, or a mis-recorded maxTokenLen between the two
+    // halves silently changes every downstream token count. Same
+    // corpus, config, and closed-form oracle as unigram_train_encode,
+    // but the vocabulary crosses parquet and the encode runs the
+    // broadcast-HashMap KERNEL with the READ-BACK maxTokenLen.
+    QueryDef("unigram_table_encode", {
+      val wl1 = Seq("banana", "bandana", "cabana", "nacho")
+      val wl2 = Seq("anna", "cab", "nan")
+      (s, d) => {
+        val w1 = typedLit(wl1); val w2 = typedLit(wl2)
+        val docs = T.documents(s, d).filter(col("doc_id") < 500)
+          .select(col("doc_id"), concat_ws(" ",
+            element_at(w1, pmod(col("doc_id"), lit(4)).cast("int") + 1),
+            element_at(w2, pmod(col("doc_id") + 1, lit(3)).cast("int") + 1))
+            .as("text"))
+        val trained = TextStatsOps.trainUnigramLm(docs, "text",
+          vocabSize = 14, rounds = 2, maxTokenLen = 4, minCount = 2,
+          unkCharMicro = -20000000L)
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-uvtab-${ProcessHandle.current().pid()}").toString
+        TextStatsOps.writeUnigramVocab(s, dir, trained, maxTokenLen = 4)
+        val (vocab, mtl) = TextStatsOps.readUnigramVocab(s, dir)
+        TextStatsOps.unigramEncodeDocsKernel(docs, "doc_id", "text",
+            vocab, unkCharMicro = -20000000L, maxTokenLen = mtl)
+          .select("doc_id", "n_tokens")
+      }
+    },
+      Some("""WITH c1 AS (SELECT i, c FROM (VALUES
+             |    (0, 3), (1, 2), (2, 2), (3, 2)) t(i, c)),
+             |c2 AS (SELECT j, c FROM (VALUES
+             |    (0, 1), (1, 1), (2, 1)) t(j, c))
+             |SELECT d.doc_id, CAST(c1.c + c2.c AS BIGINT) AS n_tokens
+             |FROM documents d
+             |JOIN c1 ON c1.i = d.doc_id % 4
+             |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
+             |WHERE d.doc_id < 500""".stripMargin)),
+
+    // STORAGE-COMPOSED BPE encode — the merge-table twin: the DEMO
+    // table (whose encodings have the full independent recursive-CTE
+    // fixpoint oracle) crosses parquet via writeBpeMerges/readBpeMerges
+    // and the ranked kernel encodes the real documents table from the
+    // READ-BACK rules and a vocab derived from them — a swapped rank,
+    // a truncated rule, or an order-unstable read changes encodings
+    // and hash-fails against the from-spec oracle. (The TRAINED-table
+    // round-trip is spec-pinned in TokenizerKernelSpec; the demo table
+    // is what keeps this gate's oracle independent.)
+    QueryDef("bpe_table_encode",
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-bpetab-${ProcessHandle.current().pid()}").toString
+        TextStatsOps.writeBpeMerges(s, dir, TextStatsOps.BpeDemoMerges)
+        val merges = TextStatsOps.readBpeMerges(s, dir)
+        TextStatsOps.bpeEncodeRanked(
+          T.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", merges, TextStatsOps.bpeVocab(merges))
+      },
+      Some(bpeByteFixpointOracle(
+        vocabRows = TextStatsOps.bpeVocab().toSeq.sortBy(_._2)
+          .map { case (tok, tid) => s"('$tok', $tid)" }.mkString(",\n    "),
+        corpusSql = "SELECT doc_id, text FROM documents",
+        plantedValues = None))),
 
     // SOFT-EM unigram training (em = "soft" — the r14 verdict stretch
     // task): the E-step uses forward-backward EXPECTED counts

@@ -445,6 +445,8 @@ class PlanAuditSpec extends SparkSpec {
                                // codebook frames over the corpus scan
       "ivfpq_index_topk",      // persisted IVFADC: same probe shape over
                                // the cell-pruned codes scan
+      "ivfpq_index_delete",    // r16 delete gate: the identical probe
+                               // shape over the tombstone-filtered scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one
