@@ -522,8 +522,19 @@ object TextDedupOps {
     val sigIds = minusTombstones(
         spark.read.parquet(s"$dir/sigs"), tomb, idCol)
       .select(col(idCol).cast("long").as(idCol)).distinct()
+    // schema-pinned like lshIncrementalIndexed's read: a vacuum that
+    // deleted every row leaves dir/bands with no data files to infer
+    // from, and reconciliation of an emptied index must still work
     val bandAgg = minusTombstones(
-        spark.read.parquet(s"$dir/bands"), tomb, idCol)
+        spark.read.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band_hash",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType))))
+          .parquet(s"$dir/bands"), tomb, idCol)
       .groupBy(col(idCol).cast("long").as(idCol))
       .agg(count(lit(1)).as("__n"))
     val bandsOnly = bandAgg.join(sigIds, Seq(idCol), "left_anti").count()

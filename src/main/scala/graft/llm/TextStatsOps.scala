@@ -1670,7 +1670,18 @@ object TextStatsOps {
     * [[unigramTokenCount]]/[[unigramTokenCountDoc]] consume. Fully
     * deterministic for a fixed corpus (exact integer counts, total
     * orders everywhere), so a fixed training slice yields a
-    * bit-identical vocabulary at every data scale. */
+    * bit-identical vocabulary at every data scale.
+    *
+    * SPACE-FREE (CJK/Thai) corpora: `\s+`-splitting leaves each
+    * document as one "word", so the word-type reduction degenerates —
+    * `wordCounts` holds one row per DISTINCT DOCUMENT (corpus-sized,
+    * and localCheckpoint(true) pins it to executor storage) and each
+    * E-step re-segments the corpus. Correctness is unaffected (the
+    * backpointer Viterbi is linear per word; gate
+    * unigram_train_nospace pins a hand-derived run), but at crawl
+    * scale train on a bounded SLICE of such a corpus — the
+    * SentencePiece convention (--input_sentence_size) — rather than
+    * the whole table. */
   def trainUnigramLm(corpus: org.apache.spark.sql.DataFrame,
       textCol: String, vocabSize: Int, rounds: Int = 2,
       maxTokenLen: Int = 8, minCount: Long = 2,

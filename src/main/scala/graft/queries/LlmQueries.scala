@@ -2953,6 +2953,59 @@ object LlmQueries extends QueryModule {
              |JOIN c2 ON c2.j = (d.doc_id + 1) % 3
              |WHERE d.doc_id < 500""".stripMargin)),
 
+    // SPACE-FREE unigram TRAINING (the trainer half of the r15 CJK
+    // weak; unigram_encode_nospace covers inference): trainUnigramLm
+    // on a whitespace-free corpus, where `\s+`-splitting leaves each
+    // document as ONE word — the word-type reduction degenerates to
+    // per-document rows and every E-step rides the backpointer
+    // Viterbi's linear path. Training corpus is SF-INVARIANT
+    // (s.range(300), 100 copies of each planted string) so the
+    // trained vocabulary is a constant; the full 2-round hard-EM is
+    // hand-derived. Seed counts (weighted substring occurrences,
+    // total 5400) → round-1 Viterbi: A → [日本語]×3 (3·ln(300/5400)
+    // = −8.67e6 beats (日本+語)×3 at −15.8e6), B → [学生]×2, and C →
+    // [日本, 学生日, 本学生] (−9.664e6 — beats the "obvious"
+    // [日本, 学生]×2 at −9.964e6 and [日本学, 生日本, 学生] at
+    // −9.888e6: overlapping-window pieces win, the honest Viterbi
+    // subtlety). Round-2 repeats those segmentations under the
+    // re-scored 805-total vocab, so final counts are 日本語 300,
+    // 学生 200, and a three-way 100 tie (日本, 学生日, 本学生)
+    // resolved by the piece-ascending tie-break to 学生日 (the one
+    // multi slot left at cap 8 − 5 chars). Final encodes:
+    //   日本語日本語日本語 → [日本語]×3          (3 tokens, 9 chars)
+    //   学生学生        → [学生]×2            (2 tokens, 4 chars)
+    //   日本学生日本学生 → [日,本,学生日,本,学生] (5 tokens, 8 chars
+    //     — 日本 lost the final prune, so chars at ln(1/605) carry it)
+    // The oracle states (n_words=1, n_chars, n_tokens, recon)
+    // closed-form — a trainer that degrades on space-free text, a
+    // drifted tie-break, or a segmentation regression hash-fails.
+    QueryDef("unigram_train_nospace", {
+      val wl = Seq("日本語日本語日本語", "学生学生", "日本学生日本学生")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val train = s.range(300).select(
+          element_at(wlit, pmod(col("id"), lit(3)).cast("int") + 1)
+            .as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(train, "text",
+          vocabSize = 8, rounds = 2, maxTokenLen = 3, minCount = 2,
+          unkCharMicro = -20000000L)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          element_at(wlit, pmod(col("doc_id"), lit(3)).cast("int") + 1)
+            .as("text"))
+        TextStatsOps.unigramEncodeDocsKernel(docs, "doc_id", "text",
+            vocab, unkCharMicro = -20000000L, maxTokenLen = 3)
+          .select("doc_id", "n_words", "n_chars", "n_tokens", "recon")
+      }
+    },
+      Some("""WITH seg AS (SELECT i, nt, nc, txt FROM (VALUES
+             |    (0, 3, 9, '日本語日本語日本語'),
+             |    (1, 2, 4, '学生学生'),
+             |    (2, 5, 8, '日本学生日本学生')) t(i, nt, nc, txt))
+             |SELECT d.doc_id, CAST(1 AS BIGINT) AS n_words,
+             |  CAST(s.nc AS BIGINT) AS n_chars,
+             |  CAST(s.nt AS BIGINT) AS n_tokens, s.txt AS recon
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
+
     // STORAGE-COMPOSED BPE encode — the merge-table twin: the DEMO
     // table (whose encodings have the full independent recursive-CTE
     // fixpoint oracle) crosses parquet via writeBpeMerges/readBpeMerges

@@ -1186,6 +1186,18 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sigs")
       .filter(col("doc_id") < 15).count() === 0)
     assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // vacuum to EMPTY: deleting every id must leave a reconcilable,
+    // ingestable index (the bands dir has no data files after the
+    // rewrite — every reader pins the schema explicitly)
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(100).select(col("id").as("doc_id")), dir)
+    TextDedupOps.vacuumLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/sigs").count() === 0)
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    val (survEmpty, _) = TextDedupOps.lshIncrementalIndexed(
+      docs.filter(col("doc_id") < 5), dir, "doc_id", "text",
+      threshold = 0.99)
+    assert(survEmpty.count() === 5, "empty index: all batch docs survive")
     // FORMAT guard: a pre-r15 meta (no format column) is rejected
     // with the rebuild remedy, never misread
     val legacyDir = dir + "-legacy"
