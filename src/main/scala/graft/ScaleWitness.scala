@@ -135,6 +135,25 @@ object ScaleWitness {
       }
       last
     }
+    // r16: the DELETE + VACUUM maintenance loop — init the full
+    // index, tombstone 10% of ids, fold them in with a physical
+    // rewrite, then serve one ingest batch against the compacted
+    // index. Every phase is O(index) at worst (the vacuum is a full
+    // rewrite by design), so the ratio must stay ~linear in rows.
+    def dedupDeleteVacuum(docs: DataFrame): DataFrame = {
+      val dir = freshDir("lshdel"); cleanup += dir
+      val d = docs.select("doc_id", "text")
+      TextDedupOps.writeLshIndex(
+        TextDedupOps.minHashSignatures(d, "doc_id", "text", 3, 32),
+        dir, "doc_id", bands = 8)
+      TextDedupOps.deleteFromLshIndex(
+        d.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
+        dir)
+      TextDedupOps.vacuumLshIndex(spark, dir)
+      TextDedupOps.lshIncrementalIndexed(
+        d.filter(pmod(col("doc_id"), lit(4)) === 0), dir,
+        "doc_id", "text", threshold = 0.8, maxBucketSize = 64)._1
+    }
     def ivfPqIndexStage(emb: DataFrame): DataFrame = {
       import graft.llm.SimilarityOps
       val dir = freshDir("ivfpq"); cleanup += dir
@@ -159,7 +178,8 @@ object ScaleWitness {
       "dedup_capped_lsh_cc" -> (dedup _),
       "curation_gopher_paradedup" -> (curation _),
       "classifier_train_2step" -> (classifier _),
-      "dedup_incremental_indexed" -> (dedupIndexed _))
+      "dedup_incremental_indexed" -> (dedupIndexed _),
+      "dedup_delete_vacuum" -> (dedupDeleteVacuum _))
     // factor× embeddings: copy k shifts vec_id by k·n and perturbs
     // every component with deterministic hash noise (identical copies
     // would degenerate the top-k; cost is unaffected either way)

@@ -1078,7 +1078,9 @@ object SimilarityOps {
     * partition-by-cell serving layout; tombstones clear LAST, so a
     * crash mid-vacuum leaves them in place and a re-run completes the
     * job. Swap is write-temp + rename, never a read-and-overwrite of
-    * the live directory. Run with the append writer paused. */
+    * the live directory (atomic on HDFS-like filesystems; an S3-style
+    * object store copies on rename — vacuum there behind a committer
+    * or a table format). Run with the append writer paused. */
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, cId: String = "vec_id"): Unit = {
     val tomb = ivfPqTombstones(spark, dir, cId)

@@ -462,9 +462,11 @@ object TextDedupOps {
     * to banding, which is the goal — with tombstones still present,
     * so re-running the vacuum completes the job); tombstones clear
     * LAST. Each layout swaps via write-temp + rename, never a
-    * read-and-overwrite of a live directory. No-op without
-    * tombstones. Run with the append writer paused (vacuum and append
-    * racing would lose the appended rows in the swap). */
+    * read-and-overwrite of a live directory (rename is atomic on
+    * HDFS-like filesystems; on S3-style object stores it is a copy —
+    * run vacuums there behind a committer or a table format). No-op
+    * without tombstones. Run with the append writer paused (vacuum
+    * and append racing would lose the appended rows in the swap). */
   def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String = "doc_id"): Unit = {
     val tomb = lshTombstones(spark, dir, idCol)

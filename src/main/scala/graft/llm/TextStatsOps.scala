@@ -462,12 +462,14 @@ object TextStatsOps {
     * `byteFallback = true` switches single-code-point pricing to the
     * 256-byte BASE-ALPHABET mode production byte-level vocabs use
     * (every token decomposes to base bytes — no unk is possible):
-    * a single-cp symbol looks up `vocabIds` first; on a miss, a
-    * byte-MARKER cp (256+b, the Ġ/ĉ/Ċ convention) emits its real
-    * byte id b, a 1-byte cp emits its byte value, and a multi-byte
-    * cp (emoji, CJK outside the table) EXPANDS to one row per UTF-8
-    * byte with token `<0xNN>` and id NN — the SentencePiece
-    * byte-fallback shape; sym_idx re-indexes over the expanded rows.
+    * a single-cp symbol looks up `vocabIds` first; on a miss, one of
+    * the SIX whitespace-marker cps byteMarkStr introduces (Ġ/ĉ/Ċ/ċ/
+    * Č/č = 256+b) emits its original byte id b — other [256, 512)
+    * code points are genuine text (Latin Extended) and fall through —
+    * a 1-byte cp emits its byte value, and a multi-byte cp (emoji,
+    * CJK outside the table) EXPANDS to one row per UTF-8 byte with
+    * token `<0xNN>` and id NN — the SentencePiece byte-fallback
+    * shape; sym_idx re-indexes over the expanded rows.
     * Multi-char symbols still price from `vocabIds` (a miss is table
     * drift and stays NULL — honest, never guessed). */
   def bpeEncodeRanked(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -517,10 +519,16 @@ object TextStatsOps {
                   else {
                     val v = vv.get(s)
                     val cp = s.codePointAt(0)
+                    // ONLY the six whitespace markers byteMarkStr
+                    // introduces unmark to their original byte —
+                    // genuine text code points in [256, 512) (Latin
+                    // Extended etc.) must fall through to their real
+                    // UTF-8 bytes
+                    val marker = cp == 'Ġ'.toInt || cp == 'ĉ'.toInt ||
+                      cp == 'Ċ'.toInt || cp == 'ċ'.toInt ||
+                      cp == 'Č'.toInt || cp == 'č'.toInt
                     if (v != null) Iterator((s, Some(v.intValue)))
-                    else if (cp >= 256 && cp < 512)
-                      // byte-marker cp encodes ORIGINAL byte cp−256
-                      Iterator((s, Some(cp - 256)))
+                    else if (marker) Iterator((s, Some(cp - 256)))
                     else {
                       val bs = s.getBytes(
                         java.nio.charset.StandardCharsets.UTF_8)

@@ -1523,16 +1523,20 @@ object LlmQueries extends QueryModule {
     //   hi😀  → [hi(502)] + 😀 → <0xF0>240 <0x9F>159 <0x98>152 <0x80>128
     //   hi x  → [hi(502)] + [Ġ(32 — marker 288−256), x(120)]
     //   ii    → [i(501), i(501)]  (no (i,i) merge rule)
+    //   āi    → ā (U+0101 — Latin Extended, INSIDE [256,512) but NOT
+    //            a marker: must fall through to its real UTF-8 bytes
+    //            <0xC4>196 <0x81>129, never unmark to byte 1) + i(501)
     // A raw-codepoint fallback (the demo convention) would emit
-    // 128512 for the emoji and 288 for Ġ and hash-fail.
+    // 128512 for the emoji and 288 for Ġ and hash-fail; a blanket
+    // [256,512)→cp−256 "unmark" would emit 1 for ā and hash-fail.
     QueryDef("bpe_byte_fallback", {
       val merges = Seq(("h", "i"))
       val vocab = Map("hi" -> 502, "h" -> 500, "i" -> 501)
-      val wl = Seq("hi😀", "hi x", "ii")
+      val wl = Seq("hi😀", "hi x", "ii", "āi")
       (s, d) => {
         val wlit = typedLit(wl)
         val docs = T.documents(s, d).select(col("doc_id"),
-          element_at(wlit, pmod(col("doc_id"), lit(3)).cast("int") + 1)
+          element_at(wlit, pmod(col("doc_id"), lit(4)).cast("int") + 1)
             .as("text"))
         TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text", merges,
           vocab, byteLevel = true, byteFallback = true)
@@ -1544,12 +1548,14 @@ object LlmQueries extends QueryModule {
              |    (0, 1, 2, '<0x98>', 152), (0, 1, 3, '<0x80>', 128),
              |    (1, 0, 0, 'hi', 502),
              |    (1, 1, 0, chr(288), 32), (1, 1, 1, 'x', 120),
-             |    (2, 0, 0, 'i', 501), (2, 0, 1, 'i', 501))
+             |    (2, 0, 0, 'i', 501), (2, 0, 1, 'i', 501),
+             |    (3, 0, 0, '<0xC4>', 196), (3, 0, 1, '<0x81>', 129),
+             |    (3, 0, 2, 'i', 501))
              |    t(i, ti, si, tok, tid))
              |SELECT d.doc_id, CAST(s.ti AS INTEGER) AS tok_idx,
              |  CAST(s.si AS INTEGER) AS sym_idx, s.tok AS token,
              |  CAST(s.tid AS INTEGER) AS token_id
-             |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 4""".stripMargin)),
 
     // PRODUCTION-SIZE merge table (r14 verdict task #1's "done" bar):
     // the ranked encoder carries a 33 024-entry table — the 24 demo
