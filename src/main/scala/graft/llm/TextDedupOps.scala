@@ -426,7 +426,10 @@ object TextDedupOps {
     * ([[lshIncrementalIndexed]], [[lshIndexOrphans]]) anti-joins the
     * tombstones before use, and [[vacuumLshIndex]] folds them into a
     * physical rewrite when enough accumulate. Deleting an id that was
-    * never indexed is a harmless no-op (the anti-join misses). */
+    * never indexed is a harmless no-op (the anti-join misses). The
+    * tombstone set rides reads as a BROADCAST — vacuum before it
+    * outgrows broadcast size (a rough bar: vacuum once deletes exceed
+    * a few percent of the index, which also reclaims the scan). */
   def deleteFromLshIndex(ids: DataFrame, dir: String,
       idCol: String = "doc_id"): Unit =
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
