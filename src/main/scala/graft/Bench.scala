@@ -482,7 +482,9 @@ object Bench {
       val q = agg.writeStream.outputMode("complete").format("memory")
         .option("checkpointLocation", s"$ckptBase/resample_$tag")
         .queryName("graft_stream_resample_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordStreamDecomp("stream_resample_5min", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.table("graft_stream_resample_" + tag)
       val batch = queries("resample_5min")(spark, sfDir)
@@ -538,7 +540,9 @@ object Bench {
       val q = dedup.writeStream.outputMode("append").format("memory")
         .option("checkpointLocation", s"$ckptBase/dedup_$tag")
         .queryName("graft_stream_dedup_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordStreamDecomp("stream_dedup_watermark", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val cols = Seq(col("event_id"), col("user_id"), col("value"))
       val streamed = spark.table("graft_stream_dedup_" + tag).select(cols: _*)
@@ -591,7 +595,9 @@ object Bench {
       val q = sess.writeStream.outputMode("append").format("memory")
         .option("checkpointLocation", s"$ckptBase/session_$tag")
         .queryName("graft_stream_session_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordStreamDecomp("stream_session_window", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.table("graft_stream_session_" + tag)
       val batchSrc = spark.read.parquet(staged)
