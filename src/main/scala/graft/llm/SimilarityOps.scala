@@ -881,6 +881,23 @@ object SimilarityOps {
     * queries × nprobe 16 × ~16 KB LUT ≈ 256 MB vs 16 MB; the r14
     * verdict's one residual inefficiency). [[ivfPqScore]] joins the
     * LUT back BY QUERY after the cell join. */
+  /** Bounded registrar for [[ivfPqProbe]]'s query-frame caches: a
+    * long-lived serving session probes thousands of batches, and each
+    * call's lazy persist would otherwise sit in the cache manager
+    * until LRU memory pressure. Keep the most recent few (in-flight
+    * consumers), unpersist the rest — eviction is always SAFE
+    * (non-blocking; a still-running consumer recomputes lineage), so
+    * this is a footprint bound, never a correctness hook. */
+  private val probeCaches = new java.util.ArrayDeque[DataFrame]()
+  private val ProbeCacheKeep = 4
+  private def registerProbeCache(df: DataFrame): Unit =
+    probeCaches.synchronized {
+      probeCaches.addLast(df)
+      while (probeCaches.size > ProbeCacheKeep) {
+        probeCaches.removeFirst().unpersist(false); ()
+      }
+    }
+
   private[graft] def ivfPqProbe(queries0: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nprobe: Int,
@@ -897,6 +914,7 @@ object SimilarityOps {
     // recompute is always possible).
     val queries = queries0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerProbeCache(queries)
     val spark = queries.sparkSession
     val m = codebooks.length
     val sub = codebooks(0)(0).length
@@ -999,7 +1017,11 @@ object SimilarityOps {
     *     cell — NO float vectors: a probe scans only its cells'
     *     directories (partition pruning) and only m-byte codes inside
     *     them; the full-precision embeddings stay wherever the corpus
-    *     lives and join back for the shortlist re-rank only. */
+    *     lives and join back for the shortlist re-rank only;
+    *   - `dir/meta`: (m, ksub, format) — the layout-version guard
+    *     (see [[IvfPqIndexFormat]]). Ids persist as LONG in the cells
+    *     layout, mirroring the LSH index's id contract, so the pinned
+    *     read schema is stable across caller id types. */
   def writeIvfPqIndex(corpus: DataFrame, dir: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], cId: String = "vec_id",
@@ -1015,8 +1037,57 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     pqEncodeResidual(corpus.select(col(cId), col(embCol)), embCol,
         centroids, codebooks, "cell", "pq_codes", "recon_normsq")
-      .select(col(cId), col("pq_codes"), col("recon_normsq"), col("cell"))
+      .select(col(cId).cast("long").as(cId), col("pq_codes"),
+        col("recon_normsq"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    Seq((codebooks.length, codebooks.headOption.fold(0)(_.length),
+        IvfPqIndexFormat))
+      .toDF("m", "ksub", "format").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persisted-IVF-PQ-index layout version, mirroring
+    * [[TextDedupOps.LshIndexFormat]]. 2 = the r17 layout: long ids in
+    * `dir/cells`, a `dir/meta` guard, and the tombstone delete
+    * contract (every indexed read anti-joins `dir/tombstones`). An
+    * index WITHOUT `dir/meta` was written by a pre-r17 build — before
+    * the tombstone contract existed — and reads as format 1: a binary
+    * from that era consuming a tombstoned index would silently serve
+    * deleted vectors, so every read/append/vacuum on this side fails
+    * loudly with a rebuild message instead of guessing. */
+  val IvfPqIndexFormat = 2
+
+  private def checkIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fmt =
+      if (!fs.exists(p)) 1
+      else {
+        val df = spark.read.parquet(p.toString)
+        if (df.columns.contains("format"))
+          df.select("format").collect()(0).getInt(0)
+        else 1
+      }
+    require(fmt == IvfPqIndexFormat,
+      s"IVF-PQ index at $dir has layout format $fmt; this build reads " +
+        s"format $IvfPqIndexFormat (long ids, meta guard, tombstone " +
+        "deletes) — rebuild the index with writeIvfPqIndex")
+  }
+
+  /** The pinned `dir/cells` read schema: schema inference needs data
+    * files, and a vacuum that tombstoned every id legitimately leaves
+    * the cells layout empty — indexed reads and vacuums of an emptied
+    * index must still work (the LSH bands reads pin their schema for
+    * the same case). `cell` is the partition column. */
+  private def ivfPqCellsSchema(cId: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(cId, LongType),
+      StructField("pq_codes", ArrayType(IntegerType)),
+      StructField("recon_normsq", DoubleType),
+      StructField("cell", IntegerType)))
   }
 
   /** INCREMENTAL index maintenance — the growing embedding store:
@@ -1031,13 +1102,15 @@ object SimilarityOps {
   def appendIvfPqIndex(newVectors: DataFrame, dir: String,
       cId: String = "vec_id", embCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
+    checkIvfPqMeta(spark, dir)
     val centroids = readIvfCentroids(spark, dir)
     val codebooks = readIvfPqCodebooks(spark, dir)
     require(centroids.nonEmpty && codebooks.nonEmpty,
       s"appendIvfPqIndex: empty index at $dir")
     pqEncodeResidual(newVectors.select(col(cId), col(embCol)), embCol,
         centroids, codebooks, "cell", "pq_codes", "recon_normsq")
-      .select(col(cId), col("pq_codes"), col("recon_normsq"), col("cell"))
+      .select(col(cId).cast("long").as(cId), col("pq_codes"),
+        col("recon_normsq"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -1077,24 +1150,28 @@ object SimilarityOps {
     * codebooks are trainer state, untouched), preserving the
     * partition-by-cell serving layout; tombstones clear LAST, so a
     * crash mid-vacuum leaves them in place and a re-run completes the
-    * job. Swap is write-temp + rename, never a read-and-overwrite of
-    * the live directory (atomic on HDFS-like filesystems; an S3-style
-    * object store copies on rename — vacuum there behind a committer
-    * or a table format). Run with the append writer paused. */
+    * job. The swap runs through [[IndexSwap]] — renames only, with
+    * crash recovery on vacuum entry — so re-running recovers EVERY
+    * intermediate state, including the window where the old naive
+    * swap left no live directory at all (atomic on HDFS-like
+    * filesystems; an S3-style object store copies on rename — vacuum
+    * there behind a committer or a table format). Run with the append
+    * writer paused. */
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, cId: String = "vec_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexSwap.recover(conf, dir, "cells")
+    checkIvfPqMeta(spark, dir)
     val tomb = ivfPqTombstones(spark, dir, cId)
     if (tomb.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.cells.compact")
-    val fs = live.getFileSystem(conf)
-    fs.delete(tmp, true)
-    minusTombstones(spark.read.parquet(live.toString), tomb, cId)
-      .write.partitionBy("cell").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"vacuumIvfPqIndex: rename $tmp -> $live failed")
+    // schema-pinned: a vacuum that tombstones every remaining id must
+    // itself be re-runnable against the emptied layout it wrote
+    val exCells = spark.read.schema(ivfPqCellsSchema(cId))
+      .parquet(s"$dir/cells")
+    IndexSwap.swapIn(conf, dir, "cells") { tmp =>
+      minusTombstones(exCells, tomb, cId)
+        .write.partitionBy("cell").parquet(tmp)
+    }
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     tombPath.getFileSystem(conf).delete(tombPath, true)
     ()
@@ -1125,6 +1202,7 @@ object SimilarityOps {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1: $rerankFactor")
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val spark = queries.sparkSession
+    checkIvfPqMeta(spark, indexDir)
     val centroids = readIvfCentroids(spark, indexDir)
     val codebooks = readIvfPqCodebooks(spark, indexDir)
     require(centroids.nonEmpty && codebooks.nonEmpty,
@@ -1135,9 +1213,12 @@ object SimilarityOps {
       .map(_.getInt(0)) // bounded: ≤ nlist values
     // tombstoned ids (deleteFromIvfPqIndex) leave the scan logically —
     // a deleted vector must not reach the ADC shortlist, exactly as
-    // if vacuumed; the anti-join rides the partition-pruned code scan
+    // if vacuumed; the anti-join rides the partition-pruned code scan.
+    // Schema pinned: a fully-vacuumed index has no data files to
+    // infer from, and serving against it must return empty, not fail
     val cc = minusTombstones(
-        spark.read.parquet(s"$indexDir/cells")
+        spark.read.schema(ivfPqCellsSchema(cId))
+          .parquet(s"$indexDir/cells")
           .filter(col("cell").isin(probedCells.map(c => c: Any): _*)),
         ivfPqTombstones(spark, indexDir, cId), cId)
       .select(col(cId), col("pq_codes").as("__codes"),

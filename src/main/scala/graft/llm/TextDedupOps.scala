@@ -464,27 +464,24 @@ object TextDedupOps {
     * swap FIRST (a crash then leaves deleted ids sigs-only — invisible
     * to banding, which is the goal — with tombstones still present,
     * so re-running the vacuum completes the job); tombstones clear
-    * LAST. Each layout swaps via write-temp + rename, never a
-    * read-and-overwrite of a live directory (rename is atomic on
-    * HDFS-like filesystems; on S3-style object stores it is a copy —
-    * run vacuums there behind a committer or a table format). No-op
-    * without tombstones. Run with the append writer paused (vacuum
-    * and append racing would lose the appended rows in the swap). */
+    * LAST. Each layout swaps via [[IndexSwap]] — renames only, never a
+    * delete of the live directory before its replacement is in place —
+    * and vacuum entry first RECOVERS any swap a previous run crashed
+    * in, so re-running the vacuum completes the job from EVERY
+    * intermediate state (rename is atomic on HDFS-like filesystems;
+    * on S3-style object stores it is a copy — run vacuums there behind
+    * a committer or a table format). No-op without tombstones. Run
+    * with the append writer paused (vacuum and append racing would
+    * lose the appended rows in the swap). */
   def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String = "doc_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexSwap.recover(conf, dir, "bands")
+    IndexSwap.recover(conf, dir, "sigs")
     val tomb = lshTombstones(spark, dir, idCol)
     if (tomb.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$sub.compact")
-      val fs = live.getFileSystem(conf)
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(live, true)
-      require(fs.rename(tmp, live),
-        s"vacuumLshIndex: rename $tmp -> $live failed")
-    }
+    def swapIn(sub: String)(write: String => Unit): Unit =
+      IndexSwap.swapIn(conf, dir, sub)(write)
     val exBands = spark.read.schema(
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(idCol,

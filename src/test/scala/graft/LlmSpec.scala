@@ -1213,6 +1213,49 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("LSH vacuum crash recovery: the swap window between rename-aside " +
+      "and rename-in leaves NO live layout; a re-run completes the job") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lsh-crash-${ProcessHandle.current().pid()}").toString
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"t${i % 5} u${(i * 3) % 7} v${(i * 5) % 11} w$i x y z a b"))
+      .toDF("doc_id", "text")
+    TextDedupOps.writeLshIndex(
+      TextDedupOps.minHashSignatures(docs, "doc_id", "text", 3, 32),
+      dir, "doc_id", bands = 8)
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(5).select(col("id").as("doc_id")), dir)
+    // reconstruct the worst crash state a vacuum can leave (between the
+    // rename-aside and the rename-in): the COMPLETE compacted layout
+    // sits in `.sigs.compact` and the live sigs directory is GONE
+    val compacted = spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") >= 5).cache()
+    compacted.count()
+    compacted.write.parquet(s"$dir/.sigs.compact")
+    compacted.unpersist()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/sigs"))
+    assert(!new java.io.File(s"$dir/sigs").exists())
+    // the re-run recovers the pending swap, then completes the vacuum
+    TextDedupOps.vacuumLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") < 5).count() === 0)
+    assert(spark.read.parquet(s"$dir/sigs").count() === 25)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // post-recovery ingest serves normally
+    val (surv, _) = TextDedupOps.lshIncrementalIndexed(
+      docs.filter(col("doc_id").isin(2, 20))
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")),
+      dir, "doc_id", "text", threshold = 0.99)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1002L), "vacuumed twin must survive, live twin must die")
+  }
+
   test("removeDuplicateSpans: shared span removed from both docs, " +
       "unique context kept, spans merge, short docs untouched") {
     import spark.implicits._

@@ -296,6 +296,71 @@ class PqSpec extends SparkSpec {
     assert(run() === after)
   }
 
+  test("IVF-PQ vacuum crash recovery, emptied-index serving, and the " +
+    "meta format guard") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-crash-${ProcessHandle.current().pid()}").toString
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(emb, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    SimilarityOps.writeIvfPqIndex(emb, dir, cents, cbs)
+    def run() = SimilarityOps.ivfPqTopKIndexed(queries, dir, emb, 5,
+        nprobe = 4, rerankFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val nAll = emb.count()
+    SimilarityOps.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") < 10).select("vec_id"), dir)
+    val expected = run()
+    // reconstruct the worst crash state a vacuum can leave (between
+    // the rename-aside and the rename-in): the COMPLETE compacted
+    // layout sits in `.cells.compact`, the live cells directory is
+    // GONE, tombstones still present
+    val compacted = spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id") >= 10).cache()
+    compacted.count()
+    compacted.write.partitionBy("cell").parquet(s"$dir/.cells.compact")
+    compacted.unpersist()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/cells"))
+    assert(!new java.io.File(s"$dir/cells").exists())
+    // the re-run recovers the pending swap, then completes the vacuum
+    SimilarityOps.vacuumIvfPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() === nAll - 10)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(run() === expected, "recovered vacuum changed served neighbors")
+    // vacuum to EMPTY: tombstoning every id leaves a cells layout with
+    // no data files — serving and re-vacuuming must both still work
+    // (schema is pinned, never inferred)
+    SimilarityOps.deleteFromIvfPqIndex(emb.select("vec_id"), dir)
+    SimilarityOps.vacuumIvfPqIndex(spark, dir)
+    assert(spark.read.schema("vec_id LONG, pq_codes ARRAY<INT>, " +
+        "recon_normsq DOUBLE, cell INT")
+      .parquet(s"$dir/cells").count() === 0)
+    assert(run().isEmpty, "emptied index must serve zero neighbors")
+    SimilarityOps.vacuumIvfPqIndex(spark, dir) // no-op, must not fail
+    // FORMAT guard: an index without dir/meta is the pre-r17 layout
+    // (no tombstone contract) — read/append/vacuum all reject with the
+    // rebuild remedy instead of silently serving deleted vectors
+    rmrf(new java.io.File(s"$dir/meta"))
+    val e1 = intercept[IllegalArgumentException] { run() }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.appendIvfPqIndex(emb.limit(1), dir)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityOps.vacuumIvfPqIndex(spark, dir)
+    }
+    assert(e3.getMessage.contains("rebuild"), e3.getMessage)
+  }
+
   test("64-bit residual codes out-rank 32-bit raw codes on the bench " +
     "fixture (the r14 recall lift, asserted as a floor)") {
     // the bench recall witness's upgraded configuration: m=8 ksub=256
