@@ -62,18 +62,44 @@ import scala.jdk.CollectionConverters._
   * undetectable from metadata alone; record a content checksum
   * upstream if that writer pattern exists. This (flen, mtime) schema
   * is the r15+ manifest format — [[update]] rejects a manifest
-  * persisted by an older build with an explicit rebuild message. */
+  * persisted by an older build with an explicit rebuild message.
+  *
+  * Every row carries an explicit `format` column ([[ManifestFormat]]).
+  * The flen/mtime presence check alone cannot see SEMANTIC changes to
+  * existing columns: an r15-era manifest has flen/mtime but its INT64
+  * timestamp bounds are still in the WRITER's unit (raw millis for a
+  * TIMESTAMP_MILLIS writer), and carrying those rows forward through
+  * [[update]] would mix millis bounds into a micros-compared manifest
+  * — exactly the silent row-loss hazard the normalization closed.
+  * [[update]] and every pruned read therefore reject a manifest
+  * without the current format, with the rebuild remedy. */
 object Manifest {
 
   /** Truncation cap for string min/max — long URL/text keys would
     * otherwise bloat a metadata-only artifact. */
   val StringStatCap = 64
 
+  /** Manifest layout/semantics version, recorded in every row.
+    * 1 = pre-flen/mtime (no rewrite detection); 2 = flen/mtime but
+    * INT64 timestamp bounds still in the writer's unit; 3 = bounds
+    * micros-normalized from the logical-type annotation, version
+    * recorded explicitly. A manifest WITHOUT the column is 1 or 2 —
+    * indistinguishable from metadata, and 2's raw-MILLIS bounds prune
+    * wrongly under micros comparison — so both reject. */
+  val ManifestFormat = 3
+
   case class ColStats(file: String, column: String, rows: Long,
       nulls: Option[Long], min: Option[Long], max: Option[Long],
       min_d: Option[Double], max_d: Option[Double],
       min_s: Option[String], max_s: Option[String],
-      flen: Long, mtime: Long)
+      flen: Long, mtime: Long, format: Int = ManifestFormat)
+
+  private def checkFormat(manifest: DataFrame, op: String): Unit =
+    require(manifest.columns.contains("format"),
+      s"Manifest.$op: manifest has no format column (written by a " +
+        s"pre-format-$ManifestFormat build — its INT64 timestamp " +
+        "bounds may be in the writer's unit, not micros) — rebuild " +
+        "it with Manifest.build")
 
   private case class FileRef(path: String, flen: Long, mtime: Long)
 
@@ -226,6 +252,15 @@ object Manifest {
     require(Set("flen", "mtime").subsetOf(manifest.columns.toSet),
       "Manifest.update: manifest lacks flen/mtime (written by a " +
         "pre-r15 build) — rebuild it with Manifest.build")
+    checkFormat(manifest, "update")
+    // carried rows must BE the current format, not merely carry the
+    // column — a future bump must not silently mix bound semantics
+    val fmts = manifest.select("format").distinct()
+      .collect().map(_.getInt(0)).toSet // bounded: format versions
+    require(fmts == Set(ManifestFormat),
+      s"Manifest.update: manifest rows carry format(s) $fmts; this " +
+        s"build writes format $ManifestFormat — rebuild with " +
+        "Manifest.build")
     val current = dataFiles(spark, dir)
     require(current.nonEmpty, s"Manifest.update: no part- files under $dir")
     val old = manifest.select("column").distinct()
@@ -463,6 +498,7 @@ object Manifest {
   def prunedReadMulti(spark: SparkSession, manifest: DataFrame,
       preds: Seq[Pred]): DataFrame = {
     require(preds.nonEmpty, "prunedReadMulti: need at least one predicate")
+    checkFormat(manifest, "prunedReadMulti") // metadata-only, no job
     val keep = preds.map(keepSet(manifest, _)).reduce(_ intersect _)
     readKept(spark, manifest, keep.toArray,
       preds.map(residualOf).reduce(_ && _))

@@ -368,6 +368,43 @@ class ManifestSpec extends SparkSpec {
       s"no rebuild hint: ${e.getMessage}")
   }
 
+  test("format guard: an r15-shaped manifest (flen/mtime present, no " +
+    "format column — bounds possibly raw-millis) rejects on update AND " +
+    "pruned reads; mixed formats reject on update") {
+    // flen/mtime present, so the presence guard alone would PASS it —
+    // exactly the carried-forward millis-bounds hazard
+    val r15ish = spark.range(4).select(
+      concat(lit("file:///x/part-"), col("id")).as("file"),
+      lit("k").as("column"), lit(10L).as("rows"),
+      lit(0L).as("nulls"), lit(0L).as("min"), lit(9L).as("max"),
+      lit(null).cast("double").as("min_d"),
+      lit(null).cast("double").as("max_d"),
+      lit(null).cast("string").as("min_s"),
+      lit(null).cast("string").as("max_s"),
+      lit(100L).as("flen"), lit(1L).as("mtime"))
+    val e1 = intercept[IllegalArgumentException] {
+      Manifest.update(spark, dir, r15ish, Seq("k"))
+    }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Manifest.prunedRead(spark, r15ish, "k", 0, 5)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+    // a future-format row mixed in must also reject — bound semantics
+    // may differ per version
+    val mixed = Manifest.build(spark, dir, Seq("k"))
+      .unionByName(Manifest.build(spark, dir, Seq("k"))
+        .limit(1).withColumn("format", lit(99)))
+    val e3 = intercept[IllegalArgumentException] {
+      Manifest.update(spark, dir, mixed, Seq("k"))
+    }
+    assert(e3.getMessage.contains("rebuild"), e3.getMessage)
+    // the current build's own manifest passes both paths
+    val ok = Manifest.build(spark, dir, Seq("k"))
+    assert(ok.columns.contains("format"))
+    assert(Manifest.update(spark, dir, ok, Seq("k")).count() === ok.count())
+  }
+
   test("prunedReadMulti intersects keep-sets and ANDs residuals") {
     val d6 = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-manifest-multi-${ProcessHandle.current().pid()}").toString
