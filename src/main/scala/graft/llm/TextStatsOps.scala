@@ -363,6 +363,45 @@ object TextStatsOps {
     sb.toString
   }
 
+  /** Byte-fallback symbolization (see [[bpeEncodeRanked]]'s marker-
+    * collision note): whitespace marks to the six marker cps exactly
+    * like [[byteMarkStr]], and a GENUINE occurrence of one of those
+    * six cps pre-escapes to its UTF-8 `<0xNN>` byte pieces, so the
+    * marker alphabet stays unambiguous in the symbol stream. */
+  private def byteFallbackSymbols(tok0: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](tok0.length)
+    var i = 0
+    while (i < tok0.length) {
+      val cp = tok0.codePointAt(i)
+      val l = Character.charCount(cp)
+      val isMarkerCp = cp == 'Ġ'.toInt || cp == 'ĉ'.toInt ||
+        cp == 'Ċ'.toInt || cp == 'ċ'.toInt || cp == 'Č'.toInt ||
+        cp == 'č'.toInt
+      if (cp == ' '.toInt) out += "Ġ"
+      else if (cp == '\t'.toInt) out += "ĉ"
+      else if (cp == '\n'.toInt) out += "Ċ"
+      else if (cp == 0x0B) out += "ċ"
+      else if (cp == 0x0C) out += "Č"
+      else if (cp == '\r'.toInt) out += "č"
+      else if (isMarkerCp)
+        tok0.substring(i, i + l)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => out += f"<0x${b & 0xff}%02X>")
+      else out += tok0.substring(i, i + l)
+      i += l
+    }
+    out.toArray
+  }
+
+  /** `<0xNN>` → NN, the byte-piece spelling [[byteFallbackSymbols]]
+    * and the fallback expansion emit; None for any other string. */
+  private def bytePieceId(s: String): Option[Int] =
+    if (s.length == 6 && s.startsWith("<0x") && s.charAt(5) == '>') {
+      val h = Character.digit(s.charAt(3), 16)
+      val l = Character.digit(s.charAt(4), 16)
+      if (h >= 0 && l >= 0) Some(h * 16 + l) else None
+    } else None
+
   /** One word's rank-table BPE fixpoint: find the lowest-rank adjacent
     * pair (hash lookups on "a b" keys — symbols never contain spaces,
     * the same delimiter argument the string-state tier makes), merge
@@ -375,23 +414,18 @@ object TextStatsOps {
     var syms = syms0
     var done = syms.length < 2
     while (!done) {
+      // one pass finds BOTH the winning rank and its first position
+      // (strict < keeps the earliest occurrence of the minimum)
       var best = Int.MaxValue
+      var bi = -1
       var i = 0
       while (i < syms.length - 1) {
         val r = rank.get(syms(i) + " " + syms(i + 1))
-        if (r != null && r.intValue < best) best = r.intValue
+        if (r != null && r.intValue < best) { best = r.intValue; bi = i }
         i += 1
       }
       if (best == Int.MaxValue) done = true
       else {
-        // locate the winning pair's symbols from any occurrence
-        var bi = -1
-        var j = 0
-        while (bi < 0 && j < syms.length - 1) {
-          val r = rank.get(syms(j) + " " + syms(j + 1))
-          if (r != null && r.intValue == best) bi = j
-          j += 1
-        }
         val a = syms(bi); val b = syms(bi + 1)
         val out = new scala.collection.mutable.ArrayBuffer[String](
           syms.length)
@@ -471,7 +505,23 @@ object TextStatsOps {
     * token `<0xNN>` and id NN — the SentencePiece byte-fallback
     * shape; sym_idx re-indexes over the expanded rows.
     * Multi-char symbols still price from `vocabIds` (a miss is table
-    * drift and stays NULL — honest, never guessed). */
+    * drift and stays NULL — honest, never guessed), EXCEPT `<0xNN>`
+    * byte pieces, which price to their byte id when the vocab misses
+    * (they are this mode's own alphabet).
+    *
+    * Marker-collision safety (fallback mode only): the six marker cps
+    * are REAL Latin-Extended letters (č/Č in Czech/Croatian/Slovak,
+    * ĉ in Esperanto, Ġ/ċ/Ċ in Maltese), so "unmark on vocab miss"
+    * alone would price a genuine 'č' as byte 13 (CR) — silent token
+    * corruption for those languages. Fallback symbolization therefore
+    * PRE-ESCAPES genuine occurrences of the six cps to their UTF-8
+    * byte pieces (`<0xC4><0x8D>` for č) BEFORE whitespace marking, so
+    * a marker cp in the symbol stream can only ever mean whitespace.
+    * Cost: a genuine marker letter never joins char-level merges —
+    * the byte-level table convention (such text merges via its byte
+    * pieces, as SentencePiece does). Genuine `<0xNN>` SOURCE text
+    * cannot forge a byte piece: the GPT-2 pretokenizer splits `<`,
+    * digits, and `>` into separate pretokens. */
   def bpeEncodeRanked(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)],
       vocabIds: Map[String, Int], byteLevel: Boolean = true,
@@ -503,8 +553,11 @@ object TextStatsOps {
               } else scala.collection.mutable.ArrayBuffer[String](
                 text.split("\\s+").filter(_.nonEmpty).toIndexedSeq: _*)
             toks.iterator.zipWithIndex.flatMap { case (tok0, ti) =>
-              val tok = if (bl) byteMarkStr(tok0) else tok0
-              val syms = bpeMergeRanked(splitCodePoints(tok), rk)
+              val syms0 =
+                if (bf && bl) byteFallbackSymbols(tok0)
+                else if (bl) splitCodePoints(byteMarkStr(tok0))
+                else splitCodePoints(tok0)
+              val syms = bpeMergeRanked(syms0, rk)
               val rows: Iterator[(String, Option[Int])] =
                 if (!bf) syms.iterator.map { s =>
                   val tid =
@@ -514,8 +567,13 @@ object TextStatsOps {
                   (s, Option(tid).map(_.intValue))
                 }
                 else syms.iterator.flatMap { s =>
-                  if (s.codePointCount(0, s.length) > 1)
-                    Iterator((s, Option(vv.get(s)).map(_.intValue)))
+                  if (s.codePointCount(0, s.length) > 1) {
+                    // pre-escaped byte pieces price to their byte id
+                    // when the vocab misses — they are the fallback
+                    // mode's own alphabet, never table drift
+                    val v = Option(vv.get(s)).map(_.intValue)
+                    Iterator((s, v.orElse(bytePieceId(s))))
+                  }
                   else {
                     val v = vv.get(s)
                     val cp = s.codePointAt(0)
@@ -629,10 +687,13 @@ object TextStatsOps {
   val BpeCheckpointEvery = 16
 
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int, maxTrainRows: Int = 0): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges: $numMerges")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var state = df
+    // maxTrainRows > 0 trains on the deterministic hash-order slice
+    // (see trainingSlice) — the space-free-corpus remedy, shared with
+    // trainUnigramLm
+    var state = trainingSlice(df, textCol, maxTrainRows)
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       .select(concat(lit(" "),
@@ -1550,6 +1611,28 @@ object TextStatsOps {
       .toSeq
   }
 
+  /** Deterministic bounded TRAINING SLICE — SentencePiece's
+    * `--input_sentence_size` convention as a first-class API (the
+    * documented remedy for space-free corpora, where the word-type
+    * reduction degenerates to per-document rows and training cost
+    * tracks corpus size): the `maxTrainRows` rows that sort FIRST by
+    * (xxhash64(text), text). Hash order makes the slice a property of
+    * the row MULTISET — invariant to partitioning, file layout, and
+    * ingestion order, so the same corpus trains the same vocabulary on
+    * any cluster at any scale — and the text tie-break keeps equal-hash
+    * rows deterministic. Plans as a distributed top-N
+    * (TakeOrderedAndProject), then re-parallelizes by text so the
+    * downstream seed aggregation never runs single-partition.
+    * `maxTrainRows <= 0` means no slice. */
+  private def trainingSlice(df: org.apache.spark.sql.DataFrame,
+      textCol: String, maxTrainRows: Int)
+      : org.apache.spark.sql.DataFrame =
+    if (maxTrainRows <= 0) df
+    else df.select(col(textCol))
+      .orderBy(xxhash64(col(textCol)).asc, col(textCol).asc)
+      .limit(maxTrainRows)
+      .repartition(col(textCol))
+
   private def vocabHashMap(vocab: Map[String, Long])
       : java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
@@ -1618,10 +1701,24 @@ object TextStatsOps {
     * row per Viterbi piece, (idCol, word_idx, piece_idx, piece,
     * in_vocab), 0-based positions over the whitespace word stream;
     * in_vocab=false marks unk-char fallbacks (single code points by
-    * construction). Same broadcast-HashMap kernel, zero shuffle. */
+    * construction). Same broadcast-HashMap kernel, zero shuffle.
+    *
+    * `byteFallback = true` is SentencePiece's `--byte_fallback` on the
+    * unigram tier (completing what [[bpeEncodeRanked]]'s fallback mode
+    * started on the BPE side): a Viterbi piece OUTSIDE the vocabulary
+    * — a single code point by construction — expands to one row per
+    * UTF-8 byte with piece `<0xNN>` (uppercase hex, the SentencePiece
+    * byte-token spelling), piece_idx re-indexed over the expanded
+    * rows; in_vocab then reports whether the vocabulary carries that
+    * byte token (a production byte-fallback vocab carries all 256, so
+    * nothing is ever out-of-vocab; a vocab without the byte alphabet
+    * honestly reports false). In-vocab pieces are untouched — the DP
+    * itself is identical (unk chars still price at `unkCharMicro`),
+    * only the emission of unk pieces changes. */
   def unigramEncodeRowsKernel(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, vocab: Map[String, Long],
-      unkCharMicro: Long, maxTokenLen: Int = 8)
+      unkCharMicro: Long, maxTokenLen: Int = 8,
+      byteFallback: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     require(vocab.nonEmpty, "unigramEncodeRowsKernel: empty vocabulary")
     require(maxTokenLen >= 1, "unigramEncodeRowsKernel: maxTokenLen >= 1")
@@ -1630,6 +1727,7 @@ object TextStatsOps {
     val bVocab = spark.sparkContext.broadcast(vocabHashMap(vocab))
     val mtl = maxTokenLen
     val unk = unkCharMicro
+    val bf = byteFallback
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1638,10 +1736,17 @@ object TextStatsOps {
           if (text == null) Iterator.empty
           else text.split("\\s+").iterator.filter(_.nonEmpty)
             .zipWithIndex.flatMap { case (w, wi) =>
-              viterbiSegment(w, vm, unk, mtl).iterator.zipWithIndex
-                .map { case (p, pi) =>
-                  (id, wi, pi, p, vm.containsKey(p))
+              val segs = viterbiSegment(w, vm, unk, mtl)
+              val pieces: Iterator[String] =
+                if (!bf) segs.iterator
+                else segs.iterator.flatMap { p =>
+                  if (vm.containsKey(p)) Iterator(p)
+                  else p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    .iterator.map(b => f"<0x${b & 0xff}%02X>")
                 }
+              pieces.zipWithIndex.map { case (p, pi) =>
+                (id, wi, pi, p, vm.containsKey(p))
+              }
             }
         }
       }
@@ -1687,22 +1792,41 @@ object TextStatsOps {
     * E-step re-segments the corpus. Correctness is unaffected (the
     * backpointer Viterbi is linear per word; gate
     * unigram_train_nospace pins a hand-derived run), but at crawl
-    * scale train on a bounded SLICE of such a corpus — the
-    * SentencePiece convention (--input_sentence_size) — rather than
-    * the whole table. */
+    * scale train on a bounded SLICE of such a corpus — pass
+    * `maxTrainRows` (SentencePiece's --input_sentence_size; see
+    * [[trainingSlice]] — hash-ordered, so the slice and therefore the
+    * vocabulary are partitioning- and scale-invariant properties of
+    * the corpus row multiset) rather than training on the whole
+    * table. */
   def trainUnigramLm(corpus: org.apache.spark.sql.DataFrame,
       textCol: String, vocabSize: Int, rounds: Int = 2,
       maxTokenLen: Int = 8, minCount: Long = 2,
       unkCharMicro: Long = -20000000L,
-      kernelThreshold: Int = 512, em: String = "hard"): Map[String, Long] = {
+      kernelThreshold: Int = 512, em: String = "hard",
+      maxTrainRows: Int = 0, byteFallback: Boolean = false)
+      : Map[String, Long] = {
     require(em == "hard" || em == "soft", s"trainUnigramLm: em=$em")
+    // byteFallback = true is SentencePiece's --byte_fallback at TRAIN
+    // time: the 256 `<0xNN>` byte tokens join the FINAL vocabulary
+    // (counting toward vocabSize, the SentencePiece convention), each
+    // scored at the unk floor — they exist so the encoder's byte
+    // expansion lands on in-vocabulary pieces (zero out-of-vocab rows
+    // end to end), never to outbid a real piece in the DP. They are
+    // appended AFTER the count-based re-scoring (byte tokens carry no
+    // corpus counts — 6-char literals can only even be considered by
+    // the DP at maxTokenLen >= 6, and then still price at the floor).
+    if (byteFallback)
+      require(vocabSize >= 256 + 2,
+        s"trainUnigramLm: byteFallback reserves 256 of vocabSize for " +
+          s"the byte alphabet; need vocabSize >= 258, got $vocabSize")
+    val effVocabSize = if (byteFallback) vocabSize - 256 else vocabSize
     require(vocabSize >= 2, s"trainUnigramLm: vocabSize >= 2: $vocabSize")
     require(rounds >= 1, s"trainUnigramLm: rounds >= 1: $rounds")
     require(maxTokenLen >= 1 && minCount >= 1,
       s"trainUnigramLm: bad maxTokenLen/minCount: $maxTokenLen/$minCount")
     // word types + multiplicities, lineage-truncated: every round's
     // E-step re-reads this frame, not the corpus
-    val wordCounts = corpus
+    val wordCounts = trainingSlice(corpus, textCol, maxTrainRows)
       .select(explode(words(coalesce(col(textCol), lit("")))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
@@ -1789,13 +1913,14 @@ object TextStatsOps {
         (p, counted.getOrElse(p, 0L) max floorOne) }
       val multis = vocabCnts.map(_._1).filter(_.length > 1)
         .flatMap(p => counted.get(p).filter(_ > 0).map(p -> _))
-      val cap = if (r == rounds) vocabSize else 2 * vocabSize
+      val cap = if (r == rounds) effVocabSize else 2 * vocabSize
       val keptMultis = multis.sortBy { case (p, c) => (-c, p) }
         .take(math.max(0, cap - keptChars.length))
       vocabCnts = keptChars ++ keptMultis
       vocab = toScores(vocabCnts)
     }
-    vocab
+    if (!byteFallback) vocab
+    else vocab ++ (0 until 256).map(b => f"<0x$b%02X>" -> unkCharMicro)
   }
 
   // ───── Tokenizer tables as LAKE ARTIFACTS: a production pipeline

@@ -1526,17 +1526,26 @@ object LlmQueries extends QueryModule {
     //   āi    → ā (U+0101 — Latin Extended, INSIDE [256,512) but NOT
     //            a marker: must fall through to its real UTF-8 bytes
     //            <0xC4>196 <0x81>129, never unmark to byte 1) + i(501)
+    //   ča u  → genuine 'č' (U+010D — a REAL Czech letter that is ALSO
+    //            the \r marker cp): pre-escaped to its UTF-8 bytes
+    //            <0xC4>196 <0x8D>141 BEFORE marking (the r17 marker-
+    //            collision fix — "unmark on miss" alone would price it
+    //            as byte 13 = CR, silently corrupting Czech/Croatian/
+    //            Slovak text), then a(97); " u" marks to [Ġ(32), u(117)]
+    //            — a marker cp arising from REAL whitespace still
+    //            unmarks to its byte.
     // A raw-codepoint fallback (the demo convention) would emit
     // 128512 for the emoji and 288 for Ġ and hash-fail; a blanket
-    // [256,512)→cp−256 "unmark" would emit 1 for ā and hash-fail.
+    // [256,512)→cp−256 "unmark" would emit 1 for ā and hash-fail;
+    // an unescaped genuine č would emit 13 and hash-fail.
     QueryDef("bpe_byte_fallback", {
       val merges = Seq(("h", "i"))
       val vocab = Map("hi" -> 502, "h" -> 500, "i" -> 501)
-      val wl = Seq("hi😀", "hi x", "ii", "āi")
+      val wl = Seq("hi😀", "hi x", "ii", "āi", "ča u")
       (s, d) => {
         val wlit = typedLit(wl)
         val docs = T.documents(s, d).select(col("doc_id"),
-          element_at(wlit, pmod(col("doc_id"), lit(4)).cast("int") + 1)
+          element_at(wlit, pmod(col("doc_id"), lit(5)).cast("int") + 1)
             .as("text"))
         TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text", merges,
           vocab, byteLevel = true, byteFallback = true)
@@ -1550,12 +1559,15 @@ object LlmQueries extends QueryModule {
              |    (1, 1, 0, chr(288), 32), (1, 1, 1, 'x', 120),
              |    (2, 0, 0, 'i', 501), (2, 0, 1, 'i', 501),
              |    (3, 0, 0, '<0xC4>', 196), (3, 0, 1, '<0x81>', 129),
-             |    (3, 0, 2, 'i', 501))
+             |    (3, 0, 2, 'i', 501),
+             |    (4, 0, 0, '<0xC4>', 196), (4, 0, 1, '<0x8D>', 141),
+             |    (4, 0, 2, 'a', 97),
+             |    (4, 1, 0, chr(288), 32), (4, 1, 1, 'u', 117))
              |    t(i, ti, si, tok, tid))
              |SELECT d.doc_id, CAST(s.ti AS INTEGER) AS tok_idx,
              |  CAST(s.si AS INTEGER) AS sym_idx, s.tok AS token,
              |  CAST(s.tid AS INTEGER) AS token_id
-             |FROM documents d JOIN seg s ON s.i = d.doc_id % 4""".stripMargin)),
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 5""".stripMargin)),
 
     // PRODUCTION-SIZE merge table (r14 verdict task #1's "done" bar):
     // the ranked encoder carries a 33 024-entry table — the 24 demo
@@ -3012,6 +3024,75 @@ object LlmQueries extends QueryModule {
              |  CAST(s.nt AS BIGINT) AS n_tokens, s.txt AS recon
              |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
 
+    // BOUNDED-SLICE unigram training (trainUnigramLm maxTrainRows —
+    // SentencePiece's --input_sentence_size as a first-class API, the
+    // r16 verdict's space-free-corpus remedy): the corpus is 40 rows
+    // of 8 planted words (doc_id < 40 of the documents table, so the
+    // row MULTISET is identical at every SF while the file layout and
+    // partitioning differ) and training sees only the 24 rows that
+    // sort first by (xxhash64(text), text). The gate's output is the
+    // TRAINED VOCABULARY itself, compared against a frozen expected
+    // table — computed once from the hash-order slice composition
+    // (recorded below) and held constant: any partitioning-, layout-,
+    // or scale-dependence in the slice (or in training downstream of
+    // it) changes the vocabulary and hash-fails at one SF or the
+    // other. Slice composition by (xxhash64 asc): ananas×5, banana×5,
+    // banda×5, dana×5, nana×4 — 24 of 40 rows; bandana, cabana, and
+    // anaban fall outside and contribute NOTHING: 'c' is absent from
+    // the frozen char set, and the frozen multis (ana, ban, da, na,
+    // nas) carry only in-slice mass.
+    QueryDef("unigram_train_slice", {
+      val wl = Seq("banana", "ananas", "bandana", "cabana", "banda",
+        "nana", "anaban", "dana")
+      (s, d) => {
+        import s.implicits._
+        val wlit = typedLit(wl)
+        val corpus = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(element_at(wlit,
+            pmod(col("doc_id"), lit(8)).cast("int") + 1).as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(corpus, "text",
+          vocabSize = 10, rounds = 2, maxTokenLen = 3, minCount = 1,
+          unkCharMicro = -20000000L, maxTrainRows = 24)
+        vocab.toSeq.toDF("piece", "score_micro")
+      }
+    },
+      Some("""SELECT piece, CAST(sm AS BIGINT) AS score_micro
+             |FROM (VALUES
+             |  ('a', -3951244), ('ana', -1312186), ('b', -3951244),
+             |  ('ban', -1648659), ('d', -3951244), ('da', -1648659),
+             |  ('n', -2564949), ('na', -2341806), ('nas', -2341806),
+             |  ('s', -3951244)) t(piece, sm)""".stripMargin)),
+
+    // BOUNDED-SLICE BPE training (bpeTrainMerges maxTrainRows) — the
+    // same 24-of-40 hash-order slice and frozen-expected contract as
+    // unigram_train_slice, on the merge-table trainer: 4 merges
+    // learned from the slice, compared in RANK ORDER (rank is the
+    // tokenizer contract). Rank 0 is hand-checkable from the slice
+    // composition: weighted 'an' adjacency 34 (banana 2·5 + ananas
+    // 2·5 + banda 5 + dana 5 + nana 4) beats 'na' at 33, then the
+    // anana chain follows. A slice that drifted with partitioning or
+    // SF would see bandana/cabana/anaban mass and elect different
+    // pairs — hash-fail.
+    QueryDef("bpe_train_slice", {
+      val wl = Seq("banana", "ananas", "bandana", "cabana", "banda",
+        "nana", "anaban", "dana")
+      (s, d) => {
+        import s.implicits._
+        val wlit = typedLit(wl)
+        val corpus = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(element_at(wlit,
+            pmod(col("doc_id"), lit(8)).cast("int") + 1).as("text"))
+        TextStatsOps.bpeTrainMerges(corpus, "text", numMerges = 4,
+            maxTrainRows = 24)
+          .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "lhs", "rhs")
+      }
+    },
+      Some("""SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs
+             |FROM (VALUES
+             |  (0, 'a', 'n'), (1, 'an', 'a'), (2, 'ana', 'n'),
+             |  (3, 'anan', 'a')) t(rank, lhs, rhs)""".stripMargin)),
+
     // STORAGE-COMPOSED BPE encode — the merge-table twin: the DEMO
     // table (whose encodings have the full independent recursive-CTE
     // fixpoint oracle) crosses parquet via writeBpeMerges/readBpeMerges
@@ -3266,6 +3347,101 @@ object LlmQueries extends QueryModule {
              |  CAST(s.pi AS INTEGER) AS piece_idx, s.piece,
              |  s.iv AS in_vocab
              |FROM documents d JOIN seg s ON s.i = d.doc_id % 7""".stripMargin)),
+
+    // UNIGRAM byte fallback (unigramEncodeRowsKernel byteFallback =
+    // true) — SentencePiece's --byte_fallback on the unigram tier,
+    // completing what bpe_byte_fallback covers on the BPE side: a
+    // Viterbi piece OUTSIDE the vocabulary (a single code point by
+    // construction) expands to one row per UTF-8 byte as <0xNN>,
+    // piece_idx re-indexed; in_vocab reports per BYTE TOKEN whether
+    // the vocab carries it. Planted 3-string corpus, every
+    // segmentation and byte expansion hand-derived (maxTokenLen 2):
+    //   ab😀  → [ab] + 😀 (U+1F600, outside vocab) →
+    //           <0xF0> <0x9F> <0x98> <0x80>, all in_vocab=false;
+    //   ab 汉b → [ab]; word 2 = [汉 (unk), b] with 汉 (U+6C49) →
+    //           <0xE6> <0xB1> <0x89> — <0xE6> IS in this vocab
+    //           (in_vocab=true: a production byte-fallback vocab
+    //           carries all 256 byte tokens) while <0xB1>/<0x89>
+    //           honestly report false;
+    //   aab   → [a, ab] (score −3M + −1M beats a,a,b at −9M) —
+    //           in-vocab pieces are untouched by the mode.
+    QueryDef("unigram_byte_fallback", {
+      val vocab = Map(
+        "ab" -> -1000000L, "a" -> -3000000L, "b" -> -3000000L,
+        "<0xE6>" -> -9000000L)
+      val wl = Seq("ab😀", "ab 汉b", "aab")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val docs = T.documents(s, d).select(col("doc_id"),
+          element_at(wlit, pmod(col("doc_id"), lit(3)).cast("int") + 1)
+            .as("text"))
+        TextStatsOps.unigramEncodeRowsKernel(docs, "doc_id", "text",
+          vocab, unkCharMicro = -20000000L, maxTokenLen = 2,
+          byteFallback = true)
+      }
+    },
+      Some("""WITH seg AS (SELECT i, wi, pi, piece, iv FROM (VALUES
+             |    (0, 0, 0, 'ab', true),
+             |    (0, 0, 1, '<0xF0>', false), (0, 0, 2, '<0x9F>', false),
+             |    (0, 0, 3, '<0x98>', false), (0, 0, 4, '<0x80>', false),
+             |    (1, 0, 0, 'ab', true),
+             |    (1, 1, 0, '<0xE6>', true), (1, 1, 1, '<0xB1>', false),
+             |    (1, 1, 2, '<0x89>', false), (1, 1, 3, 'b', true),
+             |    (2, 0, 0, 'a', true), (2, 0, 1, 'ab', true))
+             |    t(i, wi, pi, piece, iv))
+             |SELECT d.doc_id, CAST(s.wi AS INTEGER) AS word_idx,
+             |  CAST(s.pi AS INTEGER) AS piece_idx, s.piece,
+             |  s.iv AS in_vocab
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
+
+    // Byte-fallback TRAINING (trainUnigramLm byteFallback=true —
+    // SentencePiece's --byte_fallback end to end): the 256 <0xNN>
+    // byte tokens join the FINAL trained vocabulary (counting toward
+    // vocabSize, scored at the unk floor), so encoding with the
+    // trained table has ZERO out-of-vocabulary rows — the no-unk
+    // contract production byte-level vocabs guarantee. Training is
+    // hand-derived (corpus = 100×"abab" + 100×"aba", vocabSize 260 →
+    // 4 non-byte slots, mtl 2, 2 rounds): seeds a400 b300 ab300
+    // ba200 → round-1 Viterbi [ab,ab]/[ab,a] (ba starves to 0 and
+    // drops, b floors at 1) → round-2 repeats → final non-byte vocab
+    // {a, b, ab} + the byte alphabet (259 pieces, asserted in-gate).
+    // Planted encodes: abab → [ab,ab]; aba → [ab,a] (the [a,ba] path
+    // died with ba); "b x😀" → [b] + x(<0x78>) + 😀(4 byte rows) —
+    // EVERY row in_vocab=true, including the expansions.
+    QueryDef("unigram_train_byte_fallback", {
+      val wl = Seq("abab", "aba", "b x😀")
+      (s, d) => {
+        val wlit = typedLit(wl)
+        val train = s.range(200).select(
+          element_at(wlit, pmod(col("id"), lit(2)).cast("int") + 1)
+            .as("text"))
+        val vocab = TextStatsOps.trainUnigramLm(train, "text",
+          vocabSize = 260, rounds = 2, maxTokenLen = 2, minCount = 1,
+          unkCharMicro = -20000000L, byteFallback = true)
+        require(vocab.size == 259 &&
+          vocab.get("<0x00>").contains(-20000000L) &&
+          vocab.contains("ab") && !vocab.contains("ba"),
+          s"byte-fallback vocab drifted: size ${vocab.size}")
+        val docs = T.documents(s, d).select(col("doc_id"),
+          element_at(wlit, pmod(col("doc_id"), lit(3)).cast("int") + 1)
+            .as("text"))
+        TextStatsOps.unigramEncodeRowsKernel(docs, "doc_id", "text",
+          vocab, unkCharMicro = -20000000L, maxTokenLen = 2,
+          byteFallback = true)
+      }
+    },
+      Some("""WITH seg AS (SELECT i, wi, pi, piece FROM (VALUES
+             |    (0, 0, 0, 'ab'), (0, 0, 1, 'ab'),
+             |    (1, 0, 0, 'ab'), (1, 0, 1, 'a'),
+             |    (2, 0, 0, 'b'),
+             |    (2, 1, 0, '<0x78>'), (2, 1, 1, '<0xF0>'),
+             |    (2, 1, 2, '<0x9F>'), (2, 1, 3, '<0x98>'),
+             |    (2, 1, 4, '<0x80>'))
+             |    t(i, wi, pi, piece))
+             |SELECT d.doc_id, CAST(s.wi AS INTEGER) AS word_idx,
+             |  CAST(s.pi AS INTEGER) AS piece_idx, s.piece,
+             |  TRUE AS in_vocab
+             |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
 
     // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
     // marginal relevance: each of the 3 rounds is one corpus scan

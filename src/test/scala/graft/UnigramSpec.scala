@@ -153,4 +153,37 @@ class UnigramSpec extends SparkSpec {
       TextStatsOps.trainUnigramLm(empty, "text", vocabSize = 4)
     }
   }
+
+  test("maxTrainRows slice: partitioning/order-invariant, a property " +
+    "of the row multiset; >= corpus size equals unsliced; bpe twin") {
+    val texts = Seq("banana", "ananas", "bandana", "cabana", "banda",
+      "nana", "anaban", "dana")
+    val rows = (0 until 40).map(i => texts(i % 8))
+    def train(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      TextStatsOps.trainUnigramLm(df, "text", vocabSize = 10,
+        rounds = 2, maxTokenLen = 3, minCount = 1, maxTrainRows = 24)
+    val base = train(rows.toDF("text"))
+    // same multiset, different partitioning and ingestion order
+    assert(train(rows.toDF("text").repartition(7)) === base)
+    assert(train(rows.reverse.toDF("text").repartition(3)) === base)
+    // the slice genuinely excludes rows: training on all 40 differs
+    // (3 of 8 words are outside the 24-row slice)
+    val full = TextStatsOps.trainUnigramLm(rows.toDF("text"), "text",
+      vocabSize = 10, rounds = 2, maxTokenLen = 3, minCount = 1)
+    assert(full !== base)
+    // a bound >= the corpus is exactly the unsliced training
+    assert(TextStatsOps.trainUnigramLm(rows.toDF("text"), "text",
+      vocabSize = 10, rounds = 2, maxTokenLen = 3, minCount = 1,
+      maxTrainRows = 1000) === full)
+    // BPE twin: same invariance contract on the merge trainer
+    def trainBpe(df: org.apache.spark.sql.DataFrame) =
+      TextStatsOps.bpeTrainMerges(df, "text", numMerges = 4,
+        maxTrainRows = 24)
+    val bpeBase = trainBpe(rows.toDF("text"))
+    assert(trainBpe(rows.reverse.toDF("text").repartition(5)) === bpeBase)
+    assert(TextStatsOps.bpeTrainMerges(rows.toDF("text"), "text",
+      numMerges = 4, maxTrainRows = 1000) ===
+      TextStatsOps.bpeTrainMerges(rows.toDF("text"), "text",
+        numMerges = 4))
+  }
 }
