@@ -53,7 +53,7 @@ object Bench {
         d.mkdirs(); d.toString
       } else sys.props("java.io.tmpdir")
     }
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,8 +62,40 @@ object Bench {
       // see Verify.scala: tz-less parquet micros read as UTC instants
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the stream witnesses read their own decomposition out of
+      // recentProgress, which Spark caps (default 100 updates) — a
+      // witness with more triggers would silently undercount batch_sum
+      // and misattribute the gap to overhead
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      // Fork-free local checkpoint filesystem (r17 — the stream-join
+      // session-variable fix; see NioLocalFs's scaladoc + BENCH.md):
+      // stock Hadoop local FS FORKS a process per checkpoint-file
+      // create (chmod) and per atomic rename (readlink), so the
+      // state-commit-heavy witnesses measured the guest's fork+exec
+      // latency (3-4x apart across VM kernels: 19-22 s vs 4-6 s for
+      // identical engine work) instead of the engine. Same pinning
+      // rationale as the tmpfs scratch dirs: a production checkpoint
+      // store (HDFS/S3) never forks per file. Spark's own checkpoint
+      // checksum layer stays at its default.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.NioLocalAfs")
       .config("spark.ui.enabled", "false")
+    // Dev-only bisect knob (the stream-join hunt): semicolon-separated
+    // k=v pairs applied verbatim to the session, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.streaming.checkpoint.fileChecksum
+    // .enabled=false". Official runs leave it unset.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry not k=v: $kv")
+        (kv.substring(0, i), kv.substring(i + 1))
+      }
+    val spark = extraConf
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    if (extraConf.nonEmpty)
+      System.err.println(s"[bench] extra conf: $extraConf")
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
@@ -447,19 +479,47 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, String]()
     def recordStreamDecomp(name: String, tag: String, t0: Long,
         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-      import scala.jdk.CollectionConverters._
       val wall = (System.nanoTime() - t0) / 1e9
       val prog = q.recentProgress.toSeq
       def r2(x: Double) = math.rint(x * 100) / 100
       val batches = prog.map(p =>
         Option(p.durationMs.get("triggerExecution"))
           .fold(0.0)(_.toDouble / 1000))
-      val commit = prog.flatMap(_.stateOperators.toSeq)
-        .map(o => o.allUpdatesTimeMs + o.commitTimeMs).sum / 1000.0
+      val ops = prog.flatMap(_.stateOperators.toSeq)
+      val commit = ops.map(o => o.allUpdatesTimeMs + o.commitTimeMs)
+        .sum / 1000.0
+      // per-session attribution (the stream-join hunt): the state-store
+      // fan-out per trigger — shuffle partitions × stateful operators —
+      // and the final state row count, so a divergent run shows whether
+      // it did MORE state work or the SAME work slower
+      val shufParts = ops.headOption.fold(0)(_.numShufflePartitions.toInt)
+      val stateRows = prog.lastOption
+        .flatMap(_.stateOperators.headOption).fold(0L)(_.numRowsTotal)
       val batchSum = batches.sum
       val entry = s"""{"wall":${r2(wall)},"batch_sum":${r2(batchSum)},""" +
         s""""overhead":${r2(wall - batchSum)},""" +
         s""""state_commit":${r2(commit)},""" +
+        s""""shuffle_parts":$shufParts,"state_rows":$stateRows,""" +
+        s""""batches":[${batches.map(r2).mkString(",")}]}"""
+      streamDecomp(s"${name}_$tag") = entry
+      System.err.println(s"[bench] decomp ${name}_$tag: $entry")
+    }
+    // foreachBatch witnesses have no stateOperators and their cost
+    // lives in the sink lambda (jobs the progress log times as
+    // addBatch) — decompose them as wall vs Σ triggerExecution so the
+    // bench JSON attributes ALL EIGHT witnesses, not just the five
+    // memory-sink ones (r16 verdict task #7)
+    def recordForeachDecomp(name: String, tag: String, t0: Long,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq
+      def r2(x: Double) = math.rint(x * 100) / 100
+      val batches = prog.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .fold(0.0)(_.toDouble / 1000))
+      val batchSum = batches.sum
+      val entry = s"""{"wall":${r2(wall)},"batch_sum":${r2(batchSum)},""" +
+        s""""overhead":${r2(wall - batchSum)},""" +
         s""""batches":[${batches.map(r2).mkString(",")}]}"""
       streamDecomp(s"${name}_$tag") = entry
       System.err.println(s"[bench] decomp ${name}_$tag: $entry")
@@ -828,7 +888,9 @@ object Bench {
             .write.mode("append").parquet(corpus)
         }
         .queryName("graft_stream_ingest_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordForeachDecomp("stream_incremental_ingest", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(corpus)
       // batch twin = THE SAME OPERATOR run once over everything with an
@@ -946,7 +1008,9 @@ object Bench {
           statePath = Some(next)
         }
         .queryName("graft_stream_cdc_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordForeachDecomp("stream_cdc_apply", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(statePath.getOrElse(
         sys.error("stream_cdc_apply: no batch ran")))
@@ -1013,7 +1077,9 @@ object Bench {
           ()
         }
         .queryName("graft_stream_near_" + tag).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable()
+        recordForeachDecomp("stream_near_dup_ingest", tag, t0, q)
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(corpus)
       val all = spark.read.parquet(staged)
@@ -1447,6 +1513,79 @@ object Bench {
       rmrf(new java.io.File(ckptBase))
     }
     val loadEnd = loadAvg()
+    // Session-environment attribution block (the stream-join hunt —
+    // three environments measured 15-25 s where a fourth measured
+    // 4-6 s on the same HEAD, with overhead ≈ 0 and uniformly
+    // inflated task time; loadavg alone cannot attribute that): record
+    // the variables that can differ per session, plus a direct CPU
+    // throughput probe. `cpu_1t` is the seconds one thread needs for a
+    // fixed integer spin; `cpu_scale` is the aggregate speedup when
+    // every vCPU spins at once — on dedicated cores it sits near the
+    // processor count, and a low value is host-level CPU
+    // oversubscription (vCPU steal), which guest loadavg and /proc
+    // cannot see when steal accounting is off (Firecracker).
+    def slurp(p: String): String =
+      try scala.io.Source.fromFile(p).mkString.trim
+      catch { case _: Throwable => "" }
+    def spinOnce(iters: Long): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0L
+      while (i < iters) { x += i * 31 + 7; i += 1 }
+      if (x == 42) System.err.print("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    // fork+exec latency probe — THE stream-witness variable (r17
+    // finding): state-store commits on local checkpoints fork a chmod
+    // per file (RawLocalFileSystem without native libhadoop) plus the
+    // Spark 4.1 checksum sidecars, so join-witness wall time is
+    // fork-throughput-bound and fork latency varies 3-4× across
+    // Firecracker guest kernels. ~20 forks ≈ tens of ms.
+    def forkMs(): Double = {
+      try {
+        def one(): Unit = {
+          val p = new ProcessBuilder("/bin/true").start()
+          p.waitFor(); ()
+        }
+        (1 to 5).foreach(_ => one()) // warm the spawn path
+        val t0 = System.nanoTime()
+        val n = 20
+        (1 to n).foreach(_ => one())
+        math.rint((System.nanoTime() - t0) / 1e6 / n * 100) / 100
+      } catch { case _: Throwable => -1.0 }
+    }
+    val envJson = {
+      val procs = Runtime.getRuntime.availableProcessors()
+      spinOnce(20000000L) // JIT warmup
+      val spinIters = 400000000L
+      // min of 3: a single 0.1-0.3 s sample is descheduling-noisy and
+      // an inflated t1 reads as a nonsense >procs cpu_scale
+      val t1 = (1 to 3).map(_ => spinOnce(spinIters)).min
+      val threads = (0 until procs).map { _ =>
+        new Thread(() => { spinOnce(spinIters); () })
+      }
+      val tm0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val tMulti = (System.nanoTime() - tm0) / 1e9
+      val scale = if (tMulti > 0) procs * t1 / tMulti else -1.0
+      def r2(x: Double) = math.rint(x * 100) / 100
+      val cpu = slurp("/proc/cpuinfo").linesIterator
+        .find(_.startsWith("model name")).fold("")(
+          _.split(":").drop(1).mkString(":").trim)
+      val uptime = slurp("/proc/uptime").split(" ").headOption
+        .flatMap(s => scala.util.Try(s.toDouble.toLong).toOption)
+        .getOrElse(-1L)
+      val quota = slurp("/sys/fs/cgroup/cpu.max")
+      val gov =
+        slurp("/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor")
+      s"""{"procs":$procs,"cpus_env":"$cpus",""" +
+        s""""heap_gb":${r2(Runtime.getRuntime.maxMemory / 1e9)},""" +
+        s""""jvm":"${System.getProperty("java.version")}",""" +
+        s""""kernel":"${System.getProperty("os.version")}",""" +
+        s""""cpu":"$cpu","uptime_s":$uptime,""" +
+        s""""cpu_quota":"$quota","governor":"$gov",""" +
+        s""""cpu_1t":${r2(t1)},"cpu_scale":${r2(scale)},""" +
+        s""""fork_ms":${forkMs()}}"""
+    }
     val at = attemptTotals.mkString("[", ",", "]")
     // Previous-run comparison (r15 verdict task #5's second half):
     // a >1.5× total jump joins the load guard in host_busy — the flag
@@ -1474,14 +1613,20 @@ object Bench {
       finally w.close()
     } catch { case _: Throwable => () }
     val vsPrev = prevTotal.filter(_ > 0).map(p => total / p)
-    val hostBusy = hostBusyAtStart || loadEnd > busyThreshold ||
-      vsPrev.exists(_ > 1.5)
+    // loadEnd is informational ONLY — it is sampled right after the
+    // bench's own 32-thread run, so it measures the bench itself and
+    // ORing it into host_busy made the flag fire on every idle-start
+    // official run (r16: end loads 9.3/14.4 vs threshold 8 — a guard
+    // that always fires trains readers to ignore it). The flag keeps
+    // the two signals that see EXTERNAL contamination: pre-run load
+    // and the jump vs the previous official total.
+    val hostBusy = hostBusyAtStart || vsPrev.exists(_ > 1.5)
     val vsPrevJson = vsPrev.map(r => (math.rint(r * 100) / 100).toString)
       .getOrElse("null")
     val decompJson = streamDecomp
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}""")
     spark.stop()
     if (localDir.startsWith("/dev/shm")) {
       def rmrf(f: java.io.File): Unit = {
