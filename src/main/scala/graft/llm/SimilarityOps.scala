@@ -1164,12 +1164,34 @@ object SimilarityOps {
     checkIvfPqMeta(spark, dir)
     val tomb = ivfPqTombstones(spark, dir, cId)
     if (tomb.isEmpty) return
+    rewriteIvfPqCells(spark, dir, cId, tomb)
+  }
+
+  /** COMPACT the cell partitions regardless of tombstones — the
+    * append-heavy twin of [[vacuumIvfPqIndex]] (which no-ops without
+    * deletes): every [[appendIvfPqIndex]] adds one batch-sized file
+    * per touched cell directory, so a long-running ingest accumulates
+    * small files a probe must individually open. Rewrites the cells
+    * layout through the same crash-recoverable swap (one file set per
+    * cell again), folding any pending tombstones along the way. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cId: String = "vec_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexSwap.recover(conf, dir, "cells")
+    checkIvfPqMeta(spark, dir)
+    rewriteIvfPqCells(spark, dir, cId, ivfPqTombstones(spark, dir, cId))
+  }
+
+  private def rewriteIvfPqCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cId: String, tomb: Option[DataFrame]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     // schema-pinned: a vacuum that tombstones every remaining id must
     // itself be re-runnable against the emptied layout it wrote
     val exCells = spark.read.schema(ivfPqCellsSchema(cId))
       .parquet(s"$dir/cells")
     IndexSwap.swapIn(conf, dir, "cells") { tmp =>
       minusTombstones(exCells, tomb, cId)
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")

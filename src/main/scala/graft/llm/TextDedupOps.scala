@@ -480,6 +480,30 @@ object TextDedupOps {
     IndexSwap.recover(conf, dir, "sigs")
     val tomb = lshTombstones(spark, dir, idCol)
     if (tomb.isEmpty) return
+    rewriteLshIndex(spark, dir, idCol, tomb)
+  }
+
+  /** COMPACT the index layout regardless of tombstones — the
+    * append-heavy maintenance twin of [[vacuumLshIndex]] (which no-ops
+    * without deletes): every [[writeLshIndex]] append adds batch-sized
+    * files with only WITHIN-file band ordering, so a long-running
+    * ingest accumulates small unsorted runs that erode the init-time
+    * range layout (per-file band_hash runs are what keep banded reads
+    * skipping). This rewrites bands+sigs through the same
+    * crash-recoverable swap, restoring the range layout and folding
+    * any pending tombstones along the way. Same pause-the-writer and
+    * object-store caveats as vacuum. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexSwap.recover(conf, dir, "bands")
+    IndexSwap.recover(conf, dir, "sigs")
+    rewriteLshIndex(spark, dir, idCol, lshTombstones(spark, dir, idCol))
+  }
+
+  private def rewriteLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, tomb: Option[DataFrame]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     def swapIn(sub: String)(write: String => Unit): Unit =
       IndexSwap.swapIn(conf, dir, sub)(write)
     val exBands = spark.read.schema(

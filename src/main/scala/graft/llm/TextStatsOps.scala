@@ -650,6 +650,101 @@ object TextStatsOps {
       .toDF(idCol, "n_bpe")
   }
 
+  /** DECODE [[bpeEncodeRanked]] output back to text — the inspection/
+    * debugging path every training pipeline runs on its stored token
+    * ids (and the round-trip proof that the encoding is faithful):
+    * per document, token ids sort by (tok_idx, sym_idx) and map back
+    * through the INVERSE vocabulary, whitespace markers un-mark to
+    * their original characters, and — with `byteFallback` — ids in
+    * [0, 256) that miss the vocabulary splice in as RAW BYTES, so the
+    * byte stream decodes as UTF-8 at the end. Byte-fallback encoding
+    * is LOSSLESS by construction (every pretoken decomposes to real
+    * UTF-8 bytes; the pre-escape keeps genuine marker letters apart
+    * from whitespace), so decode ∘ encode is the identity on any text
+    * — gated over the ENTIRE documents table (bpe_decode_roundtrip)
+    * and property-tested on arbitrary unicode. Non-fallback byte-level
+    * ids decode single code points from the id itself (the demo
+    * convention) and share the one documented ambiguity: a GENUINE
+    * marker letter decodes as its whitespace (byte-fallback mode has
+    * no such case). Ids the inverse cannot resolve — NULL ids from
+    * table drift, or out-of-range values — fail loudly with the doc
+    * id, never silently skip.
+    *
+    * Convention (GPT-2/SentencePiece): with byteFallback the id range
+    * [0, 256) is the byte alphabet — vocabularies must not assign
+    * those ids to non-byte tokens (the encoder never emits them for
+    * anything else). Scale shape: ONE shuffle (group by document,
+    * rows bounded by tokens per document) + a linear kernel with a
+    * broadcast inverse table. */
+  def bpeDecodeRanked(encoded: org.apache.spark.sql.DataFrame,
+      idCol: String, vocabIds: Map[String, Int],
+      byteFallback: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val inv = new java.util.HashMap[Integer, String](vocabIds.size * 2)
+    vocabIds.foreach { case (t, i) =>
+      val prev = inv.put(Integer.valueOf(i), t)
+      require(prev == null || prev == t,
+        s"bpeDecodeRanked: vocab ids not invertible — id $i maps to " +
+          s"both '$prev' and '$t'")
+    }
+    val bInv = spark.sparkContext.broadcast(inv)
+    val bf = byteFallback
+    encoded
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("tok_idx").cast("int").as("_1"),
+        col("sym_idx").cast("int").as("_2"),
+        coalesce(col("token_id").cast("int"), lit(Int.MinValue))
+          .as("_3")))).as("syms"))
+      .as[(Long, Seq[(Int, Int, Int)])]
+      .mapPartitions { it =>
+        val iv = bInv.value
+        it.map { case (id, syms) =>
+          val out = new java.io.ByteArrayOutputStream(syms.length * 4)
+          def unmark(tok: String): String = {
+            val sb = new java.lang.StringBuilder(tok.length)
+            var i = 0
+            while (i < tok.length) {
+              sb.append(tok.charAt(i) match {
+                case 'Ġ' => ' '; case 'ĉ' => '\t'
+                case 'Ċ' => '\n'; case 'ċ' => ''
+                case 'Č' => ''; case 'č' => '\r'
+                case c => c
+              })
+              i += 1
+            }
+            sb.toString
+          }
+          syms.foreach { case (_, _, tid) =>
+            require(tid != Int.MinValue,
+              s"bpeDecodeRanked: NULL token_id in doc $id — the " +
+                "encoding carries a vocab miss (table drift); decode " +
+                "is impossible")
+            val tok = iv.get(Integer.valueOf(tid))
+            if (tok != null)
+              out.write(unmark(tok)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else if (bf && tid >= 0 && tid < 256) out.write(tid)
+            else if (!bf && tid >= 0 && tid <= 0x10FFFF) {
+              val cp = tid match {
+                case 288 => ' '.toInt; case 265 => '\t'.toInt
+                case 266 => '\n'.toInt; case 267 => 0x0B
+                case 268 => 0x0C; case 269 => '\r'.toInt
+                case other => other
+              }
+              out.write(new String(Character.toChars(cp))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            } else sys.error(
+              s"bpeDecodeRanked: unresolvable token_id $tid in doc $id")
+          }
+          (id, new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF(idCol, "text")
+  }
+
   /** TRAIN a BPE merge table from a corpus — the training side of the
     * tokenizer stack ([[bpeTokenCount]] / [[bpeEncodeTokens]] apply
     * it): the classic Sennrich et al. 2016 loop. Repeat `numMerges`

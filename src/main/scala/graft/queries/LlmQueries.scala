@@ -1569,6 +1569,42 @@ object LlmQueries extends QueryModule {
              |  CAST(s.tid AS INTEGER) AS token_id
              |FROM documents d JOIN seg s ON s.i = d.doc_id % 5""".stripMargin)),
 
+    // DECODE round-trip over the WHOLE corpus (bpeDecodeRanked — the
+    // inspection path every pipeline runs on stored token ids, and
+    // the proof the byte-fallback encoding is FAITHFUL): every
+    // document encodes with byteFallback=true (demo merges + vocab —
+    // most symbols miss the vocab and ride the byte alphabet) and
+    // decodes back from the ids alone; the oracle is the documents
+    // table ITSELF. Whitespace runs, planted unicode (emoji, the
+    // genuine marker letter č, tabs) — everything must reconstruct
+    // byte-exactly; any marker/byte/merge asymmetry between encoder
+    // and decoder fails on real data, not a toy.
+    QueryDef("bpe_decode_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (920001L, "čau světe\tmixed  spaces"),
+          (920002L, "emoji 😀 and Ġ genuine marker"),
+          (920003L, "line\nbreak and trailing ")
+        ).toDF("doc_id", "text")
+        val docs = T.documents(s, d).select("doc_id", "text")
+          .filter(col("text").isNotNull && col("text") =!= "")
+          .unionByName(planted)
+        val enc = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+          TextStatsOps.BpeDemoMerges, TextStatsOps.bpeVocab(),
+          byteLevel = true, byteFallback = true)
+        TextStatsOps.bpeDecodeRanked(enc, "doc_id",
+          TextStatsOps.bpeVocab(), byteFallback = true)
+      },
+      Some("""SELECT doc_id, text FROM documents
+             |WHERE text IS NOT NULL AND text != ''
+             |UNION ALL
+             |SELECT * FROM (VALUES
+             |  (920001, 'čau světe' || chr(9) || 'mixed  spaces'),
+             |  (920002, 'emoji 😀 and Ġ genuine marker'),
+             |  (920003, 'line' || chr(10) || 'break and trailing ')
+             |) v(doc_id, text)""".stripMargin)),
+
     // PRODUCTION-SIZE merge table (r14 verdict task #1's "done" bar):
     // the ranked encoder carries a 33 024-entry table — the 24 demo
     // rules plus 33 000 synthetic single-codepoint CJK pads

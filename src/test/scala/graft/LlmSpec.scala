@@ -1256,6 +1256,51 @@ class LlmSpec extends SparkSpec {
       === Set(1002L), "vacuumed twin must survive, live twin must die")
   }
 
+  test("compactLshIndex: append-accumulated small files fold back into " +
+      "the range layout; answers unchanged; pending tombstones folded") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lsh-compact-${ProcessHandle.current().pid()}").toString
+    def mkDocs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, s"t${i % 5} u${(i * 3) % 7} v${(i * 5) % 11} w$i x y z a b"))
+      .toDF("doc_id", "text")
+    TextDedupOps.writeLshIndex(
+      TextDedupOps.minHashSignatures(mkDocs(0, 20), "doc_id", "text", 3, 32),
+      dir, "doc_id", bands = 8)
+    // two appends: each adds its own unsorted batch files
+    for ((lo, hi) <- Seq((20, 30), (30, 40)))
+      TextDedupOps.writeLshIndex(
+        TextDedupOps.minHashSignatures(mkDocs(lo, hi), "doc_id", "text",
+          3, 32), dir, "doc_id", bands = 8, mode = "append")
+    def dataFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("bands")
+    def probe() = TextDedupOps.lshIncrementalIndexed(
+        mkDocs(3, 4).select((col("doc_id") + 1000).as("doc_id"),
+          col("text")), dir, "doc_id", "text", threshold = 0.99)
+      ._1.count()
+    val before = probe()
+    // a pending tombstone folds in during compaction
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(1).select(col("id").as("doc_id")), dir)
+    TextDedupOps.compactLshIndex(spark, dir)
+    assert(dataFiles("bands") < filesBefore,
+      s"compaction did not reduce band files: $filesBefore")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") === 0).count() === 0, "tombstone not folded")
+    assert(probe() === before, "compaction changed survivor verdicts")
+    assert(TextDedupOps.lshIndexOrphans(spark, dir) === ((0L, 0L, 0L)))
+    // band-partitioned layout intact
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(bandDirs === (0 until 8).map(b => s"band=$b").toSet)
+  }
+
   test("removeDuplicateSpans: shared span removed from both docs, " +
       "unique context kept, spans merge, short docs untouched") {
     import spark.implicits._

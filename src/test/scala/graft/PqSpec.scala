@@ -345,6 +345,34 @@ class PqSpec extends SparkSpec {
       .parquet(s"$dir/cells").count() === 0)
     assert(run().isEmpty, "emptied index must serve zero neighbors")
     SimilarityOps.vacuumIvfPqIndex(spark, dir) // no-op, must not fail
+    // COMPACTION (append-heavy twin of vacuum): rebuild the index,
+    // append in two waves so cell dirs accumulate small files, then
+    // compactIvfPqIndex — answers unchanged, strictly fewer data
+    // files, pending tombstones folded
+    SimilarityOps.writeIvfPqIndex(emb.filter(col("vec_id") < 200),
+      dir, cents, cbs)
+    SimilarityOps.appendIvfPqIndex(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 400), dir)
+    SimilarityOps.appendIvfPqIndex(emb.filter(col("vec_id") >= 400), dir)
+    def cellFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/cells"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = cellFiles()
+    val beforeCompact = run()
+    SimilarityOps.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") === beforeCompact.head._2)
+        .select("vec_id"), dir)
+    val afterDelete = run()
+    SimilarityOps.compactIvfPqIndex(spark, dir)
+    assert(cellFiles() < filesBefore,
+      s"compaction did not reduce cell files: $filesBefore")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(run() === afterDelete,
+      "compaction changed served neighbors / did not fold the tombstone")
+
     // FORMAT guard: an index without dir/meta is the pre-r17 layout
     // (no tombstone contract) — read/append/vacuum all reject with the
     // rebuild remedy instead of silently serving deleted vectors

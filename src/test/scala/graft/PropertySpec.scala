@@ -561,4 +561,66 @@ class PropertySpec extends SparkSpec {
       assert(ps.last - ps.head + 1 == ps.length, s"shard $sh not contiguous")
     }
   }
+
+  test("property: byte-fallback BPE ids ARE the UTF-8 bytes, and " +
+    "decode ∘ encode is the identity, on arbitrary unicode") {
+    import graft.llm.TextStatsOps
+    // arbitrary strings incl. whitespace, the six marker letters,
+    // multi-byte cps, and supplementary-plane chars
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '', '', '\r'),
+      2 -> Gen.oneOf('Ġ', 'ĉ', 'Ċ', 'ċ', 'Č', 'č', 'ā', 'é', '汉', '語'),
+      1 -> Gen.oneOf("😀", "🚀", "𝕏").map(_.charAt(0)), // lone surrogate
+      1 -> Gen.oneOf('<', '>', '0', 'x', '.', ',', '\''))
+    val textGen = Gen.chooseNum(0, 60)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 24).map(i =>
+      textGen.pureApply(Gen.Parameters.default, Seed(4200L + i)))
+      // unpaired surrogates UTF-8-encode as '?' on BOTH sides of the
+      // comparison — sanitize so the identity is over real unicode
+      .map(s => new String(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .filter(_.nonEmpty)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // EMPTY vocab + no merges: every symbol rides the byte alphabet,
+    // so the id stream per document must BE the UTF-8 bytes of the
+    // original text (whitespace markers unmark to the whitespace's
+    // own byte; pre-escaped genuine marker letters contribute their
+    // real multi-byte sequences)
+    val enc = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      merges = Seq((" ", " ")), vocabIds = Map.empty,
+      byteLevel = true, byteFallback = true)
+    val ids = enc.orderBy("doc_id", "tok_idx", "sym_idx")
+      .select("doc_id", "token_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(1))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(_ & 0xff).toSeq
+      assert(ids.getOrElse(i.toLong, Array.empty[Int]).toSeq == expect,
+        s"ids != utf8 bytes for ${t.map(c => f"U+${c.toInt}%04X")}")
+    }
+    // and the decoder inverts it exactly
+    val dec = TextStatsOps.bpeDecodeRanked(enc, "doc_id", Map.empty,
+        byteFallback = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(dec(i.toLong) == t,
+        s"decode(encode) != id for ${t.map(c => f"U+${c.toInt}%04X")}")
+    }
+    // with a REAL table too: merges + vocab, markers inside merged
+    // symbols, still the identity
+    val enc2 = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      TextStatsOps.BpeDemoMerges, TextStatsOps.bpeVocab(),
+      byteLevel = true, byteFallback = true)
+    val dec2 = TextStatsOps.bpeDecodeRanked(enc2, "doc_id",
+        TextStatsOps.bpeVocab(), byteFallback = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(dec2(i.toLong) == t, s"table roundtrip broke on doc $i")
+    }
+  }
 }
