@@ -35,7 +35,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = ALL processors, matching the driver's official shape
+    // (the old default of 4 silently under-measured the stream-stream
+    // witnesses ~4x for three rounds — 16 state stores per trigger
+    // instead of 128; see BENCH.md r17 "second factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // Scratch (shuffle files, RocksDB state-store working dirs) pins
     // to tmpfs when present — the disk-weather fix's second half (the
     // first is the witness checkpoint base below): with checkpoints on
