@@ -1848,6 +1848,60 @@ object TextStatsOps {
       .toDF(idCol, "word_idx", "piece_idx", "piece", "in_vocab")
   }
 
+  /** DECODE [[unigramEncodeRowsKernel]] output back to text — the
+    * unigram twin of [[bpeDecodeRanked]]: per document, pieces sort
+    * by (word_idx, piece_idx); `<0xNN>` byte pieces (the
+    * [[unigramEncodeRowsKernel]] byteFallback expansion and the
+    * trained byte alphabet — by the byte-token convention that
+    * spelling IS a byte) splice in as raw bytes, other pieces as
+    * their UTF-8 bytes, each word's stream decodes as UTF-8, and
+    * words join with single spaces. The unigram tier splits on
+    * whitespace runs at encode time, so decode ∘ encode equals the
+    * WHITESPACE-NORMALIZED text (words joined by one space — the
+    * same normalization either side of the oracle), byte-exactly per
+    * word even for out-of-vocabulary unicode when the encode ran
+    * with byteFallback. Gated over the entire documents table
+    * (unigram_decode_roundtrip). Needs no vocabulary: piece strings
+    * are self-describing. */
+  def unigramDecodeRows(encoded: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("word_idx").cast("int").as("_1"),
+        col("piece_idx").cast("int").as("_2"),
+        col("piece").cast("string").as("_3")))).as("ps"))
+      .as[(Long, Seq[(Int, Int, String)])]
+      .mapPartitions { it =>
+        it.map { case (id, ps) =>
+          val text = new java.lang.StringBuilder()
+          var curWord = -1
+          var buf = new java.io.ByteArrayOutputStream()
+          def flush(): Unit = {
+            if (curWord >= 0) {
+              if (text.length > 0) text.append(' ')
+              text.append(new String(buf.toByteArray,
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+            buf = new java.io.ByteArrayOutputStream()
+          }
+          ps.foreach { case (wi, _, piece) =>
+            if (wi != curWord) { flush(); curWord = wi }
+            bytePieceId(piece) match {
+              case Some(b) => buf.write(b)
+              case None => buf.write(piece.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+          flush()
+          (id, text.toString)
+        }
+      }
+      .toDF(idCol, "text")
+  }
+
   /** Unigram-LM TRAINING (hard-EM over Viterbi counts — the
     * SentencePiece trainer's shape, Kudo 2018 §3.2, with the E-step's
     * expected counts replaced by best-path counts so every round is

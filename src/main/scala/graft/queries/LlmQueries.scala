@@ -3479,6 +3479,49 @@ object LlmQueries extends QueryModule {
              |  TRUE AS in_vocab
              |FROM documents d JOIN seg s ON s.i = d.doc_id % 3""".stripMargin)),
 
+    // UNIGRAM decode round-trip over the WHOLE corpus
+    // (unigramDecodeRows — the unigram twin of bpe_decode_roundtrip):
+    // every document encodes with a deliberately tiny vocabulary and
+    // byteFallback=true (so nearly every piece rides the byte
+    // alphabet) and decodes back from the piece rows alone; the
+    // oracle is the documents table under the SAME whitespace
+    // normalization the unigram tier applies at encode time (words =
+    // \s+ split, rejoined by single spaces — the explicit char class
+    // on the DuckDB side matches Java's \s exactly). Byte expansion
+    // makes each word's reconstruction byte-exact, emoji and genuine
+    // marker letters included.
+    QueryDef("unigram_decode_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (930001L, "čau  světe\tdvojité  mezery"),
+          (930002L, " leading and trailing 😀 "),
+          (930003L, "tab\the 汉語 mix")
+        ).toDF("doc_id", "text")
+        val docs = T.documents(s, d).select("doc_id", "text")
+          .unionByName(planted)
+        val vocab = Map("the" -> -1000000L, "a" -> -2000000L,
+          "e" -> -2100000L)
+        val enc = TextStatsOps.unigramEncodeRowsKernel(docs, "doc_id",
+          "text", vocab, unkCharMicro = -20000000L, maxTokenLen = 3,
+          byteFallback = true)
+        TextStatsOps.unigramDecodeRows(enc, "doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (930001, 'čau  světe' || chr(9) || 'dvojité  mezery'),
+             |    (930002, ' leading and trailing 😀 '),
+             |    (930003, 'tab' || chr(9) || 'he 汉語 mix')
+             |  ) v(doc_id, text)),
+             |norm AS (SELECT doc_id,
+             |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+             |      AS text
+             |  FROM src WHERE text IS NOT NULL)
+             |SELECT doc_id, text FROM norm WHERE length(text) > 0"""
+        .stripMargin)),
+
     // MMR diversified top-k (SimilarityOps.mmrTopK) — greedy maximal
     // marginal relevance: each of the 3 rounds is one corpus scan
     // ending in a 1-row TakeOrderedAndProject, the selected embeddings

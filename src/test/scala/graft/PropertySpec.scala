@@ -622,5 +622,19 @@ class PropertySpec extends SparkSpec {
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(dec2(i.toLong) == t, s"table roundtrip broke on doc $i")
     }
+    // unigram twin: rows + byte fallback decode to the whitespace-
+    // normalized text (words rejoined by single spaces) on the same
+    // arbitrary unicode
+    val uEnc = TextStatsOps.unigramEncodeRowsKernel(docs, "doc_id",
+      "text", Map("a" -> -1000000L), unkCharMicro = -20000000L,
+      maxTokenLen = 2, byteFallback = true)
+    val uDec = TextStatsOps.unigramDecodeRows(uEnc, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val norm = t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(uDec.getOrElse(i.toLong, "") == norm,
+        s"unigram roundtrip broke on doc $i: " +
+          s"${t.map(c => f"U+${c.toInt}%04X")}")
+    }
   }
 }
