@@ -235,6 +235,41 @@ object Bench {
         TextStatsOps.bpeTokenCount(col("text"), trained).as("n"))
     }
 
+    /** PRODUCTION-VOCAB BPE training wall-clock (r17 verdict task
+      * #5): 8 000 merges via bpeTrainMergesLocal with maxTrainRows
+      * bounding the histogram slice — the measured number behind the
+      * bounded-storage training claim. Cost model under witness: ONE
+      * distributed word-histogram aggregation (the only corpus-sized
+      * step) + a bounded collect + the in-memory incremental merge
+      * loop (pair→words index + lazy-revalidated heap); a regression
+      * that reintroduces per-round Spark jobs or super-linear
+      * round cost shows up here directly. */
+    def bpeTrain8kStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextStatsOps
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val trained = TextStatsOps.bpeTrainMergesLocal(docs, "text",
+        numMerges = 8000, maxTrainRows = 200000)
+      docs.limit(1).select(col("doc_id"),
+        lit(trained.size).as("n_merges"))
+    }
+
+    /** 32k-VOCAB unigram training wall-clock (same task): the
+      * SentencePiece-shape hard-EM at a production vocabulary —
+      * seed table ≤ 4·32 768 candidate pieces, TWO distributed
+      * Viterbi E-step passes over the unique words (the kernel tier),
+      * driver-side M-steps, maxTrainRows bounding. Pins that rounds
+      * stay rounds × one job at real vocab size. */
+    def unigramTrain32kStress(): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.TextStatsOps
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val vocab = TextStatsOps.trainUnigramLm(docs, "text",
+        vocabSize = 32768, rounds = 2, maxTokenLen = 8, minCount = 2,
+        maxTrainRows = 200000)
+      docs.limit(1).select(col("doc_id"), lit(vocab.size).as("n_pieces"))
+    }
+
     /** Production-table token-counting throughput (r14 verdict task
       * #1's witness): rank-table BPE count over this SF's documents
       * with a 33 024-entry merge table (24 demo rules + 33 000
@@ -694,6 +729,96 @@ object Bench {
       } else secs
     }
 
+    /** CRASH-RECOVERY witness for stateful streaming (r17 verdict
+      * task #3): the eight witnesses prove stream ≡ batch in ONE run;
+      * this one proves the semantics a 100 TB stream actually relies
+      * on — that a query KILLED mid-stream (an exception thrown out of
+      * the sink on an uncommitted batch, terminating the query) and
+      * restarted from its checkpoint completes to the SAME answer.
+      * Same session-window aggregate and staged replay as
+      * stream_session_window; the sink is a per-batch
+      * partition-overwrite parquet (idempotent on replay, so Spark's
+      * at-least-once foreachBatch redelivery of the killed batch
+      * cannot double rows), and the kill fires AFTER batch 3's rows
+      * are on disk but BEFORE its epoch commits — the restart must
+      * reload the session state as of batch 2, replay batch 3 to the
+      * identical emission, and run out the remaining batches. The
+      * final output diffs against the batch twin; wall time spans
+      * BOTH runs (kill + recovery — the number a failover budget
+      * needs). Runs under both state-store providers like every
+      * witness, so RocksDB's snapshot reload is covered too. */
+    def streamSessionRecoveryWitness(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      import graft.queries.Q
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-ssrec-" +
+        ProcessHandle.current().pid()
+      val out = s"$staged-out-$tag"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val ev = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      @volatile var killed = false
+      val t0 = System.nanoTime()
+      def runStream(): Unit = {
+        val sess = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(staged)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("session_window.start").as("s"),
+            col("session_window.end").as("e"), col("n"), col("sum_value"))
+        val q = sess.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$ckptBase/sessrec_$tag")
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/batch_id=$bid")
+            if (bid == 3L && !killed) { killed = true
+              sys.error("bench: injected crash after batch 3's rows " +
+                "landed, before its epoch commit") }
+          }
+          .queryName("graft_stream_sessrec_" + tag).start()
+        try { q.processAllAvailable()
+          recordForeachDecomp("stream_session_recovery", tag, t0, q)
+        } catch { case _: Exception => () } finally q.stop()
+      }
+      runStream() // dies mid-stream on the injected crash
+      if (!killed) {
+        System.err.println("[bench] stream_session_recovery: the kill " +
+          "never fired (input produced < 4 batches) — reporting -1")
+        return -1.0
+      }
+      runStream() // restart from the checkpoint, run to completion
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.option("basePath", out).parquet(out)
+        .drop("batch_id")
+      val batchSrc = spark.read.parquet(staged)
+      val hi = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(hi.getTime - 10 * 60 * 1000L)
+      // same materialization barrier as stream_session_window: the
+      // closed-session filter must only see post-merge rows
+      val batch = batchSrc
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"), col("sum_value"))
+        .localCheckpoint(true)
+        .filter(col("e") <= lit(cutoff))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_session_recovery: $diff " +
+          "rows differ between the killed-and-recovered stream and " +
+          "batch sessions — reporting -1")
+        -1.0
+      } else secs
+    }
+
     /** Wall-clock witness for STREAM-STREAM INNER JOIN under
       * watermarks — the fourth streaming claim next to aggregation,
       * dedup, and session windows: even events ("impressions") join
@@ -880,24 +1005,25 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(staged)
       val t0 = System.nanoTime()
+      // EXACTLY-ONCE sink (r17 verdict task #1): each batch dedups
+      // against the COMMITTED corpus view and publishes through
+      // IngestCommit's partition-overwrite + commit-log protocol, so
+      // a foreachBatch crash-replay converges instead of
+      // double-appending (kill-restart proof in IngestCommitSpec)
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$ckptBase/ingest_$tag")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val existing =
-            if (fs.exists(new org.apache.hadoop.fs.Path(corpus)))
-              spark.read.parquet(corpus)
-            else spark.emptyDataFrame
-              .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0)
-          graft.llm.TextDedupOps
-            .dedupIncremental(batch, existing, "doc_id", "text")
-            .write.mode("append").parquet(corpus)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.llm.IngestCommit
+            .exactDedupIngestBatch(batch, bid, corpus)
+          ()
         }
         .queryName("graft_stream_ingest_" + tag).start()
       try { q.processAllAvailable()
         recordForeachDecomp("stream_incremental_ingest", tag, t0, q)
       } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.read.parquet(corpus)
+      val streamed = graft.llm.IngestCommit
+        .committedCorpus(spark, corpus, s"$corpus/_commits")
       // batch twin = THE SAME OPERATOR run once over everything with an
       // empty prior corpus — one-shot and incremental must agree by the
       // operator's own contract, so the witness tracks its semantics
@@ -1068,15 +1194,19 @@ object Bench {
           spark.read.parquet(staged).limit(0), "doc_id", "text", 3, 32),
         index, "doc_id", bands = 8)
       val t0 = System.nanoTime()
+      // EXACTLY-ONCE sink (r17 verdict tasks #1 + #2): the commit-log
+      // protocol makes a crash-replay converge (IngestCommitSpec), and
+      // the ingest kernel runs the banded join + component rounds ONCE
+      // per batch — the slim survivor-id set is checkpointed and the
+      // corpus write / bands append / sigs append all derive from
+      // checkpointed inputs, with the per-append k-probe job skipped —
+      // which is the r17 driver-cost reduction on this witness
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$ckptBase/neardup_$tag")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val bt0 = System.nanoTime()
-          val (surv, survSigs) = TextDedupOps.lshIncrementalIndexed(
-            batch, index, "doc_id", "text", threshold = 0.99)
-          surv.write.mode("append").parquet(corpus)
-          TextDedupOps.writeLshIndex(survSigs.localCheckpoint(true),
-            index, "doc_id", bands = 8, mode = "append")
+          graft.llm.IngestCommit.nearDupIngestBatch(batch, bid, index,
+            corpus, threshold = 0.99)
           System.err.println(f"[bench]   near_dup_$tag batch $bid: " +
             f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
           ()
@@ -1086,7 +1216,8 @@ object Bench {
         recordForeachDecomp("stream_near_dup_ingest", tag, t0, q)
       } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val streamed = spark.read.parquet(corpus)
+      val streamed = graft.llm.IngestCommit
+        .committedCorpus(spark, corpus, s"$index/commits")
       val all = spark.read.parquet(staged)
       val emptyIdx = TextDedupOps.minHashSignatures(
         all.limit(0), "doc_id", "text", 3, 32)
@@ -1124,6 +1255,8 @@ object Bench {
         "lm_stress_hot_bigram" -> (() => lmStressHotBigram()),
         "multimodal_stress" -> (() => multimodalStress()),
         "bpe_train_stress" -> (() => bpeTrainStress()),
+        "bpe_train_stress_8k" -> (() => bpeTrain8kStress()),
+        "unigram_train_stress_32k" -> (() => unigramTrain32kStress()),
         "bpe_rank_count_stress" -> (() => bpeRankCountStress()),
         "ivfpq_probe_stress" -> (() => ivfPqProbeStress()),
         "unigram_count_stress" -> (() => unigramCountStress()),
@@ -1288,6 +1421,7 @@ object Bench {
       "stream_resample_5min" -> (streamResampleWitness _),
       "stream_dedup_watermark" -> (streamDedupWitness _),
       "stream_session_window" -> (streamSessionWitness _),
+      "stream_session_recovery" -> (streamSessionRecoveryWitness _),
       "stream_join_interval" -> (streamJoinWitness _),
       "stream_join_left_outer" -> (streamJoinOuterWitness _),
       "stream_incremental_ingest" -> (streamIncrementalIngestWitness _),
@@ -1631,7 +1765,20 @@ object Bench {
     val decompJson = streamDecomp
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}""")
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}"""
+    println(benchJson)
+    // ALSO to a file (r17 verdict task #7): the driver captures stdout
+    // through sbt's [info]-prefixed pipe and has truncated the line in
+    // two rounds ("parsed": null in BENCH_r16/r17) — BENCH_LAST.json
+    // is the same single line, written directly, so the series always
+    // has one parseable artifact per run. Override the path with
+    // SPARK_GRAFT_BENCH_OUT.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LAST.json")
+      val w = new java.io.FileWriter(outPath, false)
+      try w.write(benchJson + "\n") finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
     if (localDir.startsWith("/dev/shm")) {
       def rmrf(f: java.io.File): Unit = {

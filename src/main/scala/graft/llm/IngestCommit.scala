@@ -1,0 +1,265 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACTLY-ONCE ingest for the incremental curation loops.
+  *
+  * Spark's `foreachBatch` is at-least-once by contract: after a crash,
+  * the last batch whose offsets were logged but whose epoch was never
+  * committed REPLAYS with the identical input file set. The batch
+  * incremental operators ([[TextDedupOps.dedupIncremental]] /
+  * [[TextDedupOps.lshIncrementalIndexed]]) are pure, but the SINK
+  * side of an ingest loop — append survivors to the corpus, append
+  * their signatures to the persisted index — is not idempotent as
+  * plain parquet appends: a replay double-appends the survivors
+  * (duplicate corpus rows) and their signatures (duplicate band rows
+  * that inflate `maxBucketSize` bucket counts and can silently
+  * suppress real candidates near the cap). Worse, the replayed
+  * survivor COMPUTATION consults an index that already contains the
+  * crashed attempt's rows, so every replayed doc near-dup-matches its
+  * own half-committed copy and the batch's survivors vanish — losing
+  * data, the exact failure a 100 TB nightly ingest cannot have.
+  *
+  * This module closes the loop with a COMMIT LOG (the lakehouse
+  * write-audit-publish pattern, re-expressed minimally):
+  *
+  *   - `<log>/`: filename-encoded markers — one empty
+  *     `begin-<batchId>` / `commit-<batchId>` file per event, created
+  *     atomically; the committed HIGH-WATER-MARK is the max commit
+  *     marker. foreachBatch ids are strictly increasing and
+  *     sequential, so a single hwm (not a set) captures the committed
+  *     prefix. Reading the log is one directory listing and writing a
+  *     marker one FS create — the protocol adds NO Spark jobs to a
+  *     micro-batch.
+  *   - A replayed batch with id ≤ hwm SKIPS entirely — the whole
+  *     batch effect is already durable.
+  *   - Corpus writes go to `corpusDir/ingest_id=<batch>` partition
+  *     directories with OVERWRITE semantics — a replay self-cleans
+  *     any partial files. Readers ([[committedCorpus]]) filter
+  *     `ingest_id <= hwm`, a pure partition prune, so uncommitted
+  *     data is never read even while it sits on disk.
+  *   - Index appends are STAMPED with `ingest_id` (see
+  *     [[TextDedupOps.appendSigsToIndex]]); committed readers filter
+  *     by the hwm, and a replay whose previous attempt died
+  *     mid-append subtracts the already-visible stamped rows
+  *     (`exceptAll` — sound because the replayed computation is
+  *     deterministic) before appending the remainder.
+  *   - The `begin` marker is the write-ahead half: it is appended
+  *     BEFORE any index write, so a replay knows whether the
+  *     recovery subtraction is needed at all (absent begin ⇒ plain
+  *     append, no extra scan on the happy path).
+  *
+  * With the log in place, intra-batch WRITE ORDER no longer carries
+  * correctness weight (uncommitted rows are invisible regardless of
+  * which write crashed), and maintenance (vacuum/compaction) refuses
+  * to run over an in-flight batch — see
+  * `TextDedupOps.requireNoInFlightIngest`.
+  *
+  * Scale: per batch the log costs ONE directory listing (≤ 2 marker
+  * files per batch between compactions;
+  * [[TextDedupOps.compactLshIndex]] folds the history to a single
+  * marker) and 1-2 atomic file creates — no Spark jobs. Recovery —
+  * the rare path — costs one stamped-row scan bounded by parquet
+  * row-group stats to roughly the crashed batch's own files.
+  *
+  * Reference semantics: the reference engine's eager single-process
+  * loops get exactly-once trivially (one process, one store); this is
+  * the distributed re-expression a restartable 100 TB pipeline needs.
+  */
+object IngestCommit {
+
+  // The log is FILENAME-ENCODED: one empty marker file per event,
+  // `begin-<batchId>` / `commit-<batchId>`. The name IS the record,
+  // so reading the log is ONE directory listing (no Spark job, no
+  // parquet — the first cut stored parquet rows and paid 2-3 driver
+  // jobs per micro-batch, measurable on the ingest witnesses), and
+  // writing a marker is one atomic create. Compaction is plain file
+  // deletes (keep the max commit marker) — every intermediate state
+  // of a crashed compaction parses to the same (hwm, in-flight). On
+  // object stores without atomic create-if-absent, front the log dir
+  // with a consistent store — the same caveat IndexSwap documents.
+  private val MarkerRe = "(begin|commit)-([0-9]+)".r
+
+  private def fsOf(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (committed high-water-mark, begun-but-uncommitted batch ids).
+    * (-1, ∅) for a missing or empty log. One FS listing. */
+  private[graft] def logState(spark: SparkSession,
+      logDir: String): (Long, Set[Long]) = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return (-1L, Set.empty)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val committed = names.collect { case MarkerRe("commit", id) => id.toLong }
+    val begun = names.collect { case MarkerRe("begin", id) => id.toLong }
+    (if (committed.isEmpty) -1L else committed.max,
+      begun.toSet -- committed.toSet)
+  }
+
+  /** None when no log directory exists (a legacy, non-exactly-once
+    * store — readers then take the raw view); Some(hwm) otherwise,
+    * where hwm = -1 means "log present, nothing committed yet". */
+  def committedHwm(spark: SparkSession,
+      logDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(logState(spark, logDir)._1)
+  }
+
+  private def appendLog(spark: SparkSession, logDir: String,
+      batchId: Long, kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$logDir/$kind-$batchId")
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    try fs.create(p, false).close() // atomic create-if-absent
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.io.IOException if fs.exists(p) => () }
+  }
+
+  /** Collapse a fully-committed log to its max commit marker — called
+    * from [[TextDedupOps.compactLshIndex]] under its no-in-flight
+    * guard. Idempotent: a crash mid-delete leaves extra markers whose
+    * parse is unchanged (hwm = max commit). */
+  private[llm] def compactLog(spark: SparkSession,
+      logDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    val (hwm, inFlight) = logState(spark, logDir)
+    require(inFlight.isEmpty,
+      s"compactLog: in-flight ingest batch(es) at $logDir: " +
+        inFlight.toSeq.sorted.mkString(", "))
+    if (hwm < 0) return
+    val keep = s"commit-$hwm"
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName != keep) fs.delete(st.getPath, false)
+      ()
+    }
+  }
+
+  /** The COMMITTED corpus view: partition directories with
+    * `ingest_id` at or below the high-water-mark, stamp dropped — a
+    * pure partition prune, so a crashed batch's partial directory is
+    * never even listed into the scan. `logDir` is the pipeline's
+    * commit log ([[exactDedupIngestBatch]] keeps it at
+    * `corpusDir/_commits`; [[nearDupIngestBatch]] at
+    * `indexDir/commits`, one log per pipeline). */
+  def committedCorpus(spark: SparkSession, corpusDir: String,
+      logDir: String): DataFrame = {
+    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
+    require(hwm >= 0,
+      s"committedCorpus: no committed ingest batch recorded at $logDir")
+    spark.read.option("basePath", corpusDir).parquet(corpusDir)
+      .filter(col("ingest_id") <= hwm).drop("ingest_id")
+  }
+
+  /** Exactly-once EXACT-dedup ingest of one foreachBatch micro-batch:
+    * dedup `batch` within itself and against the committed corpus
+    * ([[TextDedupOps.dedupIncremental]]), publish the survivors as
+    * `corpusDir/ingest_id=<batchId>`, then commit. Returns false —
+    * without touching storage — when the batch is already committed
+    * (the replay-skip). No begin marker is needed: the only write is
+    * the self-cleaning partition overwrite, so every crash point
+    * replays to the identical end state. The log lives at
+    * `corpusDir/_commits` (the underscore keeps Spark's file listing
+    * from reading it as corpus data). */
+  def exactDedupIngestBatch(batch: DataFrame, batchId: Long,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      failpoint: String => Unit = _ => ()): Boolean = {
+    val spark = batch.sparkSession
+    val logDir = s"$corpusDir/_commits"
+    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
+    if (batchId <= hwm) return false
+    val existing =
+      if (hwm >= 0)
+        spark.read.option("basePath", corpusDir).parquet(corpusDir)
+          .filter(col("ingest_id") <= hwm).select(col(textCol))
+      else batch.select(col(textCol)).limit(0)
+    TextDedupOps.dedupIncremental(batch, existing, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$corpusDir/ingest_id=$batchId")
+    failpoint("after-corpus")
+    appendLog(spark, logDir, batchId, "commit")
+    true
+  }
+
+  /** Exactly-once NEAR-DUP ingest of one foreachBatch micro-batch
+    * against a persisted LSH index: survivors are computed against the
+    * COMMITTED index view, published to `corpusDir/ingest_id=<batch>`,
+    * their signatures appended to the index stamped with the batch id,
+    * and the batch committed — in that order, though under the log the
+    * order is a convention, not a correctness dependency. Returns
+    * false (no storage writes) for an already-committed batch.
+    *
+    * Driver-cost shape (the r17 witness measured ~10 actions per
+    * micro-batch): here the banded join + component rounds run ONCE —
+    * the slim survivor-ID set is checkpointed and the corpus write,
+    * bands append, and sigs append all derive from checkpointed
+    * inputs — and `kKnown` skips the per-append signature-length
+    * probe job.
+    *
+    * `failpoint` is a test hook invoked at the named crash points
+    * ("after-survivors", "after-corpus", "after-index"); production
+    * callers leave the default no-op. */
+  /** The default no-op failpoint. Reference-compared in
+    * [[nearDupIngestBatch]]: with it, the corpus publish and the
+    * index append run CONCURRENTLY (independent outputs, both
+    * invisible until the commit marker — crash order carries no
+    * correctness weight under the log); any custom failpoint forces
+    * the sequential corpus→index order so kill specs can target the
+    * exact inter-write states. */
+  val NoFailpoint: String => Unit = _ => ()
+
+  def nearDupIngestBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue,
+      failpoint: String => Unit = NoFailpoint): Boolean = {
+    val spark = batch.sparkSession
+    val logDir = s"$indexDir/commits"
+    val (hwm, inFlight) = logState(spark, logDir)
+    if (batchId <= hwm) return false
+    val recover = inFlight.contains(batchId)
+    if (!recover) appendLog(spark, logDir, batchId, "begin")
+    // Core filters the index to rows committed at the hwm — the
+    // crashed attempt's own stamped rows are invisible, making the
+    // survivor set identical on every replay (the determinism the
+    // recovery subtraction in appendSigsToIndex relies on)
+    val (nwSigs, survivors) = TextDedupOps.lshIncrementalIndexedCore(
+      batch, indexDir, idCol, textCol, shingleN, k, bands, threshold,
+      maxBucketSize)
+    val ids = survivors.select(col(idCol).cast("long").as(idCol))
+      .localCheckpoint(true) // slim; the ONE pair computation per batch
+    failpoint("after-survivors")
+    val surv = batch.join(ids, Seq(idCol), "left_semi")
+    val survSigs = nwSigs
+      .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
+      .join(ids, Seq(idCol), "left_semi")
+    def writeCorpus(): Unit =
+      surv.write.mode("overwrite")
+        .parquet(s"$corpusDir/ingest_id=$batchId")
+    def writeIndex(): Unit =
+      TextDedupOps.appendSigsToIndex(survSigs, indexDir, idCol, bands,
+        shingleN, ingestId = Some(batchId), recover = recover,
+        kKnown = Some(k))
+    if (failpoint eq NoFailpoint) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f1 = Future(writeCorpus()); val f2 = Future(writeIndex())
+      val r1 = scala.util.Try(Await.result(f1, Duration.Inf))
+      val r2 = scala.util.Try(Await.result(f2, Duration.Inf))
+      r1.get; r2.get // rethrow AFTER both settle — no stray in-flight
+                     // write may outlive this batch into the next
+    } else {
+      writeCorpus(); failpoint("after-corpus")
+      writeIndex(); failpoint("after-index")
+    }
+    appendLog(spark, logDir, batchId, "commit")
+    true
+  }
+}

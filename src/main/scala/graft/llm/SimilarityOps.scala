@@ -894,7 +894,13 @@ object SimilarityOps {
     probeCaches.synchronized {
       probeCaches.addLast(df)
       while (probeCaches.size > ProbeCacheKeep) {
-        probeCaches.removeFirst().unpersist(false); ()
+        // best-effort by design: the registrar outlives SparkSessions
+        // (process-lifetime static), so an evicted entry's session may
+        // already be stopped in a multi-session JVM — never let that
+        // fail a later, unrelated probe call.
+        val old = probeCaches.removeFirst()
+        try { old.unpersist(false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 

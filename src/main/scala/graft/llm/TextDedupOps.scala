@@ -378,38 +378,146 @@ object TextDedupOps {
   def writeLshIndex(signatures: DataFrame, dir: String,
       idCol: String = "doc_id", bands: Int = 8,
       mode: String = "overwrite", shingleN: Int = 3): Unit = {
+    if (mode == "append") {
+      appendSigsToIndex(signatures, dir, idCol, bands, shingleN,
+        ingestId = None, recover = false)
+      return
+    }
     val spark = signatures.sparkSession
     import spark.implicits._
     val k = signatures.select(size(col("signature")).as("k"))
       .filter(col("k").isNotNull).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0) // 0 = empty init: any k
-    if (mode == "append")
-      checkLshMeta(spark, dir, bands, shingleN, k)
     // init gets the full range layout (tight per-file band_hash runs —
     // one-time, corpus-sized, worth a shuffle); appends skip the range
     // repartition: its SAMPLING pass re-executes the batch lineage and
     // its shuffle is pure per-batch overhead for batch-sized frames,
     // and the local sort alone already gives sorted row groups within
     // each appended file (compaction restores the global layout)
-    // ids persist as LONG in the bands layout (the incremental
-    // reader's explicit schema — int-typed caller ids must not make
-    // an index unreadable)
-    val banded0 = bandFrame(signatures, idCol, bands)
+    // ids persist as LONG in BOTH layouts (the incremental reader's
+    // explicit bands schema, and a uniform sigs id type so mixed-type
+    // parquet footers can never make an appended index unreadable —
+    // int-typed caller ids must not poison the store)
+    bandFrame(signatures, idCol, bands)
       .withColumn(idCol, col(idCol).cast("long"))
-    val banded = if (mode == "append") banded0
-      else banded0.repartitionByRange(col("band"), col("band_hash"))
-    banded.sortWithinPartitions("band", "band_hash")
+      .repartitionByRange(col("band"), col("band_hash"))
+      .sortWithinPartitions("band", "band_hash")
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
-    signatures.write.mode(mode).parquet(s"$dir/sigs")
-    if (mode != "append")
-      Seq((bands, shingleN, k, LshIndexFormat))
-        .toDF("bands", "shingle_n", "k", "format")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    else if (k > 0 && readLshMeta(spark, dir)._3 == 0)
+    // init carries an all-NULL ingest_id so EVERY file in the store
+    // has the column and committed readers never depend on which
+    // footer schema inference happens to pick
+    signatures.select(col(idCol).cast("long").as(idCol), col("signature"))
+      .withColumn("ingest_id", lit(null).cast("long"))
+      .write.mode(mode).parquet(s"$dir/sigs")
+    invalidateLshMeta(dir)
+    Seq((bands, shingleN, k, LshIndexFormat))
+      .toDF("bands", "shingle_n", "k", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    invalidateLshMeta(dir) // again: a read racing the write above may
+    // have re-cached the superseded meta between the two lines
+  }
+
+  /** Batch-append to a persisted LSH index — the shared kernel behind
+    * [[writeLshIndex]](mode = "append") and the exactly-once ingest
+    * path ([[IngestCommit.nearDupIngestBatch]]):
+    *   - `ingestId`  — when set, every appended bands/sigs row is
+    *     STAMPED with an `ingest_id` column; committed readers
+    *     ([[lshIncrementalIndexed]] under a commit log) then treat
+    *     rows above the committed high-water-mark as invisible, which
+    *     is what makes a foreachBatch replay recoverable at all.
+    *     Legacy appends (None) stamp nothing and behave exactly as
+    *     before.
+    *   - `recover`   — replay of a batch whose previous attempt died
+    *     MID-APPEND: the already-visible rows of this `ingestId` are
+    *     read back (batch-bounded: parquet row-group stats on the
+    *     stamp prune other batches' files) and subtracted with
+    *     `exceptAll` before appending, so the append converges to
+    *     exactly-once row content no matter how many times it
+    *     replays. Requires the replayed input to be DETERMINISTIC —
+    *     true under Spark's file-source checkpointing, which re-offers
+    *     the identical file set to an uncommitted batch.
+    *   - `kKnown`    — skips the 1-row signature-length probe job
+    *     when the caller already knows k (the ingest loop does).
+    * Under a commit log the bands-before-sigs crash-order contract of
+    * the legacy path is SUPERSEDED: uncommitted rows are invisible to
+    * committed readers regardless of which write died first. */
+  private[llm] def appendSigsToIndex(signatures: DataFrame, dir: String,
+      idCol: String, bands: Int, shingleN: Int,
+      ingestId: Option[Long], recover: Boolean,
+      kKnown: Option[Int] = None): Unit = {
+    val spark = signatures.sparkSession
+    import spark.implicits._
+    val k = kKnown.getOrElse(
+      signatures.select(size(col("signature")).as("k"))
+        .filter(col("k").isNotNull).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0))
+    checkLshMeta(spark, dir, bands, shingleN, k)
+    val sigsLong = signatures
+      .select(col(idCol).cast("long").as(idCol), col("signature"))
+    val newBands = bandFrame(sigsLong, idCol, bands)
+      .select(col(idCol), col("band_hash"), col("band"))
+    val (toBands, toSigs) =
+      if (!recover) (newBands, sigsLong)
+      else {
+        val b = ingestId.getOrElse(sys.error(
+          "appendSigsToIndex: recover requires an ingestId"))
+        val visB = spark.read.schema(bandsReadSchema(idCol))
+          .parquet(s"$dir/bands")
+          .filter(col("ingest_id") === b)
+          .select(col(idCol), col("band_hash"), col("band"))
+        val visS = sigsMergedRead(spark, dir)
+          .filter(col("ingest_id") === b)
+          .select(col(idCol).cast("long").as(idCol), col("signature"))
+        (newBands.exceptAll(visB), sigsLong.exceptAll(visS))
+      }
+    // ALWAYS write the stamp column (null for legacy appends) — a
+    // uniform sigs schema keeps footer inference deterministic for
+    // committed readers (see writeLshIndex's init note)
+    val stampCol = ingestId.map(lit(_)).getOrElse(lit(null)).cast("long")
+    val stampB = toBands.withColumn("ingest_id", stampCol)
+    val stampS = toSigs.withColumn("ingest_id", stampCol)
+    stampB.sortWithinPartitions("band", "band_hash")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    stampS.write.mode("append").parquet(s"$dir/sigs")
+    if (k > 0 && readLshMeta(spark, dir)._3 == 0) {
       // empty-initialized index learns its k from the first real rows
+      invalidateLshMeta(dir)
       Seq((bands, shingleN, k, LshIndexFormat))
         .toDF("bands", "shingle_n", "k", "format")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** The bands layout's explicit read schema — pinned because a
+    * band-partitioned EMPTY index (fresh init, or fully vacuumed) has
+    * no data files to infer from. `ingest_id` reads NULL from files
+    * written before the exactly-once path (or by legacy appends) —
+    * null = committed-at-any-watermark. */
+  private[graft] def bandsReadSchema(idCol: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band_hash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** Sigs read that SEES the `ingest_id` column whenever any file
+    * carries it: a plain parquet read infers from one footer, and an
+    * index whose init predates the exactly-once path would otherwise
+    * read back WITHOUT the stamp — silently making uncommitted rows
+    * visible. mergeSchema unions all footers (manifest-sized cost,
+    * only paid on exactly-once reads); a never-stamped store gets the
+    * column added as all-NULL so downstream filters stay uniform. */
+  private[graft] def sigsMergedRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/sigs")
+    if (df.columns.contains("ingest_id")) df
+    else df.withColumn("ingest_id", lit(null).cast("long"))
   }
 
   /** Persisted-LSH-index layout version. 2 = the r15+ layout (bands
@@ -436,7 +544,7 @@ object TextDedupOps {
       .coalesce(1) // deletes are metadata-sized next to the index
       .write.mode("append").parquet(s"$dir/tombstones")
 
-  private def lshTombstones(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def lshTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -449,7 +557,7 @@ object TextDedupOps {
   /** Anti-join `df` against the index's tombstones on `idCol` (cast
     * to long on both sides — the stored layout's id type). Broadcast:
     * a tombstone set is deletes-sized, not index-sized. */
-  private def minusTombstones(df: DataFrame,
+  private[llm] def minusTombstones(df: DataFrame,
       tomb: Option[DataFrame], idCol: String): DataFrame =
     tomb.fold(df) { t =>
       df.join(broadcast(t.withColumnRenamed(idCol, "__tomb_id")),
@@ -478,9 +586,27 @@ object TextDedupOps {
     val conf = spark.sparkContext.hadoopConfiguration
     IndexSwap.recover(conf, dir, "bands")
     IndexSwap.recover(conf, dir, "sigs")
+    requireNoInFlightIngest(spark, dir, "vacuumLshIndex")
     val tomb = lshTombstones(spark, dir, idCol)
     if (tomb.isEmpty) return
     rewriteLshIndex(spark, dir, idCol, tomb)
+  }
+
+  /** Maintenance may only run between COMMITTED ingest batches: the
+    * rewrite folds every surviving row into the unstamped base (valid
+    * precisely because all rows are committed), so an in-flight or
+    * crashed-uncommitted ingest at rewrite time would have its partial
+    * rows promoted to unconditionally-visible — the exact corruption
+    * the commit log exists to prevent. Fail with the remedy. */
+  private def requireNoInFlightIngest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      op: String): Unit = {
+    val (_, inFlight) = IngestCommit.logState(spark, s"$dir/commits")
+    require(inFlight.isEmpty,
+      s"$op: index at $dir has in-flight (begun, uncommitted) ingest " +
+        s"batch(es) ${inFlight.toSeq.sorted.mkString(", ")} — finish " +
+        "or replay the ingest (IngestCommit.nearDupIngestBatch " +
+        "recovers it) before maintenance")
   }
 
   /** COMPACT the index layout regardless of tombstones — the
@@ -498,7 +624,14 @@ object TextDedupOps {
     val conf = spark.sparkContext.hadoopConfiguration
     IndexSwap.recover(conf, dir, "bands")
     IndexSwap.recover(conf, dir, "sigs")
+    requireNoInFlightIngest(spark, dir, "compactLshIndex")
     rewriteLshIndex(spark, dir, idCol, lshTombstones(spark, dir, idCol))
+    // fold the commit log too: ingest creates one begin + one commit
+    // marker per batch, and a long-lived index would otherwise pay an
+    // ever-growing listing on every hwm read. All batches are
+    // committed here (guard above), so the entire history collapses
+    // to the max commit marker — same skip semantics.
+    IngestCommit.compactLog(spark, s"$dir/commits")
   }
 
   private def rewriteLshIndex(spark: org.apache.spark.sql.SparkSession,
@@ -506,22 +639,23 @@ object TextDedupOps {
     val conf = spark.sparkContext.hadoopConfiguration
     def swapIn(sub: String)(write: String => Unit): Unit =
       IndexSwap.swapIn(conf, dir, sub)(write)
-    val exBands = spark.read.schema(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("band_hash",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType))))
-      .parquet(s"$dir/bands")
+    // the rewrite FOLDS ingest stamps away (drop ingest_id): every
+    // surviving row is committed (requireNoInFlightIngest gates both
+    // callers), and an unstamped base row is visible at any
+    // high-water-mark — semantics-preserving, and it restores the
+    // compact 3-column base layout
+    val exBands = spark.read.schema(bandsReadSchema(idCol))
+      .parquet(s"$dir/bands").drop("ingest_id")
     swapIn("bands") { tmp =>
       minusTombstones(exBands, tomb, idCol)
         .repartitionByRange(col("band"), col("band_hash"))
         .sortWithinPartitions("band", "band_hash")
         .write.partitionBy("band").parquet(tmp)
     }
-    val exSigs = spark.read.parquet(s"$dir/sigs")
+    // mergeSchema (sigsMergedRead), NOT a one-footer inferred read: a
+    // store whose later files carry ingest_id must not have the column
+    // silently dropped-or-kept by footer pick order
+    val exSigs = sigsMergedRead(spark, dir).drop("ingest_id")
     swapIn("sigs") { tmp =>
       minusTombstones(exSigs, tomb, idCol).write.parquet(tmp)
     }
@@ -569,25 +703,45 @@ object TextDedupOps {
     (bandsOnly, sigsOnly, dupBandRows)
   }
 
-  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+  /** Memo for [[readLshMeta]]: the ingest loop validates the meta on
+    * EVERY batch (twice — the incremental read and the append), and
+    * each uncached read is a 1-row Spark job. A meta is immutable
+    * once its k is learned (> 0), so it caches then; writers that
+    * rewrite it ([[writeLshIndex]] init, the learn-k update)
+    * invalidate. Keyed by dir — multi-session JVMs share FS state
+    * anyway. */
+  private val lshMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+  private[llm] def invalidateLshMeta(dir: String): Unit = {
+    lshMetaCache.remove(dir); ()
+  }
+
+  private[llm] def readLshMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
+    val cached = lshMetaCache.get(dir)
+    if (cached != null) return cached
     val df = spark.read.parquet(s"$dir/meta")
     // layout/format guard, mirroring the bands/shingleN/k mismatch
     // guard: a meta WITHOUT the format column was written by the
     // pre-r15 layout (unpartitioned band triple, caller-typed ids) —
     // the partitioned long-id reader would misread or fail on it, so
-    // reject with the remedy instead of guessing
-    val fmt = if (df.columns.contains("format"))
-      df.select("format").collect()(0).getInt(0) else 1
+    // reject with the remedy instead of guessing. ONE collect reads
+    // format and triple together (this was two 1-row jobs).
+    val hasFmt = df.columns.contains("format")
+    val cols = if (hasFmt) Seq("bands", "shingle_n", "k", "format")
+      else Seq("bands", "shingle_n", "k")
+    val r = df.select(cols.map(col): _*).collect()(0)
+    val fmt = if (hasFmt) r.getInt(3) else 1
     require(fmt == LshIndexFormat,
       s"LSH index at $dir has layout format $fmt; this build reads " +
         s"format $LshIndexFormat (bands partitioned by band, long ids, " +
         "tombstone deletes) — rebuild the index with writeLshIndex")
-    val r = df.select("bands", "shingle_n", "k").collect()(0)
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val out = (r.getInt(0), r.getInt(1), r.getInt(2))
+    if (out._3 > 0) lshMetaCache.put(dir, out)
+    out
   }
 
-  private def checkLshMeta(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def checkLshMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String, bands: Int, shingleN: Int, k: Int): Unit = {
     val (b0, s0, k0) = readLshMeta(spark, dir)
     require(b0 == bands && s0 == shingleN && (k0 == 0 || k == 0 || k0 == k),
@@ -609,8 +763,37 @@ object TextDedupOps {
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.7,
       maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val (nwSigs, survivors) = lshIncrementalIndexedCore(newBatch,
+      indexDir, idCol, textCol, shingleN, k, bands, threshold,
+      maxBucketSize)
+    val survivorSigs = nwSigs
+      .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
+      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+    (survivors, survivorSigs)
+  }
+
+  /** [[lshIncrementalIndexed]] minus the survivor-signature join —
+    * returns (the batch's checkpointed odd-folded signature frame,
+    * the survivor frame) so the exactly-once ingest loop can
+    * materialize the SLIM survivor-id set once and derive the corpus
+    * write, the bands append, and the sigs append from checkpointed
+    * inputs (one pair computation per batch instead of one per
+    * consumer). When the index carries a commit log
+    * (`indexDir/commits`, see [[IngestCommit]]), the index reads are
+    * filtered to the COMMITTED view: rows stamped above the
+    * high-water-mark — a crashed ingest attempt's partial append —
+    * are invisible, which keeps the survivor computation DETERMINISTIC
+    * across foreachBatch replays. Without a log the view is the raw
+    * store (legacy behavior, bit-identical plans). */
+  private[llm] def lshIncrementalIndexedCore(newBatch: DataFrame,
+      indexDir: String, idCol: String, textCol: String, shingleN: Int,
+      k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     val spark = newBatch.sparkSession
     checkLshMeta(spark, indexDir, bands, shingleN, k)
+    val hwmOpt = IngestCommit.committedHwm(spark, s"$indexDir/commits")
+    def committed(df: DataFrame): DataFrame = hwmOpt.fold(df)(h =>
+      df.filter(col("ingest_id").isNull || col("ingest_id") <= h))
     val nwSigs = minHashSignatures(newBatch, idCol, textCol, shingleN, k)
       .select((col(idCol).cast("long") * 2 + 1).as(idCol),
         col("signature"))
@@ -619,21 +802,26 @@ object TextDedupOps {
     // BEFORE the fold — a deleted doc must neither band-match nor
     // est-jaccard-join, exactly as if vacuumed
     val tomb = lshTombstones(spark, indexDir, idCol)
-    val exSigs = minusTombstones(
-        spark.read.parquet(s"$indexDir/sigs"), tomb, idCol)
+    // plain read, not mergeSchema: every r18+ write (init AND append)
+    // carries the ingest_id column, so inference always sees it —
+    // a per-batch footer-merge job was the first cut's main overhead.
+    // A pre-r18 init under a commit log is the one shape inference
+    // can't serve deterministically; reject it loudly.
+    val rawSigs0 = spark.read.parquet(s"$indexDir/sigs")
+    val rawSigs = hwmOpt.fold(rawSigs0) { _ =>
+      require(rawSigs0.columns.contains("ingest_id"),
+        s"lshIncrementalIndexed: index at $indexDir has a commit log " +
+          "but its sigs lack the ingest_id column (initialized by a " +
+          "pre-exactly-once build) — rebuild with writeLshIndex")
+      committed(rawSigs0)
+    }
+    val exSigs = minusTombstones(rawSigs, tomb, idCol)
       .select((col(idCol).cast("long") * 2).as(idCol), col("signature"))
     // explicit schema: a band-partitioned EMPTY index (fresh init) has
     // no data files to infer from, and the partition column must read
     // back typed either way
-    val exBands = spark.read.schema(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("band_hash",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType))))
-      .parquet(s"$indexDir/bands")
+    val exBands = committed(
+      spark.read.schema(bandsReadSchema(idCol)).parquet(s"$indexDir/bands"))
     val exBandsLive = minusTombstones(exBands, tomb, idCol)
       .select((col(idCol).cast("long") * 2).as(idCol),
         col("band"), col("band_hash"))
@@ -641,11 +829,7 @@ object TextDedupOps {
     val pairs = asymPairsFromBands(exBandsLive.unionByName(nwBands),
       nwBands, exSigs.unionByName(nwSigs), idCol, threshold,
       maxBucketSize)
-    val survivors = incrementalSurvivors(newBatch, pairs, idCol)
-    val survivorSigs = nwSigs
-      .select(shiftright(col(idCol), 1).as(idCol), col("signature"))
-      .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
-    (survivors, survivorSigs)
+    (nwSigs, incrementalSurvivors(newBatch, pairs, idCol))
   }
 
   /** Banded candidate pairs for the INCREMENTAL path: new-side rows
@@ -672,7 +856,7 @@ object TextDedupOps {
     * — also the PERSISTED layout of [[writeLshIndex]] (3 longs per
     * row; storing it pre-banded spares every later ingest the split +
     * hash recompute over the whole index). */
-  private def bandFrame(signatures: DataFrame, idCol: String,
+  private[llm] def bandFrame(signatures: DataFrame, idCol: String,
       bands: Int): DataFrame =
     signatures.select(col(idCol),
       posexplode(split_band(col("signature"), bands)))
@@ -732,6 +916,58 @@ object TextDedupOps {
     * still generates them) fall out of both filters. */
   private def incrementalSurvivors(newBatch: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
+    // FULL driver fast path (r18 — the ingest witness's per-batch cost
+    // is fixed job overhead, not data): a micro-batch's post-threshold
+    // pair graph is usually tiny, so ONE bounded collect resolves
+    // new-new components, old-touched ids, and the loser set entirely
+    // on the driver — no pair checkpoint, no component jobs, no loser
+    // persist — and the losers ride back as a broadcast literal.
+    // Semantics identical to the distributed body below (union-by-min
+    // root = connectedComponents' cluster pick; same three loser
+    // classes); one row past the cap falls back, so scale is safe.
+    val cap = 65536
+    val head = pairs.select(col("id_a").cast("long"),
+      col("id_b").cast("long")).limit(cap + 1).collect()
+    if (head.length <= cap) {
+      val oldTouched = head.iterator
+        .filter(r => ((r.getLong(0) ^ r.getLong(1)) & 1L) == 1L)
+        .map(r => if ((r.getLong(0) & 1L) == 1L) r.getLong(0)
+                  else r.getLong(1))
+        .toSet
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if ((a & 1L) == 1L && (b & 1L) == 1L) { // new-new edges only
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      val roots = parent.keys.map(m => m -> find(m)).toMap
+      val badRoots = oldTouched.iterator
+        .flatMap(roots.get).toSet
+      val losers = scala.collection.mutable.HashSet[Long]()
+      roots.foreach { case (m, r) =>
+        if (badRoots.contains(r) || m != r) { losers += m; () }
+      }
+      oldTouched.foreach { o =>
+        if (!roots.contains(o)) { losers += o; () }
+      }
+      val spark = newBatch.sparkSession
+      import spark.implicits._
+      val losersDf = losers.iterator.map(_ >> 1).toSet.toSeq.sorted
+        .toDF(idCol)
+      return newBatch.join(broadcast(losersDf), Seq(idCol), "left_anti")
+    }
     // pairs feed THREE consumers (new-new edges into components,
     // old-touched extraction, and — through losers — every downstream
     // action on the survivor frame): an eager localCheckpoint runs the

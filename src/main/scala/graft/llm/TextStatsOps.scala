@@ -402,6 +402,26 @@ object TextStatsOps {
       if (h >= 0 && l >= 0) Some(h * 16 + l) else None
     } else None
 
+  /** Enforce the byte-fallback id convention AT THE API BOUNDARY (the
+    * r17-documented residual made loud): with `byteFallback`, ids in
+    * [0, 256) ARE the byte alphabet — the encoder emits them raw for
+    * vocabulary-missing bytes and the decoder splices them back as raw
+    * bytes — so a vocabulary that assigns such an id to anything but
+    * that id's own `<0xNN>` spelling would make some byte decode as
+    * that token's text (silent corruption, a broken decode ∘ encode).
+    * Rejected with the renumber remedy instead. Ids ≥ 256 are
+    * unconstrained: a `<0xNN>`-spelled entry there is recognized as a
+    * byte piece by both sides, consistently. */
+  private def requireByteFallbackVocab(vocabIds: Map[String, Int],
+      op: String): Unit =
+    vocabIds.foreach { case (tok, id) =>
+      if (id >= 0 && id < 256)
+        require(bytePieceId(tok).contains(id),
+          s"$op: byteFallback reserves ids [0, 256) for the byte " +
+            s"alphabet, but id $id maps to '$tok' (expected the byte " +
+            f"piece <0x$id%02X>) — renumber the vocabulary")
+    }
+
   /** One word's rank-table BPE fixpoint: find the lowest-rank adjacent
     * pair (hash lookups on "a b" keys — symbols never contain spaces,
     * the same delimiter argument the string-state tier makes), merge
@@ -529,6 +549,7 @@ object TextStatsOps {
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    if (byteFallback) requireByteFallbackVocab(vocabIds, "bpeEncodeRanked")
     val vids = new java.util.HashMap[String, Integer](vocabIds.size * 2)
     vocabIds.foreach { case (t, i) => vids.put(t, Integer.valueOf(i)); () }
     val bRank = spark.sparkContext.broadcast(rankMap(merges))
@@ -592,8 +613,16 @@ object TextStatsOps {
                         java.nio.charset.StandardCharsets.UTF_8)
                       if (bs.length == 1)
                         Iterator((s, Some(bs(0) & 0xff)))
-                      else bs.iterator.map(b =>
-                        (f"<0x${b & 0xff}%02X>", Some(b & 0xff)))
+                      else bs.iterator.map { b =>
+                        // vocab FIRST, byte id on miss — the same
+                        // precedence the multi-char branch gives byte
+                        // pieces, so a vocabulary CARRYING the <0xNN>
+                        // alphabet (the SentencePiece/Llama shape)
+                        // prices expansions to ITS ids
+                        val piece = f"<0x${b & 0xff}%02X>"
+                        val pv = Option(vv.get(piece)).map(_.intValue)
+                        (piece, pv.orElse(Some(b & 0xff)))
+                      }
                     }
                   }
                 }
@@ -681,6 +710,7 @@ object TextStatsOps {
       byteFallback: Boolean = false): org.apache.spark.sql.DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    if (byteFallback) requireByteFallbackVocab(vocabIds, "bpeDecodeRanked")
     val inv = new java.util.HashMap[Integer, String](vocabIds.size * 2)
     vocabIds.foreach { case (t, i) =>
       val prev = inv.put(Integer.valueOf(i), t)
@@ -722,7 +752,16 @@ object TextStatsOps {
                 "encoding carries a vocab miss (table drift); decode " +
                 "is impossible")
             val tok = iv.get(Integer.valueOf(tid))
-            if (tok != null)
+            // byte-fallback vocabularies may CARRY the 256 <0xNN>
+            // tokens (the SentencePiece/Llama convention — exactly
+            // what trainUnigramLm byteFallback=true produces): a
+            // resolved byte piece must decode as its RAW byte, never
+            // as the literal 6-char spelling, or decode ∘ encode
+            // breaks for that standard vocab shape.
+            val tokByte = if (bf && tok != null) bytePieceId(tok)
+                          else None
+            if (tokByte.isDefined) out.write(tokByte.get)
+            else if (tok != null)
               out.write(unmark(tok)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             else if (bf && tid >= 0 && tid < 256) out.write(tid)
@@ -837,6 +876,144 @@ object TextStatsOps {
       }
     }
     state.unpersist()
+    merges.toSeq
+  }
+
+  /** [[bpeTrainMerges]] at PRODUCTION merge counts (8k+): the
+    * distributed loop's cost is rounds × one Spark job, which at 8 000
+    * merges is minutes of pure scheduling — while the training STATE
+    * (the unique-word histogram, the SentencePiece reduction) is a few
+    * hundred thousand rows. So split the work where the data sizes
+    * say to: ONE distributed aggregation builds the word histogram
+    * (the only corpus-sized step — at 100 TB this is the whole
+    * distributed bill, a single map-side-combined shuffle, optionally
+    * bounded by `maxTrainRows`'s deterministic slice), the top
+    * `maxTrainWords` word types (count desc, word asc — a
+    * deterministic truncation, the `--vocab_size`-style bound every
+    * real trainer applies) collect to the driver, and the merge loop
+    * runs in memory with INCREMENTAL pair counts: a pair→words index
+    * confines each round's work to the words that actually contain
+    * the winning pair, and a lazy-revalidated priority queue replaces
+    * the per-round aggregation job.
+    *
+    * Semantics are EXACTLY [[bpeTrainMerges]]' (spec-pinned equal
+    * when `maxTrainWords` covers the corpus): word states are the
+    * same padded symbol strings, each round applies the winner with
+    * the same single `String.replace` pass (so even its
+    * blocked-adjacent-repeat corner — " a b a b " → " ab a b " —
+    * matches), pair counts weight every adjacent position by word
+    * frequency, and ties break (count desc, pair asc) in UNSIGNED
+    * UTF-8 byte order — Spark's string ordering, not UTF-16's, which
+    * diverges on supplementary characters. */
+  def bpeTrainMergesLocal(df: org.apache.spark.sql.DataFrame,
+      textCol: String, numMerges: Int, maxTrainRows: Int = 0,
+      maxTrainWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges: $numMerges")
+    require(maxTrainWords >= 1, s"maxTrainWords: $maxTrainWords")
+    val hist = trainingSlice(df, textCol, maxTrainRows)
+      .select(explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(maxTrainWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the same padded state string the distributed loop holds, split
+    // by CODE POINTS (Spark's substr/length semantics)
+    def pad(w: String): String = {
+      val sb = new java.lang.StringBuilder(w.length * 2 + 2)
+      sb.append(' ')
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append(' ')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    // unsigned UTF-8 byte order == Spark's UTF8String ordering
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val states = hist.map { case (w, _) => pad(w) }
+    val freqs = hist.map(_._2)
+    def pairsOf(st: String): Array[String] = {
+      val syms = st.trim.split(" ")
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(j => syms(j) + " " + syms(j + 1))
+    }
+    val counts = new java.util.HashMap[String, Long]()
+    val index = new java.util.HashMap[String, java.util.HashSet[Integer]]()
+    def addWord(wi: Int, sign: Long): Unit = {
+      val f = freqs(wi) * sign
+      pairsOf(states(wi)).foreach { p =>
+        counts.merge(p, f, (a, b) => a + b)
+        if (sign > 0)
+          index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+            .add(Integer.valueOf(wi))
+        // negative pass leaves the index entry — re-added below if the
+        // pair survives the rewrite; a stale index entry is filtered
+        // at use (contains check on the state string)
+        ()
+      }
+    }
+    states.indices.foreach(addWord(_, 1L))
+    // lazy-revalidated max-heap on (count, pair): every count change
+    // pushes a fresh entry; pops that disagree with the live map are
+    // stale and skipped — the classic amortized O(log n) top-1
+    implicit val ord: Ordering[(Long, String)] =
+      new Ordering[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int =
+          if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+          else if (a._2 == b._2) 0
+          else if (utf8Lt(a._2, b._2)) 1 else -1 // min pair = max heap
+      }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String)]
+    counts.forEach((p, c) => if (c > 0) pq.enqueue((c, p)))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      var winner: String = null
+      while (winner == null && pq.nonEmpty) {
+        val (c, p) = pq.dequeue()
+        val live = counts.getOrDefault(p, 0L)
+        if (live == c && c > 0) winner = p
+        else if (live > 0 && live != c) () // stale; a fresh entry exists
+      }
+      if (winner == null) done = true
+      else {
+        val parts = winner.split(" ")
+        merges += ((parts(0), parts(1)))
+        val pat = s" ${parts(0)} ${parts(1)} "
+        val rep = s" ${parts(0)}${parts(1)} "
+        val touched = new java.util.HashSet[String]()
+        val members = index.get(winner)
+        if (members != null) {
+          val it = members.toArray(Array.empty[Integer])
+            .map(_.intValue).sorted
+          it.foreach { wi =>
+            val st = states(wi)
+            if (st.contains(pat)) { // stale index entries filter here
+              pairsOf(st).foreach { p => touched.add(p); () }
+              addWord(wi, -1L)
+              states(wi) = st.replace(pat, rep)
+              pairsOf(states(wi)).foreach { p => touched.add(p); () }
+              addWord(wi, 1L)
+            }
+          }
+        }
+        touched.forEach { p =>
+          val c = counts.getOrDefault(p, 0L)
+          if (c > 0) pq.enqueue((c, p))
+        }
+      }
+    }
     merges.toSeq
   }
 
@@ -2069,7 +2246,15 @@ object TextStatsOps {
       vocab = toScores(vocabCnts)
     }
     if (!byteFallback) vocab
-    else vocab ++ (0 until 256).map(b => f"<0x$b%02X>" -> unkCharMicro)
+    else {
+      // merge with precedence for TRAINED entries: a genuine corpus
+      // piece literally spelled '<0xNN>' (possible at maxTokenLen
+      // ≥ 6) keeps its trained score — only byte tokens ABSENT from
+      // the vocabulary join at the unk floor, so byte fallback never
+      // silently demotes a real piece's segmentation priority.
+      vocab ++ (0 until 256).map(b => f"<0x$b%02X>" -> unkCharMicro)
+        .filterNot { case (p, _) => vocab.contains(p) }
+    }
   }
 
   // ───── Tokenizer tables as LAKE ARTIFACTS: a production pipeline

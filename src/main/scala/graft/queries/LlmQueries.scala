@@ -283,6 +283,51 @@ object LlmQueries extends QueryModule {
               |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.nt = f.nt)"""
         .stripMargin)),
 
+    // EXACTLY-ONCE exact-dedup ingest (IngestCommit, r17 verdict
+    // task #1): the dedup_incremental loop driven through the commit
+    // protocol a restartable foreachBatch pipeline needs — three
+    // id-ordered batches (clones of docs 0-49 planted at +10000 in
+    // the LAST batch, so they must die against the committed corpus),
+    // with batch 2 KILLED after its corpus publish and replayed
+    // (recovery must converge, the uncommitted partial stays
+    // invisible) and batch 1 replayed after commit (must skip as a
+    // no-op). The oracle is the ONE-SHOT dedup: min doc_id per
+    // normalized text over the whole planted corpus — id-ordered
+    // batches make sequential ingest ≡ one-shot, so a replay
+    // double-append, a visible uncommitted row, or a recovery that
+    // recomputes against the wrong corpus view each change the id set
+    // and hash-fail.
+    QueryDef("ingest_exactly_once",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-ingest-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        import graft.llm.IngestCommit
+        val b0 = planted.filter(col("doc_id") < 200)
+        val b1 = planted.filter(col("doc_id").between(200, 399))
+        val b2 = planted.filter(col("doc_id") >= 400)
+        IngestCommit.exactDedupIngestBatch(b0, 0L, dir)
+        IngestCommit.exactDedupIngestBatch(b1, 1L, dir)
+        try IngestCommit.exactDedupIngestBatch(b2, 2L, dir,
+          failpoint = pt => if (pt == "after-corpus") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        IngestCommit.exactDedupIngestBatch(b2, 2L, dir) // recovery
+        IngestCommit.exactDedupIngestBatch(b1, 1L, dir) // committed: skip
+        IngestCommit.committedCorpus(s, dir, s"$dir/_commits")
+          .select("doc_id")
+      },
+      Some(s"""WITH allb AS (
+              |  SELECT doc_id, ${normSql("text")} AS nt FROM documents
+              |  UNION ALL SELECT doc_id + 10000, ${normSql("text")}
+              |  FROM documents WHERE doc_id < 50)
+              |SELECT min(doc_id) AS doc_id FROM allb GROUP BY nt"""
+        .stripMargin)),
+
     // INCREMENTAL near-dup dedup (TextDedupOps.lshIncremental, r12
     // verdict task #7): the MinHash-index twin of dedup_incremental —
     // the persisted signature index stands in for the existing corpus,
@@ -393,6 +438,77 @@ object LlmQueries extends QueryModule {
               |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = b.text)
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
+
+    // EXACTLY-ONCE near-dup ingest (IngestCommit.nearDupIngestBatch,
+    // r17 verdict task #1): the persisted-index loop driven through
+    // the commit protocol, with the ingest KILLED at the hardest crash
+    // point — after the index append, before the commit marker — and
+    // replayed. The replay must (a) not match batch docs against their
+    // own half-committed signatures (the survivor-vanishing hazard:
+    // uncommitted stamped rows are invisible to the committed view)
+    // and (b) subtract the already-visible rows before re-appending
+    // (the double-append hazard that inflates bucket counts). Same
+    // trilinear corpus as the incremental gates; clones of committed
+    // docs planted in later batches must die against the index, a
+    // within-batch clone pair resolves to the min id, and a committed
+    // batch replays as a no-op skip. Oracle = one-shot survivorship:
+    // min doc_id per text over the whole planted corpus.
+    QueryDef("near_dup_ingest_exactly_once",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 250).withColumn("text", mk)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-neingest-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (index, corpus) = (s"$root/index", s"$root/corpus")
+        import graft.llm.{IngestCommit, TextDedupOps}
+        TextDedupOps.writeLshIndex(
+          TextDedupOps.minHashSignatures(docs.limit(0), "doc_id",
+            "text", 3, 32), index, "doc_id", bands = 8)
+        val b0 = docs.filter(col("doc_id") < 100)
+        val b1 = docs.filter(col("doc_id").between(100, 199))
+        val b2 = docs.filter(col("doc_id") >= 200)
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(100, 104))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") === 210)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        def ingest(b: DataFrame, id: Long,
+            fp: String => Unit = _ => ()): Boolean =
+          IngestCommit.nearDupIngestBatch(b, id, index, corpus,
+            threshold = 0.99, failpoint = fp)
+        ingest(b0, 0L)
+        try ingest(b1, 1L,
+          fp = pt => if (pt == "after-index") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        ingest(b1, 1L) // recovery replay
+        ingest(b2, 2L)
+        ingest(b0, 0L) // committed: no-op skip
+        IngestCommit.committedCorpus(s, corpus, s"$index/commits")
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents WHERE doc_id < 250),
+              |allb AS (
+              |  SELECT doc_id, text FROM corpus
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 10
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 100 AND 104
+              |  UNION ALL SELECT doc_id + 30000, text
+              |  FROM corpus WHERE doc_id = 210)
+              |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
+        .stripMargin)),
 
     // DELETE support for the persisted LSH index (deleteFromLshIndex /
     // vacuumLshIndex) — the curation-loop primitive: documents dropped
@@ -3119,6 +3235,34 @@ object LlmQueries extends QueryModule {
           .select(element_at(wlit,
             pmod(col("doc_id"), lit(8)).cast("int") + 1).as("text"))
         TextStatsOps.bpeTrainMerges(corpus, "text", numMerges = 4,
+            maxTrainRows = 24)
+          .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "lhs", "rhs")
+      }
+    },
+      Some("""SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs
+             |FROM (VALUES
+             |  (0, 'a', 'n'), (1, 'an', 'a'), (2, 'ana', 'n'),
+             |  (3, 'anan', 'a')) t(rank, lhs, rhs)""".stripMargin)),
+
+    // The PRODUCTION-vocab training tier (bpeTrainMergesLocal, r17
+    // verdict task #5): one distributed word-histogram aggregation +
+    // the in-memory incremental merge loop, spec-pinned merge-for-
+    // merge equal to bpeTrainMerges (TokenizerKernelSpec). Same
+    // corpus, slice, and hand-derived merge oracle as bpe_train_slice
+    // — the two gates differ ONLY in which tier trains, so a
+    // tie-break, pair-count, or replace-semantics divergence between
+    // the tiers hash-fails here against the closed form.
+    QueryDef("bpe_train_local", {
+      val wl = Seq("banana", "ananas", "bandana", "cabana", "banda",
+        "nana", "anaban", "dana")
+      (s, d) => {
+        import s.implicits._
+        val wlit = typedLit(wl)
+        val corpus = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(element_at(wlit,
+            pmod(col("doc_id"), lit(8)).cast("int") + 1).as("text"))
+        TextStatsOps.bpeTrainMergesLocal(corpus, "text", numMerges = 4,
             maxTrainRows = 24)
           .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
           .toDF("rank", "lhs", "rhs")

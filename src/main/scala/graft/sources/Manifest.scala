@@ -101,6 +101,21 @@ object Manifest {
         "bounds may be in the writer's unit, not micros) — rebuild " +
         "it with Manifest.build")
 
+  /** Carried rows must BE the current format, not merely carry the
+    * column — a future bump (format 4+, possibly different bound
+    * semantics) must not be silently accepted by a pruned read any
+    * more than by [[update]]. One bounded distinct-collect over the
+    * format column (format versions, normally a single value). */
+  private def checkFormatValue(manifest: DataFrame, op: String): Unit = {
+    checkFormat(manifest, op)
+    val fmts = manifest.select("format").distinct()
+      .collect().map(_.getInt(0)).toSet // bounded: format versions
+    require(fmts == Set(ManifestFormat),
+      s"Manifest.$op: manifest rows carry format(s) $fmts; this " +
+        s"build reads/writes format $ManifestFormat — rebuild with " +
+        "Manifest.build")
+  }
+
   private case class FileRef(path: String, flen: Long, mtime: Long)
 
   private def dataFiles(spark: SparkSession, dir: String): Seq[FileRef] = {
@@ -252,15 +267,7 @@ object Manifest {
     require(Set("flen", "mtime").subsetOf(manifest.columns.toSet),
       "Manifest.update: manifest lacks flen/mtime (written by a " +
         "pre-r15 build) — rebuild it with Manifest.build")
-    checkFormat(manifest, "update")
-    // carried rows must BE the current format, not merely carry the
-    // column — a future bump must not silently mix bound semantics
-    val fmts = manifest.select("format").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded: format versions
-    require(fmts == Set(ManifestFormat),
-      s"Manifest.update: manifest rows carry format(s) $fmts; this " +
-        s"build writes format $ManifestFormat — rebuild with " +
-        "Manifest.build")
+    checkFormatValue(manifest, "update")
     val current = dataFiles(spark, dir)
     require(current.nonEmpty, s"Manifest.update: no part- files under $dir")
     val old = manifest.select("column").distinct()
@@ -498,7 +505,7 @@ object Manifest {
   def prunedReadMulti(spark: SparkSession, manifest: DataFrame,
       preds: Seq[Pred]): DataFrame = {
     require(preds.nonEmpty, "prunedReadMulti: need at least one predicate")
-    checkFormat(manifest, "prunedReadMulti") // metadata-only, no job
+    checkFormatValue(manifest, "prunedReadMulti")
     val keep = preds.map(keepSet(manifest, _)).reduce(_ intersect _)
     readKept(spark, manifest, keep.toArray,
       preds.map(residualOf).reduce(_ && _))

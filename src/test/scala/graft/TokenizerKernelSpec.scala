@@ -265,4 +265,92 @@ class TokenizerKernelSpec extends SparkSpec {
       unkCharMicro = -20000000L, kernelThreshold = 0)
     assert(viaColumn === viaKernel)
   }
+
+  test("bpeTrainMergesLocal ≡ bpeTrainMerges: same merges, same order " +
+      "(incl. tie-breaks and the blocked-adjacent-repeat replace " +
+      "corner), and early stop agrees") {
+    val docs = lcgTexts(200).toDF("doc_id", "text")
+    val dist = TextStatsOps.bpeTrainMerges(docs, "text", numMerges = 60)
+    val local = TextStatsOps.bpeTrainMergesLocal(docs, "text",
+      numMerges = 60)
+    assert(local == dist)
+    // the replace corner: "abab"-shaped repeats — the padded replace
+    // leaves the second occurrence unmerged within the round
+    val rep = Seq((1L, "abab abab cc"), (2L, "abab cc cc"))
+      .toDF("doc_id", "text")
+    val d2 = TextStatsOps.bpeTrainMerges(rep, "text", numMerges = 8)
+    val l2 = TextStatsOps.bpeTrainMergesLocal(rep, "text", numMerges = 8)
+    assert(l2 == d2)
+    // early stop: a corpus of single-char words has no pairs at all
+    val tiny = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    assert(TextStatsOps.bpeTrainMergesLocal(tiny, "text", 5) ==
+      TextStatsOps.bpeTrainMerges(tiny, "text", 5))
+    // maxTrainRows slices identically (both delegate to trainingSlice)
+    val ds = TextStatsOps.bpeTrainMerges(docs, "text", numMerges = 20,
+      maxTrainRows = 120)
+    val ls = TextStatsOps.bpeTrainMergesLocal(docs, "text",
+      numMerges = 20, maxTrainRows = 120)
+    assert(ls == ds)
+    // production scale is driver-cheap: 2000 merges on this corpus
+    // complete (vocabulary exhausts or merges fill) in-memory
+    val big = TextStatsOps.bpeTrainMergesLocal(docs, "text",
+      numMerges = 2000)
+    assert(big.size > 60)
+  }
+
+  test("bpeDecodeRanked: a vocabulary CARRYING <0xNN> byte tokens " +
+      "(the SentencePiece/Llama shape) decodes them as raw bytes, " +
+      "not their 6-char spelling") {
+    // 'ā' = U+0101 = UTF-8 C4 81; the byte pieces price through the
+    // VOCAB (ids 600/601 — a hit, not the raw-byte fallback path), so
+    // decode must recognize the resolved token as a byte piece
+    val vocab = Map("<0xC4>" -> 600, "<0x81>" -> 601, "hi" -> 502)
+    val docs = Seq((1L, "hi āhi"), (2L, "āā")).toDF("doc_id", "text")
+    val enc = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      TextStatsOps.BpeDemoMerges, vocab, byteLevel = true,
+      byteFallback = true)
+    val ids = enc.filter(col("doc_id") === 2L)
+      .orderBy("tok_idx", "sym_idx").select("token_id")
+      .as[Int].collect().toSeq
+    assert(ids == Seq(600, 601, 600, 601), s"priced $ids")
+    val dec = TextStatsOps.bpeDecodeRanked(enc, "doc_id", vocab,
+      byteFallback = true)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(dec == Seq("hi āhi", "āā"))
+  }
+
+  test("byteFallback vocab-shape validation: an id in [0, 256) on a " +
+      "non-byte token (or on the wrong byte piece) is rejected at " +
+      "encode AND decode entry; the correct shape passes") {
+    val docs = Seq((1L, "hi")).toDF("doc_id", "text")
+    val bad = Map("hi" -> 502, "a" -> 97)
+    val wrongByte = Map("hi" -> 502, "<0xC4>" -> 97)
+    val good = Map("hi" -> 502, "<0x61>" -> 97, "<0xC4>" -> 196)
+    val e1 = intercept[IllegalArgumentException] {
+      TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+        TextStatsOps.BpeDemoMerges, bad, byteLevel = true,
+        byteFallback = true)
+    }
+    assert(e1.getMessage.contains("byte alphabet"))
+    intercept[IllegalArgumentException] {
+      TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+        TextStatsOps.BpeDemoMerges, wrongByte, byteLevel = true,
+        byteFallback = true)
+    }
+    val enc = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      TextStatsOps.BpeDemoMerges, good, byteLevel = true,
+      byteFallback = true)
+    intercept[IllegalArgumentException] {
+      TextStatsOps.bpeDecodeRanked(enc, "doc_id", bad,
+        byteFallback = true)
+    }
+    val dec = TextStatsOps.bpeDecodeRanked(enc, "doc_id", good,
+      byteFallback = true).select("text").as[String].collect()
+    assert(dec.toSeq == Seq("hi"))
+    // non-fallback mode is unconstrained (demo ids ARE code points)
+    TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      TextStatsOps.BpeDemoMerges, bad, byteLevel = true,
+      byteFallback = false).collect()
+    ()
+  }
 }
