@@ -244,12 +244,25 @@ object Bench {
       * loop (pair→words index + lazy-revalidated heap); a regression
       * that reintroduces per-round Spark jobs or super-linear
       * round cost shows up here directly. */
+    /** The natural documents text EXHAUSTS at ~89 merges (its
+      * synthetic vocabulary is a small word pool — every word
+      * collapses to one symbol), so the corpus here is high-entropy
+      * by construction: 25 sixteen-hex-char words per document
+      * (xxhash64-derived, deterministic), giving a rich shared-
+      * substring space that genuinely sustains 8 000 merges. The
+      * histogram is bounded at 200k word types (count desc, word asc
+      * — the deterministic truncation). n_merges lands in the result
+      * so an early exhaustion can never masquerade as a fast run. */
     def bpeTrain8kStress(): DataFrame = {
       import org.apache.spark.sql.functions._
       import graft.llm.TextStatsOps
-      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val docs = Tables.documents(spark, sfDir).select("doc_id")
+        .withColumn("text", array_join(transform(
+          sequence(lit(0), lit(24)),
+          j => lower(hex(xxhash64(col("doc_id") * 31 + j * 7)))), " "))
       val trained = TextStatsOps.bpeTrainMergesLocal(docs, "text",
-        numMerges = 8000, maxTrainRows = 200000)
+        numMerges = 8000, maxTrainRows = 200000,
+        maxTrainWords = 200000)
       docs.limit(1).select(col("doc_id"),
         lit(trained.size).as("n_merges"))
     }
@@ -263,7 +276,12 @@ object Bench {
     def unigramTrain32kStress(): DataFrame = {
       import org.apache.spark.sql.functions._
       import graft.llm.TextStatsOps
-      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      // same high-entropy corpus as bpeTrain8kStress — the natural
+      // text's candidate space caps out at ~54 pieces
+      val docs = Tables.documents(spark, sfDir).select("doc_id")
+        .withColumn("text", array_join(transform(
+          sequence(lit(0), lit(24)),
+          j => lower(hex(xxhash64(col("doc_id") * 31 + j * 7)))), " "))
       val vocab = TextStatsOps.trainUnigramLm(docs, "text",
         vocabSize = 32768, rounds = 2, maxTokenLen = 8, minCount = 2,
         maxTrainRows = 200000)

@@ -205,13 +205,89 @@ object IngestCommit {
     * ("after-survivors", "after-corpus", "after-index"); production
     * callers leave the default no-op. */
   /** The default no-op failpoint. Reference-compared in
-    * [[nearDupIngestBatch]]: with it, the corpus publish and the
-    * index append run CONCURRENTLY (independent outputs, both
-    * invisible until the commit marker — crash order carries no
-    * correctness weight under the log); any custom failpoint forces
-    * the sequential corpus→index order so kill specs can target the
-    * exact inter-write states. */
+    * [[nearDupIngestBatch]] / [[simHashIngestBatch]]: with it, the
+    * corpus publish and the index append run CONCURRENTLY
+    * (independent outputs, both invisible until the commit marker —
+    * crash order carries no correctness weight under the log); any
+    * custom failpoint forces the sequential corpus→index order so
+    * kill specs can target the exact inter-write states. */
   val NoFailpoint: String => Unit = _ => ()
+
+  /** Exactly-once SIMHASH near-dup ingest — the banded-Hamming twin
+    * of [[nearDupIngestBatch]] over the cheapest persisted index
+    * (8 bytes of hash per document): survivors are computed against
+    * the COMMITTED hash view, published to
+    * `corpusDir/ingest_id=<batch>`, and their hashes appended to
+    * `hashesDir` stamped with the batch id; the commit log lives at
+    * `hashesDir/_commits` (underscore — Spark's listing ignores it
+    * when the hash frame is read). This wrapper OWNS the hashes
+    * directory (every file carries `ingest_id` from the first
+    * append), so there is no legacy-schema ambiguity; recovery after
+    * a mid-append crash subtracts the batch's already-visible rows
+    * exactly as the LSH path does. Returns false (no writes) for an
+    * already-committed batch. */
+  def simHashIngestBatch(batch: DataFrame, batchId: Long,
+      hashesDir: String, corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue,
+      failpoint: String => Unit = NoFailpoint): Boolean = {
+    val spark = batch.sparkSession
+    val logDir = s"$hashesDir/_commits"
+    val (hwm, inFlight) = logState(spark, logDir)
+    if (batchId <= hwm) return false
+    val recover = inFlight.contains(batchId)
+    if (!recover) appendLog(spark, logDir, batchId, "begin")
+    val dirPath = new org.apache.hadoop.fs.Path(hashesDir)
+    val hasData = fsOf(spark, dirPath).exists(dirPath) &&
+      fsOf(spark, dirPath).listStatus(dirPath)
+        .exists(f => f.getPath.getName.startsWith("part-"))
+    val existing =
+      if (hasData)
+        spark.read.parquet(hashesDir)
+          .filter(col("ingest_id").isNull || col("ingest_id") <= hwm)
+          .select(col(idCol), col("simhash"))
+      else TextDedupOps.simHash(batch.limit(0), idCol, textCol)
+    val surv = TextDedupOps.simHashIncremental(batch, existing, idCol,
+      textCol, maxHamming, bands, maxBucketSize)
+      .localCheckpoint(true) // consumed twice (corpus + hash append);
+                             // batch-sized, and it truncates the
+                             // banded-join lineage like the LSH path
+    failpoint("after-survivors")
+    // survivor hashes recompute row-locally from the checkpointed
+    // survivors — no shuffle, and exactly the hashes the next batch's
+    // committed view must serve
+    val survHashes = TextDedupOps.simHash(surv, idCol, textCol)
+      .select(col(idCol).cast("long").as(idCol), col("simhash"))
+    def writeCorpus(): Unit =
+      surv.write.mode("overwrite")
+        .parquet(s"$corpusDir/ingest_id=$batchId")
+    def writeIndex(): Unit = {
+      val toWrite =
+        if (!recover || !hasData) survHashes
+        else {
+          val vis = spark.read.parquet(hashesDir)
+            .filter(col("ingest_id") === batchId)
+            .select(col(idCol).cast("long").as(idCol), col("simhash"))
+          survHashes.exceptAll(vis)
+        }
+      toWrite.withColumn("ingest_id", lit(batchId))
+        .write.mode("append").parquet(hashesDir)
+    }
+    if (failpoint eq NoFailpoint) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f1 = Future(writeCorpus()); val f2 = Future(writeIndex())
+      val r1 = scala.util.Try(Await.result(f1, Duration.Inf))
+      val r2 = scala.util.Try(Await.result(f2, Duration.Inf))
+      r1.get; r2.get
+    } else {
+      writeCorpus(); failpoint("after-corpus")
+      writeIndex(); failpoint("after-index")
+    }
+    appendLog(spark, logDir, batchId, "commit")
+    true
+  }
 
   def nearDupIngestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, corpusDir: String, idCol: String = "doc_id",

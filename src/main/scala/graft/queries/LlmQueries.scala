@@ -693,6 +693,72 @@ object LlmQueries extends QueryModule {
               |  AND b.doc_id = (SELECT min(b2.doc_id) FROM newb b2
               |                  WHERE b2.text = b.text)""".stripMargin)),
 
+    // EXACTLY-ONCE SimHash ingest (IngestCommit.simHashIngestBatch) —
+    // the banded-Hamming member of the exactly-once family, killed at
+    // BOTH crash points across the run (after the hash-index append on
+    // batch 1, after the corpus publish on batch 2) and replayed, plus
+    // a committed-batch skip. Same trilinear corpus and one-shot
+    // survivorship oracle as simhash_incremental / the LSH ingest
+    // gate: identical texts ⇒ hamming 0, distinct trilinear texts sit
+    // at hamming ≈ 32, so survivors are min doc_id per text with
+    // committed-corpus twins killing their clones.
+    QueryDef("simhash_ingest_exactly_once",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 250).withColumn("text", mk)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-shingest-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (hashes, corpus) = (s"$root/hashes", s"$root/corpus")
+        import graft.llm.IngestCommit
+        val b0 = docs.filter(col("doc_id") < 100)
+        val b1 = docs.filter(col("doc_id").between(100, 199))
+        val b2 = docs.filter(col("doc_id") >= 200)
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(100, 104))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") === 210)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        def ingest(b: DataFrame, id: Long,
+            fp: String => Unit = IngestCommit.NoFailpoint): Boolean =
+          IngestCommit.simHashIngestBatch(b, id, hashes, corpus,
+            failpoint = fp)
+        ingest(b0, 0L)
+        try ingest(b1, 1L,
+          fp = pt => if (pt == "after-index") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        ingest(b1, 1L) // recovery replay
+        try ingest(b2, 2L,
+          fp = pt => if (pt == "after-corpus") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        ingest(b2, 2L) // recovery replay
+        ingest(b0, 0L) // committed: no-op skip
+        IngestCommit.committedCorpus(s, corpus, s"$hashes/_commits")
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents WHERE doc_id < 250),
+              |allb AS (
+              |  SELECT doc_id, text FROM corpus
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 10
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 100 AND 104
+              |  UNION ALL SELECT doc_id + 30000, text
+              |  FROM corpus WHERE doc_id = 210)
+              |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
+        .stripMargin)),
+
     // Dataset mixture: per-source deterministic hash sampling at target
     // keep-fractions (downsample src0 to 30%, keep the rest whole) —
     // the pretraining-mix step, reproducible across reprocessing.

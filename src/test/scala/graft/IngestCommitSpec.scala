@@ -213,6 +213,42 @@ class IngestCommitSpec extends SparkSpec {
     assertIndexConsistent(index, corpus)
   }
 
+  test("simhash ingest: kills at both crash points replay to the " +
+      "one-shot result; committed batches skip; hash index consistent") {
+    val root = tmpDir("simhash")
+    val (hashes, corpus) = (s"$root/hashes", s"$root/corpus")
+    val bs = batches
+    assert(IngestCommit.simHashIngestBatch(bs(0), 0L, hashes, corpus))
+    intercept[RuntimeException] {
+      IngestCommit.simHashIngestBatch(bs(1), 1L, hashes, corpus,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    assert(IngestCommit.simHashIngestBatch(bs(1), 1L, hashes, corpus))
+    intercept[RuntimeException] {
+      IngestCommit.simHashIngestBatch(bs(2), 2L, hashes, corpus,
+        failpoint = p => if (p == "after-corpus") sys.error("kill"))
+    }
+    assert(IngestCommit.simHashIngestBatch(bs(2), 2L, hashes, corpus))
+    assert(!IngestCommit.simHashIngestBatch(bs(0), 0L, hashes, corpus))
+    val all = batches.reduce(_ unionByName _)
+    val oneShot = TextDedupOps.simHashIncremental(all,
+      TextDedupOps.simHash(all.limit(0), "doc_id", "text"),
+      "doc_id", "text")
+    val committed = IngestCommit.committedCorpus(spark, corpus,
+      s"$hashes/_commits")
+    assertFrameEqual(committed, oneShot)
+    // exactly one committed hash row per corpus id (a replay
+    // double-append would inflate this)
+    val hwm = IngestCommit.committedHwm(spark, s"$hashes/_commits")
+      .getOrElse(sys.error("no log"))
+    val hs = spark.read.parquet(hashes)
+      .filter(col("ingest_id").isNull || col("ingest_id") <= hwm)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val cids = committed.select("doc_id").as[Long].collect().toSet
+    assert(hs.keySet == cids)
+    hs.foreach { case (id, n) => assert(n == 1L, s"doc $id: $n rows") }
+  }
+
   test("compaction folds the commit log to one row, preserving the " +
       "high-water-mark and replay-skip semantics") {
     val root = tmpDir("near-compact")
