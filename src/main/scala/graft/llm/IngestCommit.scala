@@ -226,6 +226,58 @@ object IngestCommit {
     * a mid-append crash subtracts the batch's already-visible rows
     * exactly as the LSH path does. Returns false (no writes) for an
     * already-committed batch. */
+  /** Exactly-once IVF-PQ ingest — the EMBEDDING-store member of the
+    * family: unlike the dedup loops there is no survivorship (the
+    * index stores what it is given; callers dedup ids upstream), so
+    * the batch effect is a pure exactly-once APPEND — the batch's raw
+    * vectors publish to `corpusDir/ingest_id=<batch>` (the float
+    * store the exact re-rank reads back by id) and their PQ codes
+    * append to the index's cell partitions stamped with the batch id
+    * ([[SimilarityOps.appendIvfPqIndex]]). The commit log lives at
+    * `indexDir/commits`; [[SimilarityOps.ivfPqTopKIndexed]] filters
+    * its partition-pruned codes scan to committed rows whenever the
+    * log exists, so a crashed attempt's partial append never serves,
+    * and maintenance (vacuum/compaction) refuses to run over an
+    * in-flight batch. Recovery after a mid-append crash subtracts the
+    * already-visible stamped rows — sound because the encode is
+    * deterministic against the STORED quantizers. Returns false (no
+    * writes) for an already-committed batch. */
+  def ivfPqIngestBatch(newVectors: DataFrame, batchId: Long,
+      indexDir: String, corpusDir: String, cId: String = "vec_id",
+      embCol: String = "embedding",
+      failpoint: String => Unit = NoFailpoint): Boolean = {
+    val spark = newVectors.sparkSession
+    val logDir = s"$indexDir/commits"
+    val (hwm, inFlight) = logState(spark, logDir)
+    if (batchId <= hwm) return false
+    val recover = inFlight.contains(batchId)
+    if (!recover) appendLog(spark, logDir, batchId, "begin")
+    val batch = newVectors.select(col(cId), col(embCol))
+      .localCheckpoint(true) // consumed twice; caller lineage may be
+                             // expensive and must not run per write
+    failpoint("after-batch")
+    def writeCorpus(): Unit =
+      batch.write.mode("overwrite")
+        .parquet(s"$corpusDir/ingest_id=$batchId")
+    def writeIndex(): Unit =
+      SimilarityOps.appendIvfPqIndex(batch, indexDir, cId, embCol,
+        ingestId = Some(batchId), recover = recover)
+    if (failpoint eq NoFailpoint) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f1 = Future(writeCorpus()); val f2 = Future(writeIndex())
+      val r1 = scala.util.Try(Await.result(f1, Duration.Inf))
+      val r2 = scala.util.Try(Await.result(f2, Duration.Inf))
+      r1.get; r2.get
+    } else {
+      writeCorpus(); failpoint("after-corpus")
+      writeIndex(); failpoint("after-index")
+    }
+    appendLog(spark, logDir, batchId, "commit")
+    true
+  }
+
   def simHashIngestBatch(batch: DataFrame, batchId: Long,
       hashesDir: String, corpusDir: String, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3, bands: Int = 4,

@@ -1093,6 +1093,11 @@ object SimilarityOps {
       StructField(cId, LongType),
       StructField("pq_codes", ArrayType(IntegerType)),
       StructField("recon_normsq", DoubleType),
+      // exactly-once ingest stamp (IngestCommit.ivfPqIngestBatch) —
+      // NULL on files written outside that path (init, legacy
+      // appends, compacted base), which reads as
+      // committed-at-any-watermark
+      StructField("ingest_id", LongType),
       StructField("cell", IntegerType)))
   }
 
@@ -1106,17 +1111,41 @@ object SimilarityOps {
     * a partitioned append — the table is never rewritten. Callers
     * dedup ids upstream; the index stores what it is given. */
   def appendIvfPqIndex(newVectors: DataFrame, dir: String,
-      cId: String = "vec_id", embCol: String = "embedding"): Unit = {
+      cId: String = "vec_id", embCol: String = "embedding",
+      ingestId: Option[Long] = None, recover: Boolean = false): Unit = {
     val spark = newVectors.sparkSession
     checkIvfPqMeta(spark, dir)
     val centroids = readIvfCentroids(spark, dir)
     val codebooks = readIvfPqCodebooks(spark, dir)
     require(centroids.nonEmpty && codebooks.nonEmpty,
       s"appendIvfPqIndex: empty index at $dir")
-    pqEncodeResidual(newVectors.select(col(cId), col(embCol)), embCol,
+    val encoded = pqEncodeResidual(
+        newVectors.select(col(cId), col(embCol)), embCol,
         centroids, codebooks, "cell", "pq_codes", "recon_normsq")
       .select(col(cId).cast("long").as(cId), col("pq_codes"),
         col("recon_normsq"), col("cell"))
+    // exactly-once replay recovery (IngestCommit): subtract the rows a
+    // crashed attempt of THIS ingestId already made visible — the
+    // encode is deterministic (stored quantizers), so exceptAll
+    // converges the append to exactly-once content. Row-group stats on
+    // the stamp bound the scan to ~the crashed batch's own files.
+    val toWrite =
+      if (!recover) encoded
+      else {
+        val b = ingestId.getOrElse(sys.error(
+          "appendIvfPqIndex: recover requires an ingestId"))
+        val vis = spark.read.schema(ivfPqCellsSchema(cId))
+          .parquet(s"$dir/cells")
+          .filter(col("ingest_id") === b)
+          .select(col(cId), col("pq_codes"), col("recon_normsq"),
+            col("cell"))
+        encoded.exceptAll(vis)
+      }
+    // stamp ONLY exactly-once appends — legacy appends keep the
+    // original codes-only layout byte-for-byte (every cells read is
+    // schema-pinned, so heterogeneous files are fine; absent column
+    // reads as NULL = committed-at-any-watermark)
+    ingestId.fold(toWrite)(b => toWrite.withColumn("ingest_id", lit(b)))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -1168,9 +1197,26 @@ object SimilarityOps {
     val conf = spark.sparkContext.hadoopConfiguration
     IndexSwap.recover(conf, dir, "cells")
     checkIvfPqMeta(spark, dir)
+    requireNoInFlightIvfPqIngest(spark, dir, "vacuumIvfPqIndex")
     val tomb = ivfPqTombstones(spark, dir, cId)
     if (tomb.isEmpty) return
     rewriteIvfPqCells(spark, dir, cId, tomb)
+  }
+
+  /** Same contract as the LSH index's maintenance guard: the rewrite
+    * folds ingest stamps into the unstamped base (valid only when
+    * every row is committed), so an in-flight or crashed-uncommitted
+    * exactly-once ingest blocks maintenance with the recovery
+    * remedy. */
+  private def requireNoInFlightIvfPqIngest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      op: String): Unit = {
+    val (_, inFlight) = IngestCommit.logState(spark, s"$dir/commits")
+    require(inFlight.isEmpty,
+      s"$op: index at $dir has in-flight (begun, uncommitted) ingest " +
+        s"batch(es) ${inFlight.toSeq.sorted.mkString(", ")} — finish " +
+        "or replay the ingest (IngestCommit.ivfPqIngestBatch recovers " +
+        "it) before maintenance")
   }
 
   /** COMPACT the cell partitions regardless of tombstones — the
@@ -1185,7 +1231,10 @@ object SimilarityOps {
     val conf = spark.sparkContext.hadoopConfiguration
     IndexSwap.recover(conf, dir, "cells")
     checkIvfPqMeta(spark, dir)
+    requireNoInFlightIvfPqIngest(spark, dir, "compactIvfPqIndex")
     rewriteIvfPqCells(spark, dir, cId, ivfPqTombstones(spark, dir, cId))
+    // fold the commit log to its max marker, like compactLshIndex
+    IngestCommit.compactLog(spark, s"$dir/commits")
   }
 
   private def rewriteIvfPqCells(spark: org.apache.spark.sql.SparkSession,
@@ -1193,8 +1242,11 @@ object SimilarityOps {
     val conf = spark.sparkContext.hadoopConfiguration
     // schema-pinned: a vacuum that tombstones every remaining id must
     // itself be re-runnable against the emptied layout it wrote
+    // ingest stamps fold away (drop): every surviving row is committed
+    // (the no-in-flight guard gates both callers), and an unstamped
+    // base row is visible at any high-water-mark
     val exCells = spark.read.schema(ivfPqCellsSchema(cId))
-      .parquet(s"$dir/cells")
+      .parquet(s"$dir/cells").drop("ingest_id")
     IndexSwap.swapIn(conf, dir, "cells") { tmp =>
       minusTombstones(exCells, tomb, cId)
         .repartition(col("cell"))
@@ -1243,11 +1295,18 @@ object SimilarityOps {
     // a deleted vector must not reach the ADC shortlist, exactly as
     // if vacuumed; the anti-join rides the partition-pruned code scan.
     // Schema pinned: a fully-vacuumed index has no data files to
-    // infer from, and serving against it must return empty, not fail
-    val cc = minusTombstones(
-        spark.read.schema(ivfPqCellsSchema(cId))
-          .parquet(s"$indexDir/cells")
-          .filter(col("cell").isin(probedCells.map(c => c: Any): _*)),
+    // infer from, and serving against it must return empty, not fail.
+    // Under a commit log (exactly-once ingest) the scan additionally
+    // filters to COMMITTED rows — a crashed ingest's stamped partial
+    // append must not serve; indexes without a log are unfiltered
+    // (legacy behavior, plan unchanged).
+    val hwmOpt = IngestCommit.committedHwm(spark, s"$indexDir/commits")
+    val rawCells = spark.read.schema(ivfPqCellsSchema(cId))
+      .parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+    val committedCells = hwmOpt.fold(rawCells)(h =>
+      rawCells.filter(col("ingest_id").isNull || col("ingest_id") <= h))
+    val cc = minusTombstones(committedCells,
         ivfPqTombstones(spark, indexDir, cId), cId)
       .select(col(cId), col("pq_codes").as("__codes"),
         col("recon_normsq").as("__cnormsq"), col("cell").as("__cell"))

@@ -1203,6 +1203,60 @@ object IoQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // EXACTLY-ONCE IVF-PQ ingest (IngestCommit.ivfPqIngestBatch —
+    // the embedding-store member of the r18 exactly-once family): the
+    // index seeds with a third of the vectors (quantizers trained on
+    // the seed — the production reality), then the remaining two
+    // thirds ingest in two batches through the commit protocol, with
+    // batch 0 KILLED after its stamped index append and replayed
+    // (the recovery subtraction must prevent duplicate code rows —
+    // duplicates double-count shortlist candidates and can displace
+    // true neighbors at the rank boundary) and batch 0 replayed again
+    // after commit (no-op skip). Covering configuration: the final
+    // committed index holds EVERY vector, so the brute-force cosine
+    // oracle applies verbatim — a lost batch, a double append, or a
+    // served uncommitted row each change the ranking and hash-fail.
+    QueryDef("ivfpq_ingest_exactly_once",
+      (s, d) => {
+        import graft.llm.{IngestCommit, SimilarityOps}
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val seed = emb.filter(col("vec_id") % 3 === 0)
+        val b0 = emb.filter(col("vec_id") % 3 === 1)
+        val b1 = emb.filter(col("vec_id") % 3 === 2)
+        val cents = SimilarityOps.trainIvfCentroids(
+          seed, "vec_id", "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        val root = s"$scratch/ivfpq_ingest_eo"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (idx, corp) = (s"$root/index", s"$root/corpus")
+        SimilarityOps.writeIvfPqIndex(seed, idx, cents, cbs)
+        try IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp,
+          failpoint = pt => if (pt == "after-index") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp) // recovery
+        IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp)
+        IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp) // skip
+        SimilarityOps.ivfPqTopKIndexed(queries, idx, emb, 3,
+          nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // DELETE support for the persisted IVF-PQ index
     // (deleteFromIvfPqIndex / vacuumIvfPqIndex): vectors dropped by a
     // curation loop must stop surfacing as neighbors while survivors

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{IngestCommit, TextDedupOps}
+import graft.llm.{IngestCommit, SimilarityOps, TextDedupOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -274,6 +274,88 @@ class IngestCommitSpec extends SparkSpec {
       IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
       oneShotOracle)
     assertIndexConsistent(index, corpus)
+  }
+
+  /** Clustered deterministic vectors for the IVF-PQ ingest test. */
+  private lazy val vecs = {
+    val rows = (0L until 60L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(d =>
+        (if (d == c * 2) 1.0 else 0.1) +
+          ((i * 31 + d * 7) % 13).toDouble / 100).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ivfpq ingest: exactly-once append — a crashed attempt's rows " +
+      "never serve, replay converges cells + corpus + serving to the " +
+      "clean run, maintenance blocked in-flight") {
+    val root = tmpDir("ivfpq")
+    val seed = vecs.filter(col("vec_id") < 30)
+    val b0 = vecs.filter(col("vec_id").between(30, 44))
+    val b1 = vecs.filter(col("vec_id") >= 45)
+    val cents = SimilarityOps.trainIvfCentroids(seed, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def serve(idx: String): Seq[(Long, Long, Double, Int)] =
+      SimilarityOps.ivfPqTopKIndexed(queries, idx, vecs, 3,
+        nprobe = cents.length, rerankFactor = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    for (tag <- Seq("clean", "killed", "seedonly"))
+      SimilarityOps.writeIvfPqIndex(seed, s"$root/$tag/index", cents, cbs)
+    assert(IngestCommit.ivfPqIngestBatch(b0, 0L, s"$root/clean/index",
+      s"$root/clean/corpus"))
+    assert(IngestCommit.ivfPqIngestBatch(b1, 1L, s"$root/clean/index",
+      s"$root/clean/corpus"))
+    val (kIdx, kCorp) = (s"$root/killed/index", s"$root/killed/corpus")
+    intercept[RuntimeException] {
+      IngestCommit.ivfPqIngestBatch(b0, 0L, kIdx, kCorp,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    // mid-crash: the stamped partial append is INVISIBLE to serving —
+    // results equal an index that only ever held the seed — and
+    // maintenance refuses to fold it into the base
+    assert(serve(kIdx) == serve(s"$root/seedonly/index"))
+    val exM = intercept[IllegalArgumentException] {
+      SimilarityOps.compactIvfPqIndex(spark, kIdx)
+    }
+    assert(exM.getMessage.contains("in-flight"))
+    // replay batch 0, kill batch 1 at the other crash point, replay
+    assert(IngestCommit.ivfPqIngestBatch(b0, 0L, kIdx, kCorp))
+    intercept[RuntimeException] {
+      IngestCommit.ivfPqIngestBatch(b1, 1L, kIdx, kCorp,
+        failpoint = p => if (p == "after-corpus") sys.error("kill"))
+    }
+    assert(IngestCommit.ivfPqIngestBatch(b1, 1L, kIdx, kCorp))
+    assert(!IngestCommit.ivfPqIngestBatch(b0, 0L, kIdx, kCorp)) // skip
+    // cells content identical to the clean run, exactly one row per id
+    def cells(idx: String): Seq[(Long, Seq[Int], Double, Int)] =
+      spark.read.parquet(s"$idx/cells")
+        .select("vec_id", "pq_codes", "recon_normsq", "cell")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+          r.getDouble(2), r.getInt(3))).sortBy(_._1).toSeq
+    val kc = cells(kIdx)
+    assert(kc == cells(s"$root/clean/index"))
+    assert(kc.map(_._1).distinct.size == kc.size)
+    assert(kc.size == 60)
+    // serving + committed corpus equal the clean run
+    assert(serve(kIdx) == serve(s"$root/clean/index"))
+    assertFrameEqual(
+      IngestCommit.committedCorpus(spark, kCorp, s"$kIdx/commits"),
+      IngestCommit.committedCorpus(spark, s"$root/clean/corpus",
+        s"$root/clean/index/commits"))
+    // maintenance now allowed, folds the stamps + the log, serving
+    // unchanged
+    val before = serve(kIdx)
+    SimilarityOps.compactIvfPqIndex(spark, kIdx)
+    assert(serve(kIdx) == before)
+    val logFiles = new java.io.File(s"$kIdx/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq
+    assert(logFiles == Seq("commit-1"), s"log: $logFiles")
   }
 
   test("streaming restart from checkpoint: a foreachBatch crash " +
