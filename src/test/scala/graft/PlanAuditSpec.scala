@@ -447,6 +447,9 @@ class PlanAuditSpec extends SparkSpec {
                                // the cell-pruned codes scan
       "ivfpq_index_delete",    // r16 delete gate: the identical probe
                                // shape over the tombstone-filtered scan
+      "ivfpq_ingest_exactly_once", // r18 exactly-once gate: the same
+                               // probe shape over the committed-filtered
+                               // cell-pruned codes scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one
