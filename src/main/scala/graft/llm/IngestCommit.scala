@@ -56,6 +56,42 @@ import org.apache.spark.sql.functions._
   * to run over an in-flight batch — see
   * `TextDedupOps.requireNoInFlightIngest`.
   *
+  * SINGLE-WRITER CONTRACT (r18 verdict task #4): one store (one commit
+  * log) takes ONE ingest writer — a single streaming query whose
+  * foreachBatch ids are strictly increasing and sequential (Spark's
+  * own contract for one checkpoint). Backfills run through the same
+  * query, or between streams with batch ids that CONTINUE the
+  * sequence — never a second concurrent query. The entry protocol
+  * enforces everything the log can observe:
+  *   - `batchId == hwm` skips (the benign redelivery: a crash between
+  *     this module's commit marker and Spark's own epoch commit
+  *     re-offers exactly the last committed batch);
+  *   - `batchId < hwm` REJECTS loudly — batch ids regressed, the
+  *     signature of a stream restarted with a FRESH checkpoint (ids
+  *     reset to 0); a silent skip would drop that stream's new data;
+  *   - a begun-but-uncommitted marker for a DIFFERENT id REJECTS —
+  *     the only in-flight id an entry may see is its own crashed
+  *     attempt; anything else is a skipped-ahead batch or a second
+  *     writer, whose partial stamped rows this batch's commit would
+  *     otherwise promote to committed (the ADVICE-flagged hazard).
+  * Two writers racing the SAME batch id inside one listing window are
+  * not observable from the log and are out of contract.
+  *
+  * MAINTENANCE LEASE (r18 verdict task #2): vacuum/compaction REWRITE
+  * the index (folding stamps into the unstamped base), so an ingest
+  * append racing the rewrite would land in the old directory and be
+  * silently dropped by the swap. Maintenance therefore runs under a
+  * `maint-<stamp>` lease marker in the log dir
+  * ([[withMaintenanceLease]]): each side writes its INTENT first and
+  * checks the other's second — maintenance creates the lease, then
+  * checks for in-flight begins; ingest creates its begin, then checks
+  * for leases (retracting the begin if it backs off) — so at most one
+  * side can proceed, on any filesystem with read-after-write listing
+  * visibility. A lease left by a maintainer that died mid-rewrite
+  * blocks ingest until the SAME maintenance op is re-run (idempotent:
+  * IndexSwap recovery + rewrite complete the job and release), or
+  * [[breakMaintenanceLease]] clears it manually.
+  *
   * Scale: per batch the log costs ONE directory listing (≤ 2 marker
   * files per batch between compactions;
   * [[TextDedupOps.compactLshIndex]] folds the history to a single
@@ -85,18 +121,33 @@ object IngestCommit {
       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Maintenance-lease marker prefix — `maint-<nanotime stamp>`.
+    * Deliberately OUTSIDE MarkerRe: lease files are invisible to the
+    * hwm/in-flight parse and survive [[compactLog]]. */
+  private val LeasePrefix = "maint-"
+
+  /** (committed high-water-mark, begun-but-uncommitted batch ids,
+    * live maintenance leases). (-1, ∅, ∅) for a missing or empty
+    * log. One FS listing. */
+  private def logStateFull(spark: SparkSession,
+      logDir: String): (Long, Set[Long], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return (-1L, Set.empty, Nil)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val committed = names.collect { case MarkerRe("commit", id) => id.toLong }
+    val begun = names.collect { case MarkerRe("begin", id) => id.toLong }
+    val leases = names.filter(_.startsWith(LeasePrefix)).toSeq.sorted
+    (if (committed.isEmpty) -1L else committed.max,
+      begun.toSet -- committed.toSet, leases)
+  }
+
   /** (committed high-water-mark, begun-but-uncommitted batch ids).
     * (-1, ∅) for a missing or empty log. One FS listing. */
   private[graft] def logState(spark: SparkSession,
       logDir: String): (Long, Set[Long]) = {
-    val p = new org.apache.hadoop.fs.Path(logDir)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return (-1L, Set.empty)
-    val names = fs.listStatus(p).map(_.getPath.getName)
-    val committed = names.collect { case MarkerRe("commit", id) => id.toLong }
-    val begun = names.collect { case MarkerRe("begin", id) => id.toLong }
-    (if (committed.isEmpty) -1L else committed.max,
-      begun.toSet -- committed.toSet)
+    val (hwm, inFlight, _) = logStateFull(spark, logDir)
+    (hwm, inFlight)
   }
 
   /** None when no log directory exists (a legacy, non-exactly-once
@@ -119,6 +170,105 @@ object IngestCommit {
                  _: java.io.IOException if fs.exists(p) => () }
   }
 
+  /** Shared entry protocol for every ingest*Batch wrapper (the
+    * single-writer contract in the header, made enforceable): parse
+    * the log ONCE, then skip/reject/proceed. Returns None when the
+    * batch must SKIP (it is exactly the committed hwm — the benign
+    * Spark-epoch redelivery), Some(recover) otherwise, where recover
+    * means this id's previous attempt died begun-but-uncommitted.
+    * With `writeAhead` the begin marker is created here, and the
+    * maintenance-lease check runs AFTER it is durable (intent first,
+    * check second — see the header; the begin is retracted before a
+    * back-off reject so it leaves no stuck in-flight id). */
+  private def beginIngest(spark: SparkSession, logDir: String,
+      batchId: Long, op: String, writeAhead: Boolean): Option[Boolean] = {
+    val (hwm, inFlight, leases) = logStateFull(spark, logDir)
+    if (batchId == hwm) return None
+    require(batchId > hwm,
+      s"$op: batch id $batchId regressed below the committed " +
+        s"high-water-mark $hwm at $logDir — the signature of a stream " +
+        "restarted with a FRESH checkpoint (foreachBatch ids reset to " +
+        "0), whose batches a silent skip would DROP; resume the " +
+        "original checkpoint, or point the new stream at a new " +
+        "store/log")
+    require(inFlight.forall(_ == batchId),
+      s"$op: in-flight (begun, uncommitted) ingest batch(es) " +
+        s"${(inFlight - batchId).toSeq.sorted.mkString(", ")} at " +
+        s"$logDir while entering batch $batchId — one store takes ONE " +
+        "sequential writer (single-writer contract); replay the " +
+        "in-flight batch to completion before this one")
+    val recover = inFlight.contains(batchId)
+    def leaseReject(live: Seq[String]): Unit =
+      require(live.isEmpty,
+        s"$op: maintenance lease(s) ${live.mkString(", ")} live at " +
+          s"$logDir — a vacuum/compaction is mid-rewrite (or died " +
+          "there); re-run that maintenance op to completion (it " +
+          "recovers and releases), or clear a stale lease with " +
+          "IngestCommit.breakMaintenanceLease, then replay this batch")
+    if (recover || !writeAhead) leaseReject(leases)
+    else {
+      appendLog(spark, logDir, batchId, "begin")
+      val leasesNow = logStateFull(spark, logDir)._3
+      if (leasesNow.nonEmpty) {
+        // retract: nothing is written yet, so backing off must not
+        // leave an in-flight id that would block the maintenance
+        val p = new org.apache.hadoop.fs.Path(s"$logDir/begin-$batchId")
+        fsOf(spark, p).delete(p, false)
+        leaseReject(leasesNow)
+      }
+    }
+    Some(recover)
+  }
+
+  /** Run `body` (a vacuum/compaction rewrite) under a maintenance
+    * lease on `logDir` — the mutual-exclusion half the entry-time
+    * in-flight guard alone cannot give (an ingest batch beginning
+    * after the guard passed but before the swap renamed would have
+    * its append silently dropped with the old directory). Acquiring
+    * TAKES OVER any lease already on disk (the stale-lease rule:
+    * maintenance is idempotent — IndexSwap recovery plus a re-run
+    * complete any crashed rewrite — so re-running the SAME op IS the
+    * takeover; concurrent maintainers are out of contract exactly as
+    * concurrent ingest writers are). The lease is released on any
+    * normal exit including a guard reject (live layouts only mutate
+    * via atomic swap-ins, so a mid-body failure leaves a servable
+    * index); process death keeps it on disk, blocking ingest until
+    * the op is re-run or [[breakMaintenanceLease]] clears it. */
+  private[graft] def withMaintenanceLease[T](spark: SparkSession,
+      logDir: String, op: String)(body: => T): T = {
+    val dirP = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, dirP)
+    fs.mkdirs(dirP)
+    val stale = fs.listStatus(dirP).map(_.getPath.getName)
+      .filter(_.startsWith(LeasePrefix))
+    val token = s"$LeasePrefix${System.nanoTime()}"
+    val tokenP = new org.apache.hadoop.fs.Path(s"$logDir/$token")
+    try fs.create(tokenP, false).close()
+    catch { case _: java.io.IOException if fs.exists(tokenP) => () }
+    stale.filter(_ != token).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$logDir/$n"), false); ()
+    }
+    try body
+    finally { fs.delete(tokenP, false); () }
+  }
+
+  /** Clear maintenance lease(s) left by a maintainer that died
+    * mid-rewrite — the MANUAL stale-lease override. Prefer re-running
+    * the maintenance op itself: it recovers the layout AND releases
+    * the lease; break only when that is not an option (the index may
+    * then still need IndexSwap recovery, which the next maintenance
+    * entry performs). */
+  def breakMaintenanceLease(spark: SparkSession, logDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(LeasePrefix))
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$logDir/$n"), false); ()
+      }
+  }
+
   /** Collapse a fully-committed log to its max commit marker — called
     * from [[TextDedupOps.compactLshIndex]] under its no-in-flight
     * guard. Idempotent: a crash mid-delete leaves extra markers whose
@@ -134,8 +284,14 @@ object IngestCommit {
         inFlight.toSeq.sorted.mkString(", "))
     if (hwm < 0) return
     val keep = s"commit-$hwm"
+    // delete ONLY recognized marker files: a foreign name in the log
+    // dir (a stray _SUCCESS, a live maintenance lease, future protocol
+    // metadata) is not this fold's to destroy
     fs.listStatus(p).foreach { st =>
-      if (st.getPath.getName != keep) fs.delete(st.getPath, false)
+      st.getPath.getName match {
+        case n @ MarkerRe(_, _) if n != keep => fs.delete(st.getPath, false)
+        case _ => ()
+      }
       ()
     }
   }
@@ -160,8 +316,10 @@ object IngestCommit {
     * dedup `batch` within itself and against the committed corpus
     * ([[TextDedupOps.dedupIncremental]]), publish the survivors as
     * `corpusDir/ingest_id=<batchId>`, then commit. Returns false —
-    * without touching storage — when the batch is already committed
-    * (the replay-skip). No begin marker is needed: the only write is
+    * without touching storage — when the batch is exactly the
+    * committed hwm (the replay-skip); an id BELOW the hwm or a
+    * foreign in-flight id rejects loudly per the single-writer
+    * contract. No begin marker is needed: the only write is
     * the self-cleaning partition overwrite, so every crash point
     * replays to the identical end state. The log lives at
     * `corpusDir/_commits` (the underscore keeps Spark's file listing
@@ -172,8 +330,9 @@ object IngestCommit {
       failpoint: String => Unit = _ => ()): Boolean = {
     val spark = batch.sparkSession
     val logDir = s"$corpusDir/_commits"
+    if (beginIngest(spark, logDir, batchId, "exactDedupIngestBatch",
+        writeAhead = false).isEmpty) return false
     val hwm = committedHwm(spark, logDir).getOrElse(-1L)
-    if (batchId <= hwm) return false
     val existing =
       if (hwm >= 0)
         spark.read.option("basePath", corpusDir).parquet(corpusDir)
@@ -228,7 +387,9 @@ object IngestCommit {
     * already-committed batch. */
   /** Exactly-once IVF-PQ ingest — the EMBEDDING-store member of the
     * family: unlike the dedup loops there is no survivorship (the
-    * index stores what it is given; callers dedup ids upstream), so
+    * index stores what it is given; `dedupIds = true` drops batch
+    * rows whose vec_id is already COMMITTED — see the inline note —
+    * while within-batch id uniqueness stays the caller's job), so
     * the batch effect is a pure exactly-once APPEND — the batch's raw
     * vectors publish to `corpusDir/ingest_id=<batch>` (the float
     * store the exact re-rank reads back by id) and their PQ codes
@@ -244,15 +405,41 @@ object IngestCommit {
     * writes) for an already-committed batch. */
   def ivfPqIngestBatch(newVectors: DataFrame, batchId: Long,
       indexDir: String, corpusDir: String, cId: String = "vec_id",
-      embCol: String = "embedding",
+      embCol: String = "embedding", dedupIds: Boolean = false,
       failpoint: String => Unit = NoFailpoint): Boolean = {
     val spark = newVectors.sparkSession
     val logDir = s"$indexDir/commits"
-    val (hwm, inFlight) = logState(spark, logDir)
-    if (batchId <= hwm) return false
-    val recover = inFlight.contains(batchId)
-    if (!recover) appendLog(spark, logDir, batchId, "begin")
-    val batch = newVectors.select(col(cId), col(embCol))
+    val recover = beginIngest(spark, logDir, batchId,
+      "ivfPqIngestBatch", writeAhead = true) match {
+      case None => return false
+      case Some(r) => r
+    }
+    val raw = newVectors.select(col(cId), col(embCol))
+    // Optional cross-batch id dedup (r18 verdict task #5): a vec_id
+    // already committed would otherwise double-serve from the codes
+    // scan. Probe the committed corpus' slim id column with the
+    // batch's ids broadcast (semi-join — one column-pruned,
+    // partition-pruned scan), then anti-join the hits back out of the
+    // batch (hits are ≤ batch-sized, broadcast again). Deterministic
+    // on replay: the committed view is frozen at the hwm while this
+    // batch is uncommitted. Within-batch id uniqueness stays the
+    // caller's job (a deterministic pick between two different
+    // embeddings under one id does not exist). Default OFF — legacy
+    // plans stay byte-identical.
+    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
+    val deduped =
+      if (!dedupIds || hwm < 0) raw
+      else {
+        val committedIds = spark.read.option("basePath", corpusDir)
+          .parquet(corpusDir)
+          .filter(col("ingest_id") <= hwm).select(col(cId))
+        val hit = committedIds
+          .join(broadcast(raw.select(col(cId)).distinct()),
+            Seq(cId), "left_semi")
+          .distinct()
+        raw.join(broadcast(hit), Seq(cId), "left_anti")
+      }
+    val batch = deduped
       .localCheckpoint(true) // consumed twice; caller lineage may be
                              // expensive and must not run per write
     failpoint("after-batch")
@@ -285,16 +472,25 @@ object IngestCommit {
       failpoint: String => Unit = NoFailpoint): Boolean = {
     val spark = batch.sparkSession
     val logDir = s"$hashesDir/_commits"
-    val (hwm, inFlight) = logState(spark, logDir)
-    if (batchId <= hwm) return false
-    val recover = inFlight.contains(batchId)
-    if (!recover) appendLog(spark, logDir, batchId, "begin")
+    val recover = beginIngest(spark, logDir, batchId,
+      "simHashIngestBatch", writeAhead = true) match {
+      case None => return false
+      case Some(r) => r
+    }
+    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
     val dirPath = new org.apache.hadoop.fs.Path(hashesDir)
     val hasData = fsOf(spark, dirPath).exists(dirPath) &&
       fsOf(spark, dirPath).listStatus(dirPath)
         .exists(f => f.getPath.getName.startsWith("part-"))
     val existing =
       if (hasData)
+        // every file this wrapper writes carries ingest_id, so the
+        // isNull arm never fires for a wrapper-owned store; it is
+        // kept DELIBERATELY as belt-and-braces — should unstamped
+        // rows ever appear (out-of-contract direct writes), they read
+        // as committed-at-any-watermark, the SAME null-means-committed
+        // convention every store in the family uses (bands, sigs,
+        // cells), rather than silently vanishing from the dedup view
         spark.read.parquet(hashesDir)
           .filter(col("ingest_id").isNull || col("ingest_id") <= hwm)
           .select(col(idCol), col("simhash"))
@@ -349,10 +545,11 @@ object IngestCommit {
       failpoint: String => Unit = NoFailpoint): Boolean = {
     val spark = batch.sparkSession
     val logDir = s"$indexDir/commits"
-    val (hwm, inFlight) = logState(spark, logDir)
-    if (batchId <= hwm) return false
-    val recover = inFlight.contains(batchId)
-    if (!recover) appendLog(spark, logDir, batchId, "begin")
+    val recover = beginIngest(spark, logDir, batchId,
+      "nearDupIngestBatch", writeAhead = true) match {
+      case None => return false
+      case Some(r) => r
+    }
     // Core filters the index to rows committed at the hwm — the
     // crashed attempt's own stamped rows are invisible, making the
     // survivor set identical on every replay (the determinism the

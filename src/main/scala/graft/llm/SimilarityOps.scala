@@ -1190,18 +1190,24 @@ object SimilarityOps {
     * intermediate state, including the window where the old naive
     * swap left no live directory at all (atomic on HDFS-like
     * filesystems; an S3-style object store copies on rename — vacuum
-    * there behind a committer or a table format). Run with the append
-    * writer paused. */
+    * there behind a committer or a table format). The exactly-once
+    * ingest wrapper is excluded for the whole rewrite by the
+    * maintenance lease; direct appendIvfPqIndex callers must still
+    * pause their writer themselves. */
   def vacuumIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cId: String = "vec_id"): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    IndexSwap.recover(conf, dir, "cells")
-    checkIvfPqMeta(spark, dir)
-    requireNoInFlightIvfPqIngest(spark, dir, "vacuumIvfPqIndex")
-    val tomb = ivfPqTombstones(spark, dir, cId)
-    if (tomb.isEmpty) return
-    rewriteIvfPqCells(spark, dir, cId, tomb)
-  }
+      dir: String, cId: String = "vec_id"): Unit =
+    // LEASE: ingest excluded for the whole rewrite window (see
+    // IngestCommit.withMaintenanceLease — an append racing the swap
+    // would be silently dropped with the old cells directory)
+    IngestCommit.withMaintenanceLease(spark, s"$dir/commits",
+        "vacuumIvfPqIndex") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      IndexSwap.recover(conf, dir, "cells")
+      checkIvfPqMeta(spark, dir)
+      requireNoInFlightIvfPqIngest(spark, dir, "vacuumIvfPqIndex")
+      val tomb = ivfPqTombstones(spark, dir, cId)
+      if (tomb.nonEmpty) rewriteIvfPqCells(spark, dir, cId, tomb)
+    }
 
   /** Same contract as the LSH index's maintenance guard: the rewrite
     * folds ingest stamps into the unstamped base (valid only when
@@ -1227,15 +1233,19 @@ object SimilarityOps {
     * layout through the same crash-recoverable swap (one file set per
     * cell again), folding any pending tombstones along the way. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cId: String = "vec_id"): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    IndexSwap.recover(conf, dir, "cells")
-    checkIvfPqMeta(spark, dir)
-    requireNoInFlightIvfPqIngest(spark, dir, "compactIvfPqIndex")
-    rewriteIvfPqCells(spark, dir, cId, ivfPqTombstones(spark, dir, cId))
-    // fold the commit log to its max marker, like compactLshIndex
-    IngestCommit.compactLog(spark, s"$dir/commits")
-  }
+      dir: String, cId: String = "vec_id"): Unit =
+    // same lease rationale as vacuumIvfPqIndex
+    IngestCommit.withMaintenanceLease(spark, s"$dir/commits",
+        "compactIvfPqIndex") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      IndexSwap.recover(conf, dir, "cells")
+      checkIvfPqMeta(spark, dir)
+      requireNoInFlightIvfPqIngest(spark, dir, "compactIvfPqIndex")
+      rewriteIvfPqCells(spark, dir, cId, ivfPqTombstones(spark, dir, cId))
+      // fold the commit log to its max marker, like compactLshIndex
+      // (marker-only deletes — the live lease survives the fold)
+      IngestCommit.compactLog(spark, s"$dir/commits")
+    }
 
   private def rewriteIvfPqCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, cId: String, tomb: Option[DataFrame]): Unit = {

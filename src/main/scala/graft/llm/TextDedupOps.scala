@@ -578,19 +578,26 @@ object TextDedupOps {
     * in, so re-running the vacuum completes the job from EVERY
     * intermediate state (rename is atomic on HDFS-like filesystems;
     * on S3-style object stores it is a copy — run vacuums there behind
-    * a committer or a table format). No-op without tombstones. Run
-    * with the append writer paused (vacuum and append racing would
-    * lose the appended rows in the swap). */
+    * a committer or a table format). No-op without tombstones. The
+    * exactly-once ingest wrappers are excluded for the whole rewrite
+    * by the maintenance lease (an append racing the swap would lose
+    * its rows with the old directory); DIRECT appendSigsToIndex /
+    * writeLshIndex callers must still pause their writer themselves. */
   def vacuumLshIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, idCol: String = "doc_id"): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    IndexSwap.recover(conf, dir, "bands")
-    IndexSwap.recover(conf, dir, "sigs")
-    requireNoInFlightIngest(spark, dir, "vacuumLshIndex")
-    val tomb = lshTombstones(spark, dir, idCol)
-    if (tomb.isEmpty) return
-    rewriteLshIndex(spark, dir, idCol, tomb)
-  }
+      dir: String, idCol: String = "doc_id"): Unit =
+    // LEASE (IngestCommit.withMaintenanceLease): ingest is excluded
+    // for the WHOLE rewrite window, not just at this entry check — an
+    // append racing the swap would land in the old directory and be
+    // silently dropped by the rename
+    IngestCommit.withMaintenanceLease(spark, s"$dir/commits",
+        "vacuumLshIndex") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      IndexSwap.recover(conf, dir, "bands")
+      IndexSwap.recover(conf, dir, "sigs")
+      requireNoInFlightIngest(spark, dir, "vacuumLshIndex")
+      val tomb = lshTombstones(spark, dir, idCol)
+      if (tomb.nonEmpty) rewriteLshIndex(spark, dir, idCol, tomb)
+    }
 
   /** Maintenance may only run between COMMITTED ingest batches: the
     * rewrite folds every surviving row into the unstamped base (valid
@@ -617,35 +624,43 @@ object TextDedupOps {
     * range layout (per-file band_hash runs are what keep banded reads
     * skipping). This rewrites bands+sigs through the same
     * crash-recoverable swap, restoring the range layout and folding
-    * any pending tombstones along the way. Same pause-the-writer and
+    * any pending tombstones along the way. Same lease protection and
     * object-store caveats as vacuum. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, idCol: String = "doc_id"): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    IndexSwap.recover(conf, dir, "bands")
-    IndexSwap.recover(conf, dir, "sigs")
-    requireNoInFlightIngest(spark, dir, "compactLshIndex")
-    rewriteLshIndex(spark, dir, idCol, lshTombstones(spark, dir, idCol))
-    // fold the commit log too: ingest creates one begin + one commit
-    // marker per batch, and a long-lived index would otherwise pay an
-    // ever-growing listing on every hwm read. All batches are
-    // committed here (guard above), so the entire history collapses
-    // to the max commit marker — same skip semantics.
-    IngestCommit.compactLog(spark, s"$dir/commits")
-  }
+      dir: String, idCol: String = "doc_id"): Unit =
+    // same lease rationale as vacuumLshIndex — ingest excluded for
+    // the whole rewrite window, with crashed-maintenance takeover
+    IngestCommit.withMaintenanceLease(spark, s"$dir/commits",
+        "compactLshIndex") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      IndexSwap.recover(conf, dir, "bands")
+      IndexSwap.recover(conf, dir, "sigs")
+      requireNoInFlightIngest(spark, dir, "compactLshIndex")
+      rewriteLshIndex(spark, dir, idCol, lshTombstones(spark, dir, idCol))
+      // fold the commit log too: ingest creates one begin + one commit
+      // marker per batch, and a long-lived index would otherwise pay an
+      // ever-growing listing on every hwm read. All batches are
+      // committed here (guard above), so the entire history collapses
+      // to the max commit marker — same skip semantics. The fold only
+      // touches recognized markers, so the live lease survives it.
+      IngestCommit.compactLog(spark, s"$dir/commits")
+    }
 
   private def rewriteLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String, tomb: Option[DataFrame]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     def swapIn(sub: String)(write: String => Unit): Unit =
       IndexSwap.swapIn(conf, dir, sub)(write)
-    // the rewrite FOLDS ingest stamps away (drop ingest_id): every
-    // surviving row is committed (requireNoInFlightIngest gates both
-    // callers), and an unstamped base row is visible at any
-    // high-water-mark — semantics-preserving, and it restores the
-    // compact 3-column base layout
+    // the rewrite FOLDS ingest stamps to NULL: every surviving row is
+    // committed (requireNoInFlightIngest gates both callers), and a
+    // null-stamped row is visible at any high-water-mark. The COLUMN
+    // itself is kept — every r18+ write carries it, and the ingest
+    // loop's plain (non-merged) sigs read rejects a logged store
+    // whose files lack the stamp, so dropping it here would brick
+    // post-compaction ingest (caught by the r19 interleave spec)
+    val nullStamp = lit(null).cast("long")
     val exBands = spark.read.schema(bandsReadSchema(idCol))
-      .parquet(s"$dir/bands").drop("ingest_id")
+      .parquet(s"$dir/bands").withColumn("ingest_id", nullStamp)
     swapIn("bands") { tmp =>
       minusTombstones(exBands, tomb, idCol)
         .repartitionByRange(col("band"), col("band_hash"))
@@ -655,7 +670,8 @@ object TextDedupOps {
     // mergeSchema (sigsMergedRead), NOT a one-footer inferred read: a
     // store whose later files carry ingest_id must not have the column
     // silently dropped-or-kept by footer pick order
-    val exSigs = sigsMergedRead(spark, dir).drop("ingest_id")
+    val exSigs = sigsMergedRead(spark, dir)
+      .withColumn("ingest_id", nullStamp)
     swapIn("sigs") { tmp =>
       minusTombstones(exSigs, tomb, idCol).write.parquet(tmp)
     }
@@ -708,18 +724,34 @@ object TextDedupOps {
     * each uncached read is a 1-row Spark job. A meta is immutable
     * once its k is learned (> 0), so it caches then; writers that
     * rewrite it ([[writeLshIndex]] init, the learn-k update)
-    * invalidate. Keyed by dir — multi-session JVMs share FS state
-    * anyway. */
-  private val lshMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+    * invalidate. Keyed by dir, VALIDATED by the meta directory's
+    * mtime on every hit (one driver-side getFileStatus, no Spark
+    * job — r18 ADVICE): an index rebuilt by ANOTHER process, or a
+    * read racing a writer between its two invalidations, would
+    * otherwise pin stale bands/shingleN/k for the JVM's lifetime.
+    * The mtime is sampled BEFORE the read, so a rewrite landing
+    * mid-read leaves a cache entry whose stamp is already stale —
+    * the next hit revalidates and re-reads (safe direction). */
+  private val lshMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Int, Int, Int))]()
   private[llm] def invalidateLshMeta(dir: String): Unit = {
     lshMetaCache.remove(dir); ()
   }
 
+  private def lshMetaMtime(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => -1L }
+  }
+
   private[llm] def readLshMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
+    val mtime = lshMetaMtime(spark, dir)
     val cached = lshMetaCache.get(dir)
-    if (cached != null) return cached
+    if (cached != null && cached._1 == mtime && mtime >= 0)
+      return cached._2
     val df = spark.read.parquet(s"$dir/meta")
     // layout/format guard, mirroring the bands/shingleN/k mismatch
     // guard: a meta WITHOUT the format column was written by the
@@ -737,7 +769,7 @@ object TextDedupOps {
         s"format $LshIndexFormat (bands partitioned by band, long ids, " +
         "tombstone deletes) — rebuild the index with writeLshIndex")
     val out = (r.getInt(0), r.getInt(1), r.getInt(2))
-    if (out._3 > 0) lshMetaCache.put(dir, out)
+    if (out._3 > 0 && mtime >= 0) lshMetaCache.put(dir, (mtime, out))
     out
   }
 

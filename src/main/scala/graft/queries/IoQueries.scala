@@ -1240,7 +1240,59 @@ object IoQueries extends QueryModule {
         catch { case _: RuntimeException => () }
         IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp) // recovery
         IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp)
-        IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp) // skip
+        IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp) // hwm: skip
+        SimilarityOps.ivfPqTopKIndexed(queries, idx, emb, 3,
+          nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c WHERE vec_id != q_id)
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
+    // CROSS-BATCH ID DEDUP on IVF-PQ ingest (r18 verdict task #5 —
+    // ivfPqIngestBatch's dedupIds flag): batch 1 re-sends EVERY vector
+    // batch 0 already committed (the at-least-once upstream a real
+    // feed produces) alongside its own third; without the dedup each
+    // re-sent vec_id would hold TWO code rows and double-serve from
+    // the probed scan — with a covering configuration the duplicate
+    // shortlist entries displace true neighbors at the rank boundary
+    // and the brute-force oracle hash-fails. The dedup anti-join must
+    // also stay deterministic across a kill-replay (committed view
+    // frozen at the hwm), which the mid-append kill exercises.
+    QueryDef("ivfpq_ingest_dedup_ids",
+      (s, d) => {
+        import graft.llm.{IngestCommit, SimilarityOps}
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val seed = emb.filter(col("vec_id") % 3 === 0)
+        val b0 = emb.filter(col("vec_id") % 3 === 1)
+        val b1 = emb.filter(col("vec_id") % 3 =!= 0) // re-sends ALL of b0
+        val cents = SimilarityOps.trainIvfCentroids(
+          seed, "vec_id", "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        val root = s"$scratch/ivfpq_ingest_dedup"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (idx, corp) = (s"$root/index", s"$root/corpus")
+        SimilarityOps.writeIvfPqIndex(seed, idx, cents, cbs)
+        IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp, dedupIds = true)
+        try IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp,
+          dedupIds = true,
+          failpoint = pt => if (pt == "after-index") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp,
+          dedupIds = true) // recovery: dedup re-derives deterministically
         SimilarityOps.ivfPqTopKIndexed(queries, idx, emb, 3,
           nprobe = cents.length, rerankFactor = 1000000)
           .select(col("q_id"), col("vec_id"),

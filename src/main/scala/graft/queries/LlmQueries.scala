@@ -290,8 +290,10 @@ object LlmQueries extends QueryModule {
     // the LAST batch, so they must die against the committed corpus),
     // with batch 2 KILLED after its corpus publish and replayed
     // (recovery must converge, the uncommitted partial stays
-    // invisible) and batch 1 replayed after commit (must skip as a
-    // no-op). The oracle is the ONE-SHOT dedup: min doc_id per
+    // invisible) and the hwm batch replayed after commit (must skip
+    // as a no-op — the benign Spark-epoch redelivery; replaying an
+    // OLDER id now rejects loudly per the single-writer contract).
+    // The oracle is the ONE-SHOT dedup: min doc_id per
     // normalized text over the whole planted corpus — id-ordered
     // batches make sequential ingest ≡ one-shot, so a replay
     // double-append, a visible uncommitted row, or a recovery that
@@ -317,7 +319,7 @@ object LlmQueries extends QueryModule {
           failpoint = pt => if (pt == "after-corpus") sys.error("kill"))
         catch { case _: RuntimeException => () }
         IngestCommit.exactDedupIngestBatch(b2, 2L, dir) // recovery
-        IngestCommit.exactDedupIngestBatch(b1, 1L, dir) // committed: skip
+        IngestCommit.exactDedupIngestBatch(b2, 2L, dir) // hwm: skip
         IngestCommit.committedCorpus(s, dir, s"$dir/_commits")
           .select("doc_id")
       },
@@ -490,7 +492,7 @@ object LlmQueries extends QueryModule {
         catch { case _: RuntimeException => () }
         ingest(b1, 1L) // recovery replay
         ingest(b2, 2L)
-        ingest(b0, 0L) // committed: no-op skip
+        ingest(b2, 2L) // hwm redelivery: no-op skip
         IngestCommit.committedCorpus(s, corpus, s"$index/commits")
           .select("doc_id")
       },
@@ -507,6 +509,74 @@ object LlmQueries extends QueryModule {
               |  FROM corpus WHERE doc_id BETWEEN 100 AND 104
               |  UNION ALL SELECT doc_id + 30000, text
               |  FROM corpus WHERE doc_id = 210)
+              |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
+        .stripMargin)),
+
+    // MAINTENANCE UNDER A LIVE INGEST STREAM (r18 verdict tasks #2 +
+    // #7): compaction runs BETWEEN micro-batches of the exactly-once
+    // loop — under the maintenance lease that excludes a racing
+    // append — and the stream keeps ingesting afterward against the
+    // compacted (stamp-folded, log-folded) layout. The middle batch
+    // is additionally KILLED mid-append and replayed so recovery runs
+    // against a post-compaction store, and the final compaction
+    // proves serving from a twice-rewritten index. A lost append
+    // (the race the lease closes), a stamp fold that breaks the
+    // committed view, or a post-compaction hwm/skip drift each change
+    // the survivor set and hash-fail. Oracle = the same one-shot
+    // survivorship as the exactly-once gate: sequencing and
+    // maintenance must be invisible to the result.
+    QueryDef("near_dup_ingest_compact_live",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 250).withColumn("text", mk)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-necompact-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (index, corpus) = (s"$root/index", s"$root/corpus")
+        import graft.llm.{IngestCommit, TextDedupOps}
+        TextDedupOps.writeLshIndex(
+          TextDedupOps.minHashSignatures(docs.limit(0), "doc_id",
+            "text", 3, 32), index, "doc_id", bands = 8)
+        val b0 = docs.filter(col("doc_id") < 100)
+        val b1 = docs.filter(col("doc_id").between(100, 199))
+        val b2 = docs.filter(col("doc_id") >= 200)
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(100, 104))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        def ingest(b: DataFrame, id: Long,
+            fp: String => Unit = IngestCommit.NoFailpoint): Boolean =
+          IngestCommit.nearDupIngestBatch(b, id, index, corpus,
+            threshold = 0.99, failpoint = fp)
+        ingest(b0, 0L)
+        TextDedupOps.compactLshIndex(s, index) // between batches
+        try ingest(b1, 1L,
+          fp = pt => if (pt == "after-index") sys.error("kill"))
+        catch { case _: RuntimeException => () }
+        ingest(b1, 1L) // recovery against the compacted store
+        TextDedupOps.compactLshIndex(s, index)
+        ingest(b2, 2L)
+        TextDedupOps.compactLshIndex(s, index)
+        IngestCommit.committedCorpus(s, corpus, s"$index/commits")
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, array_to_string(
+              |    list_transform(range(0, 25),
+              |      j -> 'w' || CAST((doc_id * 97 + j * 13 + doc_id * j * 7)
+              |                       % 1009 AS VARCHAR)),
+              |    ' ') AS text FROM documents WHERE doc_id < 250),
+              |allb AS (
+              |  SELECT doc_id, text FROM corpus
+              |  UNION ALL SELECT doc_id + 10000, text
+              |  FROM corpus WHERE doc_id < 10
+              |  UNION ALL SELECT doc_id + 20000, text
+              |  FROM corpus WHERE doc_id BETWEEN 100 AND 104)
               |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
         .stripMargin)),
 
@@ -739,7 +809,7 @@ object LlmQueries extends QueryModule {
           fp = pt => if (pt == "after-corpus") sys.error("kill"))
         catch { case _: RuntimeException => () }
         ingest(b2, 2L) // recovery replay
-        ingest(b0, 0L) // committed: no-op skip
+        ingest(b2, 2L) // hwm redelivery: no-op skip
         IngestCommit.committedCorpus(s, corpus, s"$hashes/_commits")
           .select("doc_id")
       },

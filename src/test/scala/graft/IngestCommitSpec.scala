@@ -100,10 +100,11 @@ class IngestCommitSpec extends SparkSpec {
         .select((col("doc_id") + 100).as("doc_id"), col("text")))
     assert(IngestCommit.exactDedupIngestBatch(b0, 0L, corpus))
     assert(IngestCommit.exactDedupIngestBatch(b1, 1L, corpus))
-    // replay of committed batches: skipped, storage untouched
+    // replay of the hwm batch (the benign Spark-epoch redelivery):
+    // skipped, storage untouched; an OLDER id rejects loudly (the
+    // checkpoint-reset guard — see its dedicated test below)
     val before = IngestCommit.committedCorpus(spark, corpus,
       s"$corpus/_commits").collect().toSet
-    assert(!IngestCommit.exactDedupIngestBatch(b0, 0L, corpus))
     assert(!IngestCommit.exactDedupIngestBatch(b1, 1L, corpus))
     val after = IngestCommit.committedCorpus(spark, corpus,
       s"$corpus/_commits")
@@ -143,11 +144,9 @@ class IngestCommitSpec extends SparkSpec {
       assert(IngestCommit.nearDupIngestBatch(b, i.toLong, index, corpus,
         threshold = 0.99))
     }
-    // replays are skips
-    batches.zipWithIndex.foreach { case (b, i) =>
-      assert(!IngestCommit.nearDupIngestBatch(b, i.toLong, index, corpus,
-        threshold = 0.99))
-    }
+    // redelivery of the hwm batch is a skip
+    assert(!IngestCommit.nearDupIngestBatch(batches.last, 2L, index,
+      corpus, threshold = 0.99))
     assertFrameEqual(
       IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
       oneShotOracle)
@@ -229,7 +228,7 @@ class IngestCommitSpec extends SparkSpec {
         failpoint = p => if (p == "after-corpus") sys.error("kill"))
     }
     assert(IngestCommit.simHashIngestBatch(bs(2), 2L, hashes, corpus))
-    assert(!IngestCommit.simHashIngestBatch(bs(0), 0L, hashes, corpus))
+    assert(!IngestCommit.simHashIngestBatch(bs(2), 2L, hashes, corpus))
     val all = batches.reduce(_ unionByName _)
     val oneShot = TextDedupOps.simHashIncremental(all,
       TextDedupOps.simHash(all.limit(0), "doc_id", "text"),
@@ -263,11 +262,15 @@ class IngestCommitSpec extends SparkSpec {
     val logFiles = new java.io.File(s"$index/commits").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).toSeq // crc sidecars
     assert(logFiles == Seq("commit-2"), s"log after compaction: $logFiles")
-    // skip semantics intact after compaction
-    bs.zipWithIndex.foreach { case (b, i) =>
-      assert(!IngestCommit.nearDupIngestBatch(b, i.toLong, index, corpus,
-        threshold = 0.99))
+    // skip semantics intact after compaction: the hwm batch still
+    // skips, and an older id still trips the regression guard
+    assert(!IngestCommit.nearDupIngestBatch(bs(2), 2L, index, corpus,
+      threshold = 0.99))
+    val exReg = intercept[IllegalArgumentException] {
+      IngestCommit.nearDupIngestBatch(bs(0), 0L, index, corpus,
+        threshold = 0.99)
     }
+    assert(exReg.getMessage.contains("regressed"))
     // compaction folded the stamps into the unstamped base — the
     // committed view is unchanged
     assertFrameEqual(
@@ -331,7 +334,7 @@ class IngestCommitSpec extends SparkSpec {
         failpoint = p => if (p == "after-corpus") sys.error("kill"))
     }
     assert(IngestCommit.ivfPqIngestBatch(b1, 1L, kIdx, kCorp))
-    assert(!IngestCommit.ivfPqIngestBatch(b0, 0L, kIdx, kCorp)) // skip
+    assert(!IngestCommit.ivfPqIngestBatch(b1, 1L, kIdx, kCorp)) // skip
     // cells content identical to the clean run, exactly one row per id
     def cells(idx: String): Seq[(Long, Seq[Int], Double, Int)] =
       spark.read.parquet(s"$idx/cells")
@@ -356,6 +359,157 @@ class IngestCommitSpec extends SparkSpec {
     val logFiles = new java.io.File(s"$kIdx/commits").listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).toSeq
     assert(logFiles == Seq("commit-1"), s"log: $logFiles")
+  }
+
+  test("entry guards: a batch id below the hwm (checkpoint-reset " +
+      "regression) and a foreign in-flight id both reject loudly") {
+    val root = tmpDir("guards")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    val bs = batches
+    assert(IngestCommit.nearDupIngestBatch(bs(0), 0L, index, corpus,
+      threshold = 0.99))
+    assert(IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+      threshold = 0.99))
+    // a stream restarted with a FRESH checkpoint restarts ids at 0 —
+    // the old silent skip would drop its data; now it is loud
+    val exReg = intercept[IllegalArgumentException] {
+      IngestCommit.nearDupIngestBatch(bs(2), 0L, index, corpus,
+        threshold = 0.99)
+    }
+    assert(exReg.getMessage.contains("regressed"))
+    // same guard on the no-write-ahead and simhash families
+    assert(IngestCommit.exactDedupIngestBatch(bs(0), 0L, s"$root/ex"))
+    assert(IngestCommit.exactDedupIngestBatch(bs(1), 1L, s"$root/ex"))
+    assert(intercept[IllegalArgumentException] {
+      IngestCommit.exactDedupIngestBatch(bs(2), 0L, s"$root/ex")
+    }.getMessage.contains("regressed"))
+    // leave batch 2 begun-but-uncommitted, then enter batch 3: the
+    // only in-flight id an entry may observe is its own crashed
+    // attempt — a skipped-ahead id would promote batch 2's partial
+    // stamped rows to committed when batch 3's marker lands
+    intercept[RuntimeException] {
+      IngestCommit.nearDupIngestBatch(bs(2), 2L, index, corpus,
+        threshold = 0.99,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    val exFly = intercept[IllegalArgumentException] {
+      IngestCommit.nearDupIngestBatch(bs(2), 3L, index, corpus,
+        threshold = 0.99)
+    }
+    assert(exFly.getMessage.contains("single-writer"))
+    // replaying the in-flight id itself recovers, then 3 may proceed
+    assert(IngestCommit.nearDupIngestBatch(bs(2), 2L, index, corpus,
+      threshold = 0.99))
+    assertFrameEqual(
+      IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
+      oneShotOracle)
+    assertIndexConsistent(index, corpus)
+  }
+
+  test("maintenance lease: ingest backs off (begin retracted) while a " +
+      "lease is live; a stale lease blocks until re-run or broken; " +
+      "foreign files in the log dir survive compaction") {
+    val root = tmpDir("lease")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    val bs = batches
+    assert(IngestCommit.nearDupIngestBatch(bs(0), 0L, index, corpus,
+      threshold = 0.99))
+    val logDir = s"$index/commits"
+    // ingest entering DURING maintenance rejects and leaves no
+    // in-flight begin behind (the retract half of intent-then-check)
+    val exLease = intercept[IllegalArgumentException] {
+      IngestCommit.withMaintenanceLease(spark, logDir, "test") {
+        IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+          threshold = 0.99)
+      }
+    }
+    assert(exLease.getMessage.contains("maintenance lease"))
+    assert(IngestCommit.logState(spark, logDir)._2.isEmpty,
+      "back-off left an in-flight begin")
+    // a lease left by a DEAD maintainer blocks new batches...
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$logDir/maint-42"), false)
+      .close()
+    intercept[IllegalArgumentException] {
+      IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+        threshold = 0.99)
+    }
+    // ...until the maintenance op is RE-RUN (idempotent takeover:
+    // recovers, completes, releases — the stale-lease rule)...
+    TextDedupOps.compactLshIndex(spark, index)
+    assert(IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+      threshold = 0.99))
+    // ...or broken manually
+    fs.create(new org.apache.hadoop.fs.Path(s"$logDir/maint-43"), false)
+      .close()
+    IngestCommit.breakMaintenanceLease(spark, logDir)
+    assert(IngestCommit.nearDupIngestBatch(bs(2), 2L, index, corpus,
+      threshold = 0.99))
+    // compaction folds ONLY recognized markers — a foreign file (a
+    // stray _SUCCESS, future metadata) is not its to destroy
+    fs.create(new org.apache.hadoop.fs.Path(s"$logDir/_SUCCESS"), false)
+      .close()
+    TextDedupOps.compactLshIndex(spark, index)
+    val names = new java.io.File(logDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names == Set("commit-2", "_SUCCESS"), s"log: $names")
+    assertFrameEqual(
+      IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
+      oneShotOracle)
+    assertIndexConsistent(index, corpus)
+  }
+
+  test("compaction interleaved BETWEEN live ingest batches preserves " +
+      "the corpus, the index layout, and serving") {
+    val root = tmpDir("interleave")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    val bs = batches
+    assert(IngestCommit.nearDupIngestBatch(bs(0), 0L, index, corpus,
+      threshold = 0.99))
+    TextDedupOps.compactLshIndex(spark, index) // between batches: fine
+    assert(IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+      threshold = 0.99))
+    TextDedupOps.compactLshIndex(spark, index)
+    assert(IngestCommit.nearDupIngestBatch(bs(2), 2L, index, corpus,
+      threshold = 0.99))
+    assertFrameEqual(
+      IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
+      oneShotOracle)
+    assertIndexConsistent(index, corpus)
+  }
+
+  test("ivfpq ingest dedupIds: a vec_id already committed is dropped " +
+      "from a later batch; replay of the deduped batch converges") {
+    val root = tmpDir("ivfpq-dedup")
+    val seed = vecs.filter(col("vec_id") < 30)
+    val b0 = vecs.filter(col("vec_id").between(30, 44))
+    // overlap: ids 40..44 ride again in batch 1 with the SAME vectors
+    val b1 = vecs.filter(col("vec_id") >= 40)
+    val cents = SimilarityOps.trainIvfCentroids(seed, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    val idx = s"$root/index"
+    SimilarityOps.writeIvfPqIndex(seed, idx, cents, cbs)
+    assert(IngestCommit.ivfPqIngestBatch(b0, 0L, idx, s"$root/corpus",
+      dedupIds = true))
+    // kill the overlapping batch mid-append, then replay — the dedup
+    // must be deterministic across the replay (committed view frozen
+    // at the hwm) so the recovery subtraction still converges
+    intercept[RuntimeException] {
+      IngestCommit.ivfPqIngestBatch(b1, 1L, idx, s"$root/corpus",
+        dedupIds = true,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    assert(IngestCommit.ivfPqIngestBatch(b1, 1L, idx, s"$root/corpus",
+      dedupIds = true))
+    val ids = spark.read.parquet(s"$idx/cells").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 60L), s"cells ids: $ids")
   }
 
   test("streaming restart from checkpoint: a foreachBatch crash " +

@@ -450,6 +450,11 @@ class PlanAuditSpec extends SparkSpec {
       "ivfpq_ingest_exactly_once", // r18 exactly-once gate: the same
                                // probe shape over the committed-filtered
                                // cell-pruned codes scan
+      "ivfpq_ingest_dedup_ids", // r19 dedup gate: same probe shape;
+                               // the dedup itself is two BROADCAST
+                               // joins (batch-ids side, then the
+                               // ≤batch-sized hit set) riding the
+                               // pruned corpus-id scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one
