@@ -402,25 +402,31 @@ object TextStatsOps {
       if (h >= 0 && l >= 0) Some(h * 16 + l) else None
     } else None
 
-  /** Enforce the byte-fallback id convention AT THE API BOUNDARY (the
-    * r17-documented residual made loud): with `byteFallback`, ids in
-    * [0, 256) ARE the byte alphabet — the encoder emits them raw for
-    * vocabulary-missing bytes and the decoder splices them back as raw
-    * bytes — so a vocabulary that assigns such an id to anything but
-    * that id's own `<0xNN>` spelling would make some byte decode as
-    * that token's text (silent corruption, a broken decode ∘ encode).
-    * Rejected with the renumber remedy instead. Ids ≥ 256 are
-    * unconstrained: a `<0xNN>`-spelled entry there is recognized as a
-    * byte piece by both sides, consistently. */
+  /** Enforce byte-fallback SOUNDNESS at the API boundary (the
+    * r17-documented residual, re-scoped per the r18 ADVICE): the
+    * encoder prices every vocabulary-missing byte via its `<0xNN>`
+    * vocab piece FIRST (at whatever id the vocabulary placed it) and
+    * only falls back to the raw byte id NN when the piece is absent —
+    * so ids in [0, 256) are only reserved for bytes the vocabulary
+    * does NOT cover. A vocabulary carrying the full 256-piece byte
+    * alphabet at OFFSET ids (the real SentencePiece/Llama numbering,
+    * e.g. `<0x00>` → 3) round-trips correctly and passes as-is: the
+    * raw-id fallback is unreachable. Only an id in [0, 256) whose
+    * byte is UNCOVERED and whose token is not that byte's own piece
+    * rejects — there, some input byte would emit that raw id and
+    * decode as the token's text (silent corruption). */
   private def requireByteFallbackVocab(vocabIds: Map[String, Int],
-      op: String): Unit =
+      op: String): Unit = {
+    val covered = vocabIds.keysIterator.flatMap(bytePieceId(_)).toSet
     vocabIds.foreach { case (tok, id) =>
-      if (id >= 0 && id < 256)
+      if (id >= 0 && id < 256 && !covered.contains(id))
         require(bytePieceId(tok).contains(id),
-          s"$op: byteFallback reserves ids [0, 256) for the byte " +
-            s"alphabet, but id $id maps to '$tok' (expected the byte " +
-            f"piece <0x$id%02X>) — renumber the vocabulary")
+          s"$op: byteFallback can emit raw byte id $id (this " +
+            f"vocabulary has no <0x$id%02X> piece), but id $id maps " +
+            s"to '$tok' — that byte would decode as the token's text; " +
+            "carry the byte piece or renumber the vocabulary")
     }
+  }
 
   /** One word's rank-table BPE fixpoint: find the lowest-rank adjacent
     * pair (hash lookups on "a b" keys — symbols never contain spaces,
@@ -606,13 +612,24 @@ object TextStatsOps {
                     val marker = cp == 'Ġ'.toInt || cp == 'ĉ'.toInt ||
                       cp == 'Ċ'.toInt || cp == 'ċ'.toInt ||
                       cp == 'Č'.toInt || cp == 'č'.toInt
+                    // byte-piece-in-vocab FIRST on every miss, raw
+                    // byte id only when the vocabulary does not carry
+                    // the piece — uniform with the multi-char and
+                    // multi-byte branches, which is what makes a
+                    // full-byte-alphabet vocabulary at OFFSET ids (the
+                    // real SentencePiece/Llama numbering) sound: the
+                    // raw-id fallback is then unreachable
+                    def pieceFirst(b: Int): Option[Int] = {
+                      val pv = vv.get(f"<0x$b%02X>")
+                      if (pv != null) Some(pv.intValue) else Some(b)
+                    }
                     if (v != null) Iterator((s, Some(v.intValue)))
-                    else if (marker) Iterator((s, Some(cp - 256)))
+                    else if (marker) Iterator((s, pieceFirst(cp - 256)))
                     else {
                       val bs = s.getBytes(
                         java.nio.charset.StandardCharsets.UTF_8)
                       if (bs.length == 1)
-                        Iterator((s, Some(bs(0) & 0xff)))
+                        Iterator((s, pieceFirst(bs(0) & 0xff)))
                       else bs.iterator.map { b =>
                         // vocab FIRST, byte id on miss — the same
                         // precedence the multi-char branch gives byte

@@ -116,6 +116,31 @@ object Manifest {
         "Manifest.build")
   }
 
+  /** [[checkFormatValue]] memoized for the READ path (r18 ADVICE: the
+    * value check is a distinct+collect Spark job, and paying it on
+    * EVERY pruned read made a hot metadata-only path a per-read
+    * driver job). Keyed WEAKLY by the manifest's analyzed plan: the
+    * common loop — load the manifest once, prune many times — pays
+    * the job once and is schema-only after; a freshly re-read
+    * manifest (new plan object) simply revalidates. A same-path
+    * rebuild UNDER a cached plan object can in principle go unseen,
+    * but the format value only changes across build versions —
+    * [[update]] (which always runs the full check) rejects mixed rows
+    * at write time, the same guarantee this read-side check backs up. */
+  private val validatedManifests = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Boolean]())
+  private def checkFormatValueCached(manifest: DataFrame,
+      op: String): Unit = {
+    checkFormat(manifest, op)
+    val key = manifest.queryExecution.analyzed
+    if (validatedManifests.containsKey(key)) return
+    checkFormatValue(manifest, op)
+    validatedManifests.put(key, java.lang.Boolean.TRUE)
+    ()
+  }
+
   private case class FileRef(path: String, flen: Long, mtime: Long)
 
   private def dataFiles(spark: SparkSession, dir: String): Seq[FileRef] = {
@@ -505,7 +530,7 @@ object Manifest {
   def prunedReadMulti(spark: SparkSession, manifest: DataFrame,
       preds: Seq[Pred]): DataFrame = {
     require(preds.nonEmpty, "prunedReadMulti: need at least one predicate")
-    checkFormatValue(manifest, "prunedReadMulti")
+    checkFormatValueCached(manifest, "prunedReadMulti")
     val keep = preds.map(keepSet(manifest, _)).reduce(_ intersect _)
     readKept(spark, manifest, keep.toArray,
       preds.map(residualOf).reduce(_ && _))

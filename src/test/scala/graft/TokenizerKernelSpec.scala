@@ -331,7 +331,7 @@ class TokenizerKernelSpec extends SparkSpec {
         TextStatsOps.BpeDemoMerges, bad, byteLevel = true,
         byteFallback = true)
     }
-    assert(e1.getMessage.contains("byte alphabet"))
+    assert(e1.getMessage.contains("raw byte id"))
     intercept[IllegalArgumentException] {
       TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
         TextStatsOps.BpeDemoMerges, wrongByte, byteLevel = true,
@@ -352,5 +352,37 @@ class TokenizerKernelSpec extends SparkSpec {
       TextStatsOps.BpeDemoMerges, bad, byteLevel = true,
       byteFallback = false).collect()
     ()
+  }
+
+  test("byteFallback: a FULL byte alphabet at OFFSET ids (the real " +
+      "SentencePiece/Llama numbering) is accepted, prices every miss " +
+      "through the vocab pieces, and round-trips byte-exactly") {
+    // all 256 byte pieces at ids 3..258 — so plenty of ids in
+    // [0, 256) are occupied by byte pieces of OTHER bytes (e.g. id 3
+    // is <0x00>), the exact shape the old whole-range check rejected.
+    // The raw-byte-id fallback is unreachable: every single-byte,
+    // marker, and multi-byte miss resolves to a piece id ≥ 3.
+    val offsetVocab: Map[String, Int] =
+      (0 until 256).map(b => f"<0x$b%02X>" -> (b + 3)).toMap +
+        ("hi" -> 300)
+    val docs = Seq((1L, "hi a\tā !")).toDF("doc_id", "text")
+    val enc = TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+      TextStatsOps.BpeDemoMerges, offsetVocab, byteLevel = true,
+      byteFallback = true)
+    val ids = enc.select("token_id").as[Int].collect()
+    assert(ids.forall(_ >= 3), // nothing priced to a raw byte id
+      s"raw ids leaked: ${ids.filter(_ < 3).toSeq}")
+    val dec = TextStatsOps.bpeDecodeRanked(enc, "doc_id", offsetVocab,
+      byteFallback = true).select("text").as[String].collect()
+    assert(dec.toSeq == Seq("hi a\tā !"))
+    // PARTIAL coverage still rejects a colliding id: byte 0x62 ('b')
+    // has no piece, and id 98 holds someone else's byte piece
+    val partial = offsetVocab - "<0x62>"
+    val e = intercept[IllegalArgumentException] {
+      TextStatsOps.bpeEncodeRanked(docs, "doc_id", "text",
+        TextStatsOps.BpeDemoMerges, partial, byteLevel = true,
+        byteFallback = true)
+    }
+    assert(e.getMessage.contains("raw byte id 98"))
   }
 }
