@@ -984,6 +984,95 @@ object Bench {
       } else secs
     }
 
+    /** CRASH-RECOVERY witness for STREAM-STREAM JOIN state (r18
+      * verdict task #3): session recovery proved the aggregate path;
+      * the join witnesses carry the HEAVIEST state this engine runs
+      * (both sides buffered under watermarks, state_commit 100-300 ms
+      * per batch across 128 stores per trigger), and reloading that
+      * state from a checkpoint — RocksDB snapshot + WAL replay under
+      * the rocksdb provider — is exactly where a 100 TB failover
+      * hurts. Same sides, interval bound, and mtime-ordered replay as
+      * stream_join_interval; the sink is a per-batch
+      * partition-overwrite parquet (idempotent on replay), and the
+      * kill fires after batch 2's rows land but BEFORE its epoch
+      * commits — the restart must reload both join buffers as of
+      * batch 1, replay batch 2 to the identical emission, and run out
+      * the rest. The final output diffs against the batch twin; wall
+      * time spans BOTH runs (kill + recovery — the failover budget
+      * number). Runs under both state-store providers. */
+    def streamJoinRecoveryWitness(tag: String): Double = {
+      import org.apache.spark.sql.functions._
+      val staged = s"${sys.props("java.io.tmpdir")}/graft-bench-sjrec-" +
+        ProcessHandle.current().pid()
+      val out = s"$staged-out-$tag"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id")
+      ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified((i + 1) * 60000L) }
+      val schema = spark.read.parquet(staged).schema
+      def side(even: Boolean, df: DataFrame): DataFrame = {
+        val m = if (even) 0 else 1
+        val (u, t, id) = if (even) ("user_id", "lts", "lid")
+          else ("r_user", "rts", "rid")
+        df.filter(pmod(col("event_id"), lit(2)) === m)
+          .select(col("user_id").as(u), col("ts").as(t),
+            col("event_id").as(id))
+      }
+      def joined(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, col("user_id") === col("r_user") &&
+            col("rts") >= col("lts") &&
+            col("rts") <= col("lts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("lid"), col("rid"))
+      @volatile var killed = false
+      val t0 = System.nanoTime()
+      def runStream(): Unit = {
+        def src(): DataFrame = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(staged)
+        val sj = joined(
+          side(even = true, src()).withWatermark("lts", "1 hour"),
+          side(even = false, src()).withWatermark("rts", "1 hour"))
+        val q = sj.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$ckptBase/jrec_$tag")
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/batch_id=$bid")
+            if (bid == 2L && !killed) { killed = true
+              sys.error("bench: injected crash after batch 2's rows " +
+                "landed, before its epoch commit") }
+          }
+          .queryName("graft_stream_jrec_" + tag).start()
+        try { q.processAllAvailable()
+          recordForeachDecomp("stream_join_recovery", tag, t0, q)
+        } catch { case _: Exception => () } finally q.stop()
+      }
+      runStream() // dies mid-stream on the injected crash
+      if (!killed) {
+        System.err.println("[bench] stream_join_recovery: the kill " +
+          "never fired (input produced < 3 batches) — reporting -1")
+        return -1.0
+      }
+      runStream() // restart from the checkpoint, run to completion
+      val secs = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.option("basePath", out).parquet(out)
+        .drop("batch_id")
+      val batchSrc = spark.read.parquet(staged)
+      val batch = joined(side(even = true, batchSrc),
+        side(even = false, batchSrc))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      if (diff != 0) {
+        System.err.println(s"[bench] stream_join_recovery: $diff rows " +
+          "differ between the killed-and-recovered stream and the " +
+          "batch interval join — reporting -1")
+        -1.0
+      } else secs
+    }
+
     /** Wall-clock witness for the INCREMENTAL-INGEST loop — the
       * steady-state shape of a production corpus (COVERAGE's
       * dedupIncremental story) driven END TO END through streaming:
@@ -1365,26 +1454,39 @@ object Bench {
         val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
         (n, median, times)
       }
+    // TWO split tests per query (r18 verdict task #1): worst/median
+    // catches one slow rep; median/best catches the shape that poisoned
+    // the official r18 record — TWO contended reps and one clean one
+    // ([27.0, 29.9, 2.5]: max/median 1.1 passes, median/min 10.7 is
+    // the tell). Either ratio > 3 marks the attempt noisy.
     def isNoisy(rs: Seq[(String, Double, Vector[Double])]): Boolean =
       rs.exists { case (_, m, ts) =>
         val ok = ts.filter(_ >= 0)
-        m > 0 && ok.nonEmpty && ok.max / m > 3.0
+        m > 0 && ok.nonEmpty &&
+          (ok.max / m > 3.0 || (ok.min > 0 && m / ok.min > 3.0))
       }
     def totalOf(rs: Seq[(String, Double, Vector[Double])]): Double =
       rs.map(_._2).filter(_ >= 0).sum
 
     // Noisy-retry (three straight rounds shipped a contention-poisoned
     // official BENCH the harness merely flagged): when the first attempt
-    // trips the noise detector, wait for the transient load to drain and
-    // measure ONCE more, then report the cleaner attempt — both attempt
+    // trips the noise detector — OR the host was already busy before
+    // timing started (r18: host_busy=true flagged the 37.5 s record but
+    // did not retry, and equal load across reps is exactly what the rep
+    // splits cannot see) — wait for the transient load to drain and
+    // measure ONCE more, then report the cleaner attempt; both attempt
     // totals stay in the JSON so nothing is hidden. Bounded at one
-    // retry: a persistently loaded host reports noisy:true as before.
+    // retry: a persistently loaded host reports noisy/host_busy as
+    // before.
     val attempt1 = measure()
     val (results, noisy, attemptTotals) =
-      if (!isNoisy(attempt1)) (attempt1, false, Seq(totalOf(attempt1)))
+      if (!isNoisy(attempt1) && !hostBusyAtStart)
+        (attempt1, false, Seq(totalOf(attempt1)))
       else {
-        System.err.println("[bench] first attempt noisy (worst rep > 3x " +
-          "median) — sleeping 30s and re-measuring once")
+        val why = if (isNoisy(attempt1)) "noisy rep split" else
+          f"host busy at start (loadavg $loadStart%.2f)"
+        System.err.println(s"[bench] first attempt suspect ($why) — " +
+          "sleeping 30s and re-measuring once")
         Thread.sleep(30000)
         val attempt2 = measure()
         val pick = if (totalOf(attempt2) <= totalOf(attempt1)) attempt2 else attempt1
@@ -1442,6 +1544,7 @@ object Bench {
       "stream_session_recovery" -> (streamSessionRecoveryWitness _),
       "stream_join_interval" -> (streamJoinWitness _),
       "stream_join_left_outer" -> (streamJoinOuterWitness _),
+      "stream_join_recovery" -> (streamJoinRecoveryWitness _),
       "stream_incremental_ingest" -> (streamIncrementalIngestWitness _),
       "stream_near_dup_ingest" -> (streamNearDupIngestWitness _),
       "stream_cdc_apply" -> (streamCdcApplyWitness _))
@@ -1785,6 +1888,32 @@ object Bench {
       .mkString("{", ",", "}")
     val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}"""
     println(benchJson)
+    // COMPACT summary as a SECOND line, printed AFTER the full record
+    // (r18 verdict task #1c): the driver captures a bounded TAIL of
+    // stdout and has left "parsed": null for three rounds because the
+    // full line outgrew it — this line is a few hundred bytes, lands
+    // last, and carries everything a series reader needs (total,
+    // legacy-9 subtotal, per-query medians, flags, both attempt
+    // totals, and the host-state digest that the round-over-round
+    // comparison rules require reading first). Same driver contract
+    // shape: metric/value/unit/queries/sf.
+    val legacy9 = results.filter(_._1 != "classifier_train")
+      .map(_._2).filter(_ >= 0).sum
+    def r2d(x: Double): Double = math.rint(x * 100) / 100
+    val cpuScaleRe = "\"cpu_scale\":([0-9.]+)".r
+    val forkMsRe = "\"fork_ms\":([0-9.]+)".r
+    val envDigest =
+      cpuScaleRe.findFirstMatchIn(envJson).map(m =>
+        s""","cpu_scale":${m.group(1)}""").getOrElse("") +
+      forkMsRe.findFirstMatchIn(envJson).map(m =>
+        s""","fork_ms":${m.group(1)}""").getOrElse("")
+    val summaryJson =
+      s"""{"metric":"total","value":${r2d(total)},"unit":"sec",""" +
+      s""""summary":true,"legacy9":${r2d(legacy9)},"queries":$qs,""" +
+      s""""noisy":$noisy,"host_busy":$hostBusy,"attempts":$at,""" +
+      s""""vs_prev":$vsPrevJson,"loadavg":[$loadStart,$loadEnd]""" +
+      s"""$envDigest,"sf":"$sfDir"}"""
+    println(summaryJson)
     // ALSO to a file (r17 verdict task #7): the driver captures stdout
     // through sbt's [info]-prefixed pipe and has truncated the line in
     // two rounds ("parsed": null in BENCH_r16/r17) — BENCH_LAST.json

@@ -482,6 +482,46 @@ class IngestCommitSpec extends SparkSpec {
     assertIndexConsistent(index, corpus)
   }
 
+  test("ivfpq: compaction interleaved BETWEEN live ingest batches — " +
+      "post-compaction ingest appends, recovers, and serves") {
+    val root = tmpDir("ivfpq-interleave")
+    val seed = vecs.filter(col("vec_id") < 30)
+    val b0 = vecs.filter(col("vec_id").between(30, 44))
+    val b1 = vecs.filter(col("vec_id") >= 45)
+    val cents = SimilarityOps.trainIvfCentroids(seed, "vec_id",
+      "embedding", 4)
+    val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+      "embedding", cents, m = 4, ksub = 4, iters = 1)
+    val idx = s"$root/index"; val corp = s"$root/corpus"
+    SimilarityOps.writeIvfPqIndex(seed, idx, cents, cbs)
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def serve(): Seq[(Long, Long, Int)] =
+      SimilarityOps.ivfPqTopKIndexed(queries, idx, vecs, 3,
+        nprobe = cents.length, rerankFactor = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp))
+    SimilarityOps.compactIvfPqIndex(spark, idx) // between batches
+    val afterCompact = serve()
+    // post-compaction ingest with a mid-append kill + recovery: the
+    // recover path's stamped-row subtraction must work against a
+    // store whose base files were just rewritten stamp-free
+    intercept[RuntimeException] {
+      IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    assert(serve() == afterCompact) // uncommitted append never serves
+    assert(IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp))
+    val ids = spark.read.parquet(s"$idx/cells").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 60L), s"cells ids: $ids")
+    // and maintenance still folds cleanly afterward
+    val before = serve()
+    SimilarityOps.compactIvfPqIndex(spark, idx)
+    assert(serve() == before)
+  }
+
   test("ivfpq ingest dedupIds: a vec_id already committed is dropped " +
       "from a later batch; replay of the deduped batch converges") {
     val root = tmpDir("ivfpq-dedup")
