@@ -252,6 +252,21 @@ object IngestCommit {
     finally { fs.delete(tokenP, false); () }
   }
 
+  /** Fold a fully-committed ingest log to its single max commit
+    * marker — the PUBLIC entry for stores with no index-maintenance
+    * op to do it for them (the exact-dedup corpus log at
+    * `corpusDir/_commits`, the SimHash hashes log at
+    * `hashesDir/_commits`; the LSH and IVF-PQ logs fold inside
+    * compactLshIndex / compactIvfPqIndex): a long-lived nightly
+    * otherwise accumulates 1-2 marker files per batch and pays an
+    * ever-growing directory listing on every hwm read. Refuses over
+    * an in-flight (begun, uncommitted) batch; otherwise idempotent
+    * and safe to run between batches — markers created AFTER its
+    * listing are never touched, and every intermediate state of a
+    * crashed fold parses to the same (hwm, in-flight). */
+  def compactIngestLog(spark: SparkSession, logDir: String): Unit =
+    compactLog(spark, logDir)
+
   /** Clear maintenance lease(s) left by a maintainer that died
     * mid-rewrite — the MANUAL stale-lease override. Prefer re-running
     * the maintenance op itself: it recovers the layout AND releases

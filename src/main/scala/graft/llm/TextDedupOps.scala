@@ -681,36 +681,37 @@ object TextDedupOps {
   }
 
   /** Post-crash index reconciliation: (ids only in bands, ids only in
-    * sigs, band rows above the per-id expectation). A clean index
-    * reports (0, 0, 0); nonzero orphans mean an append died between
-    * its two commits (see [[writeLshIndex]]'s crash-retry contract) —
-    * bands-only ids are the safe orphan (pairs die at the sig join)
-    * but still inflate bucket-cap counts, so re-initialize or
-    * de-duplicate before resuming high-volume ingest. Cost: one
+    * sigs, band rows above the per-id expectation) over the COMMITTED
+    * view. A clean index reports (0, 0, 0); nonzero orphans mean an
+    * append died between its two commits (see [[writeLshIndex]]'s
+    * crash-retry contract) — bands-only ids are the safe orphan
+    * (pairs die at the sig join) but still inflate bucket-cap counts,
+    * so re-initialize or de-duplicate before resuming high-volume
+    * ingest. Under a commit log (exactly-once ingest) the reads
+    * filter to committed rows, exactly as serving does: a crashed
+    * IN-FLIGHT batch's stamped rows are handled by the replay's
+    * exceptAll recovery, not a rebuild, and reporting them as orphans
+    * would send an operator to the wrong remedy. Cost: one
     * metadata-light aggregation over each layout. */
   def lshIndexOrphans(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String = "doc_id"): (Long, Long, Long) = {
     val (bands, _, _) = readLshMeta(spark, dir)
+    val hwmOpt = IngestCommit.committedHwm(spark, s"$dir/commits")
+    def committed(df: DataFrame): DataFrame = hwmOpt.fold(df)(h =>
+      df.filter(col("ingest_id").isNull || col("ingest_id") <= h))
     // tombstoned ids are LOGICALLY deleted — a crashed vacuum (bands
     // swapped, sigs not yet) must not read as sig-orphans; the ids
     // are gone either way
     val tomb = lshTombstones(spark, dir, idCol)
     val sigIds = minusTombstones(
-        spark.read.parquet(s"$dir/sigs"), tomb, idCol)
+        committed(sigsMergedRead(spark, dir)), tomb, idCol)
       .select(col(idCol).cast("long").as(idCol)).distinct()
     // schema-pinned like lshIncrementalIndexed's read: a vacuum that
     // deleted every row leaves dir/bands with no data files to infer
     // from, and reconciliation of an emptied index must still work
     val bandAgg = minusTombstones(
-        spark.read.schema(
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(idCol,
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("band_hash",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType))))
-          .parquet(s"$dir/bands"), tomb, idCol)
+        committed(spark.read.schema(bandsReadSchema(idCol))
+          .parquet(s"$dir/bands")), tomb, idCol)
       .groupBy(col(idCol).cast("long").as(idCol))
       .agg(count(lit(1)).as("__n"))
     val bandsOnly = bandAgg.join(sigIds, Seq(idCol), "left_anti").count()

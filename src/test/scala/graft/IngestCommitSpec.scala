@@ -482,6 +482,46 @@ class IngestCommitSpec extends SparkSpec {
     assertIndexConsistent(index, corpus)
   }
 
+  test("compactIngestLog folds a corpus-only log to one marker; hwm, " +
+      "skip, and regression semantics intact") {
+    val corpus = tmpDir("logfold")
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      assert(IngestCommit.exactDedupIngestBatch(b, i.toLong, corpus))
+    }
+    val logDir = s"$corpus/_commits"
+    IngestCommit.compactIngestLog(spark, logDir)
+    val names = new java.io.File(logDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(names == Seq("commit-2"), s"log after fold: $names")
+    assert(IngestCommit.committedHwm(spark, logDir).contains(2L))
+    assert(!IngestCommit.exactDedupIngestBatch(bs(2), 2L, corpus))
+    assert(intercept[IllegalArgumentException] {
+      IngestCommit.exactDedupIngestBatch(bs(0), 0L, corpus)
+    }.getMessage.contains("regressed"))
+  }
+
+  test("lshIndexOrphans reads the COMMITTED view: a crashed in-flight " +
+      "batch's stamped rows are a replay's job, not orphans") {
+    val root = tmpDir("orphans")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    val bs = batches
+    assert(IngestCommit.nearDupIngestBatch(bs(0), 0L, index, corpus,
+      threshold = 0.99))
+    intercept[RuntimeException] {
+      IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+        threshold = 0.99,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    // the crashed batch's rows are on disk (bands + sigs, stamped 1)
+    // but uncommitted — reconciliation must NOT report them
+    assert(TextDedupOps.lshIndexOrphans(spark, index) == ((0L, 0L, 0L)))
+    assert(IngestCommit.nearDupIngestBatch(bs(1), 1L, index, corpus,
+      threshold = 0.99))
+    assert(TextDedupOps.lshIndexOrphans(spark, index) == ((0L, 0L, 0L)))
+  }
+
   test("ivfpq: compaction interleaved BETWEEN live ingest batches — " +
       "post-compaction ingest appends, recovers, and serves") {
     val root = tmpDir("ivfpq-interleave")
