@@ -73,9 +73,16 @@ import org.apache.spark.sql.functions._
   *     the only in-flight id an entry may see is its own crashed
   *     attempt; anything else is a skipped-ahead batch or a second
   *     writer, whose partial stamped rows this batch's commit would
-  *     otherwise promote to committed (the ADVICE-flagged hazard).
-  * Two writers racing the SAME batch id inside one listing window are
-  * not observable from the log and are out of contract.
+  *     otherwise promote to committed (the ADVICE-flagged hazard);
+  *   - two writers racing the SAME fresh batch id inside one listing
+  *     window are caught by the begin marker's atomic
+  *     create-if-absent: the loser's create finds the winner's file
+  *     and REJECTS before any write (on object stores without atomic
+  *     create-if-absent, front the log with a consistent store — the
+  *     same caveat the log carries generally).
+  * A replayed RECOVERY of an in-flight id cannot distinguish its own
+  * crashed begin from a live twin's — recovery remains single-writer
+  * by contract.
   *
   * MAINTENANCE LEASE (r18 verdict task #2): vacuum/compaction REWRITE
   * the index (folding stamps into the unstamped base), so an ingest
@@ -160,14 +167,31 @@ object IngestCommit {
     else Some(logState(spark, logDir)._1)
   }
 
-  private def appendLog(spark: SparkSession, logDir: String,
-      batchId: Long, kind: String): Unit = {
+  /** Create one marker file. `strict` turns the atomic
+    * create-if-absent into a DETECTOR: a fresh (non-recover) begin
+    * whose file already exists means another writer's begin for the
+    * same id landed between this entry's log read and now — the one
+    * same-id race a listing alone cannot see — so it throws instead
+    * of proceeding to writes the other writer's commit would promote.
+    * Non-strict creates (commit markers, replayed begins) stay
+    * tolerant: a crash straight after a successful create legally
+    * re-runs into its own marker. */
+  private[graft] def appendLog(spark: SparkSession, logDir: String,
+      batchId: Long, kind: String, strict: Boolean = false): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$logDir/$kind-$batchId")
     val fs = fsOf(spark, p)
     fs.mkdirs(p.getParent)
     try fs.create(p, false).close() // atomic create-if-absent
-    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                 _: java.io.IOException if fs.exists(p) => () }
+    catch {
+      case e: Exception if (e.isInstanceOf[
+            org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          e.isInstanceOf[java.io.IOException]) && fs.exists(p) =>
+        if (strict) throw new IllegalStateException(
+          s"concurrent ingest writer detected: $kind-$batchId at " +
+            s"$logDir appeared after this entry's log read — two " +
+            "writers are racing one store (single-writer contract); " +
+            "stop one stream and replay", e)
+    }
   }
 
   /** Shared entry protocol for every ingest*Batch wrapper (the
@@ -207,7 +231,7 @@ object IngestCommit {
           "IngestCommit.breakMaintenanceLease, then replay this batch")
     if (recover || !writeAhead) leaseReject(leases)
     else {
-      appendLog(spark, logDir, batchId, "begin")
+      appendLog(spark, logDir, batchId, "begin", strict = true)
       val leasesNow = logStateFull(spark, logDir)._3
       if (leasesNow.nonEmpty) {
         // retract: nothing is written yet, so backing off must not

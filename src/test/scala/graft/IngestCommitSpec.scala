@@ -482,6 +482,24 @@ class IngestCommitSpec extends SparkSpec {
     assertIndexConsistent(index, corpus)
   }
 
+  test("strict begin-create detects a same-id writer race: a begin " +
+      "landing between the log read and the create rejects; tolerant " +
+      "kinds still absorb their own re-create") {
+    val logDir = s"${tmpDir("strict")}/commits"
+    // winner's begin is already on disk; the loser's strict create —
+    // the state a second writer reaches after reading a log that did
+    // not yet show it — must throw, not proceed to writes
+    IngestCommit.appendLog(spark, logDir, 7L, "begin")
+    val ex = intercept[IllegalStateException] {
+      IngestCommit.appendLog(spark, logDir, 7L, "begin", strict = true)
+    }
+    assert(ex.getMessage.contains("concurrent ingest writer"))
+    // non-strict re-create (commit redelivery, replayed begin): no-op
+    IngestCommit.appendLog(spark, logDir, 7L, "commit")
+    IngestCommit.appendLog(spark, logDir, 7L, "commit")
+    assert(IngestCommit.committedHwm(spark, logDir).contains(7L))
+  }
+
   test("compactIngestLog folds a corpus-only log to one marker; hwm, " +
       "skip, and regression semantics intact") {
     val corpus = tmpDir("logfold")
