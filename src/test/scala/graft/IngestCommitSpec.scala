@@ -638,6 +638,12 @@ class IngestCommitSpec extends SparkSpec {
             threshold = 0.99,
             failpoint = p => if (kill && !killed && bid == 1L &&
               p == "after-corpus") { killed = true; sys.error("kill") })
+          // maintenance UNDER the live stream (r18 verdict #7): the
+          // lease serializes it against the NEXT batch's append, and
+          // batch 0 is committed by the time its foreachBatch call
+          // returns, so compaction between triggers is legal — the
+          // final oracle diff proves it stayed invisible
+          if (bid == 0L) TextDedupOps.compactLshIndex(spark, index)
           ()
         }.queryName(s"graft_ingest_restart_$kill").start()
       try q.processAllAvailable()
