@@ -414,16 +414,19 @@ object IngestCommit {
   /** Exactly-once SIMHASH near-dup ingest — the banded-Hamming twin
     * of [[nearDupIngestBatch]] over the cheapest persisted index
     * (8 bytes of hash per document): survivors are computed against
-    * the COMMITTED hash view, published to
-    * `corpusDir/ingest_id=<batch>`, and their hashes appended to
-    * `hashesDir` stamped with the batch id; the commit log lives at
-    * `hashesDir/_commits` (underscore — Spark's listing ignores it
-    * when the hash frame is read). This wrapper OWNS the hashes
-    * directory (every file carries `ingest_id` from the first
-    * append), so there is no legacy-schema ambiguity; recovery after
-    * a mid-append crash subtracts the batch's already-visible rows
-    * exactly as the LSH path does. Returns false (no writes) for an
-    * already-committed batch. */
+    * the COMMITTED, tombstone-filtered hash view
+    * ([[TextDedupOps.committedSimHashes]] — deletes via
+    * [[TextDedupOps.deleteFromSimHashStore]] take effect on the next
+    * batch's matching immediately), published to
+    * `corpusDir/ingest_id=<batch>`, and their hashes appended under
+    * `hashesDir/hashes` stamped with the batch id (r18 root-layout
+    * stores migrate on first touch); the commit log lives at
+    * `hashesDir/_commits`. This wrapper OWNS the store (every file it
+    * writes carries `ingest_id`); recovery after a mid-append crash
+    * subtracts the batch's already-visible rows exactly as the LSH
+    * path does, and [[TextDedupOps.compactSimHashStore]] is the
+    * maintenance tier (lease-guarded, like the siblings). Returns
+    * false (no writes) for a replay of the hwm batch. */
   /** Exactly-once IVF-PQ ingest — the EMBEDDING-store member of the
     * family: unlike the dedup loops there is no survivorship (the
     * index stores what it is given; `dedupIds = true` drops batch
@@ -516,24 +519,17 @@ object IngestCommit {
       case None => return false
       case Some(r) => r
     }
-    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
-    val dirPath = new org.apache.hadoop.fs.Path(hashesDir)
-    val hasData = fsOf(spark, dirPath).exists(dirPath) &&
-      fsOf(spark, dirPath).listStatus(dirPath)
-        .exists(f => f.getPath.getName.startsWith("part-"))
-    val existing =
-      if (hasData)
-        // every file this wrapper writes carries ingest_id, so the
-        // isNull arm never fires for a wrapper-owned store; it is
-        // kept DELIBERATELY as belt-and-braces — should unstamped
-        // rows ever appear (out-of-contract direct writes), they read
-        // as committed-at-any-watermark, the SAME null-means-committed
-        // convention every store in the family uses (bands, sigs,
-        // cells), rather than silently vanishing from the dedup view
-        spark.read.parquet(hashesDir)
-          .filter(col("ingest_id").isNull || col("ingest_id") <= hwm)
-          .select(col(idCol), col("simhash"))
-      else TextDedupOps.simHash(batch.limit(0), idCol, textCol)
+    // r19: hash files live under hashesDir/hashes (r18 root layouts
+    // migrate on first touch) so the store gets the IndexSwap-based
+    // delete/compaction tier its siblings have; the matching view —
+    // committed at the hwm, tombstones anti-joined — is the shared
+    // committedSimHashes read. Unstamped rows (a compacted base, or
+    // out-of-contract direct writes) read as committed-at-any-
+    // watermark, the family's null-means-committed convention.
+    TextDedupOps.migrateSimHashLayout(spark, hashesDir)
+    val dataDir = TextDedupOps.simHashDataDir(hashesDir)
+    val existing = TextDedupOps.committedSimHashes(spark, hashesDir,
+      idCol)
     val surv = TextDedupOps.simHashIncremental(batch, existing, idCol,
       textCol, maxHamming, bands, maxBucketSize)
       .localCheckpoint(true) // consumed twice (corpus + hash append);
@@ -549,16 +545,23 @@ object IngestCommit {
       surv.write.mode("overwrite")
         .parquet(s"$corpusDir/ingest_id=$batchId")
     def writeIndex(): Unit = {
+      val dataP = new org.apache.hadoop.fs.Path(dataDir)
+      val hasData = fsOf(spark, dataP).exists(dataP)
       val toWrite =
         if (!recover || !hasData) survHashes
         else {
-          val vis = spark.read.parquet(hashesDir)
+          // pinned schema: the crashed attempt may be the store's
+          // FIRST write, and the recovery read must not depend on
+          // which footer inference lands on
+          val vis = spark.read
+            .schema(TextDedupOps.simHashReadSchema(idCol))
+            .parquet(dataDir)
             .filter(col("ingest_id") === batchId)
             .select(col(idCol).cast("long").as(idCol), col("simhash"))
           survHashes.exceptAll(vis)
         }
       toWrite.withColumn("ingest_id", lit(batchId))
-        .write.mode("append").parquet(hashesDir)
+        .write.mode("append").parquet(dataDir)
     }
     if (failpoint eq NoFailpoint) {
       import scala.concurrent.{Await, Future}

@@ -1063,6 +1063,150 @@ object TextDedupOps {
     incrementalSurvivors(newBatch, pairs, idCol)
   }
 
+  // ----- SimHash STORE lifecycle (r19) ------------------------------
+  // The persisted per-document simhash store (written by
+  // IngestCommit.simHashIngestBatch) gains the delete/compaction tier
+  // its LSH and IVF-PQ siblings have had since r16: tombstone deletes
+  // that take effect immediately on the matching view, and a
+  // crash-recoverable compaction that folds tombstones + ingest
+  // stamps + the commit log. Data files live under `dir/hashes` so
+  // the proven IndexSwap rename protocol applies; r18 stores wrote
+  // them at the store ROOT and are migrated on first touch (renames
+  // only — idempotent, resumable).
+
+  private[llm] def simHashDataDir(dir: String): String = s"$dir/hashes"
+
+  /** Pinned store schema: a fully-compacted-empty store has no data
+    * files to infer from, and `ingest_id` must read NULL from any
+    * pre-stamp file. */
+  private[graft] def simHashReadSchema(idCol: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("simhash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_id",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One-time layout migration: move root-level hash part files (the
+    * r18 layout) under `dir/hashes`. Rename-only metadata ops,
+    * idempotent and crash-resumable (each file is either moved or
+    * not; every reader/writer migrates before touching the store). */
+  private[llm] def migrateSimHashLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val strays = fs.listStatus(root).filter(f =>
+      f.isFile && f.getPath.getName.startsWith("part-"))
+    if (strays.isEmpty) return
+    val data = new org.apache.hadoop.fs.Path(simHashDataDir(dir))
+    fs.mkdirs(data)
+    strays.foreach { f =>
+      require(fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(data, f.getPath.getName)),
+        s"simhash layout migration: rename ${f.getPath} failed")
+    }
+  }
+
+  /** Mark `ids` DELETED in a persisted SimHash store — the same
+    * curation primitive as [[deleteFromLshIndex]]: a dropped document
+    * must stop matching as a near-dup immediately, without rewriting
+    * the store. Ids append to `dir/tombstones`; [[committedSimHashes]]
+    * (and through it the ingest wrapper's matching view) anti-joins
+    * them out, and [[compactSimHashStore]] folds them physically.
+    * Deleting an unindexed id is a harmless no-op. */
+  def deleteFromSimHashStore(ids: DataFrame, dir: String,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1) // deletes are metadata-sized next to the store
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private[llm] def simHashTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString)
+        .select(col(idCol).cast("long").as(idCol)).distinct())
+    else None
+  }
+
+  /** The COMMITTED, tombstone-filtered matching view of a SimHash
+    * store — (idCol, simhash), exactly the frame the exactly-once
+    * ingest wrapper consults, public for standalone
+    * [[simHashIncremental]] callers. Missing/empty stores read as
+    * empty (a store is created by its first ingest batch). */
+  def committedSimHashes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): DataFrame = {
+    migrateSimHashLayout(spark, dir)
+    val data = simHashDataDir(dir)
+    val p = new org.apache.hadoop.fs.Path(data)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw =
+      if (fs.exists(p))
+        spark.read.schema(simHashReadSchema(idCol)).parquet(data)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        simHashReadSchema(idCol))
+    val hwmOpt = IngestCommit.committedHwm(spark, s"$dir/_commits")
+    val committed = hwmOpt.fold(raw)(h =>
+      raw.filter(col("ingest_id").isNull || col("ingest_id") <= h))
+    minusTombstones(committed, simHashTombstones(spark, dir, idCol),
+      idCol).select(col(idCol), col("simhash"))
+  }
+
+  private def requireNoInFlightSimHashIngest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      op: String): Unit = {
+    val (_, inFlight) = IngestCommit.logState(spark, s"$dir/_commits")
+    require(inFlight.isEmpty,
+      s"$op: store at $dir has in-flight (begun, uncommitted) ingest " +
+        s"batch(es) ${inFlight.toSeq.sorted.mkString(", ")} — finish " +
+        "or replay the ingest (IngestCommit.simHashIngestBatch " +
+        "recovers it) before maintenance")
+  }
+
+  /** COMPACT the SimHash store: fold tombstones into a physical
+    * rewrite, fold ingest stamps to NULL (every surviving row is
+    * committed — the no-in-flight guard below), coalesce the
+    * one-file-per-batch append history, and fold the commit log to
+    * its single max marker. One op covers both the vacuum and the
+    * small-files roles its LSH/IVF-PQ siblings split — at 8 bytes of
+    * hash per document the rewrite is always cheap. Runs under the
+    * maintenance lease (ingest excluded for the whole rewrite) and
+    * swaps through [[IndexSwap]] — renames only, recovered on entry,
+    * so a re-run completes any crashed compaction. Same object-store
+    * rename caveat as the siblings. */
+  def compactSimHashStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "doc_id"): Unit =
+    IngestCommit.withMaintenanceLease(spark, s"$dir/_commits",
+        "compactSimHashStore") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      migrateSimHashLayout(spark, dir)
+      IndexSwap.recover(conf, dir, "hashes")
+      requireNoInFlightSimHashIngest(spark, dir, "compactSimHashStore")
+      val tomb = simHashTombstones(spark, dir, idCol)
+      val data = simHashDataDir(dir)
+      val dataP = new org.apache.hadoop.fs.Path(data)
+      if (dataP.getFileSystem(conf).exists(dataP)) {
+        val ex = spark.read.schema(simHashReadSchema(idCol)).parquet(data)
+          .withColumn("ingest_id", lit(null).cast("long"))
+        IndexSwap.swapIn(conf, dir, "hashes") { tmp =>
+          // no coalesce(1): 8 bytes/doc is still terabytes at 10^12
+          // docs — the rewrite folds per-batch files into
+          // shuffle-partition-count files, which is the same story
+          // the LSH sigs rewrite tells
+          minusTombstones(ex, tomb, idCol).write.parquet(tmp)
+        }
+      }
+      val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      tombPath.getFileSystem(conf).delete(tombPath, true)
+      IngestCommit.compactLog(spark, s"$dir/_commits")
+    }
+
   /** CROSS-corpus near-duplicate detection — eval/benchmark
     * decontamination at the near-dup tier. [[contaminationScore]]
     * measures n-gram overlap; this catches template/paraphrase clones

@@ -829,6 +829,65 @@ object LlmQueries extends QueryModule {
               |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
         .stripMargin)),
 
+    // DELETE support for the persisted SimHash store (r19 —
+    // deleteFromSimHashStore / compactSimHashStore, completing the
+    // lifecycle asymmetry with the LSH/IVF-PQ siblings): the corpus
+    // ingests through the exactly-once wrapper, docs 0..19 are then
+    // DELETED from the store, and the final batch carries clones of
+    // 0..19 (+10000 — twins dead, must SURVIVE) and clones of 20..39
+    // (+20000 — twins live, must die). The matching view is compared
+    // in-gate BEFORE and AFTER compaction (tombstone-filtering ≡
+    // physical fold), the final batch ingests against the compacted
+    // store, and the oracle states the committed corpus closed-form:
+    // everything already ingested (deletion from the MATCHING store
+    // does not remove corpus rows) plus exactly the clone survivors.
+    QueryDef("simhash_index_delete",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 250).withColumn("text", mk)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-shdel-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (hashes, corpus) = (s"$root/hashes", s"$root/corpus")
+        import graft.llm.{IngestCommit, TextDedupOps}
+        IngestCommit.simHashIngestBatch(
+          docs.filter(col("doc_id") < 100), 0L, hashes, corpus)
+        IngestCommit.simHashIngestBatch(
+          docs.filter(col("doc_id").between(100, 199)), 1L, hashes,
+          corpus)
+        IngestCommit.simHashIngestBatch(
+          docs.filter(col("doc_id") >= 200), 2L, hashes, corpus)
+        import s.implicits._
+        TextDedupOps.deleteFromSimHashStore(
+          s.range(20).select(col("id").as("doc_id")), hashes)
+        val b3 = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(20, 39))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        def surv(): Set[Long] = TextDedupOps.simHashIncremental(b3,
+          TextDedupOps.committedSimHashes(s, hashes), "doc_id", "text")
+          .select("doc_id").as[Long].collect().toSet
+        val viaTombstones = surv()
+        TextDedupOps.compactSimHashStore(s, hashes)
+        val afterCompact = surv()
+        require(afterCompact == viaTombstones,
+          s"compaction changed survivors: $viaTombstones vs " +
+            s"$afterCompact")
+        IngestCommit.simHashIngestBatch(b3, 3L, hashes, corpus)
+        IngestCommit.committedCorpus(s, corpus, s"$hashes/_commits")
+          .select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents WHERE doc_id < 250
+             |UNION ALL
+             |SELECT doc_id + 10000 AS doc_id FROM documents
+             |WHERE doc_id < 20""".stripMargin)),
+
     // Dataset mixture: per-source deterministic hash sampling at target
     // keep-fractions (downsample src0 to 30%, keep the rest whole) —
     // the pretraining-mix step, reproducible across reprocessing.

@@ -240,7 +240,7 @@ class IngestCommitSpec extends SparkSpec {
     // double-append would inflate this)
     val hwm = IngestCommit.committedHwm(spark, s"$hashes/_commits")
       .getOrElse(sys.error("no log"))
-    val hs = spark.read.parquet(hashes)
+    val hs = spark.read.parquet(s"$hashes/hashes") // r19 subdir layout
       .filter(col("ingest_id").isNull || col("ingest_id") <= hwm)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     val cids = committed.select("doc_id").as[Long].collect().toSet
@@ -480,6 +480,57 @@ class IngestCommitSpec extends SparkSpec {
       IngestCommit.committedCorpus(spark, corpus, s"$index/commits"),
       oneShotOracle)
     assertIndexConsistent(index, corpus)
+  }
+
+  test("simhash store lifecycle: tombstone deletes take effect on the " +
+      "next batch's matching; compaction folds tombstones + stamps + " +
+      "log; r18 root layouts migrate on first touch") {
+    val root = tmpDir("simhash-life")
+    val (hashes, corpus) = (s"$root/hashes", s"$root/corpus")
+    val bs = batches
+    assert(IngestCommit.simHashIngestBatch(bs(0), 0L, hashes, corpus))
+    assert(IngestCommit.simHashIngestBatch(bs(1), 1L, hashes, corpus))
+    // delete docs 0..4: their +100 clones in batch 2 (texts of 0..4)
+    // must now SURVIVE, while the in-batch clone (200 ≙ 52) still dies
+    TextDedupOps.deleteFromSimHashStore(
+      spark.range(5).select(col("id").as("doc_id")), hashes)
+    val survTomb = TextDedupOps.simHashIncremental(bs(2),
+      TextDedupOps.committedSimHashes(spark, hashes), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert((100L until 105L).toSet.subsetOf(survTomb),
+      s"clones of deleted docs must survive: $survTomb")
+    assert(!survTomb.contains(200L))
+    // compaction (physical fold) must not change the matching view...
+    TextDedupOps.compactSimHashStore(spark, hashes)
+    val survVac = TextDedupOps.simHashIncremental(bs(2),
+      TextDedupOps.committedSimHashes(spark, hashes), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survVac == survTomb,
+      s"compaction changed survivors: $survTomb -> $survVac")
+    // ...log folded to one marker, tombstones gone, ingest continues
+    val logFiles = new java.io.File(s"$hashes/_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq.sorted
+    assert(logFiles == Seq("commit-1"), s"log: $logFiles")
+    assert(!new java.io.File(s"$hashes/tombstones").exists())
+    assert(IngestCommit.simHashIngestBatch(bs(2), 2L, hashes, corpus))
+    val corpusIds = IngestCommit.committedCorpus(spark, corpus,
+      s"$hashes/_commits").select("doc_id").as[Long].collect().toSet
+    assert((100L until 105L).toSet.subsetOf(corpusIds))
+    // r18 ROOT-layout migration: move the data files back to the root
+    // (the old layout) — the next wrapper touch must migrate and the
+    // view must be unchanged
+    val before = TextDedupOps.committedSimHashes(spark, hashes)
+      .as[(Long, Long)].collect().toSet
+    val dataDir = new java.io.File(s"$hashes/hashes")
+    dataDir.listFiles().filter(_.getName.startsWith("part-"))
+      .foreach { f =>
+        assert(f.renameTo(new java.io.File(s"$hashes/${f.getName}")))
+      }
+    val after = TextDedupOps.committedSimHashes(spark, hashes)
+      .as[(Long, Long)].collect().toSet
+    assert(after == before, "migration changed the committed view")
+    assert(new java.io.File(s"$hashes/hashes").listFiles()
+      .exists(_.getName.startsWith("part-")), "files not migrated back")
   }
 
   test("strict begin-create detects a same-id writer race: a begin " +
