@@ -580,6 +580,65 @@ object LlmQueries extends QueryModule {
               |SELECT min(doc_id) AS doc_id FROM allb GROUP BY text"""
         .stripMargin)),
 
+    // DELETES interleaved with the EXACTLY-ONCE ingest loop (r19 —
+    // the one store-lifecycle interaction the r18 gates left unpinned:
+    // near_dup_index_delete covers tombstones on the plain indexed
+    // path, the ingest gates never delete): docs 0..9 are deleted
+    // AFTER two committed batches, so batch 2's +10000 clones of them
+    // must SURVIVE (twins tombstoned) while +20000 clones of live
+    // docs die; vacuumLshIndex then folds the tombstones physically
+    // BETWEEN batches (under the maintenance lease), and batch 3
+    // proves the post-vacuum matching is right in BOTH directions —
+    // +30000 re-clones of the deleted docs now die against their
+    // +10000 replacements (ingested in batch 2), and +40000 clones of
+    // live docs die as always. Oracle = closed-form committed corpus.
+    QueryDef("near_dup_ingest_delete_live",
+      (s, d) => {
+        val mk = array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("w"),
+            ((col("doc_id") * 97 + j * 13 + col("doc_id") * j * 7) % 1009)
+              .cast("string"))), " ")
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200).withColumn("text", mk)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-nedel-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (index, corpus) = (s"$root/index", s"$root/corpus")
+        import graft.llm.{IngestCommit, TextDedupOps}
+        TextDedupOps.writeLshIndex(
+          TextDedupOps.minHashSignatures(docs.limit(0), "doc_id",
+            "text", 3, 32), index, "doc_id", bands = 8)
+        def ingest(b: DataFrame, id: Long): Boolean =
+          IngestCommit.nearDupIngestBatch(b, id, index, corpus,
+            threshold = 0.99)
+        ingest(docs.filter(col("doc_id") < 100), 0L)
+        ingest(docs.filter(col("doc_id") >= 100), 1L)
+        import s.implicits._
+        TextDedupOps.deleteFromLshIndex(
+          s.range(10).select(col("id").as("doc_id")), index)
+        val b2 = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(100, 109))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        ingest(b2, 2L)
+        TextDedupOps.vacuumLshIndex(s, index) // folds tombstones
+        val b3 = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(110, 119))
+            .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+        ingest(b3, 3L)
+        IngestCommit.committedCorpus(s, corpus, s"$index/commits")
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id FROM documents
+             |  WHERE doc_id < 200)
+             |SELECT doc_id FROM corpus
+             |UNION ALL
+             |SELECT doc_id + 10000 AS doc_id FROM corpus
+             |WHERE doc_id < 10""".stripMargin)),
+
     // DELETE support for the persisted LSH index (deleteFromLshIndex /
     // vacuumLshIndex) — the curation-loop primitive: documents dropped
     // from the corpus must stop matching as near-dups while survivors
