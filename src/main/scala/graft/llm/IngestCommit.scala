@@ -99,6 +99,14 @@ import org.apache.spark.sql.functions._
   * IndexSwap recovery + rewrite complete the job and release), or
   * [[breakMaintenanceLease]] clears it manually.
   *
+  * CORPUS TAKEDOWN (r19): [[deleteFromCorpus]] tombstones document
+  * ids out of every committed read (and out of the exact-dedup
+  * matching view — a taken-down doc surrenders its claim on the
+  * content); [[vacuumCorpus]] folds the tombstones physically by
+  * rewriting ONLY the affected `ingest_id` partitions under the
+  * maintenance lease — the compliance delete path, O(affected
+  * batches) not O(corpus).
+  *
   * Scale: per batch the log costs ONE directory listing (≤ 2 marker
   * files per batch between compactions;
   * [[TextDedupOps.compactLshIndex]] folds the history to a single
@@ -347,8 +355,147 @@ object IngestCommit {
     val hwm = committedHwm(spark, logDir).getOrElse(-1L)
     require(hwm >= 0,
       s"committedCorpus: no committed ingest batch recorded at $logDir")
-    spark.read.option("basePath", corpusDir).parquet(corpusDir)
+    val base = spark.read.option("basePath", corpusDir).parquet(corpusDir)
       .filter(col("ingest_id") <= hwm).drop("ingest_id")
+    minusCorpusTombstones(spark, corpusDir, base)
+  }
+
+  // ----- Corpus TAKEDOWN tier (r19) ---------------------------------
+  // The matching indexes have had tombstone deletes since r16; the
+  // ingested CORPUS itself had none — yet at 100 TB the most common
+  // delete is not curation but COMPLIANCE: "remove these documents
+  // from the training corpus" (takedown, opt-out, license recall),
+  // which must not cost a corpus-sized rewrite. Same design as the
+  // index tier: ids append to `corpusDir/_tombstones` (metadata-sized;
+  // the underscore keeps Spark's listing from reading it as data),
+  // every committed read anti-joins them out immediately, and
+  // [[vacuumCorpus]] folds them physically — rewriting ONLY the
+  // partitions that hold tombstoned rows, so the physical cost is
+  // O(affected batches), not O(corpus).
+  //
+  // Matching semantics: a takedown removes the DOCUMENT, not its
+  // claim on the content — [[exactDedupIngestBatch]] computes
+  // survivorship against the tombstone-filtered view, so a later copy
+  // of a deleted text is admitted again (the same rule the LSH /
+  // SimHash index deletes follow). For near-dup pipelines the corpus
+  // and the index are deleted separately ([[deleteFromCorpus]] +
+  // TextDedupOps.deleteFromLshIndex / SimilarityOps
+  // .deleteFromIvfPqIndex) — export and matching are different
+  // lifecycles, and a caller may legitimately stop serving a doc
+  // while keeping its near-dup shadow, or vice versa.
+
+  /** Mark `ids` DELETED in an ingested corpus. Takes effect on the
+    * next [[committedCorpus]] read (and on the next batch's
+    * exact-dedup matching). Deleting an absent id is a harmless
+    * no-op. The tombstone file is self-describing: its single column
+    * name must be the corpus' id column. */
+  def deleteFromCorpus(ids: DataFrame, corpusDir: String,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1) // deletes are metadata-sized next to the corpus
+      .write.mode("append").parquet(s"$corpusDir/_tombstones")
+
+  private def corpusTombstones(spark: SparkSession,
+      corpusDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_tombstones")
+    if (fsOf(spark, p).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Anti-join pending corpus tombstones out of `df` (no tombstones →
+    * `df` unchanged, plan byte-identical to the pre-takedown read). */
+  private def minusCorpusTombstones(spark: SparkSession,
+      corpusDir: String, df: DataFrame): DataFrame =
+    corpusTombstones(spark, corpusDir).fold(df) { t =>
+      val idc = t.columns.head
+      require(df.columns.contains(idc),
+        s"corpus tombstones at $corpusDir/_tombstones key on '$idc' " +
+          s"but the corpus columns are ${df.columns.mkString(", ")} — " +
+          "deleteFromCorpus must use the corpus' id column")
+      df.join(broadcast(t.select(col(idc).cast("long").as("__tomb_id"))
+          .distinct()),
+        df(idc).cast("long") === col("__tomb_id"), "left_anti")
+    }
+
+  /** Fold accumulated corpus tombstones into a PHYSICAL rewrite of
+    * exactly the `ingest_id=<n>` partitions that hold tombstoned rows
+    * — O(affected batches), never O(corpus). Each partition swaps
+    * through [[IndexSwap]] (renames only, recovered on entry), and
+    * the tombstone file clears LAST, so a crash at ANY point re-runs
+    * to completion with the logical view ([[committedCorpus]])
+    * unchanged throughout. Runs under the maintenance lease on
+    * `logDir` — the pipeline's commit log (`corpusDir/_commits` for
+    * the exact-dedup loop, the default; `indexDir/commits` etc. for
+    * the index pipelines), so the wrapper's ingest is excluded for
+    * the whole rewrite — and refuses over an in-flight batch. Same
+    * object-store rename caveat as every IndexSwap user.
+    *
+    * `failpoint` is a test hook ("after-partition" per swapped
+    * partition, "before-tombstone-clear"); production callers leave
+    * the default no-op. */
+  def vacuumCorpus(spark: SparkSession, corpusDir: String,
+      logDir: String = "",
+      failpoint: String => Unit = NoFailpoint): Unit = {
+    val log = if (logDir.isEmpty) s"$corpusDir/_commits" else logDir
+    withMaintenanceLease(spark, log, "vacuumCorpus") {
+      val conf = spark.sparkContext.hadoopConfiguration
+      recoverCorpusSwaps(spark, corpusDir)
+      val (_, inFlight) = logState(spark, log)
+      require(inFlight.isEmpty,
+        s"vacuumCorpus: corpus at $corpusDir has in-flight (begun, " +
+          s"uncommitted) ingest batch(es) " +
+          s"${inFlight.toSeq.sorted.mkString(", ")} in $log — finish " +
+          "or replay the ingest before maintenance")
+      corpusTombstones(spark, corpusDir).foreach { tombRaw =>
+        val idc = tombRaw.columns.head
+        val tomb = tombRaw.select(col(idc).cast("long").as("__tomb_id"))
+          .distinct()
+        val base = spark.read.option("basePath", corpusDir)
+          .parquet(corpusDir)
+        require(base.columns.contains(idc),
+          s"corpus tombstones at $corpusDir/_tombstones key on " +
+            s"'$idc' but the corpus columns are " +
+            base.columns.mkString(", "))
+        // the partitions that actually hold tombstoned rows — bounded
+        // by the batch count; the semi-join rides the slim id column
+        val affected = base
+          .join(broadcast(tomb),
+            base(idc).cast("long") === col("__tomb_id"), "left_semi")
+          .select(col("ingest_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        affected.foreach { pid =>
+          val sub = s"ingest_id=$pid"
+          IndexSwap.swapIn(conf, corpusDir, sub) { tmp =>
+            val part = spark.read.parquet(s"$corpusDir/$sub")
+            part.join(broadcast(tomb),
+                part(idc).cast("long") === col("__tomb_id"), "left_anti")
+              .write.parquet(tmp)
+          }
+          failpoint("after-partition")
+        }
+      }
+      failpoint("before-tombstone-clear")
+      val tombP = new org.apache.hadoop.fs.Path(s"$corpusDir/_tombstones")
+      fsOf(spark, tombP).delete(tombP, true) // LAST — a re-run of any
+                                             // crashed state completes
+      ()
+    }
+  }
+
+  /** Finish partition swaps a previous [[vacuumCorpus]] crashed in —
+    * one [[IndexSwap.recover]] per partition with a leftover
+    * `.ingest_id=<n>.compact` / `.trash` directory. */
+  private def recoverCorpusSwaps(spark: SparkSession,
+      corpusDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    val SwapRe = """^\.(ingest_id=[^/.]+)\.(compact|trash)$""".r
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case SwapRe(sub, _) => sub }.distinct
+      .foreach(sub => IndexSwap.recover(conf, corpusDir, sub))
   }
 
   /** Exactly-once EXACT-dedup ingest of one foreachBatch micro-batch:
@@ -372,10 +519,15 @@ object IngestCommit {
     if (beginIngest(spark, logDir, batchId, "exactDedupIngestBatch",
         writeAhead = false).isEmpty) return false
     val hwm = committedHwm(spark, logDir).getOrElse(-1L)
+    // matching runs against the tombstone-FILTERED committed view: a
+    // taken-down document surrenders its claim on the content, so a
+    // later copy of its text is admitted again (the index-delete rule)
     val existing =
       if (hwm >= 0)
-        spark.read.option("basePath", corpusDir).parquet(corpusDir)
-          .filter(col("ingest_id") <= hwm).select(col(textCol))
+        minusCorpusTombstones(spark, corpusDir,
+          spark.read.option("basePath", corpusDir).parquet(corpusDir)
+            .filter(col("ingest_id") <= hwm))
+          .select(col(textCol))
       else batch.select(col(textCol)).limit(0)
     TextDedupOps.dedupIncremental(batch, existing, idCol, textCol)
       .write.mode("overwrite").parquet(s"$corpusDir/ingest_id=$batchId")

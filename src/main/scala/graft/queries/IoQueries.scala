@@ -1360,6 +1360,73 @@ object IoQueries extends QueryModule {
              |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
              |  FROM scored) WHERE rn <= 3""".stripMargin)),
 
+    // DELETES interleaved with the EXACTLY-ONCE IVF-PQ ingest loop
+    // (r19 — the last delete × ingest interaction unpinned across the
+    // store families: ivfpq_index_delete covers tombstones on a
+    // log-less index, the ingest gates never delete). Two batches
+    // commit through the wrapper, then vec_id % 10 == 7 is DELETED —
+    // tombstones hit the UNSTAMPED seed base and BOTH stamped batches
+    // at once. The covering topk is compared in-gate via tombstones
+    // and after vacuumIvfPqIndex (which runs under the maintenance
+    // lease against the live commit log — tombstone-filtering ≡
+    // physical fold), then batch 2 RE-INGESTS the deleted vectors
+    // whose vec_id % 3 == 1 against the vacuumed layout: those must
+    // serve again (tombstones folded, rows re-encoded against the
+    // stored quantizers), while the rest of the deleted set stays
+    // gone. The brute-force oracle states exactly that survivorship.
+    QueryDef("ivfpq_ingest_delete_live",
+      (s, d) => {
+        import graft.llm.{IngestCommit, SimilarityOps}
+        val emb = T.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val seed = emb.filter(col("vec_id") % 3 === 0)
+        val b0 = emb.filter(col("vec_id") % 3 === 1)
+        val b1 = emb.filter(col("vec_id") % 3 === 2)
+        val cents = SimilarityOps.trainIvfCentroids(
+          seed, "vec_id", "embedding", 4)
+        val cbs = SimilarityOps.trainPqCodebooksResidual(seed, "vec_id",
+          "embedding", cents, m = 8, ksub = 8, iters = 1)
+        val root = s"$scratch/ivfpq_ingest_del_live"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        val (idx, corp) = (s"$root/index", s"$root/corpus")
+        SimilarityOps.writeIvfPqIndex(seed, idx, cents, cbs)
+        IngestCommit.ivfPqIngestBatch(b0, 0L, idx, corp)
+        IngestCommit.ivfPqIngestBatch(b1, 1L, idx, corp)
+        SimilarityOps.deleteFromIvfPqIndex(
+          emb.filter(col("vec_id") % 10 === 7).select("vec_id"), idx)
+        def run() = SimilarityOps.ivfPqTopKIndexed(queries, idx, emb, 3,
+            nprobe = cents.length, rerankFactor = 1000000)
+          .select(col("q_id"), col("vec_id"),
+            round(col("score"), 6).as("score"), col("rn"))
+        val viaTombstones = run().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        SimilarityOps.vacuumIvfPqIndex(s, idx)
+        val av = run().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        require(av == viaTombstones,
+          s"vacuum changed neighbors: ${av.diff(viaTombstones)} / " +
+            s"${viaTombstones.diff(av)}")
+        IngestCommit.ivfPqIngestBatch(
+          emb.filter(col("vec_id") % 10 === 7 && col("vec_id") % 3 === 1),
+          2L, idx, corp)
+        run()
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS q_e FROM c WHERE vec_id < 5),
+             |scored AS (SELECT q_id, vec_id,
+             |    list_dot_product(q_e, e) /
+             |    (sqrt(list_dot_product(q_e, q_e)) * sqrt(list_dot_product(e, e))) AS score
+             |  FROM q CROSS JOIN c
+             |  WHERE vec_id != q_id
+             |    AND NOT (vec_id % 10 = 7 AND vec_id % 3 <> 1))
+             |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     // Z-ordered (Morton-curve) layout — MULTI-column data skipping,
     // the dimension the single-column sorted layout above cannot
     // cover: interleaving the high bits of user_id and event_id tiles

@@ -639,6 +639,70 @@ object LlmQueries extends QueryModule {
              |SELECT doc_id + 10000 AS doc_id FROM corpus
              |WHERE doc_id < 10""".stripMargin)),
 
+    // Corpus TAKEDOWN tier (r19 — IngestCommit.deleteFromCorpus /
+    // vacuumCorpus): the compliance delete a 100 TB corpus actually
+    // receives ("remove these documents"), which must not cost a
+    // corpus-sized rewrite. Unlike the near-dup twin above, the
+    // deleted docs leave the COMMITTED CORPUS VIEW itself — docs 0..9
+    // are taken down after two committed exact-dedup batches, the
+    // view is compared in-gate before and after vacuumCorpus
+    // (tombstone-filtering ≡ the partition-scoped physical fold),
+    // and the remaining batches prove the matching rule in both
+    // directions: batch 2's +10000 copies of the deleted TEXTS are
+    // admitted again (a takedown surrenders the content claim) while
+    // +20000 copies of live docs die; post-vacuum batch 3's +30000
+    // re-copies die against their +10000 replacements and +40000
+    // copies of live docs die as always. Oracle = the closed-form
+    // committed corpus: survivors of every batch minus the takedown.
+    QueryDef("dedup_ingest_delete_live",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("text", concat(lit("t"), col("doc_id")))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-cdel-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        import graft.llm.IngestCommit
+        def ingest(b: DataFrame, id: Long): Boolean =
+          IngestCommit.exactDedupIngestBatch(b, id, root)
+        ingest(docs.filter(col("doc_id") < 100), 0L)
+        ingest(docs.filter(col("doc_id") >= 100), 1L)
+        import s.implicits._
+        IngestCommit.deleteFromCorpus(
+          s.range(10).select(col("id").as("doc_id")), root)
+        def view(): Set[Long] =
+          IngestCommit.committedCorpus(s, root, s"$root/_commits")
+            .select("doc_id").as[Long].collect().toSet
+        // batch 2 matches against LIVE tombstones (the anti-join path)
+        val b2 = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(100, 109))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        ingest(b2, 2L)
+        val viaTombstones = view()
+        IngestCommit.vacuumCorpus(s, root)
+        val afterVacuum = view()
+        require(afterVacuum == viaTombstones,
+          s"vacuum changed the committed view: " +
+            s"${afterVacuum.diff(viaTombstones)} / " +
+            s"${viaTombstones.diff(afterVacuum)}")
+        val b3 = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id").between(110, 119))
+            .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+        ingest(b3, 3L)
+        IngestCommit.committedCorpus(s, root, s"$root/_commits")
+          .select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id FROM documents
+             |  WHERE doc_id < 200)
+             |SELECT doc_id FROM corpus WHERE doc_id >= 10
+             |UNION ALL
+             |SELECT doc_id + 10000 AS doc_id FROM corpus
+             |WHERE doc_id < 10""".stripMargin)),
+
     // DELETE support for the persisted LSH index (deleteFromLshIndex /
     // vacuumLshIndex) — the curation-loop primitive: documents dropped
     // from the corpus must stop matching as near-dups while survivors

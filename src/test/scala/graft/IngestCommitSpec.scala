@@ -716,4 +716,140 @@ class IngestCommitSpec extends SparkSpec {
       oneShot)
     assertIndexConsistent(index, corpus)
   }
+
+  test("corpus takedown: deletes leave the committed view immediately, " +
+      "a copy of a deleted text re-admits, and vacuum folds ONLY the " +
+      "affected partitions") {
+    val corpus = tmpDir("takedown")
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(0L until 20L), 0L, corpus))
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(20L until 40L), 1L, corpus))
+    IngestCommit.deleteFromCorpus(
+      spark.range(5).select(col("id").as("doc_id")), corpus)
+    def view(): Set[Long] = IngestCommit.committedCorpus(spark, corpus,
+      s"$corpus/_commits").select("doc_id").as[Long].collect().toSet
+    assert(view() == (5L until 40L).toSet)
+    // a copy of deleted doc 0's text re-admits (takedown surrenders
+    // the content claim); a copy of live doc 20's text still dies
+    val b2 = triDocs(Seq(0L)).select(lit(100L).as("doc_id"), col("text"))
+      .unionByName(
+        triDocs(Seq(20L)).select(lit(101L).as("doc_id"), col("text")))
+    assert(IngestCommit.exactDedupIngestBatch(b2, 2L, corpus))
+    val viaTombstones = view()
+    assert(viaTombstones == (5L until 40L).toSet + 100L)
+    def partFiles(n: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$corpus/ingest_id=$n")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(f => f.getPath.getName + ":" +
+          f.getModificationTime).toSet
+    }
+    val untouched = partFiles(1L)
+    IngestCommit.vacuumCorpus(spark, corpus)
+    // logical view identical across the fold; tombstones gone; the
+    // PHYSICAL partition 0 lost exactly the taken-down rows; the
+    // unaffected partitions were never rewritten (file-for-file)
+    assert(view() == viaTombstones)
+    assert(partFiles(1L) == untouched,
+      "vacuum rewrote a partition with no tombstoned rows")
+    assert(!new org.apache.hadoop.fs.Path(s"$corpus/_tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$corpus/_tombstones")))
+    assert(spark.read.parquet(s"$corpus/ingest_id=0")
+      .select("doc_id").as[Long].collect().toSet == (5L until 20L).toSet)
+  }
+
+  test("corpus vacuum: crashes mid-fold (between partitions, before " +
+      "the tombstone clear) re-run to completion; the logical view " +
+      "never changes; the lease excludes ingest for the whole rewrite") {
+    val corpus = tmpDir("takedown-kill")
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(0L until 20L), 0L, corpus))
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(20L until 40L), 1L, corpus))
+    // tombstones span BOTH partitions so the partial-fold state is
+    // reachable: one partition folded, one not, tombstones still live
+    IngestCommit.deleteFromCorpus(
+      Seq(0L, 20L).toDF("doc_id"), corpus)
+    def view(): Set[Long] = IngestCommit.committedCorpus(spark, corpus,
+      s"$corpus/_commits").select("doc_id").as[Long].collect().toSet
+    val expect = (1L until 40L).toSet - 20L
+    assert(view() == expect)
+    intercept[RuntimeException] {
+      IngestCommit.vacuumCorpus(spark, corpus,
+        failpoint = p => if (p == "after-partition") sys.error("kill"))
+    }
+    // partial fold: partition 0 rewritten, partition 1 not, tombstones
+    // still present — the anti-join stays correct over both states
+    assert(view() == expect)
+    intercept[RuntimeException] {
+      IngestCommit.vacuumCorpus(spark, corpus,
+        failpoint = p =>
+          if (p == "before-tombstone-clear") sys.error("kill"))
+    }
+    assert(view() == expect)
+    // the lease (written before any rewrite) excludes ingest entries
+    // for the whole maintenance window — intent-first on both sides
+    var rejected = false
+    IngestCommit.vacuumCorpus(spark, corpus, failpoint = p =>
+      if (p == "before-tombstone-clear") {
+        val e = intercept[IllegalArgumentException] {
+          IngestCommit.exactDedupIngestBatch(
+            triDocs(Seq(50L)), 2L, corpus)
+        }
+        assert(e.getMessage.contains("maintenance lease"))
+        rejected = true
+      })
+    assert(rejected)
+    assert(view() == expect)
+    assert(!new org.apache.hadoop.fs.Path(s"$corpus/_tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$corpus/_tombstones")))
+    // and the released lease admits the next batch
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(Seq(50L)), 2L, corpus))
+  }
+
+  test("corpus vacuum: refuses over an in-flight ingest batch; a " +
+      "mismatched tombstone id column rejects at read and at vacuum") {
+    // in-flight guard — the near-dup pipeline leaves a begin marker
+    val root = tmpDir("takedown-guards")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    assert(IngestCommit.nearDupIngestBatch(
+      triDocs(0L until 20L), 0L, index, corpus, threshold = 0.99))
+    intercept[RuntimeException] {
+      IngestCommit.nearDupIngestBatch(triDocs(20L until 40L), 1L,
+        index, corpus, threshold = 0.99,
+        failpoint = p => if (p == "after-corpus") sys.error("kill"))
+    }
+    IngestCommit.deleteFromCorpus(
+      spark.range(3).select(col("id").as("doc_id")), corpus)
+    val e = intercept[IllegalArgumentException] {
+      IngestCommit.vacuumCorpus(spark, corpus, s"$index/commits")
+    }
+    assert(e.getMessage.contains("in-flight"))
+    assert(IngestCommit.nearDupIngestBatch(triDocs(20L until 40L), 1L,
+      index, corpus, threshold = 0.99)) // replay clears it
+    IngestCommit.vacuumCorpus(spark, corpus, s"$index/commits")
+    assert(IngestCommit.committedCorpus(spark, corpus,
+      s"$index/commits").select("doc_id").as[Long].collect().toSet ==
+      (3L until 40L).toSet)
+    // id-column mismatch: self-describing tombstones must match the
+    // corpus schema, loudly, on BOTH the read and the vacuum path
+    val corpus2 = tmpDir("takedown-mismatch")
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(0L until 5L), 0L, corpus2))
+    IngestCommit.deleteFromCorpus(
+      spark.range(2).select(col("id").as("vec_id")), corpus2,
+      idCol = "vec_id")
+    val e2 = intercept[IllegalArgumentException] {
+      IngestCommit.committedCorpus(spark, corpus2, s"$corpus2/_commits")
+    }
+    assert(e2.getMessage.contains("vec_id"))
+    val e3 = intercept[IllegalArgumentException] {
+      IngestCommit.vacuumCorpus(spark, corpus2)
+    }
+    assert(e3.getMessage.contains("vec_id"))
+  }
 }

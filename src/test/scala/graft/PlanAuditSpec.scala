@@ -455,6 +455,9 @@ class PlanAuditSpec extends SparkSpec {
                                // joins (batch-ids side, then the
                                // ≤batch-sized hit set) riding the
                                // pruned corpus-id scan
+      "ivfpq_ingest_delete_live", // r19 delete×ingest gate: the same
+                               // probe shape over the tombstone- and
+                               // committed-filtered cell-pruned scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
       "cluster_balanced_draw") // broadcast 4-centroid frame over one
