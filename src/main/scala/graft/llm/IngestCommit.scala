@@ -99,6 +99,17 @@ import org.apache.spark.sql.functions._
   * IndexSwap recovery + rewrite complete the job and release), or
   * [[breakMaintenanceLease]] clears it manually.
   *
+  * DELETES vs RECOVERY: tombstone deletes (the index tier's
+  * deleteFrom*) are legal at ANY point, including between a crashed
+  * ingest attempt and its replay — soundness rests on monotonicity:
+  * a delete only REMOVES matches, so the replay's survivor set is
+  * always a SUPERSET of the crashed attempt's, and the exceptAll
+  * recovery subtraction (visible stamped rows ⊆ recomputed
+  * survivors) never strands a stale row. Appends cannot shrink the
+  * view mid-batch because the single-writer contract serializes
+  * them. IngestCommitSpec pins the delete-between-crash-and-replay
+  * interleaving.
+  *
   * CORPUS TAKEDOWN (r19): [[deleteFromCorpus]] tombstones document
   * ids out of every committed read (and out of the exact-dedup
   * matching view — a taken-down doc surrenders its claim on the

@@ -810,6 +810,94 @@ class IngestCommitSpec extends SparkSpec {
       triDocs(Seq(50L)), 2L, corpus))
   }
 
+  test("corpus takedown composes with the index delete: the near-dup " +
+      "shadow outlives the takedown until deleteFromLshIndex " +
+      "reconciles it, and both vacuums fold cleanly") {
+    val root = tmpDir("takedown-compose")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    assert(IngestCommit.nearDupIngestBatch(
+      triDocs(0L until 20L), 0L, index, corpus, threshold = 0.99))
+    // takedown docs 0..2: they leave the committed CORPUS view at
+    // once, but their near-dup shadow (the index rows) deliberately
+    // stays — export and matching are different lifecycles
+    IngestCommit.deleteFromCorpus(
+      spark.range(3).select(col("id").as("doc_id")), corpus)
+    def corpusIds(): Set[Long] = IngestCommit.committedCorpus(spark,
+      corpus, s"$index/commits").select("doc_id").as[Long]
+      .collect().toSet
+    assert(corpusIds() == (3L until 20L).toSet)
+    // a clone of taken-down doc 0's text still DIES: the shadow matches
+    val clone0 = triDocs(Seq(0L))
+      .select(lit(100L).as("doc_id"), col("text"))
+    assert(IngestCommit.nearDupIngestBatch(clone0, 1L, index, corpus,
+      threshold = 0.99))
+    assert(corpusIds() == (3L until 20L).toSet)
+    // the index delete reconciles: the next clone is admitted
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(3).select(col("id").as("doc_id")), index)
+    val clone0b = triDocs(Seq(0L))
+      .select(lit(101L).as("doc_id"), col("text"))
+    assert(IngestCommit.nearDupIngestBatch(clone0b, 2L, index, corpus,
+      threshold = 0.99))
+    assert(corpusIds() == (3L until 20L).toSet + 101L)
+    // both folds run under their leases on the SAME pipeline log and
+    // leave the logical views unchanged
+    TextDedupOps.vacuumLshIndex(spark, index)
+    IngestCommit.vacuumCorpus(spark, corpus, s"$index/commits")
+    assert(corpusIds() == (3L until 20L).toSet + 101L)
+    val clone0c = triDocs(Seq(0L))
+      .select(lit(102L).as("doc_id"), col("text"))
+    assert(IngestCommit.nearDupIngestBatch(clone0c, 3L, index, corpus,
+      threshold = 0.99))
+    // 102 dies against 101 (the post-reconciliation owner of the text)
+    assert(corpusIds() == (3L until 20L).toSet + 101L)
+  }
+
+  test("index delete landing between a crash and its replay: " +
+      "survivorship grows monotonically (a delete only removes " +
+      "matches), so the recovery subtraction stays sound") {
+    val root = tmpDir("replay-delete")
+    val (index, corpus) = (s"$root/index", s"$root/corpus")
+    initIndex(index)
+    assert(IngestCommit.nearDupIngestBatch(
+      triDocs(0L until 20L), 0L, index, corpus, threshold = 0.99))
+    // batch 1: clones of committed docs 0..4 (die at attempt time)
+    // plus fresh docs 30..34 (survive) — killed AFTER the index
+    // append, so the fresh docs' stamped rows are already on disk
+    val b1 = triDocs(0L until 5L)
+      .select((col("doc_id") + 100).as("doc_id"), col("text"))
+      .unionByName(triDocs(30L until 35L))
+    intercept[RuntimeException] {
+      IngestCommit.nearDupIngestBatch(b1, 1L, index, corpus,
+        threshold = 0.99,
+        failpoint = p => if (p == "after-index") sys.error("kill"))
+    }
+    // the twins are deleted BETWEEN the crash and the replay — the
+    // committed view SHRINKS, so the replay's survivor set is a
+    // superset of the attempt's ({30..34} ⊂ {30..34, 100..104}) and
+    // the exceptAll subtraction never strands a stale stamped row
+    TextDedupOps.deleteFromLshIndex(
+      spark.range(5).select(col("id").as("doc_id")), index)
+    assert(IngestCommit.nearDupIngestBatch(b1, 1L, index, corpus,
+      threshold = 0.99))
+    val ids = IngestCommit.committedCorpus(spark, corpus,
+      s"$index/commits").select("doc_id").as[Long].collect().toSet
+    assert(ids == (0L until 20L).toSet ++ (30L until 35L) ++
+      (100L until 105L))
+    // exact band/sig cardinality per id — a wrong subtraction would
+    // leave the fresh docs double-banded (the bucket-cap hazard)
+    assertIndexConsistent(index, corpus)
+    // and the admitted clones now OWN their texts: a later copy dies
+    val b2 = triDocs(Seq(0L))
+      .select(lit(200L).as("doc_id"), col("text"))
+    assert(IngestCommit.nearDupIngestBatch(b2, 2L, index, corpus,
+      threshold = 0.99))
+    assert(IngestCommit.committedCorpus(spark, corpus,
+      s"$index/commits").select("doc_id").as[Long].collect().toSet
+      == ids)
+  }
+
   test("corpus vacuum: refuses over an in-flight ingest batch; a " +
       "mismatched tombstone id column rejects at read and at vacuum") {
     // in-flight guard — the near-dup pipeline leaves a begin marker
