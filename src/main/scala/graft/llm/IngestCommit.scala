@@ -371,6 +371,31 @@ object IngestCommit {
     minusCorpusTombstones(spark, corpusDir, base)
   }
 
+  /** The committed corpus AS OF an earlier batch — the snapshot read
+    * a reproducible training run pins ("train on the corpus exactly
+    * as batch N left it"). Same pure partition prune as
+    * [[committedCorpus]], at `asOfBatch` instead of the hwm; rejects
+    * an id above the committed high-water-mark (uncommitted data
+    * never serves, snapshot or not). Takedown tombstones STILL apply
+    * — a compliance delete removes the document from every read, and
+    * no snapshot may resurrect it. Snapshots survive [[vacuumCorpus]]
+    * because the fold rewrites each `ingest_id` partition in place,
+    * never merging batch boundaries. */
+  def committedCorpusAsOf(spark: SparkSession, corpusDir: String,
+      logDir: String, asOfBatch: Long): DataFrame = {
+    val hwm = committedHwm(spark, logDir).getOrElse(-1L)
+    require(hwm >= 0,
+      s"committedCorpusAsOf: no committed ingest batch recorded at " +
+        logDir)
+    require(asOfBatch <= hwm,
+      s"committedCorpusAsOf: as-of batch $asOfBatch is above the " +
+        s"committed high-water-mark $hwm at $logDir — uncommitted " +
+        "data never serves")
+    val base = spark.read.option("basePath", corpusDir).parquet(corpusDir)
+      .filter(col("ingest_id") <= asOfBatch).drop("ingest_id")
+    minusCorpusTombstones(spark, corpusDir, base)
+  }
+
   // ----- Corpus TAKEDOWN tier (r19) ---------------------------------
   // The matching indexes have had tombstone deletes since r16; the
   // ingested CORPUS itself had none — yet at 100 TB the most common

@@ -703,6 +703,43 @@ object LlmQueries extends QueryModule {
              |SELECT doc_id + 10000 AS doc_id FROM corpus
              |WHERE doc_id < 10""".stripMargin)),
 
+    // SNAPSHOT (as-of) reads of the committed corpus
+    // (IngestCommit.committedCorpusAsOf) — the reproducible-run
+    // primitive: "train on the corpus exactly as batch N left it", a
+    // pure partition prune at the pinned batch instead of the hwm.
+    // Three batches commit; docs 0..4 are then taken down; the gate
+    // reads AS OF batch 1 — batch 2's docs are invisible, and the
+    // takedown still applies (a compliance delete removes the doc
+    // from EVERY read; no snapshot resurrects it). vacuumCorpus runs
+    // before the snapshot read to prove folds preserve batch
+    // boundaries (the rewrite is per-partition, never merging).
+    QueryDef("corpus_asof_snapshot",
+      (s, d) => {
+        val docs = T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 300)
+          .withColumn("text", concat(lit("t"), col("doc_id")))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-llm-asof-${ProcessHandle.current().pid()}").toString
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        import graft.llm.IngestCommit
+        IngestCommit.exactDedupIngestBatch(
+          docs.filter(col("doc_id") < 100), 0L, root)
+        IngestCommit.exactDedupIngestBatch(
+          docs.filter(col("doc_id").between(100, 199)), 1L, root)
+        IngestCommit.exactDedupIngestBatch(
+          docs.filter(col("doc_id") >= 200), 2L, root)
+        import s.implicits._
+        IngestCommit.deleteFromCorpus(
+          s.range(5).select(col("id").as("doc_id")), root)
+        IngestCommit.vacuumCorpus(s, root)
+        IngestCommit.committedCorpusAsOf(s, root, s"$root/_commits", 1L)
+          .select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id BETWEEN 5 AND 199""".stripMargin)),
+
     // DELETE support for the persisted LSH index (deleteFromLshIndex /
     // vacuumLshIndex) — the curation-loop primitive: documents dropped
     // from the corpus must stop matching as near-dups while survivors

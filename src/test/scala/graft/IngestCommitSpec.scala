@@ -898,6 +898,42 @@ class IngestCommitSpec extends SparkSpec {
       == ids)
   }
 
+  test("corpus as-of snapshot: prunes to the pinned batch, rejects " +
+      "an id above the hwm, never resurrects a takedown, and an " +
+      "UNCOMMITTED partition on disk stays invisible at any as-of") {
+    val corpus = tmpDir("asof")
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(0L until 10L), 0L, corpus))
+    assert(IngestCommit.exactDedupIngestBatch(
+      triDocs(10L until 20L), 1L, corpus))
+    def asOf(n: Long): Set[Long] =
+      IngestCommit.committedCorpusAsOf(spark, corpus,
+        s"$corpus/_commits", n).select("doc_id").as[Long]
+        .collect().toSet
+    assert(asOf(0L) == (0L until 10L).toSet)
+    assert(asOf(1L) == (0L until 20L).toSet)
+    val e = intercept[IllegalArgumentException] { asOf(2L) }
+    assert(e.getMessage.contains("high-water-mark"))
+    // a crashed batch 2 leaves its partition on disk, uncommitted —
+    // the partial partition never serves at any legal as-of
+    intercept[RuntimeException] {
+      IngestCommit.exactDedupIngestBatch(triDocs(20L until 30L), 2L,
+        corpus, failpoint = p =>
+          if (p == "after-corpus") sys.error("kill"))
+    }
+    assert(asOf(1L) == (0L until 20L).toSet)
+    // takedowns apply to every snapshot — compliance deletes are not
+    // time-travelable
+    IngestCommit.deleteFromCorpus(
+      spark.range(3).select(col("id").as("doc_id")), corpus)
+    assert(asOf(0L) == (3L until 10L).toSet)
+    assert(asOf(1L) == (3L until 20L).toSet)
+    // and the physical fold preserves batch boundaries
+    IngestCommit.vacuumCorpus(spark, corpus)
+    assert(asOf(0L) == (3L until 10L).toSet)
+    assert(asOf(1L) == (3L until 20L).toSet)
+  }
+
   test("corpus vacuum: refuses over an in-flight ingest batch; a " +
       "mismatched tombstone id column rejects at read and at vacuum") {
     // in-flight guard — the near-dup pipeline leaves a begin marker
