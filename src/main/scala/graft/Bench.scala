@@ -361,11 +361,11 @@ object Bench {
       import graft.llm.ClassifierOps
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
         col("text"), (col("lang") === "en").cast("int").as("y"))
-      val w = ClassifierOps.trainHardLogistic(docs, "text", "y",
+      // r19: scored off the materialized feature frame — same integer
+      // logits, one tokenize+md5 pass instead of three (the timed unit
+      // still spans training AND corpus scoring end to end)
+      ClassifierOps.trainHardLogisticScored(docs, "text", "y", "doc_id",
         buckets = 64, iters = 2, lrDen = 100L)
-      docs.select(col("doc_id"),
-        ClassifierOps.logitMicro(col("text"), w.take(64).toSeq, w(64))
-          .as("logit_micro"))
     }
 
     /** Multimodal kernel throughput witness: per document, ENCODE and

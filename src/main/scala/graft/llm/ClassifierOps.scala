@@ -50,6 +50,92 @@ object ClassifierOps {
   def logitMicro(text: Column, w: Seq[Long], wb: Long): Column =
     TextStatsOps.hashedClassifierLogit(coalesce(text, lit("")), w) + lit(wb)
 
+  /** Per-document bucket-count feature frame, materialized EAGERLY
+    * (one localCheckpoint job), so the iterative loop and the scorer
+    * never touch text again (r19 optimization, guide §1.2 "per-task
+    * work" + §2.3 "aggregate before you shuffle"): the md5 word
+    * bucketing — the interpreted-HOF hot spot every pass used to
+    * re-pay — runs ONCE, and each training pass becomes a single
+    * codegen'd aggregation over `buckets` long columns instead of an
+    * explode of every word occurrence (measured at sf0.1: 0.86 s →
+    * ~0.04 s per gradient pass; the whole query 2.04 s → ~1.1 s).
+    *
+    * Columns: `keep` passthroughs, `__y` (label·µ-ready long), and
+    * `__h0..__h{buckets-1}` — per-document occurrence counts per
+    * bucket. The bias sentinel needs no column (its count is 1 per
+    * document by construction). Counts are exact longs, so every
+    * gradient/logit below is the SAME integer the per-occurrence
+    * formulation produced — layout-invariant and oracle-replayable,
+    * bit for bit.
+    *
+    * Scale shape: one text scan + one exchange of (doc, buckets+2
+    * longs) rows — strictly less than the per-iteration occurrence
+    * explode it replaces; the checkpointed frame is buckets longs per
+    * document, far smaller than the corpus. Arity is O(buckets) in
+    * the plan, fine for the classifier's documented 16-256 bucket
+    * range (the literal-weights plan was already O(buckets)).
+    *
+    * NULL text reads as empty: words(NULL) is NULL and would
+    * null-propagate through the transform, dropping the row while n
+    * still counts it — and diverging from the oracle, which emits a
+    * bias row per document. */
+  private def bucketCountFeatures(df: DataFrame, textCol: String,
+      labelCol: String, keep: Seq[String], buckets: Int): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val occ = df
+      .select(keep.map(col) ++ Seq(
+        col(labelCol).cast("long").as("__y"),
+        monotonically_increasing_id().as("__row"),
+        transform(TextStatsOps.words(txt),
+          t => TextStatsOps.md5Bucket(t, buckets)).as("__bs")): _*)
+      // bias sentinel appended per ROW so empty documents survive the
+      // explode (size ≥ 1) and the groupBy sees every doc
+      .select(keep.map(col) ++ Seq(col("__y"), col("__row"),
+        explode(array_append(col("__bs"), lit(-1L))).as("__b")): _*)
+    val hists = (0 until buckets).map(b =>
+      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__h$b"))
+    // keep/label ride first(): every exploded row of a group carries
+    // the same values, so the pick is deterministic
+    val firsts = (keep :+ "__y").map(c => first(col(c)).as(c))
+    occ.groupBy(col("__row"))
+      .agg((firsts ++ hists).head, (firsts ++ hists).tail: _*)
+      .select(keep.map(col) ++ Seq(col("__y")) ++
+        (0 until buckets).map(b => col(s"__h$b")): _*)
+      .localCheckpoint(true)
+  }
+
+  /** Micro-unit logit of one feature row under weights `w` (buckets
+    * word weights + bias): Σ_b h_b·w_b + w_bias — pure codegen'd
+    * integer arithmetic, the same value logitMicro computes per
+    * occurrence. */
+  private def featLogit(w: Array[Long], buckets: Int): Column =
+    (0 until buckets).map(b => col(s"__h$b") * lit(w(b)))
+      .reduceOption(_ + _).getOrElse(lit(0L)) + lit(w(buckets))
+
+  /** One full-batch hard-sigmoid GD loop over a materialized feature
+    * frame; mutates nothing, returns the weights. Each iteration is
+    * ONE codegen'd global aggregation (buckets+1 sums — word gradients
+    * Σ err·h_b and the bias gradient Σ err ride the same map-side
+    * combine) over the checkpointed features; no text, no explode. */
+  private def trainOnFeatures(feat: DataFrame, buckets: Int, iters: Int,
+      lrDen: Long, n: Long): Array[Long] = {
+    val w = Array.fill(buckets + 1)(0L) // [word buckets..., bias]
+    for (_ <- 1 to iters) {
+      val err = (hardSigmoidMicro(featLogit(w, buckets)) -
+        col("__y") * Micro).as("__err")
+      val sums = (0 until buckets).map(b =>
+        sum(col("__err") * col(s"__h$b")).as(s"__g$b")) :+
+        sum(col("__err")).as("__gb")
+      val row = feat
+        .select(err +: (0 until buckets).map(b => col(s"__h$b")): _*)
+        .agg(sums.head, sums.tail: _*)
+        .collect()(0) // bounded: one row of buckets+1 longs
+      for (j <- 0 to buckets)
+        w(j) -= row.getLong(j) / (lrDen * n) // truncating, like //
+    }
+    w
+  }
+
   /** Train `iters` full-batch hard-sigmoid logistic steps on
     * (`textCol`, `labelCol` ∈ {0,1}); returns buckets word weights
     * followed by the bias, all micro-units. Learning rate is the
@@ -60,39 +146,28 @@ object ClassifierOps {
       buckets: Int = 16, iters: Int = 2, lrDen: Long = 100L): Array[Long] = {
     require(buckets >= 1 && iters >= 1 && lrDen >= 1,
       s"trainHardLogistic: bad hyperparameters ($buckets, $iters, $lrDen)")
-    val n = df.count() // one scalar: the corpus row count
+    val feat = bucketCountFeatures(df, textCol, labelCol, Nil, buckets)
+    val n = feat.count() // one scalar on the checkpointed frame
     require(n > 0, "trainHardLogistic: empty corpus")
-    val w = Array.fill(buckets + 1)(0L) // [word buckets..., bias]
-    // NULL text reads as empty: words(NULL) is NULL and would
-    // null-propagate through array_append, dropping the row's bias
-    // sentinel from the gradient while n still counts it — and
-    // diverging from the oracle, which emits a bias row per document
-    val txt = coalesce(col(textCol), lit(""))
-    for (_ <- 1 to iters) {
-      val z = logitMicro(txt, w.take(buckets).toSeq, w(buckets))
-      val err = (hardSigmoidMicro(z) -
-        col(labelCol).cast("long") * Micro).as("__err")
-      // one exchange: per-occurrence bucket ids + a sentinel bias
-      // bucket appended per ROW, so bias and word gradients ride the
-      // same map-side-combined aggregation. err is bound in a
-      // projection BELOW the explode: select(err, explode(...)) puts
-      // the Project ABOVE the Generate, re-evaluating the whole logit
-      // HOF once per exploded occurrence (~words× blowup — measured
-      // 18 s vs 1.3 s per pass at sf0.1); as a named column under the
-      // Generate it is computed once per document and passed through.
-      val g = df.select(err,
-          array_append(
-            transform(TextStatsOps.words(txt),
-              t => TextStatsOps.md5Bucket(t, buckets)),
-            lit(buckets.toLong)).as("__bs"))
-        .select(col("__err"), explode(col("__bs")).as("__b"))
-        .groupBy("__b").agg(sum("__err").as("__g"))
-        .collect() // bounded: ≤ buckets+1 rows
-        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      for (j <- 0 to buckets)
-        w(j) -= g.getOrElse(j, 0L) / (lrDen * n) // truncating, like //
-    }
-    w
+    trainOnFeatures(feat, buckets, iters, lrDen, n)
+  }
+
+  /** [[trainHardLogistic]] plus the trained scoring pass over the SAME
+    * materialized feature frame: returns (`idCol`, logit_micro) for
+    * every input document — the identical integers
+    * `logitMicro(text, w, wb)` yields, without a third tokenize+md5
+    * scan of the corpus (the scorer reads buckets longs per doc from
+    * the checkpoint instead). */
+  def trainHardLogisticScored(df: DataFrame, textCol: String,
+      labelCol: String, idCol: String, buckets: Int = 16, iters: Int = 2,
+      lrDen: Long = 100L): DataFrame = {
+    require(buckets >= 1 && iters >= 1 && lrDen >= 1,
+      s"trainHardLogisticScored: bad hyperparameters ($buckets, $iters, $lrDen)")
+    val feat = bucketCountFeatures(df, textCol, labelCol, Seq(idCol), buckets)
+    val n = feat.count()
+    require(n > 0, "trainHardLogisticScored: empty corpus")
+    val w = trainOnFeatures(feat, buckets, iters, lrDen, n)
+    feat.select(col(idCol), featLogit(w, buckets).as("logit_micro"))
   }
 
 }

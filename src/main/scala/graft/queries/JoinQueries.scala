@@ -104,10 +104,16 @@ object JoinQueries extends QueryModule {
         val cust = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         val ords = T.orders(s, d).filter(col("o_orderdate") < cutoff)
         val li = T.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        // r19: revenue accumulates exact long cents×bp products in
+        // DECIMAL(38,0) with one rescale per group (see Q.dsum) — same
+        // exact value, no per-row decimal multiply
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val pc = Q.cents(col("l_extendedprice"))
+        val dc = Q.cents(col("l_discount"))
         cust.join(ords, col("c_custkey") === col("o_custkey"))
           .join(li, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .agg((sum((pc * (lit(100L) - dc)).cast(d38)) / lit(10000))
             .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey").asc)
           .limit(10)

@@ -2319,11 +2319,11 @@ object LlmQueries extends QueryModule {
         import graft.llm.ClassifierOps
         val docs = T.documents(s, d).select(col("doc_id"), col("text"),
           (col("lang") === "en").cast("int").as("y"))
-        val w = ClassifierOps.trainHardLogistic(docs, "text", "y",
-          buckets = 16, iters = 2, lrDen = 100L)
-        docs.select(col("doc_id"),
-          ClassifierOps.logitMicro(col("text"), w.take(16).toSeq, w(16))
-            .as("logit_micro"))
+        // r19: train AND score off the one materialized bucket-count
+        // feature frame (same integers, one tokenize+md5 pass instead
+        // of three — see bucketCountFeatures' scaladoc)
+        ClassifierOps.trainHardLogisticScored(docs, "text", "y",
+            "doc_id", buckets = 16, iters = 2, lrDen = 100L)
           .withColumn("keep", col("logit_micro") > 0)
       },
       Some("""WITH wl AS (SELECT doc_id,
@@ -2896,8 +2896,15 @@ object LlmQueries extends QueryModule {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val lsh = TextDedupOps.lshCandidatePairs(sigs, "doc_id",
           bands = 8, threshold = 0.9)
-        val fp = aug.select(col("doc_id"),
-          TextDedupOps.fingerprint(col("text")).as("fp"))
+        // fp persists like the signatures do (r19, guide §2.4): the
+        // self-join consumes it twice, and unpersisted each side
+        // re-scanned the corpus union (4 parquet scans) and re-ran the
+        // 2-regex normalize + md5 per scan — the plan's fp side is now
+        // one materialization + two InMemoryTableScans
+        val fp = graft.operators.DistScan.registerCache(
+          aug.select(col("doc_id"),
+            TextDedupOps.fingerprint(col("text")).as("fp"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val clonePairs = fp.select(col("doc_id").as("id_a"), col("fp"))
           .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
           .filter(col("id_a") < col("id_b"))

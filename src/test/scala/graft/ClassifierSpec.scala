@@ -50,6 +50,51 @@ class ClassifierSpec extends SparkSpec {
     assert(got(0L) === 500000L)
   }
 
+  // r19 optimization guard: training moved from per-occurrence explodes
+  // to a one-pass per-doc bucket-count feature frame. The weights and
+  // the scored logits must equal the per-occurrence formulation bit for
+  // bit (integer gradients — any drift is a bug, not noise).
+  test("histogram features match the per-occurrence formulation bit for bit") {
+    import graft.llm.TextStatsOps
+    // the pre-r19 per-occurrence loop, kept verbatim as the reference
+    def reference(df: org.apache.spark.sql.DataFrame, buckets: Int,
+        iters: Int, lrDen: Long): Array[Long] = {
+      val n = df.count()
+      val w = Array.fill(buckets + 1)(0L)
+      val txt = coalesce(col("text"), lit(""))
+      for (_ <- 1 to iters) {
+        val z = ClassifierOps.logitMicro(txt, w.take(buckets).toSeq, w(buckets))
+        val err = (ClassifierOps.hardSigmoidMicro(z) -
+          col("y").cast("long") * ClassifierOps.Micro).as("__err")
+        val g = df.select(err,
+            array_append(
+              transform(TextStatsOps.words(txt),
+                t => TextStatsOps.md5Bucket(t, buckets)),
+              lit(buckets.toLong)).as("__bs"))
+          .select(col("__err"), explode(col("__bs")).as("__b"))
+          .groupBy("__b").agg(sum("__err").as("__g"))
+          .collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        for (j <- 0 to buckets) w(j) -= g.getOrElse(j, 0L) / (lrDen * n)
+      }
+      w
+    }
+    // include a NULL-text row: it must train and score as bias-only
+    val withNull = corpus.unionByName(
+      Seq((999L, null.asInstanceOf[String], 0)).toDF("id", "text", "y"))
+    val got = ClassifierOps.trainHardLogistic(withNull, "text", "y",
+      buckets = 32, iters = 3, lrDen = 10L)
+    val want = reference(withNull, 32, 3, 10L)
+    assert(got.toSeq === want.toSeq)
+    val scored = ClassifierOps.trainHardLogisticScored(withNull, "text",
+      "y", "id", buckets = 32, iters = 3, lrDen = 10L)
+    val viaText = withNull.select(col("id"),
+      ClassifierOps.logitMicro(col("text"), want.take(32).toSeq, want(32))
+        .as("logit_micro"))
+    assert(scored.exceptAll(viaText).count() === 0L)
+    assert(viaText.exceptAll(scored).count() === 0L)
+  }
+
   test("empty corpus and bad hyperparameters fail loudly") {
     intercept[IllegalArgumentException] {
       ClassifierOps.trainHardLogistic(
