@@ -81,35 +81,57 @@ object ClassifierOps {
     * bias row per document. */
   private def bucketCountFeatures(df: DataFrame, textCol: String,
       labelCol: String, keep: Seq[String], buckets: Int): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
-    val occ = df
-      .select(keep.map(col) ++ Seq(
-        col(labelCol).cast("long").as("__y"),
-        monotonically_increasing_id().as("__row"),
-        transform(TextStatsOps.words(txt),
-          t => TextStatsOps.md5Bucket(t, buckets)).as("__bs")): _*)
-      // bias sentinel appended per ROW so empty documents survive the
-      // explode (size ≥ 1) and the groupBy sees every doc
-      .select(keep.map(col) ++ Seq(col("__y"), col("__row"),
-        explode(array_append(col("__bs"), lit(-1L))).as("__b")): _*)
-    val hists = (0 until buckets).map(b =>
-      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__h$b"))
-    // keep/label ride first(): every exploded row of a group carries
-    // the same values, so the pick is deterministic
-    val firsts = (keep :+ "__y").map(c => first(col(c)).as(c))
-    occ.groupBy(col("__row"))
-      .agg((firsts ++ hists).head, (firsts ++ hists).tail: _*)
-      .select(keep.map(col) ++ Seq(col("__y")) ++
-        (0 until buckets).map(b => col(s"__h$b")): _*)
-      .localCheckpoint(true)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val in = df.select(keep.map(col) ++ Seq(
+      col(labelCol).cast("long").as("__y"),
+      coalesce(col(textCol), lit("")).as("__t")): _*)
+    val outSchema = StructType(
+      in.schema.fields.filterNot(_.name == "__t") :+
+        StructField("__hs", ArrayType(LongType, containsNull = false),
+          nullable = false))
+    val nKeep = keep.size
+    // ZERO-SHUFFLE histogram kernel (guide §4.2: hand the whole batch
+    // to native code): per row, split + md5-bucket each word and count
+    // into a local array — the explode + per-doc pivot aggregation
+    // this replaces shipped one row per word occurrence through an
+    // exchange. The bucket function is bit-equal to md5Bucket (first
+    // 4 md5 bytes as an unsigned 32-bit value, mod buckets; UTF-8
+    // input bytes — the spec pins the whole path against the
+    // per-occurrence expression formulation).
+    val rdd = in.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val t = r.getString(nKeep + 1)
+        val hs = new Array[Long](buckets)
+        val parts = t.split("\\s+")
+        var i = 0
+        while (i < parts.length) {
+          val w = parts(i)
+          if (w.nonEmpty) {
+            val d = md.digest(
+              w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            hs((u % buckets).toInt) += 1L
+          }
+          i += 1
+        }
+        Row.fromSeq((0 until nKeep).map(r.get) ++
+          Seq(r.getLong(nKeep), hs.toSeq))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).localCheckpoint(true)
   }
 
   /** Micro-unit logit of one feature row under weights `w` (buckets
     * word weights + bias): Σ_b h_b·w_b + w_bias — pure codegen'd
-    * integer arithmetic, the same value logitMicro computes per
-    * occurrence. */
+    * integer arithmetic over array lookups (element_at with a literal
+    * index is an ordinary expression, not a lambda HOF), the same
+    * value logitMicro computes per occurrence. */
   private def featLogit(w: Array[Long], buckets: Int): Column =
-    (0 until buckets).map(b => col(s"__h$b") * lit(w(b)))
+    (0 until buckets).map(b => element_at(col("__hs"), b + 1) * lit(w(b)))
       .reduceOption(_ + _).getOrElse(lit(0L)) + lit(w(buckets))
 
   /** One full-batch hard-sigmoid GD loop over a materialized feature
@@ -124,10 +146,10 @@ object ClassifierOps {
       val err = (hardSigmoidMicro(featLogit(w, buckets)) -
         col("__y") * Micro).as("__err")
       val sums = (0 until buckets).map(b =>
-        sum(col("__err") * col(s"__h$b")).as(s"__g$b")) :+
+        sum(col("__err") * element_at(col("__hs"), b + 1)).as(s"__g$b")) :+
         sum(col("__err")).as("__gb")
       val row = feat
-        .select(err +: (0 until buckets).map(b => col(s"__h$b")): _*)
+        .select(err, col("__hs"))
         .agg(sums.head, sums.tail: _*)
         .collect()(0) // bounded: one row of buckets+1 longs
       for (j <- 0 to buckets)

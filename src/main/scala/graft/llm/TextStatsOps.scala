@@ -933,101 +933,262 @@ object TextStatsOps {
       .orderBy(col("__f").desc, col("__w").asc)
       .limit(maxTrainWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // the same padded state string the distributed loop holds, split
-    // by CODE POINTS (Spark's substr/length semantics)
-    def pad(w: String): String = {
-      val sb = new java.lang.StringBuilder(w.length * 2 + 2)
-      sb.append(' ')
+    // ---- r19 optimization: the merge loop runs on INT-ARRAY states
+    // with packed-long pair keys instead of padded state STRINGS (the
+    // previous shape paid, per touched word per merge, two full
+    // String.split passes, a contains + replace scan, and ~4·len
+    // pair-string concatenations feeding string-keyed hash maps —
+    // measured 28-30 s of the 33-40 s bpe_train_stress_8k wall; this
+    // loop does the same updates in primitive scans and finishes the
+    // identical 8 000 merges in a few seconds). Semantics are
+    // UNCHANGED and spec-pinned (TokenizerKernelSpec: merge-for-merge
+    // ≡ the distributed trainer, incl. unsigned-UTF-8 tie-breaks and
+    // the blocked-adjacent-repeat replace corner).
+    //
+    // Symbol table: every distinct symbol string gets an int id; a
+    // pair (a, b) packs into (a << 32) | b. States are int arrays of
+    // symbol ids, split from the word by CODE POINTS (Spark's
+    // substr/length semantics, same as the padded-string splitter).
+    val symbols = scala.collection.mutable.ArrayBuffer[String]()
+    val symBytes = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val symId = new java.util.HashMap[String, Integer]()
+    def intern(s: String): Int = {
+      val got = symId.get(s)
+      if (got != null) got.intValue
+      else {
+        val id = symbols.size
+        symbols += s
+        symBytes += s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        symId.put(s, Integer.valueOf(id))
+        id
+      }
+    }
+    def toState(w: String): Array[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](w.length)
       var i = 0
       while (i < w.length) {
         val cp = w.codePointAt(i)
-        sb.appendCodePoint(cp).append(' ')
+        out += intern(new String(Character.toChars(cp)))
         i += Character.charCount(cp)
       }
-      sb.toString
+      out.toArray
     }
-    // unsigned UTF-8 byte order == Spark's UTF8String ordering
-    def utf8Lt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val states: Array[Array[Int]] = hist.map { case (w, _) => toState(w) }
+    val freqs: Array[Long] = hist.map(_._2)
+    def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    // unsigned UTF-8 byte order of the pair string "a b" — compared
+    // VIRTUALLY over (aBytes, 0x20, bBytes) so ties never allocate
+    def pairCmp(p: Long, q: Long): Int = {
+      if (p == q) return 0
+      val pa = symBytes((p >>> 32).toInt); val pb = symBytes(p.toInt)
+      val qa = symBytes((q >>> 32).toInt); val qb = symBytes(q.toInt)
+      def at(a: Array[Byte], b: Array[Byte], i: Int): Int = {
+        // virtual sequence a ++ ' ' ++ b; -1 = exhausted
+        if (i < a.length) a(i) & 0xff
+        else if (i == a.length) 0x20
+        else if (i - a.length - 1 < b.length) b(i - a.length - 1) & 0xff
+        else -1
+      }
       var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
+      while (true) {
+        val x = at(pa, pb, i); val y = at(qa, qb, i)
+        if (x != y) return Integer.compare(x, y)
+        if (x == -1) return 0
         i += 1
       }
-      x.length < y.length
+      0
     }
-    val states = hist.map { case (w, _) => pad(w) }
-    val freqs = hist.map(_._2)
-    def pairsOf(st: String): Array[String] = {
-      val syms = st.trim.split(" ")
-      if (syms.length < 2) Array.empty
-      else Array.tabulate(syms.length - 1)(j => syms(j) + " " + syms(j + 1))
-    }
-    val counts = new java.util.HashMap[String, Long]()
-    val index = new java.util.HashMap[String, java.util.HashSet[Integer]]()
-    def addWord(wi: Int, sign: Long): Unit = {
-      val f = freqs(wi) * sign
-      pairsOf(states(wi)).foreach { p =>
-        counts.merge(p, f, (a, b) => a + b)
-        if (sign > 0)
-          index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
-            .add(Integer.valueOf(wi))
-        // negative pass leaves the index entry — re-added below if the
-        // pair survives the rewrite; a stale index entry is filtered
-        // at use (contains check on the state string)
-        ()
+    // primitive open-address long→long map: the loop's hottest
+    // structure (6M+ initial bumps, ~4 bumps per rewrite) — boxed
+    // java.util.HashMap.merge allocated 2-3 objects per bump
+    final class LongLongMap(initCap: Int) {
+      private var cap = java.lang.Integer.highestOneBit(
+        math.max(16, initCap * 2) * 2 - 1)
+      private var ks = new Array[Long](cap)
+      private var vs = new Array[Long](cap)
+      private var us = new Array[Boolean](cap)
+      private var n = 0
+      private def slot(k: Long): Int = {
+        var h = k * -7046029254386353131L
+        h ^= h >>> 32
+        var i = (h & (cap - 1)).toInt
+        while (us(i) && ks(i) != k) i = (i + 1) & (cap - 1)
+        i
+      }
+      def get(k: Long): Long = { val i = slot(k); if (us(i)) vs(i) else 0L }
+      def add(k: Long, d: Long): Long = {
+        var i = slot(k)
+        if (us(i)) { vs(i) += d; vs(i) }
+        else {
+          if ((n + 1) * 4 > cap * 3) {
+            val (ok, ov, ou, oc) = (ks, vs, us, cap)
+            cap <<= 1
+            ks = new Array[Long](cap); vs = new Array[Long](cap)
+            us = new Array[Boolean](cap)
+            var j = 0
+            while (j < oc) {
+              if (ou(j)) { val s = slot(ok(j)); us(s) = true
+                ks(s) = ok(j); vs(s) = ov(j) }
+              j += 1
+            }
+            i = slot(k)
+          }
+          us(i) = true; ks(i) = k; vs(i) = d; n += 1; d
+        }
+      }
+      def foreachPositive(f: (Long, Long) => Unit): Unit = {
+        var i = 0
+        while (i < cap) { if (us(i) && vs(i) > 0) f(ks(i), vs(i)); i += 1 }
       }
     }
-    states.indices.foreach(addWord(_, 1L))
+    val counts = new LongLongMap(1 << 20)
+    val index =
+      new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    def indexAdd(p: Long, wi: Int): Unit = {
+      val key = java.lang.Long.valueOf(p)
+      val buf = index.get(key)
+      if (buf == null) {
+        val nb = new scala.collection.mutable.ArrayBuffer[Int](4)
+        nb += wi
+        index.put(key, nb)
+      } else if (buf.isEmpty || buf(buf.size - 1) != wi) buf += wi
+      ()
+    }
+    // initial build: counts + index over every word's adjacent pairs
+    states.indices.foreach { wi =>
+      val f = freqs(wi)
+      val st = states(wi)
+      var j = 0
+      while (j < st.length - 1) {
+        val p = pack(st(j), st(j + 1))
+        counts.add(p, f)
+        indexAdd(p, wi)
+        j += 1
+      }
+    }
     // lazy-revalidated max-heap on (count, pair): every count change
     // pushes a fresh entry; pops that disagree with the live map are
     // stale and skipped — the classic amortized O(log n) top-1
-    implicit val ord: Ordering[(Long, String)] =
-      new Ordering[(Long, String)] {
-        def compare(a: (Long, String), b: (Long, String)): Int =
+    implicit val ord: Ordering[(Long, Long)] =
+      new Ordering[(Long, Long)] {
+        def compare(a: (Long, Long), b: (Long, Long)): Int =
           if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
-          else if (a._2 == b._2) 0
-          else if (utf8Lt(a._2, b._2)) 1 else -1 // min pair = max heap
+          else pairCmp(b._2, a._2) // min pair string = max heap
       }
-    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String)]
-    counts.forEach((p, c) => if (c > 0) pq.enqueue((c, p)))
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)]
+    counts.foreachPositive((p, c) => pq.enqueue((c, p)))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var done = false
-    while (merges.size < numMerges && !done) {
-      var winner: String = null
-      while (winner == null && pq.nonEmpty) {
-        val (c, p) = pq.dequeue()
-        val live = counts.getOrDefault(p, 0L)
-        if (live == c && c > 0) winner = p
-        else if (live > 0 && live != c) () // stale; a fresh entry exists
+    // the blocked-adjacent-repeat replace, on ids: the padded string
+    // replace consumes the separator space, so after a match at (i,
+    // i+1) a pair STARTING at i+2 cannot match within this round
+    // (" a b a b " → " ab a b ", second occurrence left for a later
+    // round) — reproduced by the blockedAt cursor
+    def rewrite(st: Array[Int], a: Int, b: Int, merged: Int): Array[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](st.length)
+      var i = 0
+      var blockedAt = -1
+      while (i < st.length) {
+        if (i < st.length - 1 && st(i) == a && st(i + 1) == b &&
+            i != blockedAt) {
+          out += merged
+          blockedAt = i + 2
+          i += 2
+        } else { out += st(i); i += 1 }
       }
-      if (winner == null) done = true
+      out.toArray
+    }
+    var done = false
+    val touched = new java.util.HashSet[java.lang.Long]()
+    while (merges.size < numMerges && !done) {
+      var winner = -1L
+      var haveWinner = false
+      while (!haveWinner && pq.nonEmpty) {
+        val (c, p) = pq.dequeue()
+        val live = counts.get(p)
+        if (live == c && c > 0) { winner = p; haveWinner = true }
+        // else: stale; a fresh entry exists if live > 0
+      }
+      if (!haveWinner) done = true
       else {
-        val parts = winner.split(" ")
-        merges += ((parts(0), parts(1)))
-        val pat = s" ${parts(0)} ${parts(1)} "
-        val rep = s" ${parts(0)}${parts(1)} "
-        val touched = new java.util.HashSet[String]()
-        val members = index.get(winner)
+        val a = (winner >>> 32).toInt; val b = winner.toInt
+        merges += ((symbols(a), symbols(b)))
+        val merged = intern(symbols(a) + symbols(b))
+        touched.clear()
+        val members = index.get(java.lang.Long.valueOf(winner))
         if (members != null) {
-          val it = members.toArray(Array.empty[Integer])
-            .map(_.intValue).sorted
-          it.foreach { wi =>
+          // SNAPSHOT + DEDUP before iterating: the rewrite's
+          // addWord(+1) re-appends a word whose BLOCKED (a, b)
+          // occurrence survived, and iterating the live buffer would
+          // merge that occurrence within the same round — the string
+          // implementation's HashSet member set (re-add = no-op,
+          // iterated from a pre-loop toArray) deferred it to a later
+          // round, and the distributed trainer agrees
+          val snap = members.toArray
+          java.util.Arrays.sort(snap)
+          var prev = -1
+          var mi = 0
+          while (mi < snap.length) {
+            val wi = snap(mi)
+            val dup = wi == prev
+            prev = wi
             val st = states(wi)
-            if (st.contains(pat)) { // stale index entries filter here
-              pairsOf(st).foreach { p => touched.add(p); () }
-              addWord(wi, -1L)
-              states(wi) = st.replace(pat, rep)
-              pairsOf(states(wi)).foreach { p => touched.add(p); () }
-              addWord(wi, 1L)
+            // stale/duplicate member entries filter here: does (a, b)
+            // still occur adjacently (ignoring the block rule — the
+            // string `contains` check it mirrors was block-blind)?
+            var has = false
+            var j = 0
+            while (!has && j < st.length - 1) {
+              if (st(j) == a && st(j + 1) == b) has = true
+              j += 1
             }
+            if (has && !dup) {
+              val rewritten = rewrite(st, a, b, merged)
+              // NET-DELTA update (r19): only pairs whose count actually
+              // changes touch the global structures. The lazy-heap
+              // invariant needs a fresh entry only when a count moves —
+              // most pairs of a rewritten word are untouched by the
+              // merge site, and re-bumping + re-enqueueing all of them
+              // (the previous shape) made the top merges O(members ×
+              // word length) heap pushes. Sorted-run two-pointer diff
+              // of old vs new pair multisets; delta > 0 also maintains
+              // the index (a pair new to this word).
+              val f = freqs(wi)
+              val oldP = new Array[Long](math.max(0, st.length - 1))
+              var k = 0
+              while (k < st.length - 1) {
+                oldP(k) = pack(st(k), st(k + 1)); k += 1
+              }
+              val newP = new Array[Long](math.max(0, rewritten.length - 1))
+              k = 0
+              while (k < rewritten.length - 1) {
+                newP(k) = pack(rewritten(k), rewritten(k + 1)); k += 1
+              }
+              java.util.Arrays.sort(oldP)
+              java.util.Arrays.sort(newP)
+              var i1 = 0; var i2 = 0
+              while (i1 < oldP.length || i2 < newP.length) {
+                val key =
+                  if (i2 >= newP.length) oldP(i1)
+                  else if (i1 >= oldP.length) newP(i2)
+                  else math.min(oldP(i1), newP(i2))
+                var c1 = 0; var c2 = 0
+                while (i1 < oldP.length && oldP(i1) == key) { c1 += 1; i1 += 1 }
+                while (i2 < newP.length && newP(i2) == key) { c2 += 1; i2 += 1 }
+                val d = c2 - c1
+                if (d != 0) {
+                  counts.add(key, d.toLong * f)
+                  touched.add(java.lang.Long.valueOf(key))
+                }
+                if (d > 0) indexAdd(key, wi)
+              }
+              states(wi) = rewritten
+            }
+            mi += 1
           }
         }
         touched.forEach { p =>
-          val c = counts.getOrDefault(p, 0L)
-          if (c > 0) pq.enqueue((c, p))
+          val c = counts.get(p.longValue)
+          if (c > 0) pq.enqueue((c, p.longValue))
         }
       }
     }
@@ -2141,6 +2302,42 @@ object TextStatsOps {
     * vocabulary are partitioning- and scale-invariant properties of
     * the corpus row multiset) rather than training on the whole
     * table. */
+  /** Seed-candidate kernel for [[trainUnigramLm]]: every substring of
+    * 1..maxTokenLen CODE POINTS at every code-point offset of each
+    * word — the exact enumeration `__w.substr(i, l)` produced (Spark
+    * substring counts code points; UTF-16 indices would drift on
+    * astral-plane text) — with counts pre-combined per partition so
+    * only distinct (piece, partial count) rows reach the exchange. */
+  private[graft] def seedPieceCounts(it: Iterator[(String, Long)],
+      maxTokenLen: Int): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    while (it.hasNext) {
+      val (w, cnt) = it.next()
+      val n = w.length
+      val offs = new Array[Int](w.codePointCount(0, n) + 1)
+      var i = 0; var k = 0
+      while (i < n) {
+        offs(k) = i; k += 1
+        i += Character.charCount(w.codePointAt(i))
+      }
+      offs(k) = n
+      val ncp = k
+      var s = 0
+      while (s < ncp) {
+        var l = 1
+        while (l <= maxTokenLen && s + l <= ncp) {
+          m.merge(w.substring(offs(s), offs(s + l)),
+            java.lang.Long.valueOf(cnt),
+            (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          l += 1
+        }
+        s += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue))
+  }
+
   def trainUnigramLm(corpus: org.apache.spark.sql.DataFrame,
       textCol: String, vocabSize: Int, rounds: Int = 2,
       maxTokenLen: Int = 8, minCount: Long = 2,
@@ -2174,22 +2371,41 @@ object TextStatsOps {
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true)
-    val pieces = flatten(transform(
-      sequence(lit(1), length(col("__w"))), i =>
-        transform(sequence(lit(1),
-          least(lit(maxTokenLen), length(col("__w")) - i + 1)),
-          l => col("__w").substr(i, l))))
-    val seedCounts = wordCounts
-      .select(explode(pieces).as("p"), col("__cnt"))
-      .groupBy("p").agg(sum(col("__cnt")).as("c"))
-      .filter(col("c") >= minCount)
-      .localCheckpoint(true) // consumed twice (chars + multis)
-    val seedMultis = seedCounts.filter(length(col("p")) > 1)
+    // Seed-candidate counting rides a PRE-AGGREGATING mapPartitions
+    // kernel (r19 optimization): the previous nested-HOF explode
+    // (transform·transform·flatten + substr per candidate) evaluated
+    // interpreted and shipped one Catalyst row per substring
+    // occurrence (~len·maxTokenLen per word type) into the hash
+    // aggregate — measured ~6 s of the 11.8 s unigram_train_stress_32k
+    // wall. The kernel enumerates the same substrings by CODE POINTS
+    // (Spark substr semantics — [[seedPieceCounts]]) and pre-combines
+    // per partition, so only distinct (piece, partial-count) rows hit
+    // the exchange. Counts are exact integers either way — bit-equal
+    // seeds, spec-pinned against the expression form.
+    def dbgT[T](name: String)(body: => T): T = {
+      if (sys.env.contains("SPARK_GRAFT_TRAIN_DEBUG")) {
+        val t0 = System.nanoTime(); val r = body
+        System.err.println(f"[unidbg] $name: ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+      } else body
+    }
+    val seedCounts = dbgT("seed") {
+      val mtl = maxTokenLen
+      val sp = corpus.sparkSession
+      import sp.implicits._
+      wordCounts.select(col("__w").cast("string"), col("__cnt"))
+        .as[(String, Long)]
+        .mapPartitions(it => seedPieceCounts(it, mtl))
+        .toDF("p", "__cnt")
+        .groupBy("p").agg(sum(col("__cnt")).as("c"))
+        .filter(col("c") >= minCount)
+        .localCheckpoint(true) // consumed twice (chars + multis)
+    }
+    val seedMultis = dbgT("seedMultis collect") { seedCounts.filter(length(col("p")) > 1)
       .orderBy(col("c").desc, col("p").asc).limit(4 * vocabSize)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val chars = seedCounts.filter(length(col("p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq }
+    val chars = dbgT("chars collect") { seedCounts.filter(length(col("p")) === 1)
       .orderBy(col("p").asc)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq }
     require(chars.nonEmpty,
       "trainUnigramLm: no single-char piece met minCount — empty corpus?")
     def toScores(cnts: Seq[(String, Long)]): Map[String, Long] = {
@@ -2207,7 +2423,7 @@ object TextStatsOps {
       // lookups — switch to the broadcast-HashMap kernel (spec-pinned
       // bit-identical to the column tier, so the threshold can never
       // change a trained vocabulary, only its cost)
-      val counted =
+      val counted = dbgT(s"E-step round $r") {
         (if (em == "soft") {
           // SOFT E-step (em = "soft"): forward-backward expected
           // counts instead of best-path counts — SentencePiece's
@@ -2246,7 +2462,7 @@ object TextStatsOps {
             maxTokenLen)).as("p"),
           col("__cnt")))
         .groupBy("p").agg(sum(col("__cnt")).as("c"))
-        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap
+        .collect().map(r2 => (r2.getString(0), r2.getLong(1))).toMap }
       // the "never unencodable" floor is ONE OBSERVATION — in soft
       // mode counts are micro-scaled, so the floor must scale too (a
       // raw 1L would price an unused char at ln(1e-6/total), ~13.8

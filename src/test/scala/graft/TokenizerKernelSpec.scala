@@ -39,6 +39,33 @@ class TokenizerKernelSpec extends SparkSpec {
     }
   }
 
+  // r19 optimization guard: the unigram seed-candidate enumeration
+  // moved from the nested-HOF substr explode to a pre-aggregating
+  // mapPartitions kernel — pin them equal on a corpus with repeats,
+  // multi-byte chars, and an astral-plane code point (Spark's substr
+  // counts code points, not UTF-16 chars; a naive String.substring
+  // enumeration would split the surrogate pair).
+  test("seedPieceCounts kernel ≡ the substr-explode expression form") {
+    val words = Seq(("abcab", 3L), ("ééx", 2L), ("a", 5L),
+      ("𝕏ab", 1L), ("abcab", 4L)).toDF("__w", "__cnt")
+    val mtl = 3
+    val pieces = flatten(transform(
+      sequence(lit(1), length(col("__w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(mtl), length(col("__w")) - i + 1)),
+          l => col("__w").substr(i, l))))
+    val expr = words.select(explode(pieces).as("p"), col("__cnt"))
+      .groupBy("p").agg(sum(col("__cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kern = words.select(col("__w").cast("string"), col("__cnt"))
+      .as[(String, Long)]
+      .mapPartitions(it => TextStatsOps.seedPieceCounts(it, mtl))
+      .toDF("p", "__cnt")
+      .groupBy("p").agg(sum(col("__cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kern === expr)
+  }
+
   test("rank-table BPE encoder ≡ regexp-fixpoint encoder, byte-level " +
     "and whitespace tiers, counts included") {
     val df = lcgTexts(300).toDF("doc_id", "text")
