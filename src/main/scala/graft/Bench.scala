@@ -1424,7 +1424,14 @@ object Bench {
     // Warmup: pay one-time session/codegen/JIT/parquet-footer costs
     // outside the measured loop, as any long-lived cluster would have —
     // each headline query runs once unmeasured, then 3 measured reps.
-    entries.foreach { case (n, f) => runOnce(n, f) }
+    // r20 (r19 verdict task #3): the warmup times are RECORDED in the
+    // JSON (`warmup`) next to the rep medians, so queries whose steady
+    // state rides a cache warmed here (minhash's persisted signature/
+    // fingerprint frames) carry their cold first-run cost in the same
+    // artifact — warm-vs-cold is auditable without re-running. Nothing
+    // about the timed region changes.
+    val warmupTimes: Seq[(String, Double)] =
+      entries.map { case (n, f) => n -> runOnce(n, f) }
 
     // Plan-shape signal: shuffle-exchange count per query (+1 = stage
     // count on a non-adaptive run). Wall-time noise can hide a plan
@@ -1639,6 +1646,78 @@ object Bench {
       "\"" + k + "\":" + minOrFail(ts) }.mkString("{", ",", "}")
     val strReps = stressResults.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
+
+    // OPTIONAL scaling probe (r20, r19 verdict task #7). At sf0.1
+    // every headline query is overhead-bound — the driver's 8-core vs
+    // 32-core ratios all sit near 1 because per-job fixed cost
+    // dominates sub-second queries, so the scaling block cannot
+    // witness parallelism. SPARK_GRAFT_BENCH_SCALE=k (k ≥ 1) times
+    // three headline shapes over the same parquet inputs with the FACT
+    // side amplified k× by UNION — k independent scans of the same
+    // files, so the work truly grows k-fold and every byte is computed
+    // from parquet per run (no caching, no precomputation). Results go
+    // in a SEPARATE `scale_probe` field (min of 2 reps, like stress):
+    // the official `queries`/total series is untouched, and the
+    // driver's contract output is byte-identical when the env var is
+    // unset. Run the bench twice (SPARK_GRAFT_CPUS=32 then =8) with
+    // the same k and compare scale_probe entries: at k=20 the shapes
+    // are seconds-long compute and the 8→32-core ratio witnesses
+    // parallel speedup (measured ≥ 2× — OPTIMIZATION_r20.md).
+    val scaleK = sys.env.get("SPARK_GRAFT_BENCH_SCALE")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+    val scaleProbe: Seq[(String, Vector[Double])] = scaleK match {
+      case None => Seq.empty
+      case Some(k) =>
+        import org.apache.spark.sql.functions._
+        def amp(df: DataFrame): DataFrame =
+          (1 until k).foldLeft(df)((a, _) => a.union(df))
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        import graft.queries.Q
+        val q1k = () => {
+          // q1_agg's exact shape over a k×-amplified lineitem scan
+          val li = amp(Tables.lineitem(spark, sfDir))
+          li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(Q.dsum(col("l_quantity")).as("sum_qty"),
+              Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+              Q.davg(col("l_discount")).as("avg_disc"),
+              count(lit(1)).as("count_order"))
+            .orderBy("l_returnflag", "l_linestatus")
+        }
+        val q3k = () => {
+          // q3_join_topk's exact shape, fact side amplified k×
+          val cutoff = lit("1998-01-01").cast("timestamp")
+          val cust = Tables.customer(spark, sfDir)
+            .filter(col("c_mktsegment") === "BUILDING")
+          val ords = Tables.orders(spark, sfDir)
+            .filter(col("o_orderdate") < cutoff)
+          val li = amp(Tables.lineitem(spark, sfDir))
+            .filter(col("l_shipdate") > cutoff)
+          val pc = Q.cents(col("l_extendedprice"))
+          val dc = Q.cents(col("l_discount"))
+          cust.join(ords, col("c_custkey") === col("o_custkey"))
+            .join(li, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderkey"), col("o_orderdate"))
+            .agg((sum((pc * (lit(100L) - dc)).cast(d38)) / lit(10000))
+              .cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("o_orderkey").asc)
+            .limit(10)
+        }
+        val clsK = () => {
+          // classifier feature kernel + GD over a k×-amplified corpus
+          val docs = amp(Tables.documents(spark, sfDir)
+            .select(col("doc_id"), col("text"),
+              (col("lang") === "en").cast("int").as("__y")))
+          graft.llm.ClassifierOps.trainHardLogisticScored(
+            docs, "text", "__y", "doc_id", buckets = 16, iters = 2)
+        }
+        Seq(s"q1_agg_x$k" -> q1k, s"q3_join_topk_x$k" -> q3k,
+          s"classifier_train_x$k" -> clsK).map { case (n, f) =>
+          n -> stressReps(() => runOnce(n, f))
+        }
+    }
+    val scaleProbeJson = scaleProbe.map { case (k, ts) =>
+      "\"" + k + "\":" + minOrFail(ts) }.mkString("{", ",", "}")
 
     // Measured shortlist recall@10 of the approximate ANN tiers in
     // PRODUCTION configurations (r12 verdict task #5 — the oracle
@@ -1886,7 +1965,11 @@ object Bench {
     val decompJson = streamDecomp
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}"""
+    val wu = warmupTimes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val scaleField =
+      if (scaleProbe.isEmpty) "" else s""""scale_probe":$scaleProbeJson,"""
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"warmup":$wu,"stages":$st,"stress":$str,"stress_reps":$strReps,"stress_noisy":$stressNoisy,$scaleField"recall":$recallJson,"stream_decomp":$decompJson,"env":$envJson,"loadavg":[$loadStart,$loadEnd],"noisy":$noisy,"host_busy":$hostBusy,"vs_prev":$vsPrevJson,"attempts":$at,"sf":"$sfDir"}"""
     println(benchJson)
     // COMPACT summary as a SECOND line, printed AFTER the full record
     // (r18 verdict task #1c): the driver captures a bounded TAIL of

@@ -50,10 +50,11 @@ object ClassifierOps {
   def logitMicro(text: Column, w: Seq[Long], wb: Long): Column =
     TextStatsOps.hashedClassifierLogit(coalesce(text, lit("")), w) + lit(wb)
 
-  /** Per-document bucket-count feature frame, materialized EAGERLY
-    * (one localCheckpoint job), so the iterative loop and the scorer
-    * never touch text again (r19 optimization, guide §1.2 "per-task
-    * work" + §2.3 "aggregate before you shuffle"): the md5 word
+  /** Per-document bucket-count feature frame, persisted and
+    * materialized eagerly (by the `count()` every trainer runs), so
+    * the iterative loop and the scorer never touch text again (r19
+    * optimization, guide §1.2 "per-task work" + §2.3 "aggregate
+    * before you shuffle"): the md5 word
     * bucketing — the interpreted-HOF hot spot every pass used to
     * re-pay — runs ONCE, and each training pass becomes a single
     * codegen'd aggregation over `buckets` long columns instead of an
@@ -70,7 +71,7 @@ object ClassifierOps {
     *
     * Scale shape: one text scan + one exchange of (doc, buckets+2
     * longs) rows — strictly less than the per-iteration occurrence
-    * explode it replaces; the checkpointed frame is buckets longs per
+    * explode it replaces; the persisted frame is buckets longs per
     * document, far smaller than the corpus. Arity is O(buckets) in
     * the plan, fine for the classifier's documented 16-256 bucket
     * range (the literal-weights plan was already O(buckets)).
@@ -78,7 +79,22 @@ object ClassifierOps {
     * NULL text reads as empty: words(NULL) is NULL and would
     * null-propagate through the transform, dropping the row while n
     * still counts it — and diverging from the oracle, which emits a
-    * bias row per document. */
+    * bias row per document. NULL labels pass through as NULL `__y`
+    * (the label column is parquet-nullable): the per-occurrence
+    * formulation null-propagated such a row out of every gradient sum
+    * while `n` still counted it, and the kernel must reproduce that —
+    * not throw — so the null stays and the codegen'd `__err` sums drop
+    * it exactly as before (r19 ADVICE: the first kernel cut called
+    * getLong on the label and crashed on a single NULL-label row).
+    *
+    * Materialization (r20, guide §5): persist(MEMORY_AND_DISK) — made
+    * eager by the `n = feat.count()` every trainer performs anyway —
+    * replaces r19's `localCheckpoint(true)`. The checkpoint truncated
+    * lineage to executor-local blocks with NO recompute path: on a
+    * real cluster one lost executor mid-GD-loop failed the job. The
+    * persisted frame keeps its (deterministic) kernel lineage, so a
+    * lost block recomputes; plan and timing shape are unchanged (same
+    * one eager job, every GD step still reads materialized blocks). */
   private def bucketCountFeatures(df: DataFrame, textCol: String,
       labelCol: String, keep: Seq[String], buckets: Int): DataFrame = {
     import org.apache.spark.sql.Row
@@ -118,11 +134,18 @@ object ClassifierOps {
           }
           i += 1
         }
-        Row.fromSeq((0 until nKeep).map(r.get) ++
-          Seq(r.getLong(nKeep), hs.toSeq))
+        val y: Any = if (r.isNullAt(nKeep)) null else r.getLong(nKeep)
+        Row.fromSeq((0 until nKeep).map(r.get) ++ Seq(y, hs.toSeq))
       }
     }
-    spark.createDataFrame(rdd, outSchema).localCheckpoint(true)
+    // registered with DistScan's release queue (the minhash-signature
+    // convention): persisted entries are CacheManager-pinned until
+    // unpersist, so the application frees them at its step boundaries
+    // — localCheckpoint blocks were GC-freed, a persist must not turn
+    // into per-run storage growth in a long-lived session
+    graft.operators.DistScan.registerCache(
+      spark.createDataFrame(rdd, outSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Micro-unit logit of one feature row under weights `w` (buckets
@@ -138,7 +161,7 @@ object ClassifierOps {
     * frame; mutates nothing, returns the weights. Each iteration is
     * ONE codegen'd global aggregation (buckets+1 sums — word gradients
     * Σ err·h_b and the bias gradient Σ err ride the same map-side
-    * combine) over the checkpointed features; no text, no explode. */
+    * combine) over the materialized features; no text, no explode. */
   private def trainOnFeatures(feat: DataFrame, buckets: Int, iters: Int,
       lrDen: Long, n: Long): Array[Long] = {
     val w = Array.fill(buckets + 1)(0L) // [word buckets..., bias]
@@ -169,7 +192,7 @@ object ClassifierOps {
     require(buckets >= 1 && iters >= 1 && lrDen >= 1,
       s"trainHardLogistic: bad hyperparameters ($buckets, $iters, $lrDen)")
     val feat = bucketCountFeatures(df, textCol, labelCol, Nil, buckets)
-    val n = feat.count() // one scalar on the checkpointed frame
+    val n = feat.count() // one scalar; also materializes the persisted frame
     require(n > 0, "trainHardLogistic: empty corpus")
     trainOnFeatures(feat, buckets, iters, lrDen, n)
   }

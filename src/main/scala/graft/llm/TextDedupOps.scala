@@ -219,28 +219,62 @@ object TextDedupOps {
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       bands: Int, threshold: Double,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // Slim (id, band, band_hash) rows into the bucket join; the distinct
-    // runs on bare id pairs, and full signatures re-attach afterwards —
-    // at scale the shuffle carries 3 longs per row, not k+3.
-    val bandedAll = signatures.select(col(idCol),
-      posexplode(split_band(col("signature"), bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumn("band_hash", xxhash64(col("col").cast("string")))
-      .drop("col")
-    val banded = if (maxBucketSize == Int.MaxValue) bandedAll else {
-      // One extra map-side-combined count + semi-join on the slim frame;
-      // the count shuffles (band, band_hash, cnt) triples only.
-      val keep = bandedAll.groupBy("band", "band_hash")
-        .agg(count(lit(1)).as("__bsz"))
+    val pairs = if (maxBucketSize == Int.MaxValue) {
+      // UNCAPPED (r20, guide §2.4 "remove shuffles outright"): a pair
+      // colliding in c bands used to surface c times from the banded
+      // self-join and pay a whole Exchange of all id pairs to
+      // `distinct`. Emission is now exactly-once WITHOUT it: each
+      // banded row carries its doc's full band-hash vector (`__bhs`,
+      // `bands` longs — cheap next to removing the pairs exchange),
+      // and a pair is emitted only from the FIRST band where the two
+      // vectors agree — a row-local zip/position test, so the distinct
+      // and its Exchange are gone while the pair SET is unchanged
+      // (every colliding pair has a unique first colliding band).
+      val bandedU = signatures
+        .withColumn("__bhs", transform(split_band(col("signature"), bands),
+          a => xxhash64(a.cast("string"))))
+        .select(col(idCol), col("__bhs"), posexplode(col("__bhs")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      val a = bandedU.select(col(idCol).as("id_a"),
+        col("__bhs").as("__bhs_a"), col("band"), col("band_hash"))
+      val b = bandedU.select(col(idCol).as("id_b"),
+        col("__bhs").as("__bhs_b"), col("band"), col("band_hash"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b") &&
+          array_position(zip_with(col("__bhs_a"), col("__bhs_b"),
+            (x, y) => x === y), true) === col("band") + 1)
+        .select("id_a", "id_b")
+    } else {
+      // CAPPED: bucket sizes come from a window count partitioned by
+      // the SAME (band, band_hash) key the self-join needs (r20): one
+      // exchange establishes the clustering, the count/filter ride it,
+      // and the join reuses it — replacing the separate count
+      // aggregation + semi-join of the slim frame. Hot buckets buffer
+      // in one (spillable) window group; they are exactly the buckets
+      // the cap then DROPS, so the buffer is bounded by the corpus'
+      // worst bucket, same as the join build the old semi-join fed.
+      // The distinct stays: a dropped bucket can hide a pair's first
+      // colliding band, so first-collide emission is not bucket-locally
+      // decidable under a cap (see asymPairsFromBands for the same
+      // reasoning on the incremental path).
+      val bandedAll = signatures.select(col(idCol),
+        posexplode(split_band(col("signature"), bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumn("band_hash", xxhash64(col("col").cast("string")))
+        .drop("col")
+      val wsz = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
+      val banded = bandedAll
+        .withColumn("__bsz", count(lit(1)).over(wsz))
         .filter(col("__bsz") <= maxBucketSize)
-        .select("band", "band_hash")
-      bandedAll.join(keep, Seq("band", "band_hash"), "left_semi")
+        .drop("__bsz")
+      val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
     }
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
     val withSigs = pairs
       .join(signatures.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
       .join(signatures.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))

@@ -1020,7 +1020,10 @@ object TextStatsOps {
         var i = slot(k)
         if (us(i)) { vs(i) += d; vs(i) }
         else {
-          if ((n + 1) * 4 > cap * 3) {
+          // long arithmetic (r19 ADVICE): at cap = 2^30 the int form
+          // overflows negative, the map never resizes, and the probe
+          // loop spins forever once the table fills
+          if ((n + 1L) * 4 > cap.toLong * 3) {
             val (ok, ov, ou, oc) = (ks, vs, us, cap)
             cap <<= 1
             ks = new Array[Long](cap); vs = new Array[Long](cap)
@@ -1407,9 +1410,15 @@ object TextStatsOps {
     * predicate through an aggregation barrier first
     * (`.groupBy(id).agg(max(keep))` — a filter on an aggregate result
     * cannot be pushed below the Aggregate).
+    *
+    * r20: this column-expression tier is now the REFERENCE
+    * implementation — [[gopherRepetition]] computes the identical
+    * frame in one mapPartitions kernel (bit-equality pinned in
+    * GopherKernelSpec); the expression form stays for that spec and
+    * for callers that need the metrics as composable Columns.
     */
-  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def gopherRepetitionExpr(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val text = col(textCol)
     val emptyS = array().cast("array<string>")
     def ngramsOf(ws: Column, n: Int): Column =
@@ -1522,26 +1531,295 @@ object TextStatsOps {
             .reduce(_ && _).as("keep")): _*)
   }
 
-  /** The corpus rows that SURVIVE the Gopher repetition gate — the
-    * filter companion to [[gopherRepetition]] (which this calls), safe
-    * against the predicate-pushdown blowup documented there: `keep` is
-    * funneled through a `groupBy(id).agg(max(keep))` barrier (a filter
-    * on an aggregate result stays ABOVE the Aggregate, so the staged
-    * metric projections below keep their one-evaluation-per-row shape),
-    * then the kept ids left-semi-join back to the corpus.
+  /** Per-document Gopher repetition metrics as ONE mapPartitions
+    * kernel (r20 optimization, guide §1.2 "per-task work" / §4.2 "do
+    * the heavy lifting in native code"): identical output frame to
+    * [[gopherRepetitionExpr]] — same 13 fractions, 13 audit booleans
+    * and `keep`, bit for bit (GopherKernelSpec pins doubleToLongBits
+    * equality on the gate corpus and adversarial fixtures; the
+    * gopher_repetition DuckDB oracle re-verifies independently) — but
+    * each row is computed by primitive-array passes instead of staged
+    * Catalyst HOF lambdas, which evaluate interpreted expression trees
+    * per array element (measured at sf0.1: the expression tier was
+    * ~5.3 s of the 5.9 s curation_stress; the kernel computes the same
+    * metrics in ~0.2 s).
     *
-    * Scale shape: the barrier adds one hash shuffle of (id, boolean)
-    * pairs — partial-aggregated map-side, trivially skew-free since ids
-    * are unique — plus the semi-join's shuffle of the corpus by id (or
-    * a broadcast when the kept-id set is small). At 100 TB that is the
-    * honest price of composing a frame-level filter; row-local callers
-    * that only PROJECT the metrics pay no shuffle at all. */
+    * Exactness: every fraction is an int/int (or long/int) IEEE double
+    * division of exactly-counted integer masses, and the kernel counts
+    * the SAME integers — word splitting is the same `\s+` Java regex
+    * `words` compiles, lengths are code-point counts (Spark `length`
+    * semantics, NOT UTF-16 units — an astral-plane fixture pins this),
+    * n-gram identity is exact word-sequence equality (interned word
+    * ids, open-address table with full key compare — no hash-only
+    * identity anywhere), and the most-frequent-n-gram tie-break is the
+    * expression tier's (count, char-mass) maximum, whose result mass
+    * is tie-invariant. NULL text produces the same all-NULL metric row
+    * the expression tier's null propagation yields. ONE deliberate
+    * divergence (pinned in GopherKernelSpec): EMPTY text makes the
+    * char fractions 0/0, which the expression tier's ANSI Divide
+    * throws on (DIVIDE_BY_ZERO — one empty document would fail a
+    * 100 TB curation job) while the kernel computes the IEEE NaN the
+    * DuckDB oracle twin also computes — NaN fails every `<= threshold`
+    * rule, so empty documents drop cleanly (keep = false).
+    *
+    * Scale shape: unchanged — zero shuffle, row-local, runs at scan
+    * throughput; per row O(Σn m·n) table fills replace the expression
+    * tier's O(Σn m log m) sorts WITH their per-element interpreter
+    * overhead. Peak transient per-row memory is one n's id/count
+    * tables (~4 ints per word) — strictly less than the staged-array
+    * form. Unlike the expression tier, the output is safe to `.filter`
+    * directly: metrics exist only as kernel results, so Catalyst has
+    * no HOF tree to duplicate below a pushed predicate. */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val metricNames =
+      Seq("dup_line_frac", "dup_line_cfrac", "dup_para_frac",
+        "dup_para_cfrac") ++
+      GopherTopNgramRules.map { case (n, _) => s"top_${n}gram_cfrac" } ++
+      GopherDupNgramRules.map { case (n, _) => s"dup_${n}gram_cfrac" }
+    val okNames =
+      Seq("ok_dup_line", "ok_dup_line_chars", "ok_dup_para",
+        "ok_dup_para_chars") ++
+      GopherTopNgramRules.map { case (n, _) => s"ok_top_${n}gram" } ++
+      GopherDupNgramRules.map { case (n, _) => s"ok_dup_${n}gram" }
+    val thresholds: Array[Double] =
+      (Seq(0.30, 0.20, 0.30, 0.20) ++ GopherTopNgramRules.map(_._2) ++
+        GopherDupNgramRules.map(_._2)).toArray
+    val nMetrics = thresholds.length
+    val outSchema = StructType(in.schema.fields(0) +:
+      (metricNames.map(StructField(_, DoubleType, nullable = true)) ++
+        okNames.map(StructField(_, BooleanType, nullable = true)) :+
+        StructField("keep", BooleanType, nullable = true)))
+    val topNs = GopherTopNgramRules.map(_._1).toArray
+    val dupNs = GopherDupNgramRules.map(_._1).toArray
+    val rdd = in.rdd.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(1)) {
+          // NULL text: the expression tier null-propagates every
+          // metric, boolean and keep (length(NULL) denominator)
+          Row.fromSeq(r.get(0) +: Seq.fill(2 * nMetrics + 1)(null))
+        } else {
+          val ms = gopherDocMetrics(r.getString(1), topNs, dupNs)
+          val cells = new Array[Any](2 * nMetrics + 2)
+          cells(0) = r.get(0)
+          var keep = true
+          var j = 0
+          while (j < nMetrics) {
+            val ok = ms(j) <= thresholds(j) // NaN <= th is false in
+            cells(1 + j) = ms(j)            // both engines
+            cells(1 + nMetrics + j) = ok
+            keep &&= ok
+            j += 1
+          }
+          cells(2 * nMetrics + 1) = keep
+          Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(cells))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The 13 Gopher repetition fractions of one document, in
+    * [[gopherRepetition]]'s column order: dup_line_frac,
+    * dup_line_cfrac, dup_para_frac, dup_para_cfrac, top_{2,3,4}gram_
+    * cfrac, dup_{5..10}gram_cfrac. All lengths are CODE POINTS (Spark
+    * `length`); n-gram char mass is word mass + (n−1) joiner spaces
+    * (the expression tier measures the space-joined string). */
+  private def gopherDocMetrics(t: String, topNs: Array[Int],
+      dupNs: Array[Int]): Array[Double] = {
+    val tlen = t.codePointCount(0, t.length).toDouble
+
+    // lines (split "\n") / paragraphs (split "\n{2,}"), blanks dropped:
+    // occurrence-count and char-mass duplicate fractions
+    def dupStats(parts: Array[String]): (Double, Double) = {
+      val seen = new java.util.HashSet[String]()
+      var cnt = 0; var dups = 0; var repCp = 0L
+      var i = 0
+      while (i < parts.length) {
+        val p = parts(i)
+        if (p.nonEmpty) {
+          cnt += 1
+          if (!seen.add(p)) {
+            dups += 1
+            repCp += p.codePointCount(0, p.length)
+          }
+        }
+        i += 1
+      }
+      (if (cnt == 0) 0.0 else dups.toDouble / cnt, repCp.toDouble / tlen)
+    }
+    val (dlf, dlcf) = dupStats(t.split("\n"))
+    val (dpf, dpcf) = dupStats(t.split("\n{2,}"))
+
+    // words: same `\s+` regex as `words`; intern to dense ids so
+    // n-gram identity is integer-sequence equality
+    val parts = t.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) m += 1; i += 1 }
+    val wlen = new Array[Int](m)
+    val ids = new Array[Int](m)
+    val pref = new Array[Long](m + 1)
+    val idOf = new java.util.HashMap[String, Integer](m * 2)
+    var w = 0
+    i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty) {
+        wlen(w) = p.codePointCount(0, p.length)
+        pref(w + 1) = pref(w) + wlen(w)
+        val nid = Integer.valueOf(idOf.size)
+        val prev = idOf.putIfAbsent(p, nid)
+        ids(w) = (if (prev == null) nid else prev).intValue
+        w += 1
+      }
+      i += 1
+    }
+
+    // one open-address (start-keyed) n-gram count table per n; full
+    // key compare on the id sequence — exact identity, never hash-only
+    def fillTable(n: Int): (Array[Int], Array[Int], Array[Int]) = {
+      val starts = m - n + 1
+      var cap = 4
+      while (cap < starts * 2) cap <<= 1
+      val mask = cap - 1
+      val slotS = new Array[Int](cap)
+      java.util.Arrays.fill(slotS, -1)
+      val slotC = new Array[Int](cap)
+      val slotOf = new Array[Int](starts)
+      var s = 0
+      while (s < starts) {
+        var h = n * -1640531527
+        var j = 0
+        while (j < n) {
+          h = Integer.rotateLeft(h ^ (ids(s + j) * -1640531527), 13) * 5 + 0xe6546b64
+          j += 1
+        }
+        var k = (h ^ (h >>> 16)) & mask
+        var done = false
+        while (!done) {
+          val o = slotS(k)
+          if (o < 0) { slotS(k) = s; done = true }
+          else {
+            var j2 = 0
+            var eq = true
+            while (eq && j2 < n) { eq = ids(o + j2) == ids(s + j2); j2 += 1 }
+            if (eq) done = true else k = (k + 1) & mask
+          }
+        }
+        slotC(k) += 1
+        slotOf(s) = k
+        s += 1
+      }
+      (slotS, slotC, slotOf)
+    }
+
+    // most-frequent n-gram char mass: max by (count, mass); the
+    // expression tier's sorted-run scan yields the same maximum
+    def topMass(n: Int): Long = {
+      if (m < n) return 0L
+      val (slotS, slotC, _) = fillTable(n)
+      var bc = 0; var bm = 0L
+      var k = 0
+      while (k < slotS.length) {
+        val s0 = slotS(k)
+        if (s0 >= 0) {
+          val c = slotC(k)
+          val mass = c.toLong * (pref(s0 + n) - pref(s0) + (n - 1))
+          if (c > bc || (c == bc && mass > bm)) { bc = c; bm = mass }
+        }
+        k += 1
+      }
+      bm
+    }
+
+    // positional coverage: word i's chars count when ANY n-gram start
+    // in [i-n+1, i] (clamped to valid starts) is a duplicate — prefix
+    // sums of per-start dup flags make each window an O(1) lookup
+    def coverage(n: Int): Long = {
+      if (m < n) return 0L
+      val starts = m - n + 1
+      val (_, slotC, slotOf) = fillTable(n)
+      val dp = new Array[Int](starts + 1)
+      var s = 0
+      while (s < starts) {
+        dp(s + 1) = dp(s) + (if (slotC(slotOf(s)) >= 2) 1 else 0)
+        s += 1
+      }
+      var cov = 0L
+      var i2 = 0
+      while (i2 < m) {
+        val lo = math.max(i2 - n + 1, 0)
+        val hi = math.min(i2, starts - 1)
+        if (dp(hi + 1) > dp(lo)) cov += wlen(i2)
+        i2 += 1
+      }
+      cov
+    }
+
+    val out = new Array[Double](4 + topNs.length + dupNs.length)
+    out(0) = dlf; out(1) = dlcf; out(2) = dpf; out(3) = dpcf
+    var j = 0
+    while (j < topNs.length) {
+      out(4 + j) = topMass(topNs(j)).toDouble / tlen
+      j += 1
+    }
+    j = 0
+    while (j < dupNs.length) {
+      out(4 + topNs.length + j) = coverage(dupNs(j)).toDouble / tlen
+      j += 1
+    }
+    out
+  }
+
+  /** The corpus rows that SURVIVE the Gopher repetition gate — the
+    * filter companion to [[gopherRepetition]]. Since r20 this is a
+    * pure ROW-LOCAL kernel filter: each row's `keep` is computed in
+    * the same primitive-array pass the metric kernel uses
+    * ([[gopherDocMetrics]]) and failing rows are dropped in place,
+    * keeping every input column. ZERO shuffle — the r11 shape paid an
+    * aggregation-barrier exchange (pushdown protection the expression
+    * tier needed) plus the semi-join's corpus exchange; both are gone
+    * and the gate runs at scan throughput at any corpus size, the
+    * 100 TB ideal for a row-local filter.
+    *
+    * Semantics: a row survives iff its OWN text passes every rule —
+    * identical to the old keep-filter + id-semi-join whenever ids are
+    * unique (every caller; GopherKernelSpec pins the equivalence).
+    * For a degenerate corpus with duplicate ids the old join kept ALL
+    * rows of an id when ANY of its rows passed; the per-row reading
+    * is the filter semantics callers actually mean. NULL text fails
+    * the gate (the old `.filter(keep)` dropped its NULL keep too). */
   def gopherRepetitionKept(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val keptIds = gopherRepetition(df, idCol, textCol)
-      .groupBy(col(idCol)).agg(max(col("keep")).as("__keep"))
-      .filter(col("__keep")).select(idCol)
-    df.join(keptIds, Seq(idCol), "left_semi")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val ti = schema.fieldIndex(textCol)
+    val topNs = GopherTopNgramRules.map(_._1).toArray
+    val dupNs = GopherDupNgramRules.map(_._1).toArray
+    val thresholds: Array[Double] =
+      (Seq(0.30, 0.20, 0.30, 0.20) ++ GopherTopNgramRules.map(_._2) ++
+        GopherDupNgramRules.map(_._2)).toArray
+    val rdd = df.rdd.mapPartitions { it =>
+      it.filter { r =>
+        !r.isNullAt(ti) && {
+          val ms = gopherDocMetrics(r.getString(ti), topNs, dupNs)
+          var keep = true
+          var j = 0
+          while (keep && j < thresholds.length) {
+            keep = ms(j) <= thresholds(j) // NaN fails, like the metric
+            j += 1                        // tier's booleans
+          }
+          keep
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** C4 boilerplate line phrases (Raffel et al. 2020 §2.2: policy
@@ -2307,7 +2585,19 @@ object TextStatsOps {
     * word — the exact enumeration `__w.substr(i, l)` produced (Spark
     * substring counts code points; UTF-16 indices would drift on
     * astral-plane text) — with counts pre-combined per partition so
-    * only distinct (piece, partial count) rows reach the exchange. */
+    * only distinct (piece, partial count) rows reach the exchange.
+    *
+    * Memory trade-off (r19 ADVICE): the per-partition combine holds
+    * every DISTINCT substring of the partition's words in one
+    * HashMap — bounded by Σ_words maxTokenLen·len(word) in the worst
+    * (all-unique) case, vs the old explode that streamed occurrences
+    * into Spark's spillable hash aggregate. Fine at the benchmarked
+    * scales (unique-WORD frames are already collapsed upstream); a
+    * pathologically wide unique-word partition would pressure the
+    * executor heap before the exchange — cap partition width (more
+    * input splits) rather than reverting to the per-occurrence
+    * explode, which paid one interpreted Catalyst row per substring
+    * occurrence (12.5M at the 32k stress shape). */
   private[graft] def seedPieceCounts(it: Iterator[(String, Long)],
       maxTokenLen: Int): Iterator[(String, Long)] = {
     val m = new java.util.HashMap[String, java.lang.Long]()

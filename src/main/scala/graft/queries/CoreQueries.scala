@@ -34,7 +34,19 @@ object Q {
     * EXACTLY — pure codegen'd double arithmetic, no BigDecimal
     * allocation per row (the double→DECIMAL(12,2) cast each aggregate
     * row used to pay goes through BigDecimal.valueOf + setScale).
-    * Same 2-decimal-source contract as [[dec2]]; NULL propagates. */
+    * Same 2-decimal-source contract as [[dec2]]; NULL propagates.
+    *
+    * CONTRACT (r19 ADVICE): inputs must additionally be FINITE. dec2
+    * maps NaN/Infinity to NULL (dropped from sums) where this
+    * non-ANSI cast yields 0L / Long.MaxValue — a non-finite value fed
+    * to a cents-backed dsum/davg would diverge from the DECIMAL-cast
+    * oracle mirror instead of matching it, and the differential
+    * harness would fail the query loudly. Every current call site is
+    * a raw 2-decimal money/rate column (audited r19), all finite by
+    * construction; a per-row isnan/isinf guard here would tax the
+    * hottest aggregation path (q1's 8 sums) to defend values the
+    * contract already excludes, so the contract is documented instead
+    * — new call sites on DERIVED doubles must guard at the source. */
   def cents(c: Column): Column =
     (c * 100d + signum(c) * 0.5d).cast("long")
 

@@ -136,14 +136,27 @@ object SelectionQueries extends QueryModule {
              |UNION ALL SELECT 200000.0,
              |  CAST(sum(CASE WHEN o_totalprice < 200000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders""".stripMargin)),
 
-    // nlargest(keep='all'): ties at the cutoff all survive — rank()
-    // instead of row_number, still a top-k-ish plan (rank filter
-    // pushes WindowGroupLimit).
+    // nlargest(keep='all'): ties at the cutoff all survive. r20 (guide
+    // §2.4 / the iloc_slice treatment): rank(r) <= 10 over a global
+    // order is exactly o_totalprice >= the 10th-largest value (rank =
+    // 1 + count of strictly-greater rows), so the threshold comes from
+    // a distributed TakeOrderedAndProject(10) + min, the base table is
+    // pre-filtered against it (ties at the threshold survive — the
+    // keep='all' tail), and the unpartitioned rank window — formerly a
+    // serial pass over EVERY order row in one task — numbers only the
+    // ~10+ties survivors, whose filtered ranks equal the global ranks
+    // because every strictly-greater row also survives. (Assumes the
+    // ranked column is non-null, as o_totalprice is; a null-ranked row
+    // could only reach rank <= 10 on a sub-10-row table.)
     QueryDef("nlargest_keep_all",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("o_totalprice").desc)
+        val thr = T.orders(s, d).select(col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc).limit(10)
+          .agg(min("o_totalprice").as("__thr"))
         T.orders(s, d)
+          .join(broadcast(thr), col("o_totalprice") >= col("__thr"))
           .withColumn("rk", rank().over(w))
           .filter(col("rk") <= 10)
           .select("o_orderkey", "o_totalprice", "rk")

@@ -31,13 +31,43 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench-internal stress shapes (not registry queries), rebuilt
+    // here verbatim so their plans are dumpable like declared queries.
+    def stressShape(n: String): Option[org.apache.spark.sql.DataFrame] = {
+      import org.apache.spark.sql.functions._
+      import graft.llm.{TextDedupOps, TextStatsOps}
+      n match {
+        case "curation_stress" =>
+          val docs = graft.Tables.documents(spark, sfDir)
+            .select("doc_id", "text")
+          val quality = docs.filter(TextStatsOps.gopherKeep(col("text")))
+          Some(TextDedupOps.paragraphDedup(
+            TextStatsOps.gopherRepetitionKept(quality, "doc_id", "text"),
+            "doc_id", "text"))
+        case "lsh_stress_capped" =>
+          val docs = graft.Tables.documents(spark, sfDir)
+            .select("doc_id", "text")
+          val boiler = "this page is protected by copyright terms of " +
+            "service apply to all visitors please review the policy "
+          val skewed = docs.withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              concat(lit(boiler * 4), col("doc_id").cast("string")))
+              .otherwise(col("text")))
+          val sigs = TextDedupOps.minHashSignatures(skewed, "doc_id",
+            "text", shingleN = 3, k = 32)
+          val pairs = TextDedupOps.lshCandidatePairs(sigs, "doc_id",
+            bands = 8, threshold = 0.8, maxBucketSize = 64)
+          Some(TextDedupOps.connectedComponents(pairs, "id_a", "id_b",
+            checkpointEvery = 4))
+        case _ => None
+      }
+    }
     val queries = graft.SparkEntry.queries
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
-      queries.get(n) match {
+      queries.get(n).map(f => f(spark, sfDir)).orElse(stressShape(n)) match {
         case None => System.err.println(s"[plandump] no such query: $n")
-        case Some(f) =>
-          val df = f(spark, sfDir)
+        case Some(df) =>
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           val w = new java.io.FileWriter(s"$outDir/${n}_$suffix.txt", false)

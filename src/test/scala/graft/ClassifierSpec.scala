@@ -79,9 +79,15 @@ class ClassifierSpec extends SparkSpec {
       }
       w
     }
-    // include a NULL-text row: it must train and score as bias-only
+    // include a NULL-text row (trains and scores as bias-only) AND a
+    // NULL-label row (r19 ADVICE: the label column is parquet-nullable;
+    // the per-occurrence loop null-propagated such a row out of every
+    // gradient sum while n counted it — the kernel must reproduce
+    // that, not crash)
     val withNull = corpus.unionByName(
       Seq((999L, null.asInstanceOf[String], 0)).toDF("id", "text", "y"))
+      .unionByName(Seq((998L, "pos0 neg0"))
+        .toDF("id", "text").withColumn("y", lit(null).cast("int")))
     val got = ClassifierOps.trainHardLogistic(withNull, "text", "y",
       buckets = 32, iters = 3, lrDen = 10L)
     val want = reference(withNull, 32, 3, 10L)

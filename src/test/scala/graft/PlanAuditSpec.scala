@@ -460,8 +460,13 @@ class PlanAuditSpec extends SparkSpec {
                                // committed-filtered cell-pruned scan
       "embedding_near_dup",    // broadcast query/centroid side over the
                                // corpus scan (the documented ANN shape)
-      "cluster_balanced_draw") // broadcast 4-centroid frame over one
+      "cluster_balanced_draw", // broadcast 4-centroid frame over one
                                // corpus scan (assignCells' shape)
+      "nlargest_keep_all")     // r20: ONE broadcast scalar row — the
+                               // rank-10 threshold from a distributed
+                               // top-k — pre-filters orders so the
+                               // global rank window sees ~k+ties rows
+                               // instead of the whole table
     assert(offenders == allowed,
       s"cartesian/nested-loop set drifted.\n  now: ${offenders.toSeq.sorted}\n" +
         s"  pinned: ${allowed.toSeq.sorted}")
