@@ -1652,30 +1652,49 @@ object Bench {
     // 32-core ratios all sit near 1 because per-job fixed cost
     // dominates sub-second queries, so the scaling block cannot
     // witness parallelism. SPARK_GRAFT_BENCH_SCALE=k (k ≥ 1) times
-    // three headline shapes over the same parquet inputs with the FACT
-    // side amplified k× by UNION — k independent scans of the same
-    // files, so the work truly grows k-fold and every byte is computed
-    // from parquet per run (no caching, no precomputation). Results go
-    // in a SEPARATE `scale_probe` field (min of 2 reps, like stress):
-    // the official `queries`/total series is untouched, and the
-    // driver's contract output is byte-identical when the env var is
-    // unset. Run the bench twice (SPARK_GRAFT_CPUS=32 then =8) with
-    // the same k and compare scale_probe entries: at k=20 the shapes
-    // are seconds-long compute and the 8→32-core ratio witnesses
-    // parallel speedup (measured ≥ 2× — OPTIMIZATION_r20.md).
+    // three headline shapes with the FACT side amplified k×: every
+    // fact row is replicated k times through a broadcast cross join
+    // with range(k), so k× rows flow through the filters, join probes,
+    // aggregate update loops and the classifier kernel — per-row work
+    // truly grows k-fold and is computed fresh per run (no caching, no
+    // precomputation; the probe witnesses COMPUTE parallelism — the
+    // parquet bytes are still read once). A k-way UNION was measured
+    // first and rejected: its k-scan plan costs seconds of
+    // single-threaded driver analysis, which swamped the ratio at
+    // every k. Results go in a SEPARATE `scale_probe` field (min of 2
+    // reps, like stress): the official `queries`/total series is
+    // untouched, and the driver's contract output is byte-identical
+    // when the env var is unset. Run the bench twice
+    // (SPARK_GRAFT_CPUS=32 then =8) with the same k and compare
+    // scale_probe entries — at k=100 the shapes are seconds-long
+    // compute and the 8→32-core ratio witnesses parallel speedup
+    // (measured ≥ 2× — OPTIMIZATION_r20.md).
     val scaleK = sys.env.get("SPARK_GRAFT_BENCH_SCALE")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
     val scaleProbe: Seq[(String, Vector[Double])] = scaleK match {
       case None => Seq.empty
       case Some(k) =>
         import org.apache.spark.sql.functions._
-        def amp(df: DataFrame): DataFrame =
-          (1 until k).foldLeft(df)((a, _) => a.union(df))
+        // sf0.1 fact tables are ONE parquet split, so an in-place
+        // amplification would run in one task no matter the core
+        // count: hash-repartition the slim BASE rows first
+        // (deterministic key — guide §2.5), then replicate each row k×
+        // locally via a broadcast cross join with range(k), so every
+        // partition amplifies and aggregates its own k× share in
+        // parallel. The partition count is EXPLICIT: the base rows are
+        // a few MB, and AQE would otherwise coalesce the pre-
+        // amplification exchange to one partition (64 MB advisory) —
+        // re-serializing the whole probe, which is exactly what this
+        // first implementation did at every core count.
+        val probeParts = spark.sessionState.conf.numShufflePartitions
+        def amp(df: DataFrame, key: String): DataFrame =
+          df.repartition(probeParts, col(key)).crossJoin(broadcast(
+            spark.range(k).select(col("id").as("__rep"))))
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         import graft.queries.Q
         val q1k = () => {
           // q1_agg's exact shape over a k×-amplified lineitem scan
-          val li = amp(Tables.lineitem(spark, sfDir))
+          val li = amp(Tables.lineitem(spark, sfDir), "l_orderkey")
           li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
             .groupBy(col("l_returnflag"), col("l_linestatus"))
             .agg(Q.dsum(col("l_quantity")).as("sum_qty"),
@@ -1691,7 +1710,7 @@ object Bench {
             .filter(col("c_mktsegment") === "BUILDING")
           val ords = Tables.orders(spark, sfDir)
             .filter(col("o_orderdate") < cutoff)
-          val li = amp(Tables.lineitem(spark, sfDir))
+          val li = amp(Tables.lineitem(spark, sfDir), "l_orderkey")
             .filter(col("l_shipdate") > cutoff)
           val pc = Q.cents(col("l_extendedprice"))
           val dc = Q.cents(col("l_discount"))
@@ -1707,7 +1726,7 @@ object Bench {
           // classifier feature kernel + GD over a k×-amplified corpus
           val docs = amp(Tables.documents(spark, sfDir)
             .select(col("doc_id"), col("text"),
-              (col("lang") === "en").cast("int").as("__y")))
+              (col("lang") === "en").cast("int").as("__y")), "doc_id")
           graft.llm.ClassifierOps.trainHardLogisticScored(
             docs, "text", "__y", "doc_id", buckets = 16, iters = 2)
         }
