@@ -1574,7 +1574,6 @@ object TextStatsOps {
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
     val in = df.select(col(idCol), col(textCol).cast("string"))
     val metricNames =
       Seq("dup_line_frac", "dup_line_cfrac", "dup_para_frac",
@@ -1596,7 +1595,12 @@ object TextStatsOps {
         StructField("keep", BooleanType, nullable = true)))
     val topNs = GopherTopNgramRules.map(_._1).toArray
     val dupNs = GopherDupNgramRules.map(_._1).toArray
-    val rdd = in.rdd.mapPartitions { it =>
+    // Dataset mapPartitions (NOT .rdd): the kernel must lift to
+    // STREAMING frames unchanged (StreamingSpec pins it) — .rdd is a
+    // batch-only materialization, while MapPartitions is an ordinary
+    // logical node; it also keeps the source scan (and its pushdown)
+    // visible in the SQL plan instead of hiding it in RDD lineage.
+    in.mapPartitions { it: Iterator[Row] =>
       it.map { r =>
         if (r.isNullAt(1)) {
           // NULL text: the expression tier null-propagates every
@@ -1620,8 +1624,7 @@ object TextStatsOps {
             scala.collection.immutable.ArraySeq.unsafeWrapArray(cells))
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** The 13 Gopher repetition fractions of one document, in
@@ -1797,7 +1800,7 @@ object TextStatsOps {
     * the gate (the old `.filter(keep)` dropped its NULL keep too). */
   def gopherRepetitionKept(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
     val schema = df.schema
     val ti = schema.fieldIndex(textCol)
     val topNs = GopherTopNgramRules.map(_._1).toArray
@@ -1805,7 +1808,9 @@ object TextStatsOps {
     val thresholds: Array[Double] =
       (Seq(0.30, 0.20, 0.30, 0.20) ++ GopherTopNgramRules.map(_._2) ++
         GopherDupNgramRules.map(_._2)).toArray
-    val rdd = df.rdd.mapPartitions { it =>
+    // Dataset mapPartitions, not .rdd — lifts to streaming frames and
+    // keeps the source scan in the SQL plan (see gopherRepetition)
+    df.mapPartitions { it: Iterator[Row] =>
       it.filter { r =>
         !r.isNullAt(ti) && {
           val ms = gopherDocMetrics(r.getString(ti), topNs, dupNs)
@@ -1818,8 +1823,7 @@ object TextStatsOps {
           keep
         }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** C4 boilerplate line phrases (Raffel et al. 2020 §2.2: policy
